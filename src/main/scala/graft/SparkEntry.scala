@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * `queries` maps every implemented operator (SURVEY §2 inventory + the
+  * training-data-pipeline extensions) to a deterministic DataFrame builder
+  * over the fixture dir; `oracleSql` carries the DuckDB-equivalent ANSI SQL
+  * for the hash-compare gate. Column names/types are aligned on both sides
+  * (driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Recency-discounted conditional aggregation — the reference's richest
+    * single statement (`Databricks Notebook.py:129–156`), see
+    * [[graft.engine.RelOps.aggMulti]].
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelOps.aggMulti(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles
 }

@@ -1,0 +1,103 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference extensions (SURVEY.md §2.5 note, §7.3 "ext" rows):
+  * ordering/top-k, window ranking, batch event-time bucketing, JSON
+  * extraction, and set operations. The reference never needed these
+  * (`display(5)` was its only LIMIT), but "same capabilities" includes
+  * presenting ordered results and the driver fixtures carry the event/JSON
+  * shapes.
+  */
+object Ext {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sort + limit with a unique tie-break key (SURVEY §7.5 risk 6: without
+    * it the cut at row N is nondeterministic across engines). Spark executes
+    * this as TakeOrderedAndProject — per-partition top-N then a single
+    * driver merge; no global sort at any scale.
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Ranking window: top order per customer (row_number over a
+    * deterministic order). One hash partition by o_custkey; skew-safe
+    * because customer keys are near-uniform here — for skewed keys at scale,
+    * pre-filter with a groupBy max before ranking.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** Batch event-time tumbling window (`window($"ts","1 hour")` — SURVEY
+    * §1 note / §2.7): hour buckets × event_type. Decimal sums keep the
+    * money column exact; the avg is one double division over exact operands.
+    */
+  def eventWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"),
+        round(sum(col("value").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)), 6).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("avg_value"))
+
+  /** JSON extraction over the events.props payload (driver fixture;
+    * get_json_object is codegen'd — no UDF in the hot path).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+
+  /** Set operations (union / intersect / except) over two key sets:
+    * customers that ordered vs customers that produced events. Each count
+    * is a 1-row aggregate; the three are unioned with a tag column.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    val b = Tables.events(spark, dir).select(col("user_id").as("k"))
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.distinct().agg(count(lit(1)).as("n")).select(lit(name).as("op"),
+        col("n"))
+    tag("union", a.union(b))
+      .union(tag("intersect", a.intersect(b)))
+      .union(tag("except", a.except(b)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_topk" -> topK _,
+    "q_window_rank" -> windowRank _,
+    "q_event_window" -> eventWindow _,
+    "q_json_extract" -> jsonExtract _,
+    "q_set_ops" -> setOps _)
+
+  val oracles: Map[String, String] = Map(
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1""",
+    "q_event_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""",
+    "q_json_extract" ->
+      """SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k, min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type""",
+    "q_set_ops" ->
+      """SELECT 'union' AS op, count(*) AS n FROM (SELECT DISTINCT o_custkey FROM orders UNION SELECT DISTINCT user_id FROM events) UNION ALL SELECT 'intersect', count(*) FROM (SELECT DISTINCT o_custkey FROM orders INTERSECT SELECT DISTINCT user_id FROM events) UNION ALL SELECT 'except', count(*) FROM (SELECT DISTINCT o_custkey FROM orders EXCEPT SELECT DISTINCT user_id FROM events)""")
+}

@@ -1,0 +1,212 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Join operators and the end-to-end basetable assembly (SURVEY.md §2.4
+  * J1–J10, §2.5 A11, §2.6 X7–X11/X15) — the Yelp per-business basetable
+  * (`Databricks Notebook.py:620–641`) re-hosted on the synthetic star
+  * schema: customer plays business, orders/lineitem/events play
+  * covid/review/checkin.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** J5 — fact ⋈ dim equi-join with an explicit broadcast hint
+    * (`Databricks Notebook.py:569`: review ⋈ 2-col user). The dim side is
+    * key-unique and small; broadcasting removes the shuffle of the fact
+    * side entirely — the canonical 100 TB fact-to-dim pattern. (Catalyst
+    * would usually pick this from size stats; the hint is belt-and-braces,
+    * SURVEY §4.)
+    */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+      .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+  }
+
+  /** J1–J4 — left outer joins against small dims (`Databricks
+    * Notebook.py:347, 387, 427, 464`), chained through the nation→region
+    * snowflake. Both dims broadcast; left rows are never shuffled.
+    */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select("c_custkey", "c_name", "n_name", "r_name")
+
+  /** J6–J10/X15 — the basetable star assembly (`Databricks
+    * Notebook.py:620–642`): one row per customer, left-joined metric
+    * bundles, count-columns null-filled to 0.
+    *
+    * Scale design: every fact is aggregated DOWN TO THE JOIN KEY GRAIN
+    * BEFORE joining (the reference does the same, NB:552/575/580), so the
+    * join inputs are |keys|-sized, not |fact|-sized. lineitem is
+    * additionally pre-aggregated to l_orderkey and re-aggregated after the
+    * orders join — partial aggregation means the big fact shuffles only its
+    * grouped form. The final joins are all broadcast-able key-unique sides.
+    */
+  def basetableStar(spark: SparkSession, dir: String): DataFrame = {
+    val orderMetrics = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spend"),
+        max(col("o_orderdate")).as("last_order"))
+    val itemMetrics = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("li_items"), sum(col("l_quantity")).as("li_qty"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("li_items")).as("n_items"), sum(col("li_qty")).as("sum_qty"))
+    val eventMetrics = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)), 6).as("avg_event_value"))
+    Tables.customer(spark, dir)
+      .join(orderMetrics, Seq("c_custkey"), "left")
+      .join(itemMetrics, Seq("c_custkey"), "left")
+      .join(eventMetrics, Seq("c_custkey"), "left")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name"), col("n_orders"), col("total_spend"), col("last_order"),
+        col("n_items"), col("sum_qty"), col("n_events"),
+        col("avg_event_value"))
+      .na.fill(0, Seq("n_orders", "n_items", "sum_qty", "n_events"))
+  }
+
+  /** A11/F4 — single-pass per-column null/NaN audit (`Databricks
+    * Notebook.py:648`): N conditional counts fused into ONE aggregate node
+    * — one scan regardless of column count. Schema-driven: NaN checks only
+    * on floating columns.
+    */
+  def nullAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = basetableStar(spark, dir)
+    val audits = base.schema.fields.map { f =>
+      val c = col(f.name)
+      val miss =
+        if (f.dataType == DoubleType) c.isNull || isnan(c) else c.isNull
+      count(when(miss, lit(1))).as(f.name)
+    }
+    base.agg(audits.head, audits.tail: _*)
+  }
+
+  /** X7–X11 + SURVEY §2.10 quirk #6 — business-hours availability
+    * (`Databricks Notebook.py:486–528`): "H:mm-H:mm" strings are split,
+    * hour-parsed via substring_index+cast, past-midnight closes get +24,
+    * availability = close − open, nulls → 0. The hour strings are
+    * synthesized deterministically in-query from o_orderkey (the Yelp hours
+    * data does not exist in the fixtures — FIXTURES.md §C); every derived
+    * value is integer arithmetic, so the oracle matches bit-for-bit.
+    */
+  def hoursAvailability(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val openH = (k % 24).cast("int")
+    val openM = ((k % 2) * 30).cast("int")
+    val closeH = ((k * 7 + 3) % 24).cast("int")
+    val closeM = when(k % 3 === 0, lit(30)).otherwise(lit(0))
+    val hoursStr = concat(
+      openH.cast("string"), lit(":"), lpad(openM.cast("string"), 2, "0"),
+      lit("-"),
+      closeH.cast("string"), lit(":"), lpad(closeM.cast("string"), 2, "0"))
+    Tables.orders(spark, dir)
+      .withColumn("hours",
+        when(k % 11 === 0, lit(null)).otherwise(hoursStr))
+      .withColumn("open_hour",
+        substring_index(split(col("hours"), "-").getItem(0), ":", 1)
+          .cast("int"))
+      .withColumn("close_raw",
+        substring_index(split(col("hours"), "-").getItem(1), ":", 1)
+          .cast("int"))
+      .withColumn("close_hour_adj",
+        when(col("close_raw") <= col("open_hour"), col("close_raw") + 24)
+          .otherwise(col("close_raw")))
+      .withColumn("avail_hours",
+        coalesce(col("close_hour_adj") - col("open_hour"), lit(0)))
+      .select("o_orderkey", "hours", "open_hour", "close_hour_adj",
+        "avail_hours")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_inner" -> joinInner _,
+    "q_join_left" -> joinLeft _,
+    "q_basetable_star" -> basetableStar _,
+    "q_null_audit" -> nullAudit _,
+    "q_hours_availability" -> hoursAvailability _)
+
+  /** Shared star SQL (also embedded in the null-audit oracle). */
+  private val starSql: String =
+    """SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name,
+      | COALESCE(om.n_orders, 0) AS n_orders, om.total_spend, om.last_order,
+      | COALESCE(im.n_items, 0) AS n_items, COALESCE(im.sum_qty, 0) AS sum_qty,
+      | COALESCE(em.n_events, 0) AS n_events, em.avg_event_value
+      |FROM customer c
+      |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+      |    max(o_orderdate) AS last_order
+      |  FROM orders GROUP BY o_custkey) om ON c.c_custkey = om.o_custkey
+      |LEFT JOIN (SELECT o_custkey, CAST(sum(li_items) AS BIGINT) AS n_items,
+      |    sum(li_qty) AS sum_qty
+      |  FROM (SELECT l_orderkey, count(*) AS li_items,
+      |      sum(l_quantity) AS li_qty FROM lineitem GROUP BY l_orderkey) li
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  GROUP BY o_custkey) im ON c.c_custkey = im.o_custkey
+      |LEFT JOIN (SELECT user_id, count(*) AS n_events,
+      |    round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*),
+      |      6) AS avg_event_value
+      |  FROM events GROUP BY user_id) em ON c.c_custkey = em.user_id
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
+
+  private val auditCols: Seq[(String, Boolean)] = Seq(
+    "c_custkey" -> false, "c_name" -> false, "c_mktsegment" -> false,
+    "n_name" -> false, "n_orders" -> false, "total_spend" -> false,
+    "last_order" -> false, "n_items" -> false, "sum_qty" -> true,
+    "n_events" -> false, "avg_event_value" -> true)
+
+  private val hoursSql: String =
+    """WITH h AS (
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE
+      |    CAST(o_orderkey % 24 AS VARCHAR) || ':' ||
+      |    lpad(CAST((o_orderkey % 2) * 30 AS VARCHAR), 2, '0') || '-' ||
+      |    CAST((o_orderkey * 7 + 3) % 24 AS VARCHAR) || ':' ||
+      |    lpad(CASE WHEN o_orderkey % 3 = 0 THEN '30' ELSE '0' END, 2, '0')
+      |    END AS hours
+      |  FROM orders),
+      |p AS (
+      |  SELECT o_orderkey, hours,
+      |    CAST(NULLIF(split_part(split_part(hours, '-', 1), ':', 1), '')
+      |      AS INTEGER) AS open_hour,
+      |    CAST(NULLIF(split_part(split_part(hours, '-', 2), ':', 1), '')
+      |      AS INTEGER) AS close_raw
+      |  FROM h)
+      |SELECT o_orderkey, hours, open_hour,
+      |  CASE WHEN close_raw <= open_hour THEN close_raw + 24
+      |       ELSE close_raw END AS close_hour_adj,
+      |  COALESCE(CASE WHEN close_raw <= open_hour THEN close_raw + 24
+      |       ELSE close_raw END - open_hour, 0) AS avail_hours
+      |FROM p""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, n_name, r_name FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey LEFT JOIN region ON n_regionkey = r_regionkey""",
+    "q_basetable_star" -> starSql,
+    "q_null_audit" -> {
+      val exprs = auditCols.map { case (c, isFloat) =>
+        val cond = if (isFloat) s"$c IS NULL OR isnan($c)" else s"$c IS NULL"
+        s"COUNT(CASE WHEN $cond THEN 1 END) AS $c"
+      }.mkString(", ")
+      s"SELECT $exprs FROM ($starSql)"
+    },
+    "q_hours_availability" -> hoursSql)
+}
