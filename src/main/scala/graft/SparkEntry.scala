@@ -22,11 +22,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries
+    RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries ++
+      TextOps.queries ++ Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles
+    RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles ++
+      TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

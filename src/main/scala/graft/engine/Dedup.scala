@@ -1,0 +1,252 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions): exact, MinHash+LSH, SimHash, and n-gram Jaccard with
+  * rare-shingle blocking.
+  *
+  * Portable hashing: every hash here is `(a*id + b) mod p` over DENSE TOKEN
+  * IDS from a sorted-distinct dictionary, not a builtin hash function —
+  * builtin hashes differ per engine, which would make the DuckDB oracle
+  * unverifiable. The dictionary is a global row_number over distinct
+  * shingles: cheap at fixture scale; at 100 TB swap the dictionary for
+  * `xxhash64(shingle)` (no dictionary join, no global sort) — the LSH
+  * topology is unchanged, only the id source.
+  *
+  * Scale design: candidate generation is always BLOCKED (LSH band buckets /
+  * rare shingles / label partitions) so the pair space is output-sized, not
+  * |docs|² — the only way near-dup detection survives a 5B-document corpus.
+  * Verification joins pre-collected per-doc IDSET ARRAYS (one row per doc,
+  * `array_intersect` for overlap) instead of re-exploding tokens, keeping
+  * the verify join linear in candidate count.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash parameters: 12 hash functions = 4 bands x 3 rows.
+    * P(candidate | J) = 1-(1-J^3)^4: J=0.9 -> 0.995, J=0.05 -> 0.0005 —
+    * matches the fixture's bimodal jaccard distribution (planted near-dups
+    * at J>=0.9, background at J<=0.07).
+    */
+  val HashA: Seq[Long] =
+    Seq(7L, 13L, 31L, 61L, 127L, 251L, 509L, 1021L, 2039L, 4093L, 8191L, 16381L)
+  val HashB: Seq[Long] =
+    Seq(3L, 17L, 29L, 97L, 131L, 191L, 313L, 457L, 613L, 787L, 907L, 1031L)
+  val P = 1000003L
+  val Bands = 4
+  val Rows = 3
+  val MinhashThreshold = 0.6
+  val JaccardThreshold = 0.5
+  val RareShingleMaxFreq = 5
+
+  /** Exact dedup: group by full content, keep the minimum id (the standard
+    * hash-groupBy exact pass run before any fuzzy matching).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** doc_id -> distinct word-3-gram shingle rows. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val grams = transform(sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ",
+        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      explode(array_distinct(
+        when(size(t) >= 3, grams)
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+  }
+
+  /** Dense shingle ids: row_number over sorted distinct shingles. The
+    * single-partition window is fine for a dictionary (vocab-sized, not
+    * corpus-sized); see the scaladoc header for the 100 TB alternative.
+    */
+  private def shingleIds(sh: DataFrame): DataFrame = {
+    val dict = sh.select("shingle").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("shingle")))
+    sh.join(broadcast(dict), Seq("shingle")).select("doc_id", "sid")
+  }
+
+  /** Per-doc shingle-id set + size, for array-based exact verification. */
+  private def idSets(ds: DataFrame): DataFrame =
+    ds.groupBy("doc_id")
+      .agg(collect_set(col("sid")).as("sids"), count(lit(1)).as("n"))
+
+  /** Exact-jaccard verification of candidate pairs via set arrays. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sids").as("sa"),
+      col("n").as("na"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sids").as("sb"),
+      col("n").as("nb"))
+    val ni = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val j = ni.cast("double") / (col("na") + col("nb") - ni)
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("jaccard", round(j, 6))
+      .filter(j >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + LSH near-dup pairs: signature -> band buckets -> bucket
+    * equi-join -> exact jaccard confirm. The bucket join only materializes
+    * colliding pairs; band keys are strings of 3 minhashes, so bucket
+    * cardinality stays near 1 for non-dup docs.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(shingles(spark, dir))
+    val sigCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
+      min((col("sid") * a + b) % P).as(s"h$i")
+    }
+    val sig = ds.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until Bands).map { bnd =>
+      val ks = (0 until Rows).map(r => col(s"h${bnd * Rows + r}"))
+      concat_ws(":", ks: _*).as(s"band$bnd")
+    }
+    val stackArgs = (0 until Bands)
+      .map(bnd => s"$bnd, band$bnd").mkString(", ")
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($Bands, $stackArgs) AS (band, bkey)")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, idSets(ds), MinhashThreshold)
+  }
+
+  /** n-gram Jaccard near-dup with rare-shingle blocking: candidates are
+    * pairs sharing at least one shingle with global frequency <=
+    * [[RareShingleMaxFreq]] (near-identical docs always share their rare
+    * shingles; frequent shingles would generate quadratic candidates).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(shingles(spark, dir))
+    val rare = ds.groupBy("sid").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= RareShingleMaxFreq)
+      .select("sid")
+    val rds = ds.join(broadcast(rare), Seq("sid"))
+    val cand = rds.as("x").join(rds.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, idSets(ds), JaccardThreshold)
+  }
+
+  /** 16-bit SimHash over distinct unigram tokens: per bit j, sum +-1 votes
+    * (vote = parity of hash_j(token id)); bit set iff the vote sum is
+    * positive. One aggregation pass computes all 16 bit-sums.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dict = toks.select("tok").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")))
+    val dt = toks.join(broadcast(dict), Seq("tok")).select("doc_id", "tid")
+    val bitSums = (0 until 16).map { j =>
+      val bit = ((col("tid") * HashA(j % HashA.size) + HashB(j % HashB.size)
+        + j) % P) % 2
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val sig = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash16"))
+      .withColumn("n_same_sig",
+        count(lit(1)).over(Window.partitionBy("simhash16")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact _,
+    "q_dedup_minhash" -> dedupMinhash _,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "q_dedup_simhash" -> dedupSimhash _)
+
+  // ---- oracle SQL (generated to mirror the constants above) ----
+
+  private val shingleSql =
+    """sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+      |  FROM (SELECT DISTINCT shingle FROM sh)),
+      |ds AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+      |sets AS (SELECT doc_id, list(sid) AS sids, count(*) AS n FROM ds
+      |  GROUP BY doc_id)""".stripMargin
+
+  private def verifySql(threshold: Double): String =
+    s"""SELECT doc_a, doc_b,
+       |  round(CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE) /
+       |    (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids))), 6)
+       |    AS jaccard
+       |FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |JOIN sets sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE) /
+       |  (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids))) >= $threshold
+       |""".stripMargin
+
+  private val minhashSql: String = {
+    val sigExprs = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min((sid * $a + $b) % $P) AS h$i"
+    }.mkString(", ")
+    val bandSelects = (0 until Bands).map { bnd =>
+      val key = (0 until Rows).map(r => s"CAST(h${bnd * Rows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleSql,
+       |sig AS (SELECT doc_id, $sigExprs FROM ds GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id)
+       |${verifySql(MinhashThreshold)}""".stripMargin
+  }
+
+  private val ngramJaccardSql: String =
+    s"""WITH $shingleSql,
+       |rare AS (SELECT sid FROM ds GROUP BY sid
+       |  HAVING count(*) <= $RareShingleMaxFreq),
+       |rds AS (SELECT doc_id, sid FROM ds JOIN rare USING (sid)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rds x JOIN rds y ON x.sid = y.sid AND x.doc_id < y.doc_id)
+       |${verifySql(JaccardThreshold)}""".stripMargin
+
+  private val simhashSql: String = {
+    val bitSums = (0 until 16).map { j =>
+      val a = HashA(j % HashA.size)
+      val b = HashB(j % HashB.size)
+      s"sum(((tid * $a + $b + $j) % $P) % 2 * 2 - 1) AS s$j"
+    }.mkString(", ")
+    val sig = (0 until 16)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+       |  FROM (SELECT DISTINCT tok FROM toks)),
+       |dt AS (SELECT doc_id, tid FROM toks JOIN dict USING (tok)),
+       |sums AS (SELECT doc_id, $bitSums FROM dt GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM sums)
+       |SELECT doc_id, simhash16,
+       |  count(*) OVER (PARTITION BY simhash16) AS n_same_sig FROM sigs""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_simhash" -> simhashSql)
+}

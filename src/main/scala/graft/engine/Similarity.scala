@@ -1,0 +1,210 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Similarity search over the `embeddings` fixture (north-star extension):
+  * brute-force cosine top-k (the exact baseline), hyperplane-LSH bucketed
+  * ANN (the scale path), label-blocked cosine near-dup, and per-label
+  * centroids.
+  *
+  * The cosine kernel is [[graft.functions.CosineSimilarity]] — a native
+  * codegen'd Catalyst expression (one fused loop, no HOF lambda overhead).
+  *
+  * Scale design: brute force is O(|queries| x |corpus|) — correct as a
+  * baseline and for re-ranking, but the production path is the LSH variant:
+  * corpus hashed once into 2^planes buckets, queries probe only their
+  * bucket, so the candidate set is corpus/2^planes per query. At 100 TB,
+  * partition the corpus by bucket (bucketBy on sig) so a query touches one
+  * partition; the final exact-cosine re-rank runs on candidates only.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  val TopK = 10
+  val NQueryVecs = 10
+  val NearDupThreshold = 0.4
+
+  /** Brute-force cosine top-k: NQueryVecs probe vectors against the full
+    * corpus; ranking on the ROUNDED cosine with a vec_id tie-break keeps
+    * the cut deterministic across engines (SURVEY §7.5 risk 6).
+    */
+  def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val cos = round(cosine_sim(col("qe"), col("ce")), 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(qv))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Multi-table sign-random-projection LSH: [[NTables]] independent hash
+    * tables of [[PlanesPerTable]] hyperplanes each. Deterministic
+    * pseudo-random plane weights (engine-portable, seed-free):
+    * w[p][d] = (((7919p + 13)(d+1) + 104729p + 7) mod 1009) - 504.
+    *
+    * Collision probability per table for angle θ is (1-θ/π)^planes; the
+    * table union trades a small constant factor of index size for the
+    * recall a single table cannot reach — the standard ANN index topology
+    * (one table ≈ one IVF probe).
+    */
+  val NTables = 4
+  val PlanesPerTable = 6
+  def planeWeights(dim: Int): Seq[Array[Int]] =
+    (0 until NTables * PlanesPerTable).map { p =>
+      Array.tabulate(dim)(d =>
+        ((((7919L * p + 13L) * (d + 1) + 104729L * p + 7L) % 1009L)
+          - 504L).toInt)
+    }
+
+  /** Array of one bucket signature per table. */
+  private def lshSigs(vec: Column, dim: Int): Column = {
+    val ws = planeWeights(dim)
+    val tableSigs = (0 until NTables).map { t =>
+      (0 until PlanesPerTable).map { r =>
+        val w = typedlit(ws(t * PlanesPerTable + r))
+        val dot = aggregate(
+          zip_with(vec, w, (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    array(tableSigs: _*)
+  }
+
+  /** ANN: corpus + queries hashed once into NTables buckets (posexplode to
+    * (table, sig) keys), candidates = same-bucket pairs unioned across
+    * tables, exact cosine re-ranks the deduplicated candidates.
+    * Probabilistic recall (ScalaTest measures it against brute force) — so
+    * no SQL oracle; the driver records a rows-only check.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("sigs", lshSigs(col("embedding"), dim))
+    val qv = e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        posexplode(col("sigs")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val cand = corpus.join(broadcast(qv), Seq("tbl", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qe", "ce")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("cos_sim", round(cosine_sim(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (IVF-style coarse
+    * partition: near-dups land in the same cluster, so only within-cluster
+    * pairs are scored — |corpus|²/k instead of |corpus|²).
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val cos = cosine_sim(col("ea"), col("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cos, 6))
+      .filter(col("cos_sim") >= NearDupThreshold)
+      .select("label", "vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Per-label centroid, dimension-exploded (posexplode -> groupBy): the
+    * oracle-checkable form. Summation via double accumulation; the per-cell
+    * error is ~1e-14 relative, far below the round-6 granularity.
+    */
+  def embedCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(
+        round(sum(col("col").cast("double")) / count(lit(1)), 6)
+          .as("centroid"),
+        count(lit(1)).as("n"))
+      .withColumnRenamed("pos", "dim")
+
+  /** Typed Aggregator computing a full vector mean in one pass (buffer =
+    * running sums + count) — the custom-UDAF variant of [[embedCentroid]]
+    * for callers that want the centroid as one array row instead of 64
+    * exploded rows (SURVEY §7.4). Exercised in ScalaTest.
+    */
+  class VectorMeanAggregator(dim: Int)
+      extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+    def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
+    def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim && i < v.length) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(b: (Array[Double], Long)): Array[Double] =
+      if (b._2 == 0) Array.empty else b._1.map(_ / b._2)
+    def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_cosine_topk" -> simCosineTopk _,
+    "q_ann_lsh" -> annLsh _,
+    "q_embed_near_dup" -> embedNearDup _,
+    "q_embed_centroid" -> embedCentroid _)
+
+  /** Shared cosine SQL fragment: same fused accumulation order as the
+    * Catalyst expression (independent accumulators, index order).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(range(1, len($a)+1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
+       |  / (sqrt(list_reduce(list_transform(range(1, len($a)+1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
+       |  * sqrt(list_reduce(list_transform(range(1, len($b)+1),
+       |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NQueryVecs),
+         |pairs AS (SELECT query_id, vec_id AS neighbor_id,
+         |    round(${cosSql("qe", "embedding")}, 6) AS cos_sim
+         |  FROM embeddings CROSS JOIN qv WHERE vec_id <> query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q_embed_near_dup" ->
+      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6)
+         |  >= $NearDupThreshold""".stripMargin,
+    "q_embed_centroid" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim, round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS centroid, count(*) AS n FROM embeddings, LATERAL (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x) GROUP BY label, i""")
+}

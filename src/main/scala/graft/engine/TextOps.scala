@@ -1,0 +1,125 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond-reference extensions; BASELINE.json north-star): quality
+  * scoring, language identification, token counting, and document
+  * fingerprinting over the `documents` fixture.
+  *
+  * Scale design: every operator is a narrow per-row projection built from
+  * codegen'd `functions._` + array higher-order functions — no UDFs, no
+  * shuffles, no driver round-trips; a 100 TB corpus maps straight through.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared stopword list (fixture vocab carries `the`/`a`/`of`-style
+    * function words; FIXTURES.md §B).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "value", "data")
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Quality scoring: token counts, per-token length, stopword ratio,
+    * lexical diversity, and a composite [0,1] score — the heuristics used
+    * to filter web corpora before LLM training. All ratios are small-int
+    * divisions (bit-exact in any engine).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens)
+    val nStop = size(filter(tokens, t => t.isInCollection(Stopwords)))
+    val nDistinct = size(array_distinct(tokens))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(col("n_chars").cast("double") / nTok, 6).as("chars_per_token"),
+      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"),
+      round(nDistinct.cast("double") / nTok, 6).as("distinct_ratio"),
+      round(least(nTok.cast("double") / 50, lit(1.0)) *
+        (lit(1.0) - nStop.cast("double") / nTok), 6).as("quality_score"))
+  }
+
+  /** Marker-word language ID (n-gram/stopword heuristic): score per
+    * language = count of language-marker tokens; argmax with a fixed
+    * tie-break order. The fixture vocabulary is language-independent, so
+    * accuracy is not the point here — the operator shape (per-language
+    * scores → deterministic argmax → agreement flag vs the labeled `lang`
+    * column) is what a real corpus pipeline runs.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("de", "shi", "le", "zai"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(tokens, t => t.isInCollection(ms)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // first language (in declaration order) reaching the max score wins
+    val predicted = scores.reverse.foldLeft(lit("unknown")) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lang).otherwise(acc)
+    }
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      scores.head._2.cast("long").as("score_en"),
+      predicted.as("predicted_lang"),
+      (predicted === col("lang")).as("agree"))
+  }
+
+  /** Token counting three ways: whitespace split, a BPE-ish regex pass
+    * (letter runs / digit runs / other), and the chars/4 estimate used for
+    * quick corpus sizing.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast("long").as("re_tokens"),
+      ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
+
+  /** Rolling polynomial fingerprint over the document's characters
+    * (acc = acc*31 + ascii(ch) mod 1e9+7) — an order-sensitive content
+    * hash computed entirely with integer arithmetic, so it is
+    * engine-portable (unlike builtin hash functions, which differ per
+    * engine). The empty-string filter matters: Spark's `split` keeps a
+    * trailing "" element that DuckDB's splitter drops.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), ch => length(ch) > 0)
+    val fp = aggregate(chars, lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), fp.as("fingerprint"),
+      length(col("text")).cast("long").as("len_chars"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_quality" -> textQuality _,
+    "q_lang_id" -> langId _,
+    "q_token_count" -> tokenCount _,
+    "q_doc_fingerprint" -> docFingerprint _)
+
+  private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+  private def markerScore(ms: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_quality" ->
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS distinct_ratio, round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / len(string_split(text, ' '))), 6) AS quality_score FROM documents""",
+    "q_lang_id" -> {
+      val caseExpr = LangMarkers.map { case (lang, ms) =>
+        s"WHEN ${markerScore(ms)} = s.best AND s.best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, CAST(${markerScore(LangMarkers.head._2)} AS BIGINT) AS score_en, p.predicted_lang, p.predicted_lang = lang AS agree FROM documents, LATERAL (SELECT greatest(${LangMarkers.map(m => markerScore(m._2)).mkString(", ")}) AS best) s, LATERAL (SELECT CASE ${caseExpr} ELSE 'unknown' END AS predicted_lang) p"""
+    },
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents""",
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""")
+}

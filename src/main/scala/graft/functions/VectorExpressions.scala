@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.glue
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two float vectors in a
+  * single fused pass (dot product + both norms in one loop), with
+  * whole-stage codegen via [[doGenCode]] — no per-element lambda dispatch,
+  * no boxing, unlike the equivalent `zip_with`/`aggregate` higher-order
+  * chain. On a 100 TB ANN scan this is the hot inner loop.
+  *
+  * Accumulation is index-ordered double arithmetic (each accumulator
+  * independent, left-to-right), so results are bit-identical to a
+  * sequential reduce over the same elements in any engine.
+  *
+  * Returns null for null/empty/length-mismatched inputs or zero vectors.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0 || y.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0 || $b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-API entry point for [[CosineSimilarity]]. */
+  def cosine_sim(a: Column, b: Column): Column =
+    glue.column(CosineSimilarity(glue.expression(a), glue.expression(b)))
+}
