@@ -23,12 +23,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries ++
-      TextOps.queries ++ Dedup.queries ++ Similarity.queries
+      TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ MlSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles ++
-      TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles
+      TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ MlSuite.oracles
 }

@@ -1,0 +1,139 @@
+package graft.engine
+
+import org.apache.spark.ml.{Pipeline => MlPipeline}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.feature.{OneHotEncoder, RFormula, StringIndexer, UnivariateFeatureSelector}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.mllib.evaluation.{BinaryClassificationMetrics, MulticlassMetrics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ML surface (SURVEY.md §2.9 M1–M12) re-hosted on the
+  * synthetic basetable: StringIndexer×2 → OneHotEncoder → RFormula →
+  * chi-square percentile feature selection → {LogisticRegression,
+  * RandomForest, GBT} → AUC / per-class precision-recall-F1.
+  *
+  * Label analog (FIXTURES.md §C): "did the customer produce a purchase
+  * event" stands in for "did the business start delivery/takeout". Not
+  * DuckDB-expressible — validated by smoke/threshold ScalaTests (SURVEY §5
+  * item 4); the `ml_train_eval` query returns a metrics table (rows-only
+  * driver check).
+  *
+  * Reference fidelity: split 70/30 seed 7 (`Databricks Notebook.py:737`),
+  * LR maxIter=10 regParam=0.01 (NB:805), RF numTrees=50 (NB:873), GBT
+  * defaults (NB:941), ChiSqSelector percentile=0.9 (NB:775) via Spark 4's
+  * UnivariateFeatureSelector (SURVEY §7.5 risk 4).
+  */
+object MlSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Seed = 7L
+
+  /** Basetable + binary label, ML-typed: strings→categoricals kept for the
+    * indexers, decimal→double, count nulls already filled by the star.
+    */
+  def basetableLabeled(spark: SparkSession, dir: String): DataFrame = {
+    val base = Pipeline.basetableStar(spark, dir)
+    val purchasers = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("c_custkey")).distinct()
+      .withColumn("label", lit(1.0))
+    base.join(purchasers, Seq("c_custkey"), "left")
+      .withColumn("label", coalesce(col("label"), lit(0.0)))
+      .withColumn("total_spend",
+        coalesce(col("total_spend").cast("double"), lit(0.0)))
+      .withColumn("avg_event_value", coalesce(col("avg_event_value"), lit(0.0)))
+      .drop("last_order", "c_name")
+  }
+
+  /** M1–M3: categorical encoding pipeline (city/state analog =
+    * c_mktsegment/n_name), then drop the raw/indexed intermediates —
+    * mirroring the reference's manual encode-then-model flow.
+    */
+  def encodeCategoricals(df: DataFrame): DataFrame = {
+    val idx1 = new StringIndexer().setInputCol("c_mktsegment")
+      .setOutputCol("seg_idx").setHandleInvalid("keep")
+    val idx2 = new StringIndexer().setInputCol("n_name")
+      .setOutputCol("nat_idx").setHandleInvalid("keep")
+    val ohe = new OneHotEncoder()
+      .setInputCols(Array("seg_idx", "nat_idx"))
+      .setOutputCols(Array("seg_vec", "nat_vec"))
+    new MlPipeline().setStages(Array(idx1, idx2, ohe))
+      .fit(df).transform(df)
+      .drop("c_mktsegment", "n_name", "seg_idx", "nat_idx")
+  }
+
+  /** Full fit/eval for one classifier; returns (model, dataset, metric,
+    * value) rows. Metrics computed through the reference's RDD path
+    * (BinaryClassificationMetrics / MulticlassMetrics,
+    * `Databricks Notebook.py:836–862`).
+    */
+  private def evalModel(name: String, preds: DataFrame,
+      dataset: String): Seq[(String, String, String, Double)] = {
+    val scoreAndLabel = preds
+      .select(col("probability"), col("label")).rdd
+      .map(r => (r.getAs[Vector](0)(1), r.getDouble(1)))
+    val predAndLabel = preds
+      .select(col("prediction"), col("label")).rdd
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val bin = new BinaryClassificationMetrics(scoreAndLabel)
+    val mc = new MulticlassMetrics(predAndLabel)
+    val labels = Seq(0.0, 1.0)
+    Seq((name, dataset, "auc", bin.areaUnderROC()),
+      (name, dataset, "accuracy", mc.accuracy),
+      (name, dataset, "weighted_f1", mc.weightedFMeasure)) ++
+      labels.flatMap { l =>
+        Seq((name, dataset, s"precision_$l", mc.precision(l)),
+          (name, dataset, s"recall_$l", mc.recall(l)),
+          (name, dataset, s"f1_$l", mc.fMeasure(l, 1.0)))
+      }
+  }
+
+  /** M4–M12 end to end. `models` selects which classifiers run (the
+    * Verify/Bench query uses LR only; tests run all three).
+    */
+  def trainEval(spark: SparkSession, dir: String,
+      models: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val encoded = encodeCategoricals(basetableLabeled(spark, dir))
+    val rf = new RFormula().setFormula("label ~ . - c_custkey")
+      .setFeaturesCol("features").setLabelCol("label")
+    val formed = rf.fit(encoded).transform(encoded)
+      .select("c_custkey", "features", "label")
+    val Array(train, test) =
+      formed.randomSplit(Array(0.7, 0.3), seed = Seed)
+    // ChiSqSelector's Spark-4 successor: chi2 via categorical/categorical
+    val selector = new UnivariateFeatureSelector()
+      .setFeatureType("categorical").setLabelType("categorical")
+      .setSelectionMode("percentile").setSelectionThreshold(0.9)
+      .setFeaturesCol("features").setOutputCol("selectedFeatures")
+      .setLabelCol("label")
+    val selModel = selector.fit(train)
+    def sel(df: DataFrame): DataFrame = selModel.transform(df)
+      .drop("features").withColumnRenamed("selectedFeatures", "features")
+    val (trainS, testS) = (sel(train).cache(), sel(test))
+    val classifiers = Map(
+      "lr" -> new LogisticRegression()
+        .setMaxIter(10).setRegParam(0.01),
+      "rf" -> new RandomForestClassifier()
+        .setNumTrees(50).setSeed(Seed),
+      "gbt" -> new GBTClassifier().setSeed(Seed))
+    val rows = models.flatMap { m =>
+      val model = classifiers(m).fit(trainS)
+      evalModel(m, model.transform(trainS), "train") ++
+        evalModel(m, model.transform(testS), "test")
+    }
+    trainS.unpersist()
+    rows.toDF("model", "dataset", "metric", "value")
+      .withColumn("value", round(col("value"), 4))
+  }
+
+  def mlTrainEval(spark: SparkSession, dir: String): DataFrame =
+    trainEval(spark, dir, Seq("lr"))
+
+  val queries: Map[String, Q] = Map(
+    "ml_train_eval" -> mlTrainEval _)
+
+  /** Not DuckDB-expressible — no oracle entries (driver rows-only check). */
+  val oracles: Map[String, String] = Map.empty
+}

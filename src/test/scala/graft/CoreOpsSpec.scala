@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Core operator invariants (SURVEY.md §5.2–5.3): shape audits as
+  * assertions, plus the algebraic laws the reference exercised implicitly.
+  */
+class CoreOpsSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("conditional counts partition the non-null rows (NB:154 invariant)") {
+    val df = RelOps.aggMulti(spark, sf)
+      .filter(col("n_hi_disc") + col("n_lo_disc") =!= col("n_lines"))
+    assert(df.count() === 0)
+  }
+
+  test("recode domain is exactly {1, 0, Missing} as strings (quirk #2)") {
+    val vals = RelOps.recodeWhen(spark, sf)
+      .select("status_recode").distinct().collect().map(_.getString(0)).toSet
+    assert(vals.subsetOf(Set("1", "0", "Missing")))
+  }
+
+  test("dropDuplicates is idempotent") {
+    val once = RelOps.dropDup(spark, sf)
+    assert(once.dropDuplicates().count() === once.count())
+  }
+
+  test("pivot row count = distinct group keys; fill leaves no nulls") {
+    val p = Reshape.pivotDummies(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(p.count() === users)
+    val nullRows = Reshape.EventTypes
+      .map(t => p.filter(col(t).isNull).count()).sum
+    assert(nullRows === 0)
+  }
+
+  test("pivot dummies are presence flags (0/1) consistent with groupBy") {
+    val p = Reshape.pivotDummies(spark, sf)
+    val byType = Tables.events(spark, sf)
+      .groupBy("user_id").pivot("event_type", Reshape.EventTypes)
+      .count().na.fill(0)
+    val joined = p.as("p").join(byType.as("c"), "user_id")
+    Reshape.EventTypes.foreach { t =>
+      val bad = joined.filter(
+        (col(s"p.$t") === 1) =!= (col(s"c.$t") > 0)).count()
+      assert(bad === 0, s"pivot flag mismatch for $t")
+    }
+  }
+
+  test("left join preserves left cardinality when right is key-unique") {
+    val left = Tables.customer(spark, sf)
+    assert(Pipeline.joinLeft(spark, sf).count() === left.count())
+    assert(Pipeline.basetableStar(spark, sf).count() === left.count())
+  }
+
+  test("null audit: filled count columns report zero missing") {
+    val audit = Pipeline.nullAudit(spark, sf).collect()(0)
+    Seq("n_orders", "n_items", "n_events").foreach { c =>
+      assert(audit.getAs[Long](c) === 0L, s"$c should be null-filled")
+    }
+  }
+
+  test("hours availability: non-null rows in [1,24], nulls become 0") {
+    val h = Pipeline.hoursAvailability(spark, sf)
+    assert(h.filter(col("hours").isNotNull &&
+      (col("avail_hours") < 1 || col("avail_hours") > 24)).count() === 0)
+    assert(h.filter(col("hours").isNull && col("avail_hours") =!= 0)
+      .count() === 0)
+  }
+
+  test("past-midnight wrap: close <= open gets +24 (quirk #6)") {
+    val h = Pipeline.hoursAvailability(spark, sf)
+      .filter(col("hours").isNotNull)
+    assert(h.filter(col("close_hour_adj") <= col("open_hour")).count() === 0)
+  }
+
+  test("set ops: |union| = |intersect| + |except| + |b-only|") {
+    val rows = Ext.setOps(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bOnly = rows("union") - rows("except") - rows("intersect")
+    assert(bOnly >= 0)
+    assert(rows("union") === rows("intersect") + rows("except") + bOnly)
+  }
+
+  test("topk is ordered and bounded") {
+    val rows = Ext.topK(spark, sf).collect()
+    assert(rows.length === 100)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+}

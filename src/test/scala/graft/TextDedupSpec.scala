@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Text-analysis + dedup behavior on the planted-near-dup fixtures. */
+class TextDedupSpec extends SparkSpec {
+
+  test("fingerprints are injective over the distinct fixture texts") {
+    val fp = TextOps.docFingerprint(spark, sf)
+    val distinctTexts = Tables.documents(spark, sf)
+      .select("text").distinct().count()
+    assert(fp.select("fingerprint").distinct().count() === distinctTexts)
+  }
+
+  test("fingerprint matches a driver-side reimplementation") {
+    val row = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val expected = row.getString(1).foldLeft(0L)(
+      (acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
+    val got = TextOps.docFingerprint(spark, sf)
+      .filter(col("doc_id") === row.getLong(0))
+      .collect()(0).getAs[Long]("fingerprint")
+    assert(got === expected)
+  }
+
+  test("text quality ratios are within [0,1] and tokens positive") {
+    val bad = TextOps.textQuality(spark, sf).filter(
+      col("n_tokens") <= 0 ||
+        col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("distinct_ratio") <= 0 || col("distinct_ratio") > 1 ||
+        col("quality_score") < 0 || col("quality_score") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("token counts: regex tokenization agrees with whitespace here") {
+    // fixture text is strictly space-separated lowercase words, so the
+    // BPE-ish regex pass must find exactly the whitespace tokens
+    val bad = TextOps.tokenCount(spark, sf)
+      .filter(col("ws_tokens") =!= col("re_tokens"))
+    assert(bad.count() === 0)
+  }
+
+  test("exact dedup preserves total row count") {
+    val d = Dedup.dedupExact(spark, sf)
+    val total = d.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+  }
+
+  test("minhash LSH finds high-jaccard pairs and only pairs >= threshold") {
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+    assert(pairs.nonEmpty, "fixture has planted near-dups; none found")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= Dedup.MinhashThreshold))
+  }
+
+  test("minhash candidates are confirmed by exact ngram-jaccard pass") {
+    // every minhash pair (tau=0.6) must also appear in the exact
+    // rare-shingle-blocked pass (tau=0.5) — LSH may MISS pairs but must
+    // never report a pair the exact computation rejects
+    val mh = Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+  }
+
+  test("simhash: identical token sets get identical signatures") {
+    val sig = Dedup.dedupSimhash(spark, sf)
+    assert(sig.count() === Tables.documents(spark, sf).count())
+    // doc tokens -> signature must be a function: join docs with equal
+    // distinct-token sets and check signatures match
+    val toks = Tables.documents(spark, sf).select(
+      col("doc_id"), sort_array(array_distinct(split(col("text"), " ")))
+        .as("tokset"))
+    val withSig = toks.join(sig, "doc_id")
+    val conflicting = withSig.as("a").join(withSig.as("b"),
+        col("a.tokset") === col("b.tokset") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.simhash16") =!= col("b.simhash16"))
+    assert(conflicting.count() === 0)
+  }
+
+  test("lang id is deterministic and within the known label set") {
+    val langs = TextOps.langId(spark, sf).select("predicted_lang")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(
+      TextOps.LangMarkers.map(_._1).toSet + "unknown"))
+  }
+}
