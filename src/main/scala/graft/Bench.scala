@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (parquet datasource init, codegen compiler, shuffle
+    // machinery) so the first timed query is not charged ~4s of one-time
+    // JVM setup that no steady-state deployment pays per query
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

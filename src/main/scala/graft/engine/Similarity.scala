@@ -68,20 +68,13 @@ object Similarity {
           - 504L).toInt)
     }
 
-  /** Array of one bucket signature per table. */
-  private def lshSigs(vec: Column, dim: Int): Column = {
-    val ws = planeWeights(dim)
-    val tableSigs = (0 until NTables).map { t =>
-      (0 until PlanesPerTable).map { r =>
-        val w = typedlit(ws(t * PlanesPerTable + r))
-        val dot = aggregate(
-          zip_with(vec, w, (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1 << r)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    array(tableSigs: _*)
-  }
+  /** Array of one bucket signature per table — a single native-expression
+    * pass ([[graft.functions.HyperplaneSignatures]]) instead of
+    * NTables x PlanesPerTable interpreted HOF reductions.
+    */
+  private def lshSigs(vec: Column, dim: Int): Column =
+    graft.functions.VectorFunctions.lsh_signatures(vec,
+      planeWeights(dim).toArray, PlanesPerTable)
 
   /** ANN: corpus + queries hashed once into NTables buckets (posexplode to
     * (table, sig) keys), candidates = same-bucket pairs unioned across

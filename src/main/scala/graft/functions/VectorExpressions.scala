@@ -80,8 +80,83 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native expression computing every hyperplane-LSH bucket signature in a
+  * single pass over the vector: one traversal accumulates all
+  * `tables * planesPerTable` projections (cache-friendly: the vector is
+  * read once, the weight matrix row-wise), then packs sign bits into one
+  * int per table. Replaces `tables * planes` interpreted
+  * `zip_with`/`aggregate` HOF chains — measured ~2s -> sub-second on the
+  * sf0.1 ANN query.
+  *
+  * `planes` is a constant weight matrix [nPlanes][dim]; rows are grouped
+  * into consecutive blocks of `planesPerTable` per output signature.
+  */
+case class HyperplaneSignatures(child: Expression, planes: Array[Array[Int]],
+    planesPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val nTables = planes.length / planesPerTable
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_signatures"
+
+  private def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val nPlanes = planes.length
+    val acc = new Array[Double](nPlanes)
+    var d = 0
+    while (d < n) {
+      val x = v.getFloat(d).toDouble
+      var p = 0
+      while (p < nPlanes) {
+        if (d < planes(p).length) acc(p) += x * planes(p)(d)
+        p += 1
+      }
+      d += 1
+    }
+    val sigs = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0
+      var r = 0
+      while (r < planesPerTable) {
+        if (acc(t * planesPerTable + r) > 0) sig |= (1 << r)
+        r += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sigs)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the matrix rides along as a reference object; the per-row loop is
+    // plain JVM code inside whole-stage codegen
+    val self = ctx.addReferenceObj("lshExpr", this,
+      classOf[HyperplaneSignatures].getName)
+    defineCodeGen(ctx, ev, a => s"$self.evalArray($a)")
+  }
+
+  /** Codegen entry point (public so generated code can call it). */
+  def evalArray(v: ArrayData): ArrayData = compute(v)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneSignatures = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-API entry point for [[CosineSimilarity]]. */
   def cosine_sim(a: Column, b: Column): Column =
     glue.column(CosineSimilarity(glue.expression(a), glue.expression(b)))
+
+  /** Column-API entry point for [[HyperplaneSignatures]]. */
+  def lsh_signatures(v: Column, planes: Array[Array[Int]],
+      planesPerTable: Int): Column =
+    glue.column(HyperplaneSignatures(glue.expression(v), planes,
+      planesPerTable))
 }
