@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, HyperplaneSignatures}
+import graft.engine.Similarity
+
+/** SparkSessionExtensions entry point: injects the engine's native
+  * expressions into the SQL function registry so plain `spark.sql` can call
+  * them. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` at session build, or after the
+  * fact via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def cosineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "cosine_sim(a, b) takes two array<float> args")
+    CosineSimilarity(args(0), args(1))
+  }
+
+  private def lshBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "lsh_signatures(v) takes one array<float> arg")
+    HyperplaneSignatures(args.head, Similarity.planeWeights(64).toArray,
+      Similarity.PlanesPerTable)
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      ("cosine_sim",
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        cosineBuilder _),
+      ("lsh_signatures",
+        new ExpressionInfo(classOf[HyperplaneSignatures].getName,
+          "lsh_signatures"),
+        lshBuilder _))
+
+  /** Imperative registration into an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -82,7 +82,73 @@ object Ext {
       .union(tag("except", a.except(b)))
   }
 
+  /** Rollup (grouping-set hierarchy): per (returnflag, linestatus) with
+    * subtotals and a grand total — absent from the reference (SURVEY §2.5
+    * note) but table stakes for reporting engines. Decimal sums keep the
+    * subtotal arithmetic exact at every level.
+    */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+
+  /** Exact interpolated percentiles per group (median + p90). */
+  def percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+
+  /** Running-window analytics over the event stream: per-user cumulative
+    * sum (exact decimal), previous event type, and sequence number. The
+    * (ts, event_id) ordering key is unique per user, so frames are
+    * deterministic (ROWS frame stated explicitly on both engines).
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts"),
+      sum(col("value").cast("decimal(12,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_value"),
+      lag(col("event_type"), 1).over(w).as("prev_type"),
+      row_number().over(w).as("seq"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity closes a session):
+    * lag -> new-session flag -> running sum = session ordinal -> per-session
+    * aggregate. The canonical event-pipeline operator; one shuffle on
+    * user_id, everything else window arithmetic within the partition.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+          lag(col("us"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq",
+        sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rollup" -> rollup _,
+    "q_percentile" -> percentile _,
+    "q_window_running" -> windowRunning _,
+    "q_sessionize" -> sessionize _,
     "q_topk" -> topK _,
     "q_window_rank" -> windowRank _,
     "q_event_window" -> eventWindow _,
@@ -90,6 +156,14 @@ object Ext {
     "q_set_ops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
+    "q_window_running" ->
+      """SELECT user_id, event_id, ts, sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq FROM events""",
+    "q_sessionize" ->
+      """WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM sessions GROUP BY user_id, session_seq""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_window_rank" ->

@@ -89,12 +89,10 @@ object MlSuite {
       }
   }
 
-  /** M4–M12 end to end. `models` selects which classifiers run (the
-    * Verify/Bench query uses LR only; tests run all three).
+  /** M4–M6: formula assembly, seeded split, chi2-percentile selection —
+    * returns the selected (train, test) feature frames.
     */
-  def trainEval(spark: SparkSession, dir: String,
-      models: Seq[String]): DataFrame = {
-    import spark.implicits._
+  def prepare(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val encoded = encodeCategoricals(basetableLabeled(spark, dir))
     val rf = new RFormula().setFormula("label ~ . - c_custkey")
       .setFeaturesCol("features").setLabelCol("label")
@@ -111,7 +109,39 @@ object MlSuite {
     val selModel = selector.fit(train)
     def sel(df: DataFrame): DataFrame = selModel.transform(df)
       .drop("features").withColumnRenamed("selectedFeatures", "features")
-    val (trainS, testS) = (sel(train).cache(), sel(test))
+    (sel(train), sel(test))
+  }
+
+  /** M10 — model introspection: LR coefficients/intercept and RF feature
+    * importances as a tidy (model, term, value) table (`Databricks
+    * Notebook.py:813–823, 879–893`).
+    */
+  def describeModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (train, _) = prepare(spark, dir)
+    val lrm = new LogisticRegression().setMaxIter(10).setRegParam(0.01)
+      .fit(train)
+    val rfm = new RandomForestClassifier().setNumTrees(50).setSeed(Seed)
+      .fit(train)
+    val rows =
+      lrm.coefficients.toArray.zipWithIndex.map { case (c, i) =>
+        ("lr", s"coef_$i", c)
+      }.toSeq :+ (("lr", "intercept", lrm.intercept)) :++
+        rfm.featureImportances.toArray.zipWithIndex.map { case (v, i) =>
+          ("rf", s"importance_$i", v)
+        }
+    rows.toDF("model", "term", "value")
+      .withColumn("value", round(col("value"), 6))
+  }
+
+  /** M4–M12 end to end. `models` selects which classifiers run (the
+    * Verify/Bench query uses LR only; tests run all three).
+    */
+  def trainEval(spark: SparkSession, dir: String,
+      models: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val (trainS0, testS) = prepare(spark, dir)
+    val trainS = trainS0.cache()
     val classifiers = Map(
       "lr" -> new LogisticRegression()
         .setMaxIter(10).setRegParam(0.01),

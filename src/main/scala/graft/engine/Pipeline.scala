@@ -122,14 +122,11 @@ object Pipeline {
       .withColumn("hours",
         when(k % 11 === 0, lit(null)).otherwise(hoursStr))
       .withColumn("open_hour",
-        substring_index(split(col("hours"), "-").getItem(0), ":", 1)
-          .cast("int"))
+        ScalarOps.hourOf(split(col("hours"), "-").getItem(0)))
       .withColumn("close_raw",
-        substring_index(split(col("hours"), "-").getItem(1), ":", 1)
-          .cast("int"))
+        ScalarOps.hourOf(split(col("hours"), "-").getItem(1)))
       .withColumn("close_hour_adj",
-        when(col("close_raw") <= col("open_hour"), col("close_raw") + 24)
-          .otherwise(col("close_raw")))
+        ScalarOps.wrapClose(col("open_hour"), col("close_raw")))
       .withColumn("avail_hours",
         coalesce(col("close_hour_adj") - col("open_hour"), lit(0)))
       .select("o_orderkey", "hours", "open_hour", "close_hour_adj",

@@ -54,6 +54,28 @@ object RelOps {
         .when(col("o_orderpriority") === "2-HIGH", lit("high"))
         .otherwise(lit("other")).as("prio_recode"))
 
+  /** X10/P3 — the reference's multi-column `functools.reduce` recode loop
+    * (`Databricks Notebook.py:234–238`): N boolean-ish string columns
+    * recoded to "1"/"0"/"Missing" in ONE projection via
+    * [[ScalarOps.recodeBooleans]]. The boolean-ish inputs are synthesized
+    * in-query from lineitem flags (the Yelp attribute columns do not exist
+    * in the fixtures).
+    */
+  def recodeFold(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_returnflag") === "R", lit("True"))
+        .when(col("l_returnflag") === "A", lit("False"))
+        .otherwise(lit("unknown")).as("flag_return"),
+      when(col("l_linestatus") === "O", lit("True"))
+        .otherwise(lit("False")).as("flag_open"),
+      when(col("l_discount") > 0.05, lit("True"))
+        .when(col("l_discount") > 0.0, lit("False"))
+        .otherwise(lit("n/a")).as("flag_discounted"))
+    ScalarOps.recodeBooleans(staged,
+      Seq("flag_return", "flag_open", "flag_discounted"))
+  }
+
   /** X5–X8 — string cleanup: ltrim / translate / split+getItem /
     * substring_index (`Databricks Notebook.py:172, 284–289, 310–312,
     * 497–498`). All narrow, codegen'd, shuffle-free.
@@ -188,6 +210,7 @@ object RelOps {
     "q_scan_project" -> scanProject _,
     "q_filter_like" -> filterLike _,
     "q_recode_when" -> recodeWhen _,
+    "q_recode_fold" -> recodeFold _,
     "q_string_clean" -> stringClean _,
     "q_dates_recency" -> datesRecency _,
     "q_agg_multi" -> aggMulti _,
@@ -204,6 +227,16 @@ object RelOps {
       """SELECT p_partkey, p_name, p_brand, p_type FROM part WHERE p_type LIKE '%ECO%' OR p_name LIKE '%widget%' OR p_type LIKE '%PROMO%' OR p_brand LIKE '%#1%'""",
     "q_recode_when" ->
       """SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN '1' WHEN o_orderstatus = 'O' THEN '0' ELSE 'Missing' END AS status_recode, CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' WHEN o_orderpriority = '1-URGENT' THEN 'urgent_dup' WHEN o_orderpriority = '2-HIGH' THEN 'high' ELSE 'other' END AS prio_recode FROM orders""",
+    "q_recode_fold" -> {
+      def rec(c: String) =
+        s"CASE WHEN $c = 'True' THEN '1' WHEN $c = 'False' THEN '0' ELSE 'Missing' END AS $c"
+      s"""WITH staged AS (SELECT l_orderkey, l_linenumber,
+         | CASE WHEN l_returnflag = 'R' THEN 'True' WHEN l_returnflag = 'A' THEN 'False' ELSE 'unknown' END AS flag_return,
+         | CASE WHEN l_linestatus = 'O' THEN 'True' ELSE 'False' END AS flag_open,
+         | CASE WHEN l_discount > 0.05 THEN 'True' WHEN l_discount > 0.0 THEN 'False' ELSE 'n/a' END AS flag_discounted
+         |FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, ${rec("flag_return")}, ${rec("flag_open")}, ${rec("flag_discounted")} FROM staged""".stripMargin
+    },
     "q_string_clean" ->
       """SELECT p_partkey, translate(p_brand, 'Brand#', '') AS brand_num, split_part(p_type || ':' || p_brand, ':', 1) AS type_first, string_split(p_name, ' ')[2] AS name_tok2, ltrim('  ' || p_name) AS name_clean FROM part""",
     "q_dates_recency" ->

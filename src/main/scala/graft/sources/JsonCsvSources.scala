@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the driver's parquet fixtures (SURVEY.md
+  * §2.1): the reference loads EVERY table from JSON — whole-file arrays
+  * (`spark.read.option("multiline","true").json`, `Databricks
+  * Notebook.py:34/62/80/108`) and line-delimited JSONL (NB:48/94) — with
+  * eager schema inference. This module re-expresses both, plus CSV and the
+  * writer side the notebook never had.
+  *
+  * Scale notes: schema inference runs an extra sampling job per source —
+  * fine interactively, waste at 100 TB; every reader takes an optional
+  * explicit schema to skip it. Multiline JSON cannot be split (one file =
+  * one task), so at scale JSONL is the only parallelizable JSON layout —
+  * mirrorred by [[writeJsonl]] emitting partitioned line files.
+  */
+object JsonCsvSources {
+
+  /** Whole-file JSON array scan (reference S1). One task per file — callers
+    * at scale must shard input into many files.
+    */
+  def readMultilineJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiline", "true")
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Line-delimited JSON scan (reference S2) — splittable, the scalable
+    * JSON layout.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** CSV with header; inference optional for the same reason as JSON. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  /** JSONL sink (splittable output, one file per partition). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** CSV sink with header. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Partitioned parquet sink — the layout that makes partition pruning
+    * work downstream (predicates on the partition column skip whole
+    * directories; the reference had no writes at all, SURVEY §2.1 S8).
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+}

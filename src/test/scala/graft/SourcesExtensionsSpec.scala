@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.sources.JsonCsvSources
+
+/** Source/sink round-trips (the reference's JSON formats), SQL function
+  * registration, ScalarOps folds, and model introspection.
+  */
+class SourcesExtensionsSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("JSONL round-trip preserves the customer table") {
+    val out = tmpDir("jsonl")
+    val src = Tables.customer(spark, sf)
+    JsonCsvSources.writeJsonl(src, out)
+    val back = JsonCsvSources.readJsonl(spark, out)
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(back.count() === src.count())
+    assert(back.except(src.select(src.columns.map(col).toIndexedSeq: _*))
+      .count() === 0)
+  }
+
+  test("multiline JSON array file loads with inferred schema (S1)") {
+    val dir = tmpDir("mljson")
+    val rows = Tables.nation(spark, sf).collect().map(r =>
+      s"""{"n_nationkey": ${r.getInt(0)}, "n_name": "${r.getString(1)}", "n_regionkey": ${r.getInt(2)}}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/nation.json"),
+      rows.mkString("[\n", ",\n", "\n]"))
+    val df = JsonCsvSources.readMultilineJson(spark, s"$dir/nation.json")
+    assert(df.count() === 25)
+    assert(df.columns.sorted.toSeq ===
+      Seq("n_name", "n_nationkey", "n_regionkey"))
+  }
+
+  test("CSV round-trip with header and inferred schema") {
+    val out = tmpDir("csv")
+    val src = Tables.region(spark, sf)
+    JsonCsvSources.writeCsv(src, out)
+    val back = JsonCsvSources.readCsv(spark, out)
+    assert(back.count() === src.count())
+    assert(back.columns.sorted.toSeq === src.columns.sorted.toSeq)
+  }
+
+  test("partitioned parquet sink lays out partition directories") {
+    val out = tmpDir("part")
+    JsonCsvSources.writeParquetPartitioned(
+      Tables.customer(spark, sf), out, "c_mktsegment")
+    val segDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("c_mktsegment="))
+    assert(segDirs.length >= 3)
+    // partition pruning: reading one segment touches only that directory
+    val one = spark.read.parquet(out)
+      .filter(col("c_mktsegment") === "FURNITURE")
+    val all = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "FURNITURE")
+    assert(one.count() === all.count())
+  }
+
+  test("registered SQL functions evaluate through spark.sql") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))"""
+        .stripMargin).collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sigs = spark.sql(
+      "SELECT lsh_signatures(transform(sequence(1, 64), x -> CAST(x AS FLOAT)))")
+      .collect()(0).getSeq[Int](0)
+    assert(sigs.length === engine.Similarity.NTables)
+  }
+
+  test("extensions class applies cleanly to a session builder") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e) // must not throw; functions injected
+  }
+
+  test("recodeBooleans folds N columns in one pass with quirk semantics") {
+    import spark.implicits._
+    val df = Seq(("True", "False"), ("False", "x"), ("y", "True"))
+      .toDF("a", "b")
+    val out = ScalarOps.recodeBooleans(df, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet === Set(("1", "0"), ("0", "Missing"), ("Missing", "1")))
+  }
+
+  test("missingToZero recodes only the targeted columns") {
+    import spark.implicits._
+    val df = Seq(("Missing", "Missing")).toDF("a", "b")
+    val out = ScalarOps.missingToZero(df, Seq("a")).collect()(0)
+    assert(out.getString(0) === "0" && out.getString(1) === "Missing")
+  }
+
+  test("model introspection yields coefficients, intercept, importances") {
+    val d = MlSuite.describeModel(spark, sf).collect()
+    val models = d.map(_.getString(0)).toSet
+    assert(models === Set("lr", "rf"))
+    assert(d.exists(_.getString(1) == "intercept"))
+    val importances = d.filter(_.getString(1).startsWith("importance_"))
+    assert(importances.nonEmpty)
+    // importances form a probability simplex
+    val total = importances.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-3)
+  }
+}
