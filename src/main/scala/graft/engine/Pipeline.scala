@@ -133,12 +133,51 @@ object Pipeline {
         "avail_hours")
   }
 
+  /** The reference's END-TO-END basetable flow composed as one plan
+    * (`Databricks Notebook.py` cells 204→723 re-hosted): entity filter
+    * (LIKE disjunction = the food-industry cut, NB:204) → star metric
+    * assembly (NB:620–642) → one-hot activity dummies via fixed-value pivot
+    * (NB:342-462) → synthesized opening-hours availability (NB:486–528) →
+    * boolean recode of a derived attribute (NB:238) → null fill (NB:677).
+    * One row per retained customer — "a user of the reference could run
+    * their whole notebook here".
+    *
+    * Scale shape: the filter lands on the dimension scan; every fact
+    * arrives pre-aggregated to the key grain; the pivot carries a fixed
+    * value list (no eager distinct job); all dimension joins broadcast.
+    */
+  def fullPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val filtered = basetableStar(spark, dir)
+      .filter(col("c_mktsegment").like("%URE%") ||
+        col("c_mktsegment").like("%MACH%"))
+    val dummies = Reshape.pivotDummies(spark, dir)
+      .withColumnRenamed("user_id", "c_custkey")
+    val k = col("c_custkey")
+    val openH = (k % 24).cast("int")
+    val closeH = ((k * 7 + 3) % 24).cast("int")
+    val avail = ScalarOps.wrapClose(openH, closeH) - openH
+    val spender = when(col("total_spend").isNull, lit("unknown"))
+      .when(col("total_spend") > 500000, lit("True"))
+      .otherwise(lit("False"))
+    val staged = filtered
+      .join(dummies, Seq("c_custkey"), "left")
+      .na.fill(0, Reshape.EventTypes)
+      .withColumn("avail_hours", avail)
+      .withColumn("attr_big_spender", spender)
+    val keep = Seq("c_custkey", "c_mktsegment", "n_name", "n_orders",
+      "total_spend", "n_items", "sum_qty", "n_events", "avg_event_value") ++
+      Reshape.EventTypes ++ Seq("avail_hours", "attr_big_spender")
+    ScalarOps.recodeBooleans(staged, Seq("attr_big_spender"))
+      .select(keep.map(col): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_inner" -> joinInner _,
     "q_join_left" -> joinLeft _,
     "q_basetable_star" -> basetableStar _,
     "q_null_audit" -> nullAudit _,
-    "q_hours_availability" -> hoursAvailability _)
+    "q_hours_availability" -> hoursAvailability _,
+    "q_full_pipeline" -> fullPipeline _)
 
   /** Shared star SQL (also embedded in the null-audit oracle). */
   private val starSql: String =
@@ -205,5 +244,31 @@ object Pipeline {
       }.mkString(", ")
       s"SELECT $exprs FROM ($starSql)"
     },
-    "q_hours_availability" -> hoursSql)
+    "q_hours_availability" -> hoursSql,
+    "q_full_pipeline" -> {
+      val dummyCols = Reshape.EventTypes.map(t =>
+        s"COALESCE(max(CASE WHEN event_type = '$t' THEN 1 END), 0) AS $t")
+        .mkString(", ")
+      val dummyCoalesce = Reshape.EventTypes.map(t =>
+        s"COALESCE(d.$t, 0) AS $t").mkString(", ")
+      s"""WITH star AS ($starSql),
+         |filtered AS (SELECT * FROM star
+         |  WHERE c_mktsegment LIKE '%URE%' OR c_mktsegment LIKE '%MACH%'),
+         |dummies AS (SELECT user_id AS c_custkey, $dummyCols
+         |  FROM events GROUP BY user_id),
+         |joined AS (SELECT f.*, $dummyCoalesce
+         |  FROM filtered f LEFT JOIN dummies d USING (c_custkey))
+         |SELECT c_custkey, c_mktsegment, n_name, n_orders, total_spend,
+         |  n_items, sum_qty, n_events, avg_event_value,
+         |  ${Reshape.EventTypes.mkString(", ")},
+         |  CAST(CASE WHEN (c_custkey * 7 + 3) % 24 <= c_custkey % 24
+         |    THEN (c_custkey * 7 + 3) % 24 + 24
+         |    ELSE (c_custkey * 7 + 3) % 24 END - c_custkey % 24 AS INTEGER)
+         |    AS avail_hours,
+         |  CASE WHEN a.attr = 'True' THEN '1' WHEN a.attr = 'False' THEN '0'
+         |    ELSE 'Missing' END AS attr_big_spender
+         |FROM joined, LATERAL (SELECT CASE WHEN total_spend IS NULL
+         |  THEN 'unknown' WHEN total_spend > 500000 THEN 'True'
+         |  ELSE 'False' END AS attr) a""".stripMargin
+    })
 }

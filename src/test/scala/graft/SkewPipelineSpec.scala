@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.operators.SkewJoin
+
+/** Salted-join semantics + the composed full-pipeline query. */
+class SkewPipelineSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val fact = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("k"), col("o_orderkey"), col("o_totalprice"))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val plain = fact.join(dim, Seq("k"))
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", 8,
+      spread = Some(col("o_orderkey")))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("salted join survives a pathologically hot key") {
+    import spark.implicits._
+    // 10k rows all on one key + 10 rows spread: the AQE-resistant shape
+    val hot = (1 to 10000).map(i => (1L, i.toLong)) ++
+      (2 to 11).map(i => (i.toLong, i.toLong))
+    val fact = hot.toDF("k", "v")
+    val dim = (1 to 11).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(fact, dim, "k", 16,
+      spread = Some(col("v")))
+    assert(out.count() === 10010)
+    // per-salt spread of the hot key is balanced within 3x of ideal
+    val spread = fact.filter(col("k") === 1)
+      .withColumn("s", pmod(col("v"), lit(16))).groupBy("s").count()
+      .collect().map(_.getLong(1))
+    assert(spread.max <= 3 * (10000 / 16))
+  }
+
+  test("salted count equals plain grouped count") {
+    val events = Tables.events(spark, sf)
+    val plain = events.groupBy("user_id").count()
+      .withColumnRenamed("count", "n")
+    val salted = SkewJoin.saltedCount(events, "user_id", 8, col("event_id"))
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("full pipeline keeps one row per filtered customer") {
+    val out = Pipeline.fullPipeline(spark, sf)
+    val expected = Pipeline.basetableStar(spark, sf)
+      .filter(col("c_mktsegment").like("%URE%") ||
+        col("c_mktsegment").like("%MACH%")).count()
+    assert(out.count() === expected)
+    assert(out.select("c_custkey").distinct().count() === expected)
+    // dummies are filled, recode domain is closed
+    val recodes = out.select("attr_big_spender").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(recodes.subsetOf(Set("1", "0", "Missing")))
+    assert(out.filter(col("click").isNull).count() === 0)
+  }
+
+  test("GraftSession factory config registers SQL functions") {
+    val s = GraftSession.getOrCreate(4)
+    val v = s.sql("SELECT cosine_sim(array(CAST(3.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+}

@@ -79,6 +79,14 @@ class SourcesExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; functions injected
   }
 
+  test("bulk rename: dotted names to underscores in one toDF (P2)") {
+    val df = Tables.region(spark, sf).toDF("r.regionkey", "r.name")
+    val renamed = df.toDF(
+      df.columns.map(_.replace(".", "_")).toIndexedSeq: _*)
+    assert(renamed.columns.toSeq === Seq("r_regionkey", "r_name"))
+    assert(renamed.count() === 5)
+  }
+
   test("recodeBooleans folds N columns in one pass with quirk semantics") {
     import spark.implicits._
     val df = Seq(("True", "False"), ("False", "x"), ("y", "True"))
