@@ -67,6 +67,22 @@ object Ext {
         max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
 
+  /** Approximate aggregates — the 100 TB dashboard variants: HyperLogLog++
+    * distinct counts and t-digest-style percentiles next to their exact
+    * twins. Engine-specific sketches have no cross-engine oracle (driver
+    * records a rows-only check); the ScalaTest asserts relative error
+    * bounds against the exact values instead.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4)
+          .as("p50_approx"),
+        count(lit(1)).as("n"))
+
   /** Set operations (union / intersect / except) over two key sets:
     * customers that ordered vs customers that produced events. Each count
     * is a 1-row aggregate; the three are unioned with a tag column.
@@ -149,6 +165,7 @@ object Ext {
     "q_percentile" -> percentile _,
     "q_window_running" -> windowRunning _,
     "q_sessionize" -> sessionize _,
+    "q_approx_stats" -> approxStats _,
     "q_topk" -> topK _,
     "q_window_rank" -> windowRank _,
     "q_event_window" -> eventWindow _,

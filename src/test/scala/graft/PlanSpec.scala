@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Plan-quality gates (the "is this the plan you'd want at 100 TB" checks):
+  * column pruning reaches the scan, small dims broadcast, top-k avoids a
+  * global sort, approximate aggregates stay within error bounds, and
+  * bucketed co-located joins run shuffle-free.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan-projection prunes the parquet ReadSchema to selected columns") {
+    val p = plan(RelOps.scanProject(spark, sf))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey"), "unused column read from parquet")
+    assert(!p.contains("l_tax"), "unused column read from parquet")
+    assert(p.contains("l_extendedprice"))
+  }
+
+  test("fact-dim join broadcasts the dim side") {
+    assert(plan(Pipeline.joinInner(spark, sf)).contains("BroadcastHashJoin"))
+    assert(plan(Pipeline.joinLeft(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Ext.topK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("filter pushdown reaches the parquet scan for pushable predicates") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
+  }
+
+  test("null audit adds zero scans beyond the audited plan itself") {
+    def scans(s: String): Int =
+      s.split("\n").count(_.contains("Scan parquet"))
+    // the N-column conditional-count audit fuses into ONE aggregate: same
+    // number of table scans as the underlying basetable, not one per column
+    val auditScans = scans(plan(Pipeline.nullAudit(spark, sf)))
+    val baseScans = scans(plan(Pipeline.basetableStar(spark, sf)))
+    assert(auditScans === baseScans)
+  }
+
+  test("approximate aggregates stay within 5% of exact") {
+    val rows = Ext.approxStats(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      // rsd=0.02 sketch: 10% is a 5-sigma bound, safely deterministic
+      assert(math.abs(approx - exact) / exact < 0.10,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val tmp = Files.createTempDirectory("buckets").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/orders").mode("overwrite")
+        .saveAsTable("b_orders")
+      Tables.customer(spark, sf)
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/customer").mode("overwrite")
+        .saveAsTable("b_customer")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(j.count() === Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("stateful streaming sessions agree with the batch sessionizer") {
+    val q = graft.streaming.SessionState.runToMemory(spark, sf, "sess_out")
+    try {
+      val streamed = spark.table("sess_out")
+      val batch = Ext.sessionize(spark, sf)
+      // closed streamed sessions + at most one open session per user =
+      // batch sessions; compare on the closed prefix
+      val streamedKeyed = streamed.select(
+        col("user_id"), col("start_us"), col("n_events"))
+      val batchKeyed = batch.select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"), col("n_events"))
+      val mismatched = streamedKeyed.except(batchKeyed)
+      assert(mismatched.count() === 0,
+        "every closed streamed session must match a batch session")
+      assert(streamed.count() > 0, "no sessions closed in replay")
+    } finally q.stop()
+  }
+}

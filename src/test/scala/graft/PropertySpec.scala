@@ -1,0 +1,115 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.engine.{Multimodal, ScalarOps}
+import graft.streaming.SessionState
+import graft.streaming.SessionState.{ClosedSession, Event, OpenSession}
+
+/** ScalaCheck-generator properties (SURVEY.md §5.3) over the pure kernels:
+  * the stateful session transition function, the rolling fingerprint law,
+  * the stub decoder, and the recode fold via a Spark batch. (Sampling is
+  * driven manually from seeded Gens — the scalatest/scalacheck bridge
+  * artifact is not available offline.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val tsGen: Gen[List[Long]] =
+    Gen.chooseNum(1, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(0L, 8L * 3600L * 1000000L)))
+
+  /** Drive updateSessions like a single microbatch and collect closed +
+    * open state.
+    */
+  private def runBatch(ts: List[Long]): (Seq[ClosedSession], Option[OpenSession]) = {
+    var saved: Option[OpenSession] = None
+    val state = new org.apache.spark.sql.streaming.GroupState[OpenSession] {
+      def exists: Boolean = saved.isDefined
+      def get: OpenSession = saved.get
+      def getOption: Option[OpenSession] = saved
+      def update(s: OpenSession): Unit = saved = Some(s)
+      def remove(): Unit = saved = None
+      def hasTimedOut: Boolean = false
+      def setTimeoutDuration(d: Long): Unit = ()
+      def setTimeoutDuration(d: String): Unit = ()
+      def setTimeoutTimestamp(t: Long): Unit = ()
+      def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      def getCurrentWatermarkMs(): Long = 0L
+      def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val closed = SessionState.updateSessions(1L,
+      ts.map(t => Event(1L, new java.sql.Timestamp(t / 1000), t)).iterator,
+      state).toSeq
+    (closed, saved)
+  }
+
+  test("sessionization partitions events exactly (counts conserve)") {
+    samples(tsGen, 60).foreach { ts =>
+      val (closed, open) = runBatch(ts)
+      val total = closed.map(_.n_events).sum + open.map(_.n).getOrElse(0L)
+      assert(total === ts.length.toLong, s"input $ts")
+    }
+  }
+
+  test("sessionization: spans ordered, inter-session gaps exceed the gap") {
+    samples(tsGen, 60).foreach { ts =>
+      val (closed, open) = runBatch(ts)
+      val all = closed.map(s => (s.start_us, s.end_us)) ++
+        open.map(s => (s.start_us, s.last_us))
+      all.foreach { case (s, e) => assert(s <= e) }
+      val sorted = all.sortBy(_._1)
+      sorted.zip(sorted.drop(1)).foreach { case ((_, e1), (s2, _)) =>
+        assert(s2 - e1 > SessionState.GapUs, s"input $ts")
+      }
+    }
+  }
+
+  test("rolling fingerprint matches BigInt arithmetic and stays in range") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val folded = s.foldLeft(0L)((acc, ch) =>
+        (acc * 31 + ch.toInt) % 1000000007L)
+      val big = s.foldLeft(BigInt(0))((acc, ch) =>
+        (acc * 31 + ch.toInt) % 1000000007)
+      assert(BigInt(folded) === big)
+      assert(folded >= 0 && folded < 1000000007L)
+    }
+  }
+
+  test("stub decoder is pure and shape-stable on arbitrary payloads") {
+    val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+    samples(bytesGen, 100).foreach { bytes =>
+      val p = bytes.toArray
+      val a = Multimodal.stubDecode(7L, "image", p)
+      val b = Multimodal.stubDecode(7L, "image", p.clone())
+      assert(a.features.sameElements(b.features))
+      assert(a.features.length === 8)
+      assert(a.n_bytes === p.length)
+      assert(a.features.forall(f => f >= 0.0 && f <= 1.0))
+    }
+  }
+
+  test("recodeBooleans domain law on generated inputs (Spark batch)") {
+    import spark.implicits._
+    val strGen = Gen.oneOf(Gen.const("True"), Gen.const("False"),
+      Gen.alphaStr.map(_.take(6)))
+    val listGen = Gen.listOfN(25, strGen)
+    samples(listGen, 4).foreach { vals =>
+      val out = ScalarOps
+        .recodeBooleans(vals.toDF("a"), Seq("a"))
+        .collect().map(_.getString(0))
+      assert(out.forall(Set("1", "0", "Missing")))
+      vals.zip(out).foreach {
+        case ("True", o) => assert(o === "1")
+        case ("False", o) => assert(o === "0")
+        case (_, o) => assert(o === "Missing")
+      }
+    }
+  }
+}
