@@ -1,0 +1,81 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Raw-SQL entry surface: the engine's tables registered as temp views and
+  * analytic queries expressed as plain `spark.sql` text (the reference's
+  * users lived in the DataFrame API; a complete engine also takes SQL at
+  * the front door — same Catalyst plans either way).
+  *
+  * The two queries are the classic TPC-H shapes the fixture star schema
+  * was built to host: Q1 (pricing summary — wide aggregate over the big
+  * fact with exact decimal arithmetic) and Q3 (shipping priority — a
+  * 3-table join funnel with group-by + top-k). Both oracle-checked; the
+  * decimal casts are stated per factor so every engine computes identical
+  * exact values.
+  */
+object SqlEntry {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Register every fixture table as a session temp view over `dir`
+    * (events goes through its nanosecond-normalizing loader).
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2))) *
+      |      (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |    / count(*), 6) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private val q3Sql =
+    """SELECT o_orderkey, o_orderdate,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  def sqlQ1(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q1Sql)
+  }
+
+  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q3Sql)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_pricing_summary" -> sqlQ1 _,
+    "q_sql_shipping_priority" -> sqlQ3 _)
+
+  /** The SQL is already ANSI — the oracle is the same text (DuckDB's
+    * TIMESTAMP literals and decimal semantics line up).
+    */
+  val oracles: Map[String, String] = Map(
+    "q_sql_pricing_summary" -> q1Sql.replace("\n", " "),
+    "q_sql_shipping_priority" -> q3Sql.replace("\n", " "))
+}

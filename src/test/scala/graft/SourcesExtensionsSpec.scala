@@ -61,6 +61,34 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(one.count() === all.count())
   }
 
+  test("corrupt JSONL records quarantine in PERMISSIVE, raise in FAILFAST") {
+    val dir = tmpDir("corrupt")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      "{\"a\": 1, \"b\": \"x\"}\n{not json at all\n{\"a\": 2, \"b\": \"y\"}")
+    // cache required: Spark disallows queries touching only the corrupt
+    // column on the raw file scan
+    val df = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema("a LONG, b STRING, _corrupt STRING")
+      .json(dir).cache()
+    assert(df.count() === 3)
+    assert(df.filter(col("_corrupt").isNotNull).count() === 1)
+    assert(df.filter(col("a").isNotNull).count() === 2)
+    intercept[Exception] {
+      spark.read.option("mode", "FAILFAST")
+        .schema("a LONG, b STRING").json(dir).collect()
+    }
+  }
+
+  test("SQL entry: registered views serve raw spark.sql text") {
+    val out = SqlEntry.sqlQ1(spark, sf)
+    assert(out.count() > 0)
+    assert(out.columns.contains("sum_charge"))
+    val q3 = SqlEntry.sqlQ3(spark, sf)
+    assert(q3.count() <= 20)
+  }
+
   test("registered SQL functions evaluate through spark.sql") {
     GraftExtensions.register(spark)
     val cos = spark.sql(
