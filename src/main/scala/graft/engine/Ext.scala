@@ -67,6 +67,32 @@ object Ext {
         max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
 
+  /** Built-in gap session windows (`session_window`, the declarative twin
+    * of [[sessionize]] and of the stateful
+    * [[graft.streaming.SessionState]]): window.end is last-event + gap by
+    * Spark's definition, mirrored in the oracle as max(ts) + INTERVAL.
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end_gap"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Sliding event-time windows (2-hour window, 1-hour slide): each event
+    * lands in exactly two windows; the oracle enumerates both aligned
+    * window starts per event and re-aggregates.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Approximate aggregates — the 100 TB dashboard variants: HyperLogLog++
     * distinct counts and t-digest-style percentiles next to their exact
     * twins. Engine-specific sketches have no cross-engine oracle (driver
@@ -166,6 +192,8 @@ object Ext {
     "q_window_running" -> windowRunning _,
     "q_sessionize" -> sessionize _,
     "q_approx_stats" -> approxStats _,
+    "q_session_window" -> sessionWindow _,
+    "q_sliding_window" -> slidingWindow _,
     "q_topk" -> topK _,
     "q_window_rank" -> windowRank _,
     "q_event_window" -> eventWindow _,
@@ -181,6 +209,10 @@ object Ext {
       """SELECT user_id, event_id, ts, sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq FROM events""",
     "q_sessionize" ->
       """WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM sessions GROUP BY user_id, session_seq""",
+    "q_session_window" ->
+      """WITH flagged AS (SELECT user_id, ts, value, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, value, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end_gap, user_id, count(*) AS n_events, sum(CAST(value AS DECIMAL(12,2))) AS sum_value FROM sessions GROUP BY user_id, session_seq""",
+    "q_sliding_window" ->
+      """SELECT w AS window_start, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sum_value FROM (SELECT event_type, value, unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w FROM events) GROUP BY w, event_type""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_window_rank" ->
