@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ MlSuite.queries ++ SqlEntry.queries
+      Multimodal.queries ++ MlSuite.queries ++ SqlEntry.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ MlSuite.oracles ++ SqlEntry.oracles
+      Multimodal.oracles ++ MlSuite.oracles ++ SqlEntry.oracles ++
+      Curation.oracles
 }

@@ -1,0 +1,127 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (north-star extensions): the passes a
+  * corpus pipeline runs between raw text and the trainer — PII scrubbing,
+  * fixed-size chunking with overlap, stratified sampling, repetition
+  * scoring, and deterministic global shuffling. All narrow per-row column
+  * programs (no UDFs) except the final shuffle's explicit sort.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  val ChunkSize = 32
+  val ChunkStride = 24 // = size - overlap(8)
+
+  private def toks = split(col("text"), " ")
+
+  /** PII scrubbing: regex redaction of emails/URLs with per-doc match
+    * counts. PII is synthesized in-query (fixture text is clean) so the
+    * scrubber has something real to hit; the patterns stay in the
+    * RE2/Java-regex common subset for oracle parity.
+    */
+  def textScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+"
+    val urlRe = "https?://[^ ]+"
+    Tables.documents(spark, dir)
+      .withColumn("raw",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com via http://site"), col("doc_id"), lit(".com")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(urlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        regexp_replace(regexp_replace(col("raw"), urlRe, "<URL>"),
+          emailRe, "<EMAIL>").as("scrubbed"))
+  }
+
+  /** Fixed-size chunking with overlap (size 32, stride 24): the
+    * document-to-training-sample explosion. Chunk starts stride across the
+    * token array; each row is one chunk with its token count and text.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)),
+      lit(ChunkStride))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"),
+        explode(starts).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_idx"),
+        slice(col("t"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .filter(size(col("chunk")) > 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /** Stratified sampling audit: deterministic systematic sample (keep
+    * doc_id mod 10 < 3) with per-stratum totals — the reproducible
+    * alternative to seeded `sampleBy` (whose RNG is engine-specific).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("doc_id") % 10 < 3, true)).as("n_sampled"),
+        round(count(when(col("doc_id") % 10 < 3, true)).cast("double") /
+          count(lit(1)), 6).as("sample_ratio"))
+
+  /** Repetition scoring (Gopher-style quality filter): fraction of
+    * duplicated word-2-grams per document — high values flag boilerplate
+    * and spam. Integer-ratio arithmetic, bit-exact everywhere.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val n2 = greatest(size(toks) - lit(1), lit(0))
+    val grams2 = zip_with(
+      slice(toks, lit(1), n2), slice(toks, lit(2), n2),
+      (a, b) => concat_ws(" ", a, b))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), grams2.as("g2"))
+      .filter(size(col("g2")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        size(array_distinct(col("g2"))).cast("long").as("n_distinct_2grams"),
+        round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
+          size(col("g2")), 6).as("dup_2gram_ratio"))
+  }
+
+  /** Deterministic global shuffle: order by a portable multiplicative-hash
+    * key — reproducible cross-engine example-order randomization for
+    * training exports (a seeded `orderBy(rand())` would be engine-bound).
+    * At scale this is the one intentional global sort in the pipeline —
+    * range-partitioned by Spark, one pass.
+    */
+  def dataShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = (col("doc_id") * 2654435761L) % 1000000007L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), key.as("shuffle_key"))
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id"))))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_scrub" -> textScrub _,
+    "q_doc_chunk" -> docChunk _,
+    "q_stratified_sample" -> stratifiedSample _,
+    "q_repetition" -> repetition _,
+    "q_data_shuffle" -> dataShuffle _)
+
+  val oracles: Map[String, String] = Map(
+    "q_text_scrub" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS BIGINT) AS n_urls, regexp_replace(regexp_replace(raw, 'https?://[^ ]+', '<URL>', 'g'), '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g') AS scrubbed FROM (SELECT doc_id, text || ' contact user' || doc_id || '@example.com via http://site' || doc_id || '.com' AS raw FROM documents)""",
+    "q_doc_chunk" ->
+      s"""SELECT doc_id, CAST(start / $ChunkStride AS INTEGER) AS chunk_idx, CAST(len(t[start + 1 : least(start + $ChunkSize, len(t))]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[start + 1 : least(start + $ChunkSize, len(t))], ' ') AS chunk_text FROM (SELECT doc_id, string_split(text, ' ') AS t, unnest(range(0, greatest(len(string_split(text, ' ')), 1), $ChunkStride)) AS start FROM documents) WHERE len(t[start + 1 : least(start + $ChunkSize, len(t))]) > 0""",
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total, COUNT(CASE WHEN doc_id % 10 < 3 THEN 1 END) AS n_sampled, round(CAST(COUNT(CASE WHEN doc_id % 10 < 3 THEN 1 END) AS DOUBLE) / count(*), 6) AS sample_ratio FROM documents GROUP BY lang""",
+    "q_repetition" ->
+      """SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams, round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_ratio FROM (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) WHERE len(g2) > 0""",
+    "q_data_shuffle" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS INTEGER) AS position FROM documents""")
+}
