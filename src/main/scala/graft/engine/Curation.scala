@@ -95,15 +95,23 @@ object Curation {
   /** Deterministic global shuffle: order by a portable multiplicative-hash
     * key — reproducible cross-engine example-order randomization for
     * training exports (a seeded `orderBy(rand())` would be engine-bound).
-    * At scale this is the one intentional global sort in the pipeline —
-    * range-partitioned by Spark, one pass.
+    * The global ordinal comes from a RANGE-PARTITIONED sort +
+    * `zipWithIndex` (per-partition offsets), NOT a row_number window with
+    * no partitionBy — the window form collapses the table onto one task
+    * and cannot scale.
     */
   def dataShuffle(spark: SparkSession, dir: String): DataFrame = {
     val key = (col("doc_id") * 2654435761L) % 1000000007L
-    Tables.documents(spark, dir)
+    val sorted = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), key.as("shuffle_key"))
-      .withColumn("position",
-        row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id"))))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "position", org.apache.spark.sql.types.LongType, nullable = false))
+    val withPos = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+    }
+    sorted.sparkSession.createDataFrame(withPos, schema)
   }
 
   val queries: Map[String, Q] = Map(
@@ -123,5 +131,5 @@ object Curation {
     "q_repetition" ->
       """SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams, round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_ratio FROM (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) WHERE len(g2) > 0""",
     "q_data_shuffle" ->
-      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS INTEGER) AS position FROM documents""")
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS position FROM documents""")
 }

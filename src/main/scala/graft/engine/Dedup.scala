@@ -79,6 +79,10 @@ object Dedup {
     * without materialization Spark re-runs the shingle+dictionary subtree
     * per branch — measured 2–3x slower at sf0.1. A production pipeline
     * would persist the tokenized table for exactly the same reason.
+    * Entries are deduplicated by analyzed-plan equality in the session
+    * cache manager and live until `spark.catalog.clearCache()` or session
+    * stop — long-lived sessions cycling many fixture dirs should clear
+    * explicitly.
     */
   private def shingleIds(sh: DataFrame): DataFrame = {
     val dict = sh.select("shingle").distinct()

@@ -68,25 +68,29 @@ object MlSuite {
     * (BinaryClassificationMetrics / MulticlassMetrics,
     * `Databricks Notebook.py:836–862`).
     */
-  private def evalModel(name: String, preds: DataFrame,
+  private def evalModel(name: String, preds0: DataFrame,
       dataset: String): Seq[(String, String, String, Double)] = {
-    val scoreAndLabel = preds
-      .select(col("probability"), col("label")).rdd
-      .map(r => (r.getAs[Vector](0)(1), r.getDouble(1)))
-    val predAndLabel = preds
-      .select(col("prediction"), col("label")).rdd
-      .map(r => (r.getDouble(0), r.getDouble(1)))
-    val bin = new BinaryClassificationMetrics(scoreAndLabel)
-    val mc = new MulticlassMetrics(predAndLabel)
-    val labels = Seq(0.0, 1.0)
-    Seq((name, dataset, "auc", bin.areaUnderROC()),
-      (name, dataset, "accuracy", mc.accuracy),
-      (name, dataset, "weighted_f1", mc.weightedFMeasure)) ++
-      labels.flatMap { l =>
-        Seq((name, dataset, s"precision_$l", mc.precision(l)),
-          (name, dataset, s"recall_$l", mc.recall(l)),
-          (name, dataset, s"f1_$l", mc.fMeasure(l, 1.0)))
-      }
+    // cache: the two RDD projections + the multi-pass metric classes would
+    // otherwise re-execute the whole transform pipeline per metric job
+    val preds = preds0
+      .select(col("probability"), col("prediction"), col("label")).cache()
+    try {
+      val scoreAndLabel = preds.rdd
+        .map(r => (r.getAs[Vector](0)(1), r.getDouble(2)))
+      val predAndLabel = preds.rdd
+        .map(r => (r.getDouble(1), r.getDouble(2)))
+      val bin = new BinaryClassificationMetrics(scoreAndLabel)
+      val mc = new MulticlassMetrics(predAndLabel)
+      val labels = Seq(0.0, 1.0)
+      Seq((name, dataset, "auc", bin.areaUnderROC()),
+        (name, dataset, "accuracy", mc.accuracy),
+        (name, dataset, "weighted_f1", mc.weightedFMeasure)) ++
+        labels.flatMap { l =>
+          Seq((name, dataset, s"precision_$l", mc.precision(l)),
+            (name, dataset, s"recall_$l", mc.recall(l)),
+            (name, dataset, s"f1_$l", mc.fMeasure(l, 1.0)))
+        }
+    } finally preds.unpersist()
   }
 
   /** M4–M6: formula assembly, seeded split, chi2-percentile selection —

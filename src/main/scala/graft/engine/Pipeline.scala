@@ -202,7 +202,12 @@ object Pipeline {
       |  FROM events GROUP BY user_id) em ON c.c_custkey = em.user_id
       |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
 
-  private val auditCols: Seq[(String, Boolean)] = Seq(
+  /** (name, isFloat) per basetable column — drives the null-audit oracle.
+    * Kept non-private so the test suite can assert it tracks
+    * `basetableStar`'s actual schema (the Spark side derives columns from
+    * the schema; this list is the oracle's mirror and must not drift).
+    */
+  val auditCols: Seq[(String, Boolean)] = Seq(
     "c_custkey" -> false, "c_name" -> false, "c_mktsegment" -> false,
     "n_name" -> false, "n_orders" -> false, "total_spend" -> false,
     "last_order" -> false, "n_items" -> false, "sum_qty" -> true,

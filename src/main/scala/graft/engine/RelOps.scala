@@ -131,13 +131,20 @@ object RelOps {
       .withColumn("recency", datediff(lit("2002-01-01"), col("l_shipdate")))
     val maxd = li.agg(max(col("recency")).as("maxdiff"))
     li.crossJoin(broadcast(maxd))
-      .withColumn("adj_price",
-        col("l_extendedprice") * (lit(1) - col("recency") / col("maxdiff")))
+      // avg(price * (1 - recency/maxdiff)) restated as
+      // sum(price * (maxdiff - recency)) / maxdiff / n: the numerator is
+      // exact decimal*integer arithmetic, so the aggregate is independent
+      // of accumulation order and engine (double avg / per-row decimal
+      // casts both proved engine-unstable in the hash gate)
+      .withColumn("adj_num",
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (col("maxdiff") - col("recency")))
       .groupBy("l_orderkey")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_lines"),
-        round(avg(col("adj_price")), 2).as("avg_adj_price"),
+        round(sum(col("adj_num")).cast("double") / max(col("maxdiff")) /
+          count(lit(1)), 6).as("avg_adj_price"),
         count(when(col("l_discount") > 0.05, true)).as("n_hi_disc"),
         count(when(col("l_discount") <= 0.05, true)).as("n_lo_disc"))
   }
@@ -242,7 +249,7 @@ object RelOps {
     "q_dates_recency" ->
       """SELECT l_returnflag, CAST(min(date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')) AS BIGINT) AS min_rec, CAST(max(date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')) AS BIGINT) AS max_rec, round(CAST(sum(date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01')) AS DOUBLE) / count(*), 6) AS avg_rec, COUNT(CASE WHEN strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') = l_shipdate THEN 1 END) AS n_reparse_ok, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""",
     "q_agg_multi" ->
-      """WITH r AS (SELECT *, date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01') AS recency FROM lineitem), m AS (SELECT max(recency) AS maxdiff FROM r) SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_lines, round(avg(l_extendedprice * (1 - recency / CAST(maxdiff AS DOUBLE))), 2) AS avg_adj_price, COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_hi_disc, COUNT(CASE WHEN l_discount <= 0.05 THEN 1 END) AS n_lo_disc FROM r CROSS JOIN m GROUP BY l_orderkey""",
+      """WITH r AS (SELECT *, date_diff('day', CAST(l_shipdate AS DATE), DATE '2002-01-01') AS recency FROM lineitem), m AS (SELECT max(recency) AS maxdiff FROM r) SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_lines, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (maxdiff - recency)) AS DOUBLE) / max(maxdiff) / count(*), 6) AS avg_adj_price, COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_hi_disc, COUNT(CASE WHEN l_discount <= 0.05 THEN 1 END) AS n_lo_disc FROM r CROSS JOIN m GROUP BY l_orderkey""",
     "q_agg_minmax" ->
       """SELECT user_id, count(ts) AS n_events, CAST(min(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')) AS BIGINT) AS min_rec, CAST(max(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')) AS BIGINT) AS max_rec, min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY user_id""",
     "q_agg_two_key_reagg" ->

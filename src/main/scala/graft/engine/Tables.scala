@@ -29,6 +29,12 @@ object Tables {
     * timestamp type and rejects it outright; read it as a nano-epoch long
     * and truncate to microseconds (the same floor DuckDB applies when it
     * loads nanos into its microsecond timestamps).
+    *
+    * Side effect, by design: `nanosAsLong` is a session-wide SQLConf (no
+    * per-read option exists), so after the first events load any other
+    * nanos-timestamp parquet in the session also reads as longs instead of
+    * failing fast. The flag's value is constant, so the write is
+    * idempotent and safe under concurrent queries.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -104,6 +104,10 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Array[Int]],
 
   private def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
+    // fail fast: silently truncating (or zero-padding) a mismatched vector
+    // would quietly degrade recall with no signal
+    require(n == planes(0).length,
+      s"lsh_signatures: vector dim $n != plane dim ${planes(0).length}")
     val nPlanes = planes.length
     val acc = new Array[Double](nPlanes)
     var d = 0
@@ -111,7 +115,7 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Array[Int]],
       val x = v.getFloat(d).toDouble
       var p = 0
       while (p < nPlanes) {
-        if (d < planes(p).length) acc(p) += x * planes(p)(d)
+        acc(p) += x * planes(p)(d)
         p += 1
       }
       d += 1

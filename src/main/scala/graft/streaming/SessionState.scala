@@ -47,7 +47,10 @@ object SessionState {
     sorted.foreach { e =>
       open match {
         case Some(s) if e.ts_us - s.last_us <= GapUs =>
-          open = Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+          // min/max guards: a late (out-of-order but within-watermark)
+          // event from a later microbatch must never regress the span
+          open = Some(OpenSession(math.min(s.start_us, e.ts_us),
+            math.max(s.last_us, e.ts_us), s.n + 1))
         case Some(s) =>
           closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
           open = Some(OpenSession(e.ts_us, e.ts_us, 1))

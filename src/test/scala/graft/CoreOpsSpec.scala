@@ -68,6 +68,16 @@ class CoreOpsSpec extends SparkSpec {
     assert(Pipeline.basetableStar(spark, sf).count() === left.count())
   }
 
+  test("null-audit oracle column list tracks the star schema (no drift)") {
+    val schema = Pipeline.basetableStar(spark, sf).schema
+    assert(Pipeline.auditCols.map(_._1) === schema.fieldNames.toSeq)
+    Pipeline.auditCols.foreach { case (name, isFloat) =>
+      val isDouble = schema(name).dataType ==
+        org.apache.spark.sql.types.DoubleType
+      assert(isFloat === isDouble, s"float flag drift on $name")
+    }
+  }
+
   test("null audit: filled count columns report zero missing") {
     val audit = Pipeline.nullAudit(spark, sf).collect()(0)
     Seq("n_orders", "n_items", "n_events").foreach { c =>

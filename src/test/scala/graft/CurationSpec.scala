@@ -57,7 +57,7 @@ class CurationSpec extends SparkSpec {
     val n = Tables.documents(spark, sf).count()
     assert(a.count() === n)
     assert(a.select("position").distinct().count() === n)
-    assert(a.agg(max("position")).collect()(0).getInt(0) === n.toInt)
+    assert(a.agg(max("position")).collect()(0).getLong(0) === n)
     val first1 = a.orderBy("position").limit(5).collect().map(_.getLong(0))
     val first2 = Curation.dataShuffle(spark, sf)
       .orderBy("position").limit(5).collect().map(_.getLong(0))
