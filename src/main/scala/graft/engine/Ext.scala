@@ -67,6 +67,48 @@ object Ext {
         max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
 
+  /** Snapshot upsert (merge) without a table format: changes full-outer-
+    * joined onto the snapshot, change wins per column — the batch MERGE
+    * pattern for engines without Delta/Iceberg ACID tables. Changes here
+    * are the open orders re-priced 10% up; everything else passes through.
+    * At scale both sides shuffle once on the key (or the smaller changes
+    * side broadcasts).
+    */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val changes = snapshot.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("c_orderkey"),
+        lit("U").as("c_status"),
+        (col("o_totalprice") * lit(1.1).cast("decimal(3,1)"))
+          .as("c_totalprice"))
+    snapshot.join(changes, col("o_orderkey") === col("c_orderkey"),
+        "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_orderkey")).as("o_orderkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+        // explicit final scale: decimal type unification differs per
+        // engine, value printing follows scale
+        coalesce(col("c_totalprice"), col("o_totalprice"))
+          .cast("decimal(20,3)").as("o_totalprice"))
+  }
+
+  /** Hot-key profiler: per-key cardinality stats that tell you BEFORE a
+    * join whether salting/AQE-skew handling is needed — max/avg key-count
+    * ratio and the heaviest keys. All integer arithmetic.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_key_rows"),
+      round(max(col("n")).cast("double") * count(lit(1)) / sum(col("n")), 6)
+        .as("skew_ratio"))
+  }
+
   /** Built-in gap session windows (`session_window`, the declarative twin
     * of [[sessionize]] and of the stateful
     * [[graft.streaming.SessionState]]): window.end is last-event + gap by
@@ -192,6 +234,8 @@ object Ext {
     "q_window_running" -> windowRunning _,
     "q_sessionize" -> sessionize _,
     "q_approx_stats" -> approxStats _,
+    "q_upsert" -> upsert _,
+    "q_skew_profile" -> skewProfile _,
     "q_session_window" -> sessionWindow _,
     "q_sliding_window" -> slidingWindow _,
     "q_topk" -> topK _,
@@ -209,6 +253,10 @@ object Ext {
       """SELECT user_id, event_id, ts, sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq FROM events""",
     "q_sessionize" ->
       """WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM sessions GROUP BY user_id, session_seq""",
+    "q_upsert" ->
+      """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN 'U' ELSE o_orderstatus END AS o_orderstatus, CAST(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(20,3)) AS o_totalprice FROM orders""",
+    "q_skew_profile" ->
+      """SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_key_rows, round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_ratio FROM (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey)""",
     "q_session_window" ->
       """WITH flagged AS (SELECT user_id, ts, value, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, value, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end_gap, user_id, count(*) AS n_events, sum(CAST(value AS DECIMAL(12,2))) AS sum_value FROM sessions GROUP BY user_id, session_seq""",
     "q_sliding_window" ->

@@ -100,13 +100,21 @@ object MlSuite {
     val encoded = encodeCategoricals(basetableLabeled(spark, dir))
     val rf = new RFormula().setFormula("label ~ . - c_custkey")
       .setFeaturesCol("features").setLabelCol("label")
+    // materialize once: the selector fit, both selection transforms, and
+    // every classifier iteration would otherwise re-run the whole
+    // star-join + encode + formula chain
     val formed = rf.fit(encoded).transform(encoded)
-      .select("c_custkey", "features", "label")
+      .select("c_custkey", "features", "label").cache()
     val Array(train, test) =
       formed.randomSplit(Array(0.7, 0.3), seed = Seed)
-    // ChiSqSelector's Spark-4 successor: chi2 via categorical/categorical
+    // ChiSqSelector's Spark-4 successor. The reference ran chi2 over an
+    // (almost) all-dummy matrix; our matrix mixes one-hot dummies with
+    // continuous counts/amounts, and chi2 hard-fails past 10k distinct
+    // feature values (hit at sf0.1) — featureType "continuous" selects the
+    // ANOVA F-test, which is the correct statistic for this matrix and
+    // scale-safe (0/1 dummies are valid continuous inputs to it).
     val selector = new UnivariateFeatureSelector()
-      .setFeatureType("categorical").setLabelType("categorical")
+      .setFeatureType("continuous").setLabelType("categorical")
       .setSelectionMode("percentile").setSelectionThreshold(0.9)
       .setFeaturesCol("features").setOutputCol("selectedFeatures")
       .setLabelCol("label")

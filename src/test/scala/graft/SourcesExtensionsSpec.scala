@@ -61,6 +61,21 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(one.count() === all.count())
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet parts") {
+    val dir = tmpDir("evolve")
+    Tables.region(spark, sf).write.parquet(s"$dir/p=1")
+    Tables.region(spark, sf)
+      .withColumn("r_comment", concat(lit("c"), col("r_regionkey")))
+      .write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq ===
+      Seq("p", "r_comment", "r_name", "r_regionkey"))
+    assert(merged.count() === 10)
+    // rows from the old-schema part carry null for the new column
+    assert(merged.filter(col("p") === 1 && col("r_comment").isNull)
+      .count() === 5)
+  }
+
   test("corrupt JSONL records quarantine in PERMISSIVE, raise in FAILFAST") {
     val dir = tmpDir("corrupt")
     Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
