@@ -67,6 +67,60 @@ object Ext {
         max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
 
+  /** AS-OF join, composed from built-ins (join + ranked dedup — the
+    * preferred form when semantics allow, before reaching for a custom
+    * SparkPlan): each purchase event attributed to the user's latest click
+    * at-or-before it. The band condition `c.ts <= p.ts` bounds the
+    * intermediate to same-user prior pairs; the rank-1 filter keeps the
+    * closest. At scale, pre-bucketing both sides by user co-locates the
+    * join; AQE handles residual skew.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("click_ts").desc, col("click_id"))
+    // the band predicate must be part of the LEFT join condition — filtering
+    // after the join would drop purchases whose user has only later clicks
+    purchases.as("p").join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.click_ts") <= col("p.purchase_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("p.user_id").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
+  /** Range (band) join: events of the same user within the hour AFTER each
+    * purchase — the conversion-window pattern. Equi-key (user) plus a time
+    * band; aggregated to one row per purchase so the output is key-unique.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val follow = e.select(col("event_id").as("f_id"),
+      col("user_id"), col("ts").as("f_ts"),
+      col("value").as("f_value"))
+    purchases.join(follow,
+        purchases("user_id") === follow("user_id") &&
+          col("f_ts") > col("purchase_ts") &&
+          col("f_ts") <= col("purchase_ts") + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(col("purchase_id"), col("purchase_ts"))
+      .agg(
+        count(col("f_id")).as("n_follow"),
+        sum(col("f_value").cast("decimal(12,2)")).as("follow_value"))
+  }
+
   /** Snapshot upsert (merge) without a table format: changes full-outer-
     * joined onto the snapshot, change wins per column — the batch MERGE
     * pattern for engines without Delta/Iceberg ACID tables. Changes here
@@ -236,6 +290,8 @@ object Ext {
     "q_approx_stats" -> approxStats _,
     "q_upsert" -> upsert _,
     "q_skew_profile" -> skewProfile _,
+    "q_asof_join" -> asofJoin _,
+    "q_range_join" -> rangeJoin _,
     "q_session_window" -> sessionWindow _,
     "q_sliding_window" -> slidingWindow _,
     "q_topk" -> topK _,
@@ -253,6 +309,10 @@ object Ext {
       """SELECT user_id, event_id, ts, sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq FROM events""",
     "q_sessionize" ->
       """WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM sessions GROUP BY user_id, session_seq""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'), j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts, row_number() OVER (PARTITION BY p.purchase_id ORDER BY c.click_ts DESC, c.click_id) AS rn FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts) SELECT purchase_id, user_id, purchase_ts, click_id, click_ts, epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us FROM j WHERE rn = 1""",
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'), f AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value AS f_value FROM events) SELECT p.purchase_id, p.purchase_ts, count(f.f_id) AS n_follow, sum(CAST(f.f_value AS DECIMAL(12,2))) AS follow_value FROM p LEFT JOIN f ON p.user_id = f.user_id AND f.f_ts > p.purchase_ts AND f.f_ts <= p.purchase_ts + INTERVAL 1 HOUR GROUP BY p.purchase_id, p.purchase_ts""",
     "q_upsert" ->
       """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN 'U' ELSE o_orderstatus END AS o_orderstatus, CAST(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(20,3)) AS o_totalprice FROM orders""",
     "q_skew_profile" ->

@@ -60,6 +60,26 @@ class SkewPipelineSpec extends SparkSpec {
     assert(out.filter(col("click").isNull).count() === 0)
   }
 
+  test("as-of join: one row per purchase, non-negative gap, no future clicks") {
+    val asof = Ext.asofJoin(spark, sf)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(asof.count() === purchases)
+    assert(asof.filter(col("gap_us") < 0).count() === 0)
+    assert(asof.filter(col("click_ts") > col("purchase_ts")).count() === 0)
+  }
+
+  test("range join: one row per purchase, follow events bounded by window") {
+    val rj = Ext.rangeJoin(spark, sf)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rj.count() === purchases)
+    assert(rj.filter(col("n_follow") < 0).count() === 0)
+    // purchases with zero follow events have null summed value
+    assert(rj.filter(col("n_follow") === 0 &&
+      col("follow_value").isNotNull).count() === 0)
+  }
+
   test("GraftSession factory config registers SQL functions") {
     val s = GraftSession.getOrCreate(4)
     val v = s.sql("SELECT cosine_sim(array(CAST(3.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
