@@ -180,8 +180,46 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("simhash16")))
   }
 
+  /** Near-dup CLUSTERING: the step after pair generation — group the pair
+    * graph into connected components and elect one keeper (min doc_id) per
+    * component. Iterative min-label propagation: each round, every node
+    * takes the smallest root among itself and its neighbors; terminates
+    * when no label changes. Fixture dup clusters are 2–3 nodes, so 2–3
+    * rounds; at 100 TB scale swap the plain propagation for the
+    * large-star/small-star algorithm (same join shape, provably
+    * O(log n) rounds).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("root", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborRoots = edges
+        .join(labels.select(col("node").as("doc_b"), col("root").as("nroot")),
+          Seq("doc_b"))
+        .groupBy(col("doc_a").as("node"))
+        .agg(min(col("nroot")).as("min_nroot"))
+      val updated = labels.join(neighborRoots, Seq("node"), "left")
+        .select(col("node"), col("root"),
+          least(col("root"), coalesce(col("min_nroot"), col("root")))
+            .as("new_root"))
+        .cache()
+      changed = updated.filter(col("new_root") =!= col("root")).count()
+      labels = updated.select(col("node"), col("new_root").as("root"))
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("root").as("component_root"),
+      (col("node") === col("root")).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
+    "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _)
@@ -211,7 +249,8 @@ object Dedup {
        |  (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids))) >= $threshold
        |""".stripMargin
 
-  private val minhashSql: String = {
+  /** Shared CTE body: shingles -> signatures -> bands -> candidates. */
+  private val minhashCtes: String = {
     val sigExprs = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
       s"min((sid * $a + $b) % $P) AS h$i"
     }.mkString(", ")
@@ -220,14 +259,31 @@ object Dedup {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $shingleSql,
+    s"""$shingleSql,
        |sig AS (SELECT doc_id, $sigExprs FROM ds GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-       |    AND x.doc_id < y.doc_id)
-       |${verifySql(MinhashThreshold)}""".stripMargin
+       |    AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  private val minhashSql: String =
+    s"WITH $minhashCtes\n${verifySql(MinhashThreshold)}"
+
+  /** Connected components as a recursive transitive closure (fixture dup
+    * clusters are tiny, so the closure is small); root = min reachable id.
+    */
+  private val clustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (${verifySql(MinhashThreshold)}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b <> r.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS component_root,
+       |  a = least(a, min(b)) AS keep
+       |FROM reach GROUP BY a""".stripMargin
 
   private val ngramJaccardSql: String =
     s"""WITH $shingleSql,
@@ -263,6 +319,7 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_clusters" -> clustersSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_simhash" -> simhashSql)
 }

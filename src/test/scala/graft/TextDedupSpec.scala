@@ -64,6 +64,25 @@ class TextDedupSpec extends SparkSpec {
     assert(mh.subsetOf(exact))
   }
 
+  test("dedup clusters: pairs share roots, one keeper per component") {
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(clusters.nonEmpty)
+    // every near-dup pair must land in the same component
+    Dedup.dedupMinhash(spark, sf).select("doc_a", "doc_b").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(clusters(a)._1 === clusters(b)._1, s"pair ($a,$b) split")
+      }
+    // root is the component minimum and the only keeper
+    clusters.groupBy(_._2._1).foreach { case (root, members) =>
+      assert(members.keys.min === root)
+      assert(members.count(_._2._2) === 1)
+      assert(members(root)._2)
+    }
+  }
+
   test("simhash: identical token sets get identical signatures") {
     val sig = Dedup.dedupSimhash(spark, sf)
     assert(sig.count() === Tables.documents(spark, sf).count())
