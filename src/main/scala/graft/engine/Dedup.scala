@@ -191,28 +191,44 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b")
+    // localCheckpoint (not cache): iterative algorithms must TRUNCATE the
+    // logical plan each round — with cache alone every round's plan embeds
+    // the whole previous round plus the LSH subtree, and Catalyst
+    // re-analysis blows up exponentially (measured 185s for round 2 on 256
+    // pairs before truncation)
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("root", col("node"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 50) {
       val neighborRoots = edges
         .join(labels.select(col("node").as("doc_b"), col("root").as("nroot")),
           Seq("doc_b"))
         .groupBy(col("doc_a").as("node"))
         .agg(min(col("nroot")).as("min_nroot"))
-      val updated = labels.join(neighborRoots, Seq("node"), "left")
+      // path compression (pointer halving): follow one extra hop to the
+      // root's own root — collapses chains in O(log diameter) rounds
+      // instead of O(diameter)
+      val propagated = labels.join(neighborRoots, Seq("node"), "left")
         .select(col("node"), col("root"),
           least(col("root"), coalesce(col("min_nroot"), col("root")))
             .as("new_root"))
         .cache()
+      val updated = propagated
+        .join(propagated.select(col("node").as("new_root"),
+          col("new_root").as("rroot")), Seq("new_root"), "left")
+        .select(col("node"), col("root"),
+          coalesce(col("rroot"), col("new_root")).as("new_root"))
+        .localCheckpoint()
       changed = updated.filter(col("new_root") =!= col("root")).count()
       labels = updated.select(col("node"), col("new_root").as("root"))
       iter += 1
     }
+    require(changed == 0, s"components did not converge in $iter rounds")
     labels.select(col("node").as("doc_id"), col("root").as("component_root"),
       (col("node") === col("root")).as("keep"))
   }
