@@ -41,14 +41,18 @@ object Ext {
 
   /** Batch event-time tumbling window (`window($"ts","1 hour")` — SURVEY
     * §1 note / §2.7): hour buckets × event_type. Decimal sums keep the
-    * money column exact; the avg is one double division over exact operands.
+    * money column exact internally; every final money output is rendered as
+    * `round(CAST(exact AS DOUBLE), scale)` — exact decimals render
+    * differently across engines (`Decimal('190076.00')` vs `190076.0`),
+    * while the double of the same exact value is bit-identical everywhere.
     */
   def eventWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).as("sum_value"),
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_value"),
         round(sum(col("value").cast("decimal(12,2)")).cast("double") /
           count(lit(1)), 6).as("avg_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -101,6 +105,10 @@ object Ext {
   /** Range (band) join: events of the same user within the hour AFTER each
     * purchase — the conversion-window pattern. Equi-key (user) plus a time
     * band; aggregated to one row per purchase so the output is key-unique.
+    * Both sides descend from the SAME events scan, so they carry explicit
+    * aliases — without them the equi-key predicate is ambiguous
+    * (Spark's "trivially true equals predicate" trap; [[asofJoin]] has
+    * always done this, now both do).
     */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -110,15 +118,16 @@ object Ext {
     val follow = e.select(col("event_id").as("f_id"),
       col("user_id"), col("ts").as("f_ts"),
       col("value").as("f_value"))
-    purchases.join(follow,
-        purchases("user_id") === follow("user_id") &&
-          col("f_ts") > col("purchase_ts") &&
-          col("f_ts") <= col("purchase_ts") + expr("INTERVAL 1 HOUR"),
+    purchases.as("p").join(follow.as("f"),
+        col("p.user_id") === col("f.user_id") &&
+          col("f.f_ts") > col("p.purchase_ts") &&
+          col("f.f_ts") <= col("p.purchase_ts") + expr("INTERVAL 1 HOUR"),
         "left")
       .groupBy(col("purchase_id"), col("purchase_ts"))
       .agg(
         count(col("f_id")).as("n_follow"),
-        sum(col("f_value").cast("decimal(12,2)")).as("follow_value"))
+        round(sum(col("f_value").cast("decimal(12,2)")).cast("double"), 2)
+          .as("follow_value"))
   }
 
   /** Snapshot upsert (merge) without a table format: changes full-outer-
@@ -142,10 +151,11 @@ object Ext {
       .select(
         coalesce(col("o_orderkey"), col("c_orderkey")).as("o_orderkey"),
         coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
-        // explicit final scale: decimal type unification differs per
-        // engine, value printing follows scale
-        coalesce(col("c_totalprice"), col("o_totalprice"))
-          .cast("decimal(20,3)").as("o_totalprice"))
+        // exact decimal merge arithmetic, double-rendered at the final
+        // scale (3: two price decimals × one 1.1 decimal) — see
+        // [[eventWindow]] on why no bare decimal leaves a query
+        round(coalesce(col("c_totalprice"), col("o_totalprice"))
+          .cast("double"), 3).as("o_totalprice"))
   }
 
   /** Hot-key profiler: per-key cardinality stats that tell you BEFORE a
@@ -172,7 +182,8 @@ object Ext {
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end_gap"),
         col("user_id"), col("n_events"), col("sum_value"))
@@ -185,7 +196,8 @@ object Ext {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -230,7 +242,8 @@ object Ext {
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_qty"))
 
   /** Exact interpolated percentiles per group (median + p90). */
   def percentile(spark: SparkSession, dir: String): DataFrame =
@@ -251,9 +264,9 @@ object Ext {
       .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir).select(
       col("user_id"), col("event_id"), col("ts"),
-      sum(col("value").cast("decimal(12,2)"))
+      round(sum(col("value").cast("decimal(12,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .as("running_value"),
+        .cast("double"), 2).as("running_value"),
       lag(col("event_type"), 1).over(w).as("prev_type"),
       row_number().over(w).as("seq"))
   }
@@ -302,31 +315,31 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
     "q_window_running" ->
-      """SELECT user_id, event_id, ts, sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq FROM events""",
+      """SELECT user_id, event_id, ts, round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq FROM events""",
     "q_sessionize" ->
       """WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM sessions GROUP BY user_id, session_seq""",
     "q_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'), j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts, row_number() OVER (PARTITION BY p.purchase_id ORDER BY c.click_ts DESC, c.click_id) AS rn FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts) SELECT purchase_id, user_id, purchase_ts, click_id, click_ts, epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us FROM j WHERE rn = 1""",
     "q_range_join" ->
-      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'), f AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value AS f_value FROM events) SELECT p.purchase_id, p.purchase_ts, count(f.f_id) AS n_follow, sum(CAST(f.f_value AS DECIMAL(12,2))) AS follow_value FROM p LEFT JOIN f ON p.user_id = f.user_id AND f.f_ts > p.purchase_ts AND f.f_ts <= p.purchase_ts + INTERVAL 1 HOUR GROUP BY p.purchase_id, p.purchase_ts""",
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'), f AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value AS f_value FROM events) SELECT p.purchase_id, p.purchase_ts, count(f.f_id) AS n_follow, round(CAST(sum(CAST(f.f_value AS DECIMAL(12,2))) AS DOUBLE), 2) AS follow_value FROM p LEFT JOIN f ON p.user_id = f.user_id AND f.f_ts > p.purchase_ts AND f.f_ts <= p.purchase_ts + INTERVAL 1 HOUR GROUP BY p.purchase_id, p.purchase_ts""",
     "q_upsert" ->
-      """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN 'U' ELSE o_orderstatus END AS o_orderstatus, CAST(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(20,3)) AS o_totalprice FROM orders""",
+      """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN 'U' ELSE o_orderstatus END AS o_orderstatus, round(CAST(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE), 3) AS o_totalprice FROM orders""",
     "q_skew_profile" ->
       """SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_key_rows, round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_ratio FROM (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey)""",
     "q_session_window" ->
-      """WITH flagged AS (SELECT user_id, ts, value, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, value, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end_gap, user_id, count(*) AS n_events, sum(CAST(value AS DECIMAL(12,2))) AS sum_value FROM sessions GROUP BY user_id, session_seq""",
+      """WITH flagged AS (SELECT user_id, ts, value, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, value, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end_gap, user_id, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value FROM sessions GROUP BY user_id, session_seq""",
     "q_sliding_window" ->
-      """SELECT w AS window_start, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sum_value FROM (SELECT event_type, value, unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w FROM events) GROUP BY w, event_type""",
+      """SELECT w AS window_start, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value FROM (SELECT event_type, value, unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w FROM events) GROUP BY w, event_type""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1""",
     "q_event_window" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""",
     "q_json_extract" ->
       """SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k, min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type""",
     "q_set_ops" ->

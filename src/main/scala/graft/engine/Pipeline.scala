@@ -56,7 +56,10 @@ object Pipeline {
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spend"),
+        // exact decimal sum, double-rendered: bare decimal outputs hash
+        // differently across engines (see Ext.eventWindow scaladoc)
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_spend"),
         max(col("o_orderdate")).as("last_order"))
     val itemMetrics = Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
@@ -187,7 +190,8 @@ object Pipeline {
       | COALESCE(em.n_events, 0) AS n_events, em.avg_event_value
       |FROM customer c
       |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
-      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |      AS total_spend,
       |    max(o_orderdate) AS last_order
       |  FROM orders GROUP BY o_custkey) om ON c.c_custkey = om.o_custkey
       |LEFT JOIN (SELECT o_custkey, CAST(sum(li_items) AS BIGINT) AS n_items,
@@ -209,7 +213,7 @@ object Pipeline {
     */
   val auditCols: Seq[(String, Boolean)] = Seq(
     "c_custkey" -> false, "c_name" -> false, "c_mktsegment" -> false,
-    "n_name" -> false, "n_orders" -> false, "total_spend" -> false,
+    "n_name" -> false, "n_orders" -> false, "total_spend" -> true,
     "last_order" -> false, "n_items" -> false, "sum_qty" -> true,
     "n_events" -> false, "avg_event_value" -> true)
 

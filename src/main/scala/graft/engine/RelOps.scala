@@ -193,7 +193,10 @@ object RelOps {
       max(col("l_shipdate")).as("max_shipdate"),
       min(col("l_shipdate")).as("min_shipdate"),
       count(lit(1)).as("n_rows"),
-      sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+      // exact decimal sum, double-rendered at scale 2 — bare decimal
+      // outputs hash differently across engines (see Ext.eventWindow)
+      round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+        2).as("sum_price"))
 
   /** A8 — exact distinct counting (`Databricks Notebook.py:228, 296`; the
     * reference is exact-only — no approx anywhere). For 100 TB dashboards
@@ -255,7 +258,7 @@ object RelOps {
     "q_agg_two_key_reagg" ->
       """SELECT user_id, round(CAST(sum(sum_value) AS DOUBLE) / count(*), 6) AS avg_sum_value, count(*) AS n_types FROM (SELECT user_id, event_type, sum(CAST(value AS DECIMAL(12,2))) AS sum_value FROM events GROUP BY user_id, event_type) GROUP BY user_id""",
     "q_agg_global" ->
-      """SELECT max(l_shipdate) AS max_shipdate, min(l_shipdate) AS min_shipdate, count(*) AS n_rows, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price FROM lineitem""",
+      """SELECT max(l_shipdate) AS max_shipdate, min(l_shipdate) AS min_shipdate, count(*) AS n_rows, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price FROM lineitem""",
     "q_distinct_count" ->
       """SELECT count(DISTINCT c_mktsegment) AS n_seg, count(DISTINCT c_nationkey) AS n_nat, count(*) AS n_rows FROM customer""",
     "q_dropdup" ->

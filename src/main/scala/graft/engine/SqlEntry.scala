@@ -30,13 +30,17 @@ object SqlEntry {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |    AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+      |    AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |      (1 - CAST(l_discount AS DECIMAL(4,2))) *
-      |      (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |      (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6)
+      |    AS sum_charge,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
       |    / count(*), 6) AS avg_qty,
       |  count(*) AS count_order
@@ -46,8 +50,9 @@ object SqlEntry {
 
   private val q3Sql =
     """SELECT o_orderkey, o_orderdate,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+      |    AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
