@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
   * extensions): exact, MinHash+LSH, SimHash, and n-gram Jaccard with
   * rare-shingle blocking.
   *
-  * Portable hashing: every hash here is `(a*id + b) mod p` over DENSE TOKEN
-  * IDS from a sorted-distinct dictionary, not a builtin hash function —
-  * builtin hashes differ per engine, which would make the DuckDB oracle
-  * unverifiable. The dictionary is a global row_number over distinct
-  * shingles: cheap at fixture scale; at 100 TB swap the dictionary for
-  * `xxhash64(shingle)` (no dictionary join, no global sort) — the LSH
-  * topology is unchanged, only the id source.
+  * Portable hashing: builtin hash functions (xxhash64, DuckDB `hash`)
+  * differ per engine, which would make the DuckDB oracle unverifiable, and
+  * a dense-id dictionary (row_number over sorted distinct shingles) funnels
+  * the whole vocabulary through ONE task — the classic 100 TB killer. Token
+  * ids here are therefore a PORTABLE POLYNOMIAL STRING HASH,
+  * `fold(acc = acc*31 + codepoint, mod 2^31-1)`, computed inline on both
+  * engines (Spark `aggregate`/`transform` HOFs; DuckDB `list_reduce`):
+  * pure map-side — no dictionary join, no global sort, no broadcast — and
+  * bit-identical across engines, so LSH candidate sets match exactly. The
+  * downstream minhash/simhash mixing stays `(a*id + b) mod p` over these
+  * ids (id < 2^31, a < 2^14: products stay in 64-bit range on both
+  * engines). Id collisions (~n²/2^32: ≈16 expected over the 260k-shingle
+  * sf0.1 vocabulary) perturb a Jaccard estimate by <1% and are computed
+  * identically on both sides.
   *
   * Scale design: candidate generation is always BLOCKED (LSH band buckets /
   * rare shingles / label partitions) so the pair space is output-sized, not
@@ -41,6 +48,29 @@ object Dedup {
   val MinhashThreshold = 0.6
   val JaccardThreshold = 0.5
   val RareShingleMaxFreq = 5
+
+  /** Modulus for [[portableId]]: 2^31-1 (Mersenne prime). Keeps ids small
+    * enough that `id * HashA.max` stays far inside 64-bit range.
+    */
+  val IdMod = 2147483647L
+
+  /** Portable polynomial string hash (`acc*31 + codepoint, mod IdMod`),
+    * identical on Spark and DuckDB (`list_reduce` twin in [[idSql]]).
+    * Assumes non-empty input (Spark `ascii('')`=0 vs DuckDB
+    * `unicode('')`=-1 would diverge); shingles/tokens here are non-empty
+    * by construction.
+    */
+  private def portableId(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % IdMod)
+
+  /** DuckDB twin of [[portableId]], applied to SQL expression `e`. */
+  private def idSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $IdMod)"
 
   /** Exact dedup: group by full content, keep the minimum id (the standard
     * hash-groupBy exact pass run before any fuzzy matching).
@@ -70,25 +100,28 @@ object Dedup {
       col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
-  /** Dense shingle ids: row_number over sorted distinct shingles. The
-    * single-partition window is fine for a dictionary (vocab-sized, not
-    * corpus-sized); see the scaladoc header for the 100 TB alternative.
+  /** (doc_id, sid) via [[portableId]] — a pure map-side projection: no
+    * dictionary join, no global sort, nothing that narrows to one task at
+    * any corpus size.
     *
-    * CACHED: every LSH query consumes this (doc_id, sid) table from 3–5
-    * plan branches (signatures, candidate join sides, verification sets);
-    * without materialization Spark re-runs the shingle+dictionary subtree
-    * per branch — measured 2–3x slower at sf0.1. A production pipeline
-    * would persist the tokenized table for exactly the same reason.
-    * Entries are deduplicated by analyzed-plan equality in the session
-    * cache manager and live until `spark.catalog.clearCache()` or session
-    * stop — long-lived sessions cycling many fixture dirs should clear
-    * explicitly.
+    * CACHED + MEMOIZED per (session, dir): every LSH query consumes this
+    * table from 3–5 plan branches (signatures, candidate join sides,
+    * verification sets); without materialization Spark re-runs the
+    * scan+shingle+hash subtree per branch. The memo map hands the SAME
+    * cached DataFrame to re-entrant callers (minhash → clusters; minhash →
+    * ngram in one bench session), so the session cache manager is asked to
+    * cache each plan exactly once. Entries live until session stop; a
+    * production pipeline would persist the tokenized table instead.
     */
-  private def shingleIds(sh: DataFrame): DataFrame = {
-    val dict = sh.select("shingle").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("shingle")))
-    sh.join(broadcast(dict), Seq("shingle")).select("doc_id", "sid").cache()
-  }
+  private val shingleIdCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def shingleIds(spark: SparkSession, dir: String): DataFrame =
+    shingleIdCache.computeIfAbsent((spark, dir), { _ =>
+      shingles(spark, dir)
+        .select(col("doc_id"), portableId(col("shingle")).as("sid"))
+        .cache()
+    })
 
   /** Per-doc shingle-id set + size, for array-based exact verification. */
   private def idSets(ds: DataFrame): DataFrame =
@@ -116,7 +149,7 @@ object Dedup {
     * cardinality stays near 1 for non-dup docs.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val ds = shingleIds(shingles(spark, dir))
+    val ds = shingleIds(spark, dir)
     val sigCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
       min((col("sid") * a + b) % P).as(s"h$i")
     }
@@ -143,7 +176,7 @@ object Dedup {
     * shingles; frequent shingles would generate quadratic candidates).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ds = shingleIds(shingles(spark, dir))
+    val ds = shingleIds(spark, dir)
     val rare = ds.groupBy("sid").agg(count(lit(1)).as("freq"))
       .filter(col("freq") <= RareShingleMaxFreq)
       .select("sid")
@@ -157,15 +190,14 @@ object Dedup {
 
   /** 16-bit SimHash over distinct unigram tokens: per bit j, sum +-1 votes
     * (vote = parity of hash_j(token id)); bit set iff the vote sum is
-    * positive. One aggregation pass computes all 16 bit-sums.
+    * positive. One aggregation pass computes all 16 bit-sums; token ids via
+    * [[portableId]] — map-side, no dictionary.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(
       col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val dict = toks.select("tok").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")))
-    val dt = toks.join(broadcast(dict), Seq("tok")).select("doc_id", "tid")
+    val dt = toks.select(col("doc_id"), portableId(col("tok")).as("tid"))
     val bitSums = (0 until 16).map { j =>
       val bit = ((col("tid") * HashA(j % HashA.size) + HashB(j % HashB.size)
         + j) % P) % 2
@@ -224,6 +256,10 @@ object Dedup {
         .select(col("node"), col("root"),
           coalesce(col("rroot"), col("new_root")).as("new_root"))
         .localCheckpoint()
+      // localCheckpoint is eager: `updated` is materialized, so the
+      // round's cache can drop NOW — without this, executor storage creeps
+      // by one cached frame per round
+      propagated.unpersist()
       changed = updated.filter(col("new_root") =!= col("root")).count()
       labels = updated.select(col("node"), col("new_root").as("root"))
       iter += 1
@@ -243,16 +279,14 @@ object Dedup {
   // ---- oracle SQL (generated to mirror the constants above) ----
 
   private val shingleSql =
-    """sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+    s"""sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(t) - 1),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3),
-      |dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-      |  FROM (SELECT DISTINCT shingle FROM sh)),
-      |ds AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
-      |sets AS (SELECT doc_id, list(sid) AS sids, count(*) AS n FROM ds
-      |  GROUP BY doc_id)""".stripMargin
+      |ds AS (SELECT doc_id, ${idSql("shingle")} AS sid FROM sh),
+      |sets AS (SELECT doc_id, list_distinct(list(sid)) AS sids,
+      |  count(*) AS n FROM ds GROUP BY doc_id)""".stripMargin
 
   private def verifySql(threshold: Double): String =
     s"""SELECT doc_a, doc_b,
@@ -322,9 +356,7 @@ object Dedup {
     s"""WITH toks AS (SELECT doc_id,
        |    unnest(list_distinct(string_split(text, ' '))) AS tok
        |  FROM documents),
-       |dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-       |  FROM (SELECT DISTINCT tok FROM toks)),
-       |dt AS (SELECT doc_id, tid FROM toks JOIN dict USING (tok)),
+       |dt AS (SELECT doc_id, ${idSql("tok")} AS tid FROM toks),
        |sums AS (SELECT doc_id, $bitSums FROM dt GROUP BY doc_id),
        |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM sums)
        |SELECT doc_id, simhash16,

@@ -89,6 +89,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup plans never narrow to a single partition") {
+    // the portable-hash token ids are pure map-side: no global-window
+    // dictionary, so nothing in any dedup plan may gather all rows into
+    // one task (SinglePartition exchange or partition-less window)
+    Seq(Dedup.dedupMinhash _, Dedup.dedupNgramJaccard _,
+        Dedup.dedupSimhash _).foreach { q =>
+      val p = plan(q(spark, sf))
+      // a partition-less window also manifests as this exchange, so one
+      // check covers both plan shapes
+      assert(!p.contains("SinglePartition"),
+        s"single-partition exchange in dedup plan:\n$p")
+    }
+  }
+
   test("stateful streaming sessions agree with the batch sessionizer") {
     val q = graft.streaming.SessionState.runToMemory(spark, sf, "sess_out")
     try {
