@@ -103,6 +103,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin is join-free: one union-sort pass, no pair materialization") {
+    val p = plan(Ext.asofJoin(spark, sf))
+    assert(!p.toLowerCase.contains("join"),
+      s"asofJoin must not contain a join node:\n$p")
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"asofJoin should shuffle once on user_id:\n$p")
+  }
+
   test("stateful streaming sessions agree with the batch sessionizer") {
     val q = graft.streaming.SessionState.runToMemory(spark, sf, "sess_out")
     try {
