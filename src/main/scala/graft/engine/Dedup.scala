@@ -54,11 +54,16 @@ object Dedup {
     */
   val IdMod = 2147483647L
 
-  /** Portable polynomial string hash (`acc*31 + codepoint, mod IdMod`),
-    * identical on Spark and DuckDB (`list_reduce` twin in [[idSql]]).
-    * Assumes non-empty input (Spark `ascii('')`=0 vs DuckDB
-    * `unicode('')`=-1 would diverge); shingles/tokens here are non-empty
-    * by construction.
+  /** Portable polynomial string hash (`acc*31 + char, mod IdMod`),
+    * identical on Spark and DuckDB (`list_reduce` twin in [[idSql]]) FOR
+    * NON-EMPTY ASCII INPUT — the fixture corpus. Outside that scope the
+    * engines diverge: Spark `ascii('')`=0 vs DuckDB `unicode('')`=-1, and
+    * for non-ASCII text Spark `ascii` returns the first (signed) UTF-8
+    * byte while DuckDB `unicode` returns the codepoint. A multilingual
+    * corpus would fold over UTF-8 bytes on both sides (Spark
+    * `encode`+HOF, DuckDB `encode`) for true codepoint-independent
+    * portability; shingles/tokens here are non-empty ASCII by
+    * construction.
     */
   private def portableId(s: Column): Column =
     aggregate(
@@ -104,24 +109,22 @@ object Dedup {
     * dictionary join, no global sort, nothing that narrows to one task at
     * any corpus size.
     *
-    * CACHED + MEMOIZED per (session, dir): every LSH query consumes this
-    * table from 3–5 plan branches (signatures, candidate join sides,
-    * verification sets); without materialization Spark re-runs the
-    * scan+shingle+hash subtree per branch. The memo map hands the SAME
-    * cached DataFrame to re-entrant callers (minhash → clusters; minhash →
-    * ngram in one bench session), so the session cache manager is asked to
-    * cache each plan exactly once. Entries live until session stop; a
-    * production pipeline would persist the tokenized table instead.
+    * CACHED + MEMOIZED per (session, dir) via [[SessionMemo]] (evicted on
+    * session end): every LSH query consumes this table from 3–5 plan
+    * branches (signatures, candidate join sides, verification sets);
+    * without materialization Spark re-runs the scan+shingle+hash subtree
+    * per branch. The memo hands the SAME cached DataFrame to re-entrant
+    * callers (minhash → clusters; minhash → ngram in one bench session),
+    * so the session cache manager is asked to cache each plan exactly
+    * once. A production pipeline would persist the tokenized table
+    * instead.
     */
-  private val shingleIdCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def shingleIds(spark: SparkSession, dir: String): DataFrame =
-    shingleIdCache.computeIfAbsent((spark, dir), { _ =>
+    SessionMemo.getOrCompute(spark, s"dedup.shingleIds:$dir") {
       shingles(spark, dir)
         .select(col("doc_id"), portableId(col("shingle")).as("sid"))
         .cache()
-    })
+    }
 
   /** Per-doc shingle-id set + size, for array-based exact verification. */
   private def idSets(ds: DataFrame): DataFrame =

@@ -1,7 +1,8 @@
 package graft.engine
 
-import org.apache.spark.ml.{Pipeline => MlPipeline}
-import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.{Pipeline => MlPipeline, Transformer}
+import org.apache.spark.ml.attribute.AttributeGroup
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, LogisticRegressionModel, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.{OneHotEncoder, RFormula, StringIndexer, UnivariateFeatureSelector}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.mllib.evaluation.{BinaryClassificationMetrics, MulticlassMetrics}
@@ -94,87 +95,132 @@ object MlSuite {
   }
 
   /** M4–M6: formula assembly, seeded split, chi2-percentile selection —
-    * returns the selected (train, test) feature frames.
+    * returns the selected (train, test) feature frames, both CACHED.
+    *
+    * Memoized per (session, dir): `ml_train_eval` and `ml_describe` share
+    * the same star-join → encode → formula → select chain, and every
+    * classifier fit iterates the train frame — without the memo each query
+    * re-runs the whole preparation. The post-selection frames are tiny
+    * (|customers| rows × selected-feature vectors), so keeping them cached
+    * for the session costs ~nothing; [[SessionMemo]] evicts on session end.
     */
-  def prepare(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val encoded = encodeCategoricals(basetableLabeled(spark, dir))
-    val rf = new RFormula().setFormula("label ~ . - c_custkey")
-      .setFeaturesCol("features").setLabelCol("label")
-    // materialize once: the selector fit, both selection transforms, and
-    // every classifier iteration would otherwise re-run the whole
-    // star-join + encode + formula chain
-    val formed = rf.fit(encoded).transform(encoded)
-      .select("c_custkey", "features", "label").cache()
-    val Array(train, test) =
-      formed.randomSplit(Array(0.7, 0.3), seed = Seed)
-    // ChiSqSelector's Spark-4 successor. The reference ran chi2 over an
-    // (almost) all-dummy matrix; our matrix mixes one-hot dummies with
-    // continuous counts/amounts, and chi2 hard-fails past 10k distinct
-    // feature values (hit at sf0.1) — featureType "continuous" selects the
-    // ANOVA F-test, which is the correct statistic for this matrix and
-    // scale-safe (0/1 dummies are valid continuous inputs to it).
-    val selector = new UnivariateFeatureSelector()
-      .setFeatureType("continuous").setLabelType("categorical")
-      .setSelectionMode("percentile").setSelectionThreshold(0.9)
-      .setFeaturesCol("features").setOutputCol("selectedFeatures")
-      .setLabelCol("label")
-    val selModel = selector.fit(train)
-    def sel(df: DataFrame): DataFrame = selModel.transform(df)
-      .drop("features").withColumnRenamed("selectedFeatures", "features")
-    (sel(train), sel(test))
+  def prepare(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SessionMemo.getOrCompute(spark, s"ml.prepare:$dir") {
+      // the two StringIndexer fits, the OHE fit, the RFormula fit, and the
+      // formula transform each traverse the labeled basetable — cache the
+      // star join once, drop it as soon as the selected frames materialize
+      val labeled = basetableLabeled(spark, dir).cache()
+      val encoded = encodeCategoricals(labeled)
+      val rf = new RFormula().setFormula("label ~ . - c_custkey")
+        .setFeaturesCol("features").setLabelCol("label")
+      val formed = rf.fit(encoded).transform(encoded)
+        .select("c_custkey", "features", "label").cache()
+      val Array(train, test) =
+        formed.randomSplit(Array(0.7, 0.3), seed = Seed)
+      // ChiSqSelector's Spark-4 successor. The reference ran chi2 over an
+      // (almost) all-dummy matrix; our matrix mixes one-hot dummies with
+      // continuous counts/amounts, and chi2 hard-fails past 10k distinct
+      // feature values (hit at sf0.1) — featureType "continuous" selects the
+      // ANOVA F-test, which is the correct statistic for this matrix and
+      // scale-safe (0/1 dummies are valid continuous inputs to it).
+      val selector = new UnivariateFeatureSelector()
+        .setFeatureType("continuous").setLabelType("categorical")
+        .setSelectionMode("percentile").setSelectionThreshold(0.9)
+        .setFeaturesCol("features").setOutputCol("selectedFeatures")
+        .setLabelCol("label")
+      val selModel = selector.fit(train)
+      def sel(df: DataFrame): DataFrame = selModel.transform(df)
+        .drop("features").withColumnRenamed("selectedFeatures", "features")
+        .cache()
+      val (trainS, testS) = (sel(train), sel(test))
+      trainS.count(); testS.count()
+      formed.unpersist(); labeled.unpersist()
+      (trainS, testS)
+    }
+
+  private def estimator(name: String) = name match {
+    case "lr" => new LogisticRegression().setMaxIter(10).setRegParam(0.01)
+    case "rf" => new RandomForestClassifier().setNumTrees(50).setSeed(Seed)
+    case "gbt" => new GBTClassifier().setSeed(Seed)
+  }
+
+  /** Fitted model, memoized per (session, dir, name): `ml_describe`
+    * introspects the SAME lr/rf models `ml_train_eval` evaluates — one fit
+    * each per session, not one per query.
+    */
+  private def fitted(spark: SparkSession, dir: String,
+      name: String): Transformer =
+    SessionMemo.getOrCompute(spark, s"ml.model:$name:$dir") {
+      val (train, _) = prepare(spark, dir)
+      estimator(name).fit(train).asInstanceOf[Transformer]
+    }
+
+  /** Feature-vector slot names from the ML attribute metadata the encoding
+    * pipeline attached (the reference's ExtractFeatureImp walks the same
+    * metadata, `Databricks Notebook.py:884–893`). Falls back to positional
+    * names if a slot carries no attribute.
+    */
+  private def featureNames(df: DataFrame): Int => String = {
+    val ag = AttributeGroup.fromStructField(df.schema("features"))
+    val byIndex: Map[Int, String] = ag.attributes match {
+      case Some(attrs) => attrs.flatMap(a =>
+        a.index.map(i => i -> a.name.getOrElse(s"f$i"))).toMap
+      case None => Map.empty
+    }
+    i => byIndex.getOrElse(i, s"f$i")
   }
 
   /** M10 — model introspection: LR coefficients/intercept and RF feature
-    * importances as a tidy (model, term, value) table (`Databricks
-    * Notebook.py:813–823, 879–893`).
+    * importances as a tidy (model, slot, term, value) table, with terms
+    * resolved to FEATURE NAMES from the vector attribute metadata — the
+    * reference's ExtractFeatureImp shape (`Databricks Notebook.py:813–823,
+    * 879–893`). Driver-visible as `ml_describe` (rows-only check).
     */
   def describeModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (train, _) = prepare(spark, dir)
-    val lrm = new LogisticRegression().setMaxIter(10).setRegParam(0.01)
-      .fit(train)
-    val rfm = new RandomForestClassifier().setNumTrees(50).setSeed(Seed)
-      .fit(train)
+    val nameOf = featureNames(train)
+    val lrm = fitted(spark, dir, "lr")
+      .asInstanceOf[LogisticRegressionModel]
+    val rfm = fitted(spark, dir, "rf")
+      .asInstanceOf[RandomForestClassificationModel]
     val rows =
       lrm.coefficients.toArray.zipWithIndex.map { case (c, i) =>
-        ("lr", s"coef_$i", c)
-      }.toSeq :+ (("lr", "intercept", lrm.intercept)) :++
+        ("lr_coefficient", i, nameOf(i), c)
+      }.toSeq :+ (("lr_intercept", -1, "(intercept)", lrm.intercept)) :++
         rfm.featureImportances.toArray.zipWithIndex.map { case (v, i) =>
-          ("rf", s"importance_$i", v)
+          ("rf_importance", i, nameOf(i), v)
         }
-    rows.toDF("model", "term", "value")
+    rows.toDF("model", "slot", "term", "value")
       .withColumn("value", round(col("value"), 6))
   }
 
-  /** M4–M12 end to end. `models` selects which classifiers run (the
-    * Verify/Bench query uses LR only; tests run all three).
+  /** M4–M12 end to end: fit (memoized) + evaluate each requested
+    * classifier on both splits.
     */
   def trainEval(spark: SparkSession, dir: String,
       models: Seq[String]): DataFrame = {
     import spark.implicits._
-    val (trainS0, testS) = prepare(spark, dir)
-    val trainS = trainS0.cache()
-    val classifiers = Map(
-      "lr" -> new LogisticRegression()
-        .setMaxIter(10).setRegParam(0.01),
-      "rf" -> new RandomForestClassifier()
-        .setNumTrees(50).setSeed(Seed),
-      "gbt" -> new GBTClassifier().setSeed(Seed))
+    val (trainS, testS) = prepare(spark, dir)
     val rows = models.flatMap { m =>
-      val model = classifiers(m).fit(trainS)
+      val model = fitted(spark, dir, m)
       evalModel(m, model.transform(trainS), "train") ++
         evalModel(m, model.transform(testS), "test")
     }
-    trainS.unpersist()
     rows.toDF("model", "dataset", "metric", "value")
       .withColumn("value", round(col("value"), 4))
   }
 
+  /** The driver query runs ALL THREE classifiers — the reference's
+    * published results table is the RF/GBT AUC rows (`Final Report.pdf`
+    * p.4; `Databricks Notebook.py:873–874, 941–943`).
+    */
   def mlTrainEval(spark: SparkSession, dir: String): DataFrame =
-    trainEval(spark, dir, Seq("lr"))
+    trainEval(spark, dir, Seq("lr", "rf", "gbt"))
 
   val queries: Map[String, Q] = Map(
-    "ml_train_eval" -> mlTrainEval _)
+    "ml_train_eval" -> mlTrainEval _,
+    "ml_describe" -> describeModel _)
 
   /** Not DuckDB-expressible — no oracle entries (driver rows-only check). */
   val oracles: Map[String, String] = Map.empty
