@@ -25,7 +25,7 @@ object SparkEntry {
     RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ MlSuite.queries ++ SqlEntry.queries ++
-      Curation.queries
+      Curation.queries ++ SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +34,5 @@ object SparkEntry {
     RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ MlSuite.oracles ++ SqlEntry.oracles ++
-      Curation.oracles
+      Curation.oracles ++ SourceQueries.oracles
 }
