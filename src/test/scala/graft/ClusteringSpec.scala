@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Dedup
+
+/** Deep-graph guarantees for the connected-components pass behind
+  * `q_dedup_clusters`: the fixture dup clusters are 2–3 nodes, so the
+  * oracle check never exercises depth — these tests do. Pointer halving
+  * must deliver O(log n) rounds on a path graph (the worst-case diameter
+  * shape); plain one-hop propagation would need ~diameter rounds.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  test("1000-node path graph converges in O(log n) rounds to one root") {
+    val pairs = spark.range(999)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, rounds) = Dedup.clusterPairs(pairs)
+    // o(k) = 2*o(k-1) + 2 → offset 2^(k+1)-2 covers 999 hops at k=9;
+    // allow slack for the final no-change confirmation round
+    assert(rounds <= 12, s"path graph took $rounds rounds (need O(log n))")
+    assert(labels.count() === 1000)
+    val roots = labels.select("component_root").distinct().collect()
+    assert(roots.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(labels.filter(col("keep")).count() === 1)
+  }
+
+  test("disjoint components keep distinct roots and one keeper each") {
+    val a = spark.range(99)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val b = spark.range(500, 599)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, _) = Dedup.clusterPairs(a.union(b))
+    val roots = labels.select("component_root").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(roots === Set(0L, 500L))
+    assert(labels.filter(col("keep")).count() === 2)
+    // every node labels to its component's minimum
+    assert(labels.filter(col("doc_id") < 500 &&
+      col("component_root") =!= 0L).count() === 0)
+  }
+}

@@ -149,12 +149,16 @@ class SourcesExtensionsSpec extends SparkSpec {
   test("model introspection yields coefficients, intercept, importances") {
     val d = MlSuite.describeModel(spark, sf).collect()
     val models = d.map(_.getString(0)).toSet
-    assert(models === Set("lr", "rf"))
-    assert(d.exists(_.getString(1) == "intercept"))
-    val importances = d.filter(_.getString(1).startsWith("importance_"))
+    assert(models === Set("lr_coefficient", "lr_intercept", "rf_importance"))
+    assert(d.exists(r => r.getString(0) == "lr_intercept" &&
+      r.getString(2) == "(intercept)"))
+    val importances = d.filter(_.getString(0) == "rf_importance")
     assert(importances.nonEmpty)
+    // terms resolve to real feature names from the vector metadata, not
+    // all positional fallbacks
+    assert(importances.exists(r => !r.getString(2).matches("f\\d+")))
     // importances form a probability simplex
-    val total = importances.map(_.getDouble(2)).sum
+    val total = importances.map(_.getDouble(3)).sum
     assert(math.abs(total - 1.0) < 1e-3)
   }
 }
