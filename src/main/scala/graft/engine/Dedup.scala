@@ -151,7 +151,17 @@ object Dedup {
     * colliding pairs; band keys are strings of 3 minhashes, so bucket
     * cardinality stays near 1 for non-dup docs.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"dedup.minhashPairs:$dir") {
+      dedupMinhashPairs(spark, dir).cache()
+    }
+
+  /** Uncached minhash pipeline body; the public entry memoizes the result
+    * (dup-sized, tiny) because BOTH `q_dedup_minhash` and
+    * `q_dedup_clusters` consume it in one session — without the memo the
+    * clustering query re-runs the whole signature/band/verify pipeline.
+    */
+  private def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val ds = shingleIds(spark, dir)
     val sigCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
       min((col("sid") * a + b) % P).as(s"h$i")
@@ -242,9 +252,18 @@ object Dedup {
     // the whole previous round plus the LSH subtree, and Catalyst
     // re-analysis blows up exponentially (measured 185s for round 2 on 256
     // pairs before truncation)
-    val edges = pairs.union(
+    val edges0 = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
+    // Size the loop's partitioning to the MEASURED edge count (the
+    // checkpoint is eager, so the count is a cached-scan): the pair graph
+    // is dup-sized, orders of magnitude smaller than the corpus, yet the
+    // joins below would otherwise run every round as
+    // shuffle-partition-wide stages of near-empty tasks — per-round wall
+    // time is task latency, not compute. 1M edges/partition keeps the
+    // count growing linearly when the graph is genuinely large.
+    val parts = math.max(1, math.ceil(edges0.count() / 1e6).toInt)
+    val edges = edges0.repartition(parts, col("doc_b")).localCheckpoint()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint()

@@ -110,11 +110,24 @@ object MlSuite {
       // formula transform each traverse the labeled basetable — cache the
       // star join once, drop it as soon as the selected frames materialize
       val labeled = basetableLabeled(spark, dir).cache()
+      // Size the ML frames' partitioning to their actual row count: they
+      // are |customers| rows (tiny next to the fact tables), but inherit
+      // the star join's shuffle partitioning — and every L-BFGS step and
+      // every tree in the forest/boosting fits launches one job over those
+      // partitions, so 15k rows spread over 32 partitions turn each of the
+      // ~hundreds of fit iterations into a 32-task job of ~500-row tasks.
+      // 64k rows/partition keeps tasks memory-trivial while the partition
+      // count still grows linearly with the data at cluster scale. The
+      // count also materializes `labeled` BEFORE the four estimator fits
+      // traverse it, so none of them pays the star join.
+      val mlParts = math.max(1,
+        math.ceil(labeled.count() / 65536.0).toInt)
       val encoded = encodeCategoricals(labeled)
       val rf = new RFormula().setFormula("label ~ . - c_custkey")
         .setFeaturesCol("features").setLabelCol("label")
       val formed = rf.fit(encoded).transform(encoded)
-        .select("c_custkey", "features", "label").cache()
+        .select("c_custkey", "features", "label")
+        .coalesce(mlParts).cache()
       val Array(train, test) =
         formed.randomSplit(Array(0.7, 0.3), seed = Seed)
       // ChiSqSelector's Spark-4 successor. The reference ran chi2 over an
@@ -178,11 +191,19 @@ object MlSuite {
     */
   def describeModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val (train, _) = prepare(spark, dir)
     val nameOf = featureNames(train)
-    val lrm = fitted(spark, dir, "lr")
+    // same concurrency rationale as [[trainEval]]: the two fits' job
+    // chains interleave; memoization hands the fitted models to any later
+    // trainEval for free (and vice versa)
+    val Seq(lrmF, rfmF) = Seq("lr", "rf").map(m =>
+      Future(fitted(spark, dir, m)))
+    val lrm = Await.result(lrmF, Duration.Inf)
       .asInstanceOf[LogisticRegressionModel]
-    val rfm = fitted(spark, dir, "rf")
+    val rfm = Await.result(rfmF, Duration.Inf)
       .asInstanceOf[RandomForestClassificationModel]
     val rows =
       lrm.coefficients.toArray.zipWithIndex.map { case (c, i) =>
@@ -197,16 +218,32 @@ object MlSuite {
 
   /** M4–M12 end to end: fit (memoized) + evaluate each requested
     * classifier on both splits.
+    *
+    * The classifiers run CONCURRENTLY (one future per model): each fit is
+    * a long chain of small jobs over a dimension-sized cached frame —
+    * L-BFGS steps, per-tree split searches, boosting iterations — whose
+    * wall time is dominated by job-scheduling latency no single fit can
+    * hide. Spark's scheduler interleaves the three fits' jobs across the
+    * cores one fit alone leaves idle, so the fit section costs max(model)
+    * instead of sum(model). `prepare` runs BEFORE the fork so the futures
+    * share the memoized cached split instead of racing to build it; seeds
+    * make each fit deterministic regardless of interleaving, and
+    * Future.sequence keeps the output row order fixed.
     */
   def trainEval(spark: SparkSession, dir: String,
       models: Seq[String]): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val (trainS, testS) = prepare(spark, dir)
-    val rows = models.flatMap { m =>
-      val model = fitted(spark, dir, m)
-      evalModel(m, model.transform(trainS), "train") ++
-        evalModel(m, model.transform(testS), "test")
-    }
+    val rows = Await.result(Future.sequence(models.map { m =>
+      Future {
+        val model = fitted(spark, dir, m)
+        evalModel(m, model.transform(trainS), "train") ++
+          evalModel(m, model.transform(testS), "test")
+      }
+    }), Duration.Inf).flatten
     rows.toDF("model", "dataset", "metric", "value")
       .withColumn("value", round(col("value"), 4))
   }
