@@ -109,19 +109,62 @@ object Similarity {
   /** Embedding-cosine near-dup pairs, blocked by `label` (IVF-style coarse
     * partition: near-dups land in the same cluster, so only within-cluster
     * pairs are scored — |corpus|²/k instead of |corpus|²).
+    *
+    * Within a label the EXACT all-pairs work is irreducible at this
+    * threshold: the fixture's within-label cosine distribution is
+    * continuous straight through τ=0.4 (hundreds of sf0.1 pairs in
+    * [0.40, 0.51]), where hyperplane-LSH candidate recall is ~0.27 for a
+    * 4x6 table union — LSH pre-bucketing would silently drop most true
+    * pairs, so it cannot replace the block scan for exact output (it
+    * remains the right tool for the top-k ANN query, where missing a
+    * low-cosine candidate is acceptable by contract).
+    *
+    * What IS fixable at scale is the skew/memory profile: a plain
+    * label-block self-join executes a hot label's whole |block|² as one
+    * shuffle-partition task. [[nearDupPairsGrid]] splits each block into
+    * `chunks` slices and generates pairs per grid cell (i ≤ j), so the
+    * same quadratic work lands in chunks²/2 bounded-memory tasks keyed by
+    * (label, i, j) — no single-task blowup, identical output. The chunk
+    * count derives from the MEASURED max block size (one dimension-sized
+    * agg), so small corpora run the degenerate 1-cell grid and growth is
+    * automatic.
     */
+  val NearDupChunkRows = 4096
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"))
+    val maxBlock = e.groupBy("label").count()
+      .agg(max(col("count"))).head().getLong(0)
+    val chunks = math.max(1, math.ceil(maxBlock.toDouble / NearDupChunkRows).toInt)
+    nearDupPairsGrid(e, chunks)
+  }
+
+  /** All within-label pairs with cosine ≥ [[NearDupThreshold]], via a
+    * chunk-grid self-join: row → chunk c = vec_id mod chunks; the a-side
+    * replicates each row to cells (c, j) for j ∈ [c, chunks), the b-side
+    * to cells (i, c) for i ∈ [0, c], and the equi-join on (label, i, j)
+    * realizes every cell of the upper-triangular chunk grid exactly once.
+    * A cross-chunk pair matches in exactly one cell (c_a < c_b one way
+    * only); same-chunk cells dedup by vec-id order. Emitted as
+    * (least, greatest) so the output is bit-identical to the plain
+    * a.vec_id < b.vec_id self-join the oracle runs.
+    */
+  private[graft] def nearDupPairsGrid(e: DataFrame, chunks: Int): DataFrame = {
+    val withC = e.withColumn("c",
+      pmod(col("vec_id"), lit(chunks)).cast("int"))
+    val aSide = withC.select(col("label"), col("vec_id").as("ida"),
+        col("embedding").as("ea"), col("c").as("gi"))
+      .withColumn("gj", explode(sequence(col("gi"), lit(chunks - 1))))
+    val bSide = withC.select(col("label"), col("vec_id").as("idb"),
+        col("embedding").as("eb"), col("c").as("gj"))
+      .withColumn("gi", explode(sequence(lit(0), col("gj"))))
     val cos = cosine_sim(col("ea"), col("eb"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    aSide.join(bSide, Seq("label", "gi", "gj"))
+      .filter(col("gi") =!= col("gj") || col("ida") < col("idb"))
       .withColumn("cos_sim", round(cos, 6))
       .filter(col("cos_sim") >= NearDupThreshold)
-      .select("label", "vec_a", "vec_b", "cos_sim")
+      .select(col("label"), least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"), col("cos_sim"))
   }
 
   /** Per-label centroid, dimension-exploded (posexplode -> groupBy): the

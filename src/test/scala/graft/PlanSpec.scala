@@ -103,6 +103,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("near-dup self-join keys on the chunk grid, not the label alone") {
+    // a label-only equi-join would put a hot label's whole |block|² in one
+    // task; the grid keys (label, gi, gj) must reach the physical join
+    val p = plan(Similarity.embedNearDup(spark, sf))
+    val joinLines = p.split("\n").filter(_.contains("Join"))
+    assert(joinLines.exists(l => l.contains("gi") && l.contains("gj")),
+      s"near-dup join does not key on the chunk grid:\n$p")
+  }
+
+  test("no query plans a CartesianProduct") {
+    // nested-loop joins are sanctioned only where the build side is a
+    // broadcast of bounded size: the cosine top-k probe set (NQueryVecs
+    // rows) and q_agg_multi's 1-row collect-scalar kept in-plan — and even
+    // there it must be the BROADCAST variant, never a CartesianProduct
+    // (which shuffles both full sides everywhere). ml_* queries return
+    // driver-assembled local metric tables (no join plans) and pay model
+    // fitting to construct — skipped.
+    val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!name.startsWith("ml_")) {
+        val p = plan(fn(spark, sf))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n$p")
+        if (name == "q_sim_cosine_topk")
+          assert(p.contains("BroadcastNestedLoopJoin"),
+            s"cosine top-k lost its broadcast cross join:\n$p")
+        else if (!sanctionedNlj(name))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"$name plans an unexpected nested-loop join:\n$p")
+      }
+    }
+  }
+
   test("asofJoin is join-free: one union-sort pass, no pair materialization") {
     val p = plan(Ext.asofJoin(spark, sf))
     assert(!p.toLowerCase.contains("join"),

@@ -109,4 +109,20 @@ class SimilaritySpec extends SparkSpec {
       .count() === 0)
     assert(nd.filter(col("vec_a") >= col("vec_b")).count() === 0)
   }
+
+  test("chunk-grid near-dup emits each pair exactly once at any grid size") {
+    val e = Tables.embeddings(spark, sf)
+    val base = Similarity.nearDupPairsGrid(e, 1).collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(base.nonEmpty)
+    // a multi-cell grid (chunks chosen to exercise cross-chunk AND
+    // same-chunk cells) must produce the identical pair set
+    Seq(3, 7).foreach { chunks =>
+      val grid = Similarity.nearDupPairsGrid(e, chunks).collect()
+        .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(grid.length === grid.toSet.size, s"duplicate pairs at k=$chunks")
+      assert(grid.toSet === base, s"pair set diverged at k=$chunks")
+    }
+  }
 }
