@@ -134,7 +134,7 @@ object Similarity {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val maxBlock = e.groupBy("label").count()
-      .agg(max(col("count"))).head().getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     val chunks = math.max(1, math.ceil(maxBlock.toDouble / NearDupChunkRows).toInt)
     nearDupPairsGrid(e, chunks)
   }
