@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   * (`display(5)` was its only LIMIT), but "same capabilities" includes
   * presenting ordered results and the driver fixtures carry the event/JSON
   * shapes.
+  *
+  * Money-column output contract: aggregates over money compute EXACTLY
+  * (decimal sums), and the query boundary renders them as
+  * `round(cast(double), 2)` — a deliberate API decision, not only a
+  * verification convenience. These queries are analytic summaries (top-k,
+  * windows, dashboards), where a currency-grain double is the natural
+  * return type and is stable across engines; a consumer needing exact
+  * decimals (billing-grade pipelines) should take the pre-render
+  * aggregate, which every operator here computes first — the cast is
+  * always the LAST projection, never inside the arithmetic.
   */
 object Ext {
   type Q = (SparkSession, String) => DataFrame

@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 3-table join funnel with group-by + top-k). Both oracle-checked; the
   * decimal casts are stated per factor so every engine computes identical
   * exact values.
+  *
+  * Rendering rule for the big money sums: the sum is EXACT decimal, and
+  * only the final render casts to double and rounds — at scale 2, never
+  * finer. ulp(1e10) ≈ 2e-6, so rounding a ~1e9–1e10 sum at scale 4–6
+  * would land at the double's representation noise, where Spark
+  * (BigDecimal HALF_UP) and DuckDB may legitimately disagree in the last
+  * digit; scale 2 keeps the rounding step orders of magnitude above the
+  * ulp through sf100-sized sums (and is the natural currency grain).
+  * Small-magnitude ratios (avg_qty ~ 25) stay at scale 6 safely.
   */
 object SqlEntry {
   type Q = (SparkSession, String) => DataFrame
@@ -35,11 +44,11 @@ object SqlEntry {
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
       |    AS sum_base_price,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
       |    AS sum_disc_price,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |      (1 - CAST(l_discount AS DECIMAL(4,2))) *
-      |      (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6)
+      |      (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2)
       |    AS sum_charge,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
       |    / count(*), 6) AS avg_qty,
@@ -51,7 +60,7 @@ object SqlEntry {
   private val q3Sql =
     """SELECT o_orderkey, o_orderdate,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
       |    AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
