@@ -25,7 +25,8 @@ object SparkEntry {
     RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ MlSuite.queries ++ SqlEntry.queries ++
-      Curation.queries ++ SourceQueries.queries
+      Curation.queries ++ SourceQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
     RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ MlSuite.oracles ++ SqlEntry.oracles ++
-      Curation.oracles ++ SourceQueries.oracles
+      Curation.oracles ++ SourceQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles
 }

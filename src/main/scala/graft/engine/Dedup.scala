@@ -303,12 +303,45 @@ object Dedup {
       (col("node") === col("root")).as("keep")), iter)
   }
 
+  /** Benchmark-set decontamination: every training document sharing at
+    * least one word-3-gram shingle with the held-out benchmark slice,
+    * with its overlap count and contamination ratio — the standard
+    * pre-training hygiene pass that keeps eval data out of the training
+    * corpus. The fixture's "benchmark" is the deterministic doc_id % 97
+    * slice (a production run would read the real eval suites as a second
+    * table; the plan is identical).
+    *
+    * Scale shape: shingle ids are the shared memoized map-side table
+    * ([[shingleIds]]); the benchmark's distinct-shingle set is benchmark-
+    * sized (eval suites are tiny next to a training corpus), so it
+    * BROADCASTS and the whole pass is one scan of the training shingles +
+    * one groupBy doc_id — no shuffle of the corpus against itself.
+    */
+  val DecontamBenchMod = 97L
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val ids = shingleIds(spark, dir)
+    val bench = ids.filter(col("doc_id") % DecontamBenchMod === 0)
+      .select("sid").distinct().withColumn("hit", lit(1))
+    ids.filter(col("doc_id") % DecontamBenchMod =!= 0)
+      .join(broadcast(bench), Seq("sid"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("sid")).as("n_shingles"),
+        countDistinct(when(col("hit") === 1, col("sid"))).as("n_hits"))
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
-    "q_dedup_simhash" -> dedupSimhash _)
+    "q_dedup_simhash" -> dedupSimhash _,
+    "q_decontaminate" -> decontaminate _)
 
   // ---- oracle SQL (generated to mirror the constants above) ----
 
@@ -397,11 +430,27 @@ object Dedup {
        |  count(*) OVER (PARTITION BY simhash16) AS n_same_sig FROM sigs""".stripMargin
   }
 
+  private val decontaminateSql: String =
+    s"""WITH $shingleSql,
+       |bench AS (SELECT DISTINCT sid FROM ds
+       |  WHERE doc_id % $DecontamBenchMod = 0),
+       |marked AS (SELECT d.doc_id, d.sid, b.sid IS NOT NULL AS hit
+       |  FROM ds d LEFT JOIN bench b USING (sid)
+       |  WHERE d.doc_id % $DecontamBenchMod <> 0)
+       |SELECT doc_id,
+       |  count(DISTINCT CASE WHEN hit THEN sid END) AS n_hits,
+       |  count(DISTINCT sid) AS n_shingles,
+       |  round(CAST(count(DISTINCT CASE WHEN hit THEN sid END) AS DOUBLE)
+       |    / count(DISTINCT sid), 6) AS contamination
+       |FROM marked GROUP BY doc_id
+       |HAVING count(DISTINCT CASE WHEN hit THEN sid END) >= 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
-    "q_dedup_simhash" -> simhashSql)
+    "q_dedup_simhash" -> simhashSql,
+    "q_decontaminate" -> decontaminateSql)
 }

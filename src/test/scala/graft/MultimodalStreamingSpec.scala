@@ -59,4 +59,12 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("driver streaming query equals the batch twin on every column") {
+    val streamed = graft.streaming.StreamingQueries
+      .streamEventWindow(spark, sf)
+    val batch = Ext.eventWindow(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+  }
 }

@@ -105,4 +105,33 @@ class TextDedupSpec extends SparkSpec {
     assert(langs.subsetOf(
       TextOps.LangMarkers.map(_._1).toSet + "unknown"))
   }
+
+  test("decontamination never flags benchmark docs; ratios are in (0,1]") {
+    val out = Dedup.decontaminate(spark, sf).cache()
+    try {
+      assert(out.filter(col("doc_id") % Dedup.DecontamBenchMod === 0)
+        .count() === 0)
+      assert(out.filter(col("n_hits") > col("n_shingles") ||
+        col("n_hits") < 1).count() === 0)
+      assert(out.filter(col("contamination") <= 0 ||
+        col("contamination") > 1).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("a verbatim copy of a benchmark doc is fully contaminated") {
+    // every 3+-token text duplicated across the benchmark boundary must
+    // surface with contamination 1.0 (all its shingles are benchmark
+    // shingles by construction)
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val benchTexts = docs
+      .filter(col("doc_id") % Dedup.DecontamBenchMod === 0)
+      .select(col("text")).distinct()
+    val copies = docs
+      .filter(col("doc_id") % Dedup.DecontamBenchMod =!= 0)
+      .join(benchTexts, "text").select("doc_id")
+    val flagged = Dedup.decontaminate(spark, sf)
+      .filter(col("contamination") === 1.0).select("doc_id")
+    assert(copies.except(flagged).count() === 0)
+  }
 }
