@@ -115,12 +115,13 @@ class PlanSpec extends SparkSpec {
   test("no query plans a CartesianProduct") {
     // nested-loop joins are sanctioned only where the build side is a
     // broadcast of bounded size: the cosine top-k probe set (NQueryVecs
-    // rows) and q_agg_multi's 1-row collect-scalar kept in-plan — and even
-    // there it must be the BROADCAST variant, never a CartesianProduct
-    // (which shuffles both full sides everywhere). ml_* queries return
-    // driver-assembled local metric tables (no join plans) and pay model
-    // fitting to construct — skipped.
-    val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi")
+    // rows), q_agg_multi's 1-row collect-scalar kept in-plan, and
+    // q_ann_ivf's nCells-row centroid table (every vector scores every
+    // centroid by design) — and even there it must be the BROADCAST
+    // variant, never a CartesianProduct (which shuffles both full sides
+    // everywhere). ml_* queries return driver-assembled local metric
+    // tables (no join plans) and pay model fitting to construct — skipped.
+    val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
