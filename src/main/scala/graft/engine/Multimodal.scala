@@ -79,6 +79,10 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir)
       .select(col("doc_id"), col("media_type"), col("payload"))
+      // null payloads are quarantined in-plan (codegen'd filter) before
+      // the decode stage: a corrupt/absent blob must drop the row, not
+      // NPE a cluster job inside the codec lambda
+      .filter(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (codec handles, buffers)

@@ -143,7 +143,10 @@ object Similarity {
     def dot(x: Column, y: Column): Column = aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    // zero vectors yield NULL, the native kernel's contract (and ANSI
+    // mode would otherwise abort the job on the division)
+    when(denom =!= 0.0, dot(a, b) / denom)
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {

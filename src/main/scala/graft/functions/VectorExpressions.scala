@@ -104,10 +104,11 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Array[Int]],
 
   private def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
-    // fail fast: silently truncating (or zero-padding) a mismatched vector
-    // would quietly degrade recall with no signal
-    require(n == planes(0).length,
-      s"lsh_signatures: vector dim $n != plane dim ${planes(0).length}")
+    // a mismatched vector yields NULL (same contract as CosineSimilarity):
+    // a row-level data defect must degrade to a droppable null, never
+    // abort a cluster-scale job — and NULL is a signal, unlike silently
+    // truncating or zero-padding the vector
+    if (n != planes(0).length) return null
     val nPlanes = planes.length
     val acc = new Array[Double](nPlanes)
     var d = 0
@@ -143,7 +144,10 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Array[Int]],
     // plain JVM code inside whole-stage codegen
     val self = ctx.addReferenceObj("lshExpr", this,
       classOf[HyperplaneSignatures].getName)
-    defineCodeGen(ctx, ev, a => s"$self.evalArray($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $self.evalArray($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   }
 
   /** Codegen entry point (public so generated code can call it). */

@@ -43,6 +43,59 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  /** A dirty mirror: a small slice of every real table, with adversarial
+    * rows injected into the tables a 100 TB corpus actually gets dirty
+    * in — documents with null/empty/whitespace/1-token text, embeddings
+    * with zero vectors, null vectors and mismatched dims, events with
+    * null type/value/props/user. Queries must degrade (null cosines, no
+    * shingles, dropped rows), never throw.
+    */
+  lazy val dirtyDir: String = {
+    val dir = Files.createTempDirectory("graft-dirty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      Tables.load(spark, sf, t).limit(20)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    Tables.load(spark, sf, "documents").limit(20)
+      .unionByName(spark.sql(
+        """SELECT CAST(900001 AS BIGINT) AS doc_id,
+          |  CAST(NULL AS STRING) AS text, 'en' AS lang, 'syn' AS source,
+          |  CAST(0 AS BIGINT) AS n_chars
+          |UNION ALL SELECT 900002, '', 'en', 'syn', 0
+          |UNION ALL SELECT 900003, 'single', 'en', 'syn', 6
+          |UNION ALL SELECT 900004, '   ', 'en', 'syn', 3""".stripMargin))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.load(spark, sf, "embeddings").limit(20)
+      .unionByName(spark.sql(
+        """SELECT CAST(900001 AS BIGINT) AS vec_id,
+          |  transform(sequence(1, 64), i -> CAST(0.0 AS FLOAT))
+          |    AS embedding, CAST(1 AS INT) AS label
+          |UNION ALL SELECT 900002, CAST(NULL AS ARRAY<FLOAT>), 2
+          |UNION ALL SELECT 900003,
+          |  CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), 3""".stripMargin))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.events(spark, sf).limit(20)
+      .unionByName(spark.sql(
+        """SELECT CAST(900001 AS BIGINT) AS event_id,
+          |  CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS user_id,
+          |  CAST(NULL AS STRING) AS event_type,
+          |  CAST(NULL AS DOUBLE) AS value, CAST(NULL AS STRING) AS props
+          |UNION ALL SELECT 900002, TIMESTAMP '2024-01-01 00:00:00',
+          |  7, 'click', -1.5, '{bad json'""".stripMargin))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every query survives adversarial rows without throwing") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!emptyExclusions(name)) {
+        val n = fn(spark, dirtyDir).count()
+        assert(n >= 0, s"$name")
+      }
+    }
+  }
+
   test("queries execute concurrently in one session") {
     val names = Seq("q_agg_multi", "q_pivot_dummies", "q_join_inner",
       "q_basetable_star", "q_text_quality", "q_window_running",
