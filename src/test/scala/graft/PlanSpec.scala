@@ -112,6 +112,28 @@ class PlanSpec extends SparkSpec {
       s"near-dup join does not key on the chunk grid:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan(Dedup.decontaminate(spark, sf))
+    // the corpus must never shuffle against itself: the benchmark side is
+    // eval-suite-sized and rides a broadcast into a hash join
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in decontamination:\n$p")
+  }
+
+  test("IVF probes push the query filter to the scan; candidates hash-join") {
+    val p = plan(Similarity.annIvf(spark, sf))
+    // vec_id < NQueryVecs sits on the window partition key, so Catalyst
+    // must push it below the ranking straight into the probe-side scan —
+    // the probe branch scores NQueryVecs vectors, not the corpus twice
+    assert(p.contains("LessThan(vec_id"),
+      s"probe filter must reach a parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-keyed candidate join must be a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // nested-loop joins are sanctioned only where the build side is a
     // broadcast of bounded size: the cosine top-k probe set (NQueryVecs
