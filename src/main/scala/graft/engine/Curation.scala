@@ -114,12 +114,92 @@ object Curation {
     sorted.sparkSession.createDataFrame(withPos, schema)
   }
 
+  /** The end-to-end curation funnel — the LLM-pipeline analog of
+    * `q_full_pipeline`: exact-dedup keeper election, quality floor,
+    * token-range gate and a language-marker gate composed into one pass,
+    * reported per source (the shape of a per-domain curation dashboard).
+    *
+    * One shuffle for the keeper window (keyed by content — the same key
+    * exact dedup groups on; at 100 TB key the window by the portable
+    * fingerprint instead of raw text to shrink shuffle rows) and one for
+    * the per-source rollup. Every gate is a codegen'd column program;
+    * nothing leaves the two-exchange plan.
+    */
+  val QualityFloor = 0.5
+  val MinTokens = 5
+  val MaxTokens = 1000
+
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks,
+      t => t.isInCollection(TextOps.Stopwords)))
+    val scoreEn = size(filter(toks,
+      t => t.isInCollection(TextOps.LangMarkers.head._2)))
+    val q = round(
+      least(nTok.cast("double") / 50, lit(1.0)) *
+        (lit(1.0) - nStop.cast("double") / nTok), 6)
+    val w = Window.partitionBy(col("text"))
+    val flagged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n_tok", nTok)
+      .withColumn("q", q)
+      .withColumn("score_en", scoreEn)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+    val kept = col("doc_id") === col("keep_id") &&
+      col("q") >= QualityFloor &&
+      col("n_tok").between(MinTokens, MaxTokens) &&
+      col("score_en") >= 1
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      count(when(kept, 1)).as("n_kept"),
+      round(count(when(kept, 1)).cast("double") / count(lit(1)), 6)
+        .as("kept_ratio"),
+      round(coalesce(sum(when(kept, col("q"))), lit(0.0)), 6)
+        .as("sum_quality_kept"),
+      coalesce(sum(when(kept, col("n_tok").cast("long"))), lit(0L))
+        .as("tokens_kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_scrub" -> textScrub _,
     "q_doc_chunk" -> docChunk _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_repetition" -> repetition _,
-    "q_data_shuffle" -> dataShuffle _)
+    "q_data_shuffle" -> dataShuffle _,
+    "q_corpus_curate" -> corpusCurate _)
+
+  private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+  private val enList =
+    TextOps.LangMarkers.head._2.map(s => s"'$s'").mkString(", ")
+  private val qExpr =
+    """round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) *
+      |    (1.0 - CAST(n_stop AS DOUBLE) / n_tok), 6)""".stripMargin
+
+  private val corpusCurateSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($stopList))) AS n_stop,
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($enList))) AS score_en,
+       |    min(doc_id) OVER (PARTITION BY text) AS keep_id
+       |  FROM documents),
+       |flagged AS (
+       |  SELECT *, $qExpr AS q,
+       |    (doc_id = keep_id AND $qExpr >= $QualityFloor
+       |     AND n_tok BETWEEN $MinTokens AND $MaxTokens
+       |     AND score_en >= 1) AS kept
+       |  FROM scored)
+       |SELECT source, count(*) AS n_docs,
+       |  count(CASE WHEN kept THEN 1 END) AS n_kept,
+       |  round(CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE)
+       |    / count(*), 6) AS kept_ratio,
+       |  round(coalesce(sum(CASE WHEN kept THEN q END), 0.0), 6)
+       |    AS sum_quality_kept,
+       |  CAST(coalesce(sum(CASE WHEN kept THEN n_tok END), 0) AS BIGINT)
+       |    AS tokens_kept
+       |FROM flagged GROUP BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_scrub" ->
@@ -131,5 +211,6 @@ object Curation {
     "q_repetition" ->
       """SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams, round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_ratio FROM (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) WHERE len(g2) > 0""",
     "q_data_shuffle" ->
-      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS position FROM documents""")
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS position FROM documents""",
+    "q_corpus_curate" -> corpusCurateSql)
 }

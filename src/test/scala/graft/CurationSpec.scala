@@ -65,4 +65,30 @@ class CurationSpec extends SparkSpec {
     // and it is not the identity order
     assert(!first1.sameElements(Array(0L, 1L, 2L, 3L, 4L)))
   }
+
+  test("curation funnel agrees with its component operators") {
+    import graft.engine.{Dedup, TextOps}
+    val report = Curation.corpusCurate(spark, sf)
+    // recompute kept docs by composing the standalone operators: exact
+    // dedup keepers x quality/token gates x english-marker gate
+    val keepers = Dedup.dedupExact(spark, sf)
+      .select(col("keep_id").as("doc_id"))
+    val gates = TextOps.textQuality(spark, sf)
+      .filter(col("quality_score") >= Curation.QualityFloor &&
+        col("n_tokens").between(Curation.MinTokens, Curation.MaxTokens))
+      .select("doc_id")
+    val en = TextOps.langId(spark, sf).filter(col("score_en") >= 1)
+      .select("doc_id")
+    val kept = keepers.join(gates, "doc_id").join(en, "doc_id")
+      .join(Tables.documents(spark, sf).select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source").count()
+    val mismatched = report.select(col("source"), col("n_kept"))
+      .join(kept, Seq("source"), "left")
+      .filter(coalesce(col("count"), lit(0L)) =!= col("n_kept"))
+    assert(mismatched.count() === 0)
+    // totals: every document is counted exactly once
+    assert(report.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sf).count())
+  }
 }
