@@ -52,14 +52,16 @@ object MlSuite {
     * mirroring the reference's manual encode-then-model flow.
     */
   def encodeCategoricals(df: DataFrame): DataFrame = {
-    val idx1 = new StringIndexer().setInputCol("c_mktsegment")
-      .setOutputCol("seg_idx").setHandleInvalid("keep")
-    val idx2 = new StringIndexer().setInputCol("n_name")
-      .setOutputCol("nat_idx").setHandleInvalid("keep")
+    // one multi-column indexer fit = ONE distinct-aggregation pass over
+    // the frame instead of one per categorical column
+    val idx = new StringIndexer()
+      .setInputCols(Array("c_mktsegment", "n_name"))
+      .setOutputCols(Array("seg_idx", "nat_idx"))
+      .setHandleInvalid("keep")
     val ohe = new OneHotEncoder()
       .setInputCols(Array("seg_idx", "nat_idx"))
       .setOutputCols(Array("seg_vec", "nat_vec"))
-    new MlPipeline().setStages(Array(idx1, idx2, ohe))
+    new MlPipeline().setStages(Array(idx, ohe))
       .fit(df).transform(df)
       .drop("c_mktsegment", "n_name", "seg_idx", "nat_idx")
   }
@@ -125,9 +127,13 @@ object MlSuite {
       val encoded = encodeCategoricals(labeled)
       val rf = new RFormula().setFormula("label ~ . - c_custkey")
         .setFeaturesCol("features").setLabelCol("label")
+      // repartition, not coalesce: coalesce(n) pulls the WHOLE upstream
+      // encode+assemble chain into n tasks (serializing it at small n);
+      // the narrow shuffle here is rows × a feature vector — cheap — and
+      // the transform keeps the cached frame's full parallelism
       val formed = rf.fit(encoded).transform(encoded)
         .select("c_custkey", "features", "label")
-        .coalesce(mlParts).cache()
+        .repartition(mlParts).cache()
       val Array(train, test) =
         formed.randomSplit(Array(0.7, 0.3), seed = Seed)
       // ChiSqSelector's Spark-4 successor. The reference ran chi2 over an
