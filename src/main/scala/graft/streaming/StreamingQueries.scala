@@ -23,12 +23,31 @@ object StreamingQueries {
 
   private val runSeq = new AtomicLong(0)
 
+  /** Rows-per-state-partition target: the windowed aggregate's state is
+    * (window, event_type)-keyed; size the stream's shuffle so state
+    * partitions are meaningfully full instead of inheriting the batch
+    * default (32 near-empty state-store commits per microbatch at fixture
+    * scale; grows linearly with real input).
+    */
+  private val StateRowsPerPartition = 4096L
+
   def streamEventWindow(spark: SparkSession, dir: String): DataFrame = {
     // unique sink name: queries can run concurrently in one session
     val table = s"graft_stream_win_${runSeq.incrementAndGet()}"
-    val q = EventStream.runToMemory(spark, dir, table)
-    try q.processAllAvailable() finally q.stop()
-    spark.table(table)
+    // isolated child session: the stream's shuffle-partition sizing (one
+    // state partition per ~4k input rows) must not leak into concurrently
+    // running batch queries; the SparkContext is shared, the SQLConf not
+    val s2 = spark.newSession()
+    // Tables.events handles the fixture's TIMESTAMP(NANOS) layout; a bare
+    // spark.read.parquet on it throws
+    val inputRows = graft.engine.Tables.events(spark, dir).count()
+    val parts = math.max(1,
+      math.ceil(inputRows.toDouble / StateRowsPerPartition).toInt)
+      .min(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    val q = EventStream.runToMemory(s2, dir, table)
+    q.stop()
+    s2.table(table)
       .select(col("window_start"), col("event_type"), col("n"),
         round(col("sum_value").cast("double"), 2).as("sum_value"),
         round(col("sum_value").cast("double") / col("n"), 6)
