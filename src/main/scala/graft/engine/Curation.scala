@@ -160,13 +160,43 @@ object Curation {
         .as("tokens_kept"))
   }
 
+  /** Domain-mixture reweighting — the data-recipe step that turns "use
+    * half the corpus, balanced across sources" into per-source sampling
+    * rates: target tokens per source = budget-share × total ÷ nSources
+    * (uniform target mixture), rate = min(1, target / sourceTokens),
+    * oversubscribed sources downsample, small sources keep everything.
+    *
+    * The global totals ride a window over the POST-AGGREGATE frame —
+    * nSources rows by construction — so the single-partition exchange
+    * moves a bounded dimension table, never corpus rows (the corpus pass
+    * is one map-side token count + one groupBy source).
+    */
+  val MixBudgetShare = 0.5
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(toks)).cast("long").as("n_tokens"))
+      .withColumn("target_tokens",
+        round(sum(col("n_tokens")).over(w).cast("double") *
+          MixBudgetShare / count(lit(1)).over(w), 2))
+      .withColumn("sample_rate",
+        round(least(lit(1.0), col("target_tokens") / col("n_tokens")), 6))
+      .withColumn("expected_tokens",
+        round(col("sample_rate") * col("n_tokens"), 2))
+      .select("source", "n_tokens", "target_tokens", "sample_rate",
+        "expected_tokens")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_scrub" -> textScrub _,
     "q_doc_chunk" -> docChunk _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_repetition" -> repetition _,
     "q_data_shuffle" -> dataShuffle _,
-    "q_corpus_curate" -> corpusCurate _)
+    "q_corpus_curate" -> corpusCurate _,
+    "q_domain_mix" -> domainMix _)
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
   private val enList =
@@ -212,5 +242,17 @@ object Curation {
       """SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams, round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_ratio FROM (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) WHERE len(g2) > 0""",
     "q_data_shuffle" ->
       """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS position FROM documents""",
-    "q_corpus_curate" -> corpusCurateSql)
+    "q_corpus_curate" -> corpusCurateSql,
+    "q_domain_mix" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |g AS (SELECT source, n_tokens,
+         |    round(CAST(sum(n_tokens) OVER () AS DOUBLE) * $MixBudgetShare
+         |      / count(*) OVER (), 2) AS target_tokens FROM t),
+         |r AS (SELECT *, round(least(1.0, target_tokens / n_tokens), 6)
+         |    AS sample_rate FROM g)
+         |SELECT source, n_tokens, target_tokens, sample_rate,
+         |  round(sample_rate * n_tokens, 2) AS expected_tokens
+         |FROM r""".stripMargin)
 }

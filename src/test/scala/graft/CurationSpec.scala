@@ -66,6 +66,19 @@ class CurationSpec extends SparkSpec {
     assert(!first1.sameElements(Array(0L, 1L, 2L, 3L, 4L)))
   }
 
+  test("domain mix: rates in (0,1], under-target sources keep everything") {
+    val mix = Curation.domainMix(spark, sf).cache()
+    try {
+      assert(mix.filter(col("sample_rate") <= 0 ||
+        col("sample_rate") > 1).count() === 0)
+      assert(mix.filter(col("expected_tokens") >
+        col("n_tokens").cast("double") + 0.5).count() === 0)
+      // a source already under its target must not be downsampled
+      assert(mix.filter(col("n_tokens") <= col("target_tokens") &&
+        col("sample_rate") < 1.0).count() === 0)
+    } finally mix.unpersist()
+  }
+
   test("curation funnel agrees with its component operators") {
     import graft.engine.{Dedup, TextOps}
     val report = Curation.corpusCurate(spark, sf)
