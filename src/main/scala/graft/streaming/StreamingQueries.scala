@@ -54,8 +54,27 @@ object StreamingQueries {
           .as("avg_value"))
   }
 
+  /** Stateful sessionization stream (flatMapGroupsWithState) driven to
+    * completion over the replay. Rows-only by design: which sessions
+    * CLOSE depends on watermark advancement across microbatches — an
+    * execution property, not a function of the data — so there is no SQL
+    * oracle; the batch-parity property (every closed session equals a
+    * batch session) is asserted in PlanSpec instead.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_stream_sess_${runSeq.incrementAndGet()}"
+    val q = SessionState.runToMemory(spark, dir, table)
+    q.stop()
+    spark.table(table)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_stream_event_window" -> streamEventWindow _)
+    "q_stream_event_window" -> streamEventWindow _,
+    "q_stream_sessions" -> streamSessions _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
     * the same finite fixture, and complete mode converges to the batch
