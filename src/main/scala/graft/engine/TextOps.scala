@@ -99,11 +99,47 @@ object TextOps {
       length(col("text")).cast("long").as("len_chars"))
   }
 
+  /** Per-document salient terms: the top [[SalientK]] tokens by
+    * rarity-weighted frequency, salience = tf × N ÷ df (the tf-idf shape
+    * with a rational rarity weight instead of ln(N/df) — integer-exact
+    * until ONE final division, the house rule for cross-engine hashing;
+    * ln is monotone in N/df so per-term rarity ORDER is identical, only
+    * the tf interplay differs, and that choice is documented here).
+    *
+    * Plan shape: explode tokens once; document frequency is a
+    * vocab-sized aggregate JOINED BACK on the term key (the vocab table
+    * broadcasts at fixture scale and stays a key-partitioned dimension at
+    * corpus scale); per-doc ranking is a window with a deterministic
+    * (salience desc, term) tie-break.
+    */
+  val SalientK = 3
+
+  def salientTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("salience").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("salience",
+        round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SalientK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("salience"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_quality" -> textQuality _,
     "q_lang_id" -> langId _,
     "q_token_count" -> tokenCount _,
-    "q_doc_fingerprint" -> docFingerprint _)
+    "q_doc_fingerprint" -> docFingerprint _,
+    "q_salient_terms" -> salientTerms _)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
   private def markerScore(ms: Seq[String]): String =
@@ -121,5 +157,21 @@ object TextOps {
     "q_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents""",
     "q_doc_fingerprint" ->
-      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""")
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""",
+    "q_salient_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tfg AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM tok GROUP BY doc_id, term),
+         |dfg AS (SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM tfg GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |    round(CAST(tf AS DOUBLE) * n_docs / df, 6) AS salience
+         |  FROM tfg JOIN dfg USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY salience DESC, term) AS rank FROM s)
+         |SELECT doc_id, term, tf, df, salience,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $SalientK""".stripMargin)
 }

@@ -143,7 +143,10 @@ class PlanSpec extends SparkSpec {
     // variant, never a CartesianProduct (which shuffles both full sides
     // everywhere). ml_* queries return driver-assembled local metric
     // tables (no join plans) and pay model fitting to construct — skipped.
-    val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf")
+    // q_salient_terms carries a 1-row broadcast corpus-size factor, the
+    // same collect-scalar-kept-in-plan shape as q_agg_multi
+    val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
+      "q_salient_terms")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))

@@ -106,6 +106,24 @@ class TextDedupSpec extends SparkSpec {
       TextOps.LangMarkers.map(_._1).toSet + "unknown"))
   }
 
+  test("salient terms: dense top-k ranks and rarity dominates at equal tf") {
+    val st = TextOps.salientTerms(spark, sf).cache()
+    try {
+      assert(st.filter(col("rank") < 1 ||
+        col("rank") > TextOps.SalientK).count() === 0)
+      // per doc: ranks are dense from 1 (no gaps, no dup ranks)
+      val badDocs = st.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+        .filter(col("n") =!= col("mx"))
+      assert(badDocs.count() === 0)
+      // within one doc, equal tf => strictly rarer term never ranks worse
+      val pairs = st.as("a").join(st.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.tf") === col("b.tf") && col("a.df") < col("b.df"))
+      assert(pairs.filter(col("a.rank") > col("b.rank")).count() === 0)
+    } finally st.unpersist()
+  }
+
   test("decontamination never flags benchmark docs; ratios are in (0,1]") {
     val out = Dedup.decontaminate(spark, sf).cache()
     try {
