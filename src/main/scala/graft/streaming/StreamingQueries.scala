@@ -31,12 +31,13 @@ object StreamingQueries {
     */
   private val StateRowsPerPartition = 4096L
 
-  def streamEventWindow(spark: SparkSession, dir: String): DataFrame = {
-    // unique sink name: queries can run concurrently in one session
-    val table = s"graft_stream_win_${runSeq.incrementAndGet()}"
-    // isolated child session: the stream's shuffle-partition sizing (one
-    // state partition per ~4k input rows) must not leak into concurrently
-    // running batch queries; the SparkContext is shared, the SQLConf not
+  /** Isolated child session with the stream's shuffle-partition sizing
+    * (one state partition per ~4k input rows, capped at the batch
+    * default) — the conf must not leak into concurrently running batch
+    * queries; the SparkContext is shared, the SQLConf not.
+    */
+  private def sizedStreamSession(spark: SparkSession,
+      dir: String): SparkSession = {
     val s2 = spark.newSession()
     // Tables.events handles the fixture's TIMESTAMP(NANOS) layout; a bare
     // spark.read.parquet on it throws
@@ -45,6 +46,13 @@ object StreamingQueries {
       math.ceil(inputRows.toDouble / StateRowsPerPartition).toInt)
       .min(spark.conf.get("spark.sql.shuffle.partitions").toInt)
     s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2
+  }
+
+  def streamEventWindow(spark: SparkSession, dir: String): DataFrame = {
+    // unique sink name: queries can run concurrently in one session
+    val table = s"graft_stream_win_${runSeq.incrementAndGet()}"
+    val s2 = sizedStreamSession(spark, dir)
     val q = EventStream.runToMemory(s2, dir, table)
     q.stop()
     s2.table(table)
@@ -63,9 +71,10 @@ object StreamingQueries {
     */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     val table = s"graft_stream_sess_${runSeq.incrementAndGet()}"
-    val q = SessionState.runToMemory(spark, dir, table)
+    val s2 = sizedStreamSession(spark, dir)
+    val q = SessionState.runToMemory(s2, dir, table)
     q.stop()
-    spark.table(table)
+    s2.table(table)
       .select(col("user_id"),
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"),

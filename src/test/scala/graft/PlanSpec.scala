@@ -112,6 +112,19 @@ class PlanSpec extends SparkSpec {
       s"near-dup join does not key on the chunk grid:\n$p")
   }
 
+  test("curation funnel stays a two-exchange plan") {
+    val p = plan(Curation.corpusCurate(spark, sf))
+    val exchanges = p.split("\n").count(_.trim.startsWith("Exchange"))
+    // one shuffle for the content-keyed keeper window, one for the
+    // per-source rollup — gates composition from quietly adding passes
+    assert(exchanges <= 2, s"curation funnel grew beyond 2 exchanges:\n$p")
+    // count detail-section scan headers ("(n) Scan parquet"), not the
+    // tree rendering too
+    assert(p.split("\n").count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"curation funnel must scan documents once:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val p = plan(Dedup.decontaminate(spark, sf))
     // the corpus must never shuffle against itself: the benchmark side is
