@@ -65,7 +65,7 @@ object Dedup {
     * portability; shingles/tokens here are non-empty ASCII by
     * construction.
     */
-  private def portableId(s: Column): Column =
+  private[graft] def portableId(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -82,6 +82,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("portable shingle id matches BigInt arithmetic on ASCII strings") {
+    import org.apache.spark.sql.functions.col
+    val strs = samples(Gen.nonEmptyListOf(
+      Gen.choose(33.toChar, 126.toChar)).map(_.mkString), 200).distinct
+    import spark.implicits._
+    val got = strs.toDF("s")
+      .select(col("s"), graft.engine.Dedup.portableId(col("s")).as("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      val big = s.foldLeft(BigInt(0))((acc, ch) =>
+        (acc * 31 + ch.toInt) % graft.engine.Dedup.IdMod)
+      assert(BigInt(got(s)) === big, s"id mismatch for '$s'")
+      assert(got(s) >= 0 && got(s) < graft.engine.Dedup.IdMod)
+    }
+  }
+
   test("stub decoder is pure and shape-stable on arbitrary payloads") {
     val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
     samples(bytesGen, 100).foreach { bytes =>
