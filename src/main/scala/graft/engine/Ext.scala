@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,23 +120,42 @@ object Ext {
   }
 
   /** Range (band) join: events of the same user within the hour AFTER each
-    * purchase — the conversion-window pattern. Equi-key (user) plus a time
-    * band; aggregated to one row per purchase so the output is key-unique.
-    * Both sides descend from the SAME events scan, so they carry explicit
-    * aliases — without them the equi-key predicate is ambiguous
-    * (Spark's "trivially true equals predicate" trap; [[asofJoin]] has
-    * always done this, now both do).
+    * purchase — the conversion-window pattern. Aggregated to one row per
+    * purchase so the output is key-unique.
+    *
+    * The equi-key is (user_id, hour_bucket), NOT user_id alone: a band
+    * whose width matches the bucket granularity means every follow event
+    * lives in exactly one bucket and every purchase's (ts, ts+1h] window
+    * spans at most two, so each purchase probes its own bucket and the
+    * next (a 2-row explode) and the band predicate stays as the fine
+    * filter inside the join. A user-only equi-key puts a power user's
+    * k_purchases × k_events candidate pairs in ONE sort-merge key group
+    * before the band filter runs — the same quadratic-per-key failure
+    * [[asofJoin]]'s union-sort rewrite eliminated; here the bucket bounds
+    * each group to one user-hour. An event matches at most one of a
+    * purchase's two probe buckets (the buckets are distinct), so no
+    * dedup is needed and the LEFT join + count(non-null) semantics are
+    * unchanged. Both sides descend from the SAME events scan, so they
+    * carry explicit aliases — without them the equi-key predicate is
+    * ambiguous (Spark's "trivially true equals predicate" trap).
     */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    val hourUs = 3600L * 1000000L
+    def bucket(ts: Column): Column = floor(unix_micros(ts) / hourUs)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
+      .withColumn("probe_bucket",
+        explode(array(bucket(col("purchase_ts")),
+          bucket(col("purchase_ts")) + 1)))
     val follow = e.select(col("event_id").as("f_id"),
       col("user_id"), col("ts").as("f_ts"),
       col("value").as("f_value"))
+      .withColumn("f_bucket", bucket(col("f_ts")))
     purchases.as("p").join(follow.as("f"),
         col("p.user_id") === col("f.user_id") &&
+          col("p.probe_bucket") === col("f.f_bucket") &&
           col("f.f_ts") > col("p.purchase_ts") &&
           col("f.f_ts") <= col("p.purchase_ts") + expr("INTERVAL 1 HOUR"),
         "left")

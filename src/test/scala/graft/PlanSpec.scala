@@ -175,6 +175,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join keys on (user, hour bucket), not the user alone") {
+    // a user-only equi-key materializes a power user's full
+    // k_purchases × k_events pair set in one SMJ key group before the
+    // band filter runs; the hour bucket must reach the physical join keys
+    val p = plan(Ext.rangeJoin(spark, sf))
+    // formatted mode puts hash-join keys on "Left keys"/"Right keys"
+    // detail lines, not the tree line
+    val keyLines = p.split("\n").filter(l =>
+      l.contains("Left keys") || l.contains("Right keys"))
+    assert(keyLines.exists(_.contains("probe_bucket")) &&
+        keyLines.exists(_.contains("f_bucket")),
+      s"range join does not key on the hour bucket:\n$p")
+  }
+
   test("asofJoin is join-free: one union-sort pass, no pair materialization") {
     val p = plan(Ext.asofJoin(spark, sf))
     assert(!p.toLowerCase.contains("join"),
