@@ -119,15 +119,34 @@ object Curation {
     * token-range gate and a language-marker gate composed into one pass,
     * reported per source (the shape of a per-domain curation dashboard).
     *
-    * One shuffle for the keeper window (keyed by content — the same key
-    * exact dedup groups on; at 100 TB key the window by the portable
-    * fingerprint instead of raw text to shrink shuffle rows) and one for
-    * the per-source rollup. Every gate is a codegen'd column program;
-    * nothing leaves the two-exchange plan.
+    * One shuffle for the keeper window and one for the per-source
+    * rollup. The keeper window is keyed by TWO independent portable
+    * polynomial fingerprints of the content, NOT the raw text: every
+    * derived column (token count, quality, language score, fingerprints)
+    * is a map-side projection and text is DROPPED before the exchange,
+    * so the shuffle moves (doc_id, source, 2 longs, 3 ints) per row
+    * instead of full document bytes — the difference between shuffling
+    * ~40 B/row and ~row-size at 100 TB. Equal texts always share both
+    * fingerprints (keeper election over exact dupes is exact); two
+    * DISTINCT texts would have to collide in BOTH hashes to share a
+    * group — p ≈ n²/2^60 per modulus pair (~1e9+7 × ~1e9), i.e. ~1e-10
+    * even at 10^10 docs, the same quantified-collision house rule as the
+    * dedup shingle ids (Dedup.scala portable-id note). Every gate is a
+    * codegen'd column program; nothing leaves the two-exchange plan.
+    *
+    * `sum_quality_kept` sums the micro-scaled INTEGER quality
+    * (round(q·1e6) as long) and divides once at the render — double
+    * sums are order-sensitive and Spark/DuckDB reduce in different
+    * orders, so the exact-then-render rule used for money columns
+    * applies here too.
     */
   val QualityFloor = 0.5
   val MinTokens = 5
   val MaxTokens = 1000
+  val FpBase1 = 31L
+  val FpMod1 = 1000000007L
+  val FpBase2 = 131L
+  val FpMod2 = 998244353L
 
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(toks)
@@ -138,15 +157,17 @@ object Curation {
     val q = round(
       least(nTok.cast("double") / 50, lit(1.0)) *
         (lit(1.0) - nStop.cast("double") / nTok), 6)
-    val w = Window.partitionBy(col("text"))
+    val w = Window.partitionBy(col("fp1"), col("fp2"))
     val flagged = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-      .withColumn("n_tok", nTok)
-      .withColumn("q", q)
-      .withColumn("score_en", scoreEn)
+      .select(col("doc_id"), col("source"),
+        nTok.as("n_tok"),
+        round(q * 1000000L).cast("long").as("q_micro"),
+        scoreEn.as("score_en"),
+        TextOps.portableFp(col("text"), FpBase1, FpMod1).as("fp1"),
+        TextOps.portableFp(col("text"), FpBase2, FpMod2).as("fp2"))
       .withColumn("keep_id", min(col("doc_id")).over(w))
     val kept = col("doc_id") === col("keep_id") &&
-      col("q") >= QualityFloor &&
+      col("q_micro") >= (QualityFloor * 1000000L).toLong &&
       col("n_tok").between(MinTokens, MaxTokens) &&
       col("score_en") >= 1
     flagged.groupBy("source").agg(
@@ -154,8 +175,8 @@ object Curation {
       count(when(kept, 1)).as("n_kept"),
       round(count(when(kept, 1)).cast("double") / count(lit(1)), 6)
         .as("kept_ratio"),
-      round(coalesce(sum(when(kept, col("q"))), lit(0.0)), 6)
-        .as("sum_quality_kept"),
+      round(coalesce(sum(when(kept, col("q_micro"))), lit(0L))
+        .cast("double") / 1000000L, 6).as("sum_quality_kept"),
       coalesce(sum(when(kept, col("n_tok").cast("long"))), lit(0L))
         .as("tokens_kept"))
   }
@@ -213,11 +234,16 @@ object Curation {
        |      t -> t IN ($stopList))) AS n_stop,
        |    len(list_filter(string_split(text, ' '),
        |      t -> t IN ($enList))) AS score_en,
-       |    min(doc_id) OVER (PARTITION BY text) AS keep_id
+       |    min(doc_id) OVER (PARTITION BY
+       |      ${TextOps.portableFpSql("text", FpBase1, FpMod1)},
+       |      ${TextOps.portableFpSql("text", FpBase2, FpMod2)}) AS keep_id
        |  FROM documents),
        |flagged AS (
-       |  SELECT *, $qExpr AS q,
-       |    (doc_id = keep_id AND $qExpr >= $QualityFloor
+       |  SELECT *,
+       |    CAST(round(($qExpr) * 1000000) AS BIGINT) AS q_micro,
+       |    (doc_id = keep_id
+       |     AND CAST(round(($qExpr) * 1000000) AS BIGINT)
+       |       >= ${(QualityFloor * 1000000L).toLong}
        |     AND n_tok BETWEEN $MinTokens AND $MaxTokens
        |     AND score_en >= 1) AS kept
        |  FROM scored)
@@ -225,8 +251,8 @@ object Curation {
        |  count(CASE WHEN kept THEN 1 END) AS n_kept,
        |  round(CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE)
        |    / count(*), 6) AS kept_ratio,
-       |  round(coalesce(sum(CASE WHEN kept THEN q END), 0.0), 6)
-       |    AS sum_quality_kept,
+       |  round(CAST(coalesce(sum(CASE WHEN kept THEN q_micro END), 0)
+       |    AS DOUBLE) / 1000000, 6) AS sum_quality_kept,
        |  CAST(coalesce(sum(CASE WHEN kept THEN n_tok END), 0) AS BIGINT)
        |    AS tokens_kept
        |FROM flagged GROUP BY source""".stripMargin

@@ -83,21 +83,31 @@ object TextOps {
         .cast("long").as("re_tokens"),
       ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
 
-  /** Rolling polynomial fingerprint over the document's characters
-    * (acc = acc*31 + ascii(ch) mod 1e9+7) — an order-sensitive content
+  /** Rolling polynomial fingerprint over a string column's characters
+    * (acc = acc*base + ascii(ch) mod m) — an order-sensitive content
     * hash computed entirely with integer arithmetic, so it is
     * engine-portable (unlike builtin hash functions, which differ per
     * engine). The empty-string filter matters: Spark's `split` keeps a
-    * trailing "" element that DuckDB's splitter drops.
+    * trailing "" element that DuckDB's splitter drops. Reused as the
+    * content key of [[Curation.corpusCurate]]'s keeper window.
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val chars = filter(split(col("text"), ""), ch => length(ch) > 0)
-    val fp = aggregate(chars, lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
-    Tables.documents(spark, dir).select(
-      col("doc_id"), fp.as("fingerprint"),
-      length(col("text")).cast("long").as("len_chars"))
+  def portableFp(c: Column, base: Long, mod: Long): Column = {
+    val chars = filter(split(c, ""), ch => length(ch) > 0)
+    aggregate(chars, lit(0L), (acc, ch) => (acc * base + ascii(ch)) % mod)
   }
+
+  /** DuckDB mirror of [[portableFp]] for oracle SQL. */
+  def portableFpSql(expr: String, base: Long, mod: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), " +
+      s"ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(acc, ch) -> (acc * $base + ch) % $mod)"
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      portableFp(col("text"), 31, 1000000007L).as("fingerprint"),
+      length(col("text")).cast("long").as("len_chars"))
 
   /** Per-document salient terms: the top [[SalientK]] tokens by
     * rarity-weighted frequency, salience = tf × N ÷ df (the tf-idf shape
@@ -157,7 +167,7 @@ object TextOps {
     "q_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents""",
     "q_doc_fingerprint" ->
-      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""",
+      s"""SELECT doc_id, ${portableFpSql("text", 31, 1000000007L)} AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""",
     "q_salient_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |  FROM documents),

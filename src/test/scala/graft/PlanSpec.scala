@@ -115,9 +115,15 @@ class PlanSpec extends SparkSpec {
   test("curation funnel stays a two-exchange plan") {
     val p = plan(Curation.corpusCurate(spark, sf))
     val exchanges = p.split("\n").count(_.trim.startsWith("Exchange"))
-    // one shuffle for the content-keyed keeper window, one for the
+    // one shuffle for the fingerprint-keyed keeper window, one for the
     // per-source rollup — gates composition from quietly adding passes
     assert(exchanges <= 2, s"curation funnel grew beyond 2 exchanges:\n$p")
+    // the keeper window must shuffle on the portable fingerprints, never
+    // the raw document bytes: no exchange key may reference text
+    val exchangeKeys = p.split("\n")
+      .filter(_.contains("hashpartitioning"))
+    assert(exchangeKeys.nonEmpty && !exchangeKeys.exists(_.contains("text#")),
+      s"curation shuffle keys on raw text:\n$p")
     // count detail-section scan headers ("(n) Scan parquet"), not the
     // tree rendering too
     assert(p.split("\n").count(
