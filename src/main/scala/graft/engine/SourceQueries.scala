@@ -26,6 +26,21 @@ import graft.sources.JsonCsvSources
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-invocation sink dirs, deleted at JVM exit — Verify/Bench/test
+    * runs must not leak round-trip output on disk.
+    */
+  private def tempSinkDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+    dir.toString
+  }
+
   private val eventsLite = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),
@@ -59,26 +74,65 @@ object SourceQueries {
 
   /** S2+S8: events → JSONL sink → schema'd JSONL scan → aggregate. */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val tmp = tempSinkDir("graft-jsonl")
     JsonCsvSources.writeJsonl(eventsProjection(spark, dir), tmp)
     checksum(JsonCsvSources.readJsonl(spark, tmp, Some(eventsLite)))
   }
 
   /** CSV twin of [[jsonlRoundtrip]] (S8 CSV writer + schema'd CSV scan). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-csv").toString
+    val tmp = tempSinkDir("graft-csv")
     JsonCsvSources.writeCsv(eventsProjection(spark, dir), tmp)
     checksum(JsonCsvSources.readCsv(spark, tmp, Some(eventsLite)))
   }
 
+  private val customerLite = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** S1+S8: customer → whole-file JSON ARRAY sink → schema'd multiline
+    * scan → aggregate. The reference's dominant source mode (four of six
+    * tables load `option("multiline","true")`, Databricks Notebook.py:34/
+    * 62/80/108) gate-checked on a dimension-sized table — the only shape
+    * the one-file-one-task format is legitimate for.
+    */
+  def multilineRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-mljson")
+    JsonCsvSources.writeMultilineJson(
+      Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      tmp)
+    JsonCsvSources.readMultilineJson(spark, tmp, Some(customerLite))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        round(sum(col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_acctbal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+  }
+
+  private val customerChecksumSql =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  count(DISTINCT c_nationkey) AS n_nations,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |    AS sum_acctbal,
+      |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
-    "q_csv_roundtrip" -> csvRoundtrip _)
+    "q_csv_roundtrip" -> csvRoundtrip _,
+    "q_multiline_roundtrip" -> multilineRoundtrip _)
 
   /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
     * scan round-trip lost nothing.
     */
   val oracles: Map[String, String] = Map(
     "q_jsonl_roundtrip" -> checksumSql,
-    "q_csv_roundtrip" -> checksumSql)
+    "q_csv_roundtrip" -> checksumSql,
+    "q_multiline_roundtrip" -> customerChecksumSql)
 }

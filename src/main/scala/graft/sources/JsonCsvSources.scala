@@ -47,6 +47,24 @@ object JsonCsvSources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Whole-file JSON ARRAY sink — the writer twin of [[readMultilineJson]].
+    * A JSON array is one document, so the write is inherently single-file:
+    * the frame coalesces to one partition and streams `[`, one element per
+    * line (comma-prefixed), `]` — no driver collect, no per-partition
+    * materialization. Only for dimension-sized frames; fact-sized data
+    * belongs in JSONL ([[writeJsonl]]).
+    */
+  def writeMultilineJson(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.Encoders
+    df.toJSON.repartition(1).mapPartitions { it =>
+      Iterator("[") ++
+        it.zipWithIndex.map { case (r, i) =>
+          (if (i == 0) "" else ",") + r
+        } ++ Iterator("]")
+    }(Encoders.STRING)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
   /** CSV sink with header. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -37,6 +37,20 @@ class SourcesExtensionsSpec extends SparkSpec {
       Seq("n_name", "n_nationkey", "n_regionkey"))
   }
 
+  test("multiline JSON ARRAY writer round-trips through the S1 reader") {
+    val out = tmpDir("mljson-rt")
+    val src = Tables.nation(spark, sf)
+    JsonCsvSources.writeMultilineJson(src, out)
+    // the sink emits ONE file holding one JSON array (plus _SUCCESS)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".txt"))
+    assert(files.length === 1, "multiline sink must be single-file")
+    val back = JsonCsvSources.readMultilineJson(spark, out)
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(back.count() === src.count())
+    assert(back.except(src).count() === 0)
+  }
+
   test("CSV round-trip with header and inferred schema") {
     val out = tmpDir("csv")
     val src = Tables.region(spark, sf)
