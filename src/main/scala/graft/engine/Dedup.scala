@@ -156,12 +156,33 @@ object Dedup {
       dedupMinhashPairs(spark, dir).cache()
     }
 
+  /** Degenerate-band-bucket cap: a bucket of k docs sharing a band key
+    * yields k²/2 candidate pairs in ONE join task, and k identical
+    * documents share EVERY band key — web corpora always carry such
+    * blocks. Buckets above this size are excluded from candidate
+    * generation (their rows are counted in the `lsh_bucket_guard`
+    * observed metric): identical docs are [[dedupExact]]'s job, run
+    * first in any real pipeline, and a >cap bucket of genuinely distinct
+    * near-dups still surfaces through its docs' OTHER [[Bands]]-1 band
+    * keys, which only all degenerate together for exact-duplicate
+    * content.
+    */
+  val LshBucketCap = 64
+
   /** Uncached minhash pipeline body; the public entry memoizes the result
     * (dup-sized, tiny) because BOTH `q_dedup_minhash` and
     * `q_dedup_clusters` consume it in one session — without the memo the
     * clustering query re-runs the whole signature/band/verify pipeline.
     */
   private def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(spark, dir)
+    verifyPairs(lshCandidates(spark, dir), idSets(ds), MinhashThreshold)
+  }
+
+  /** LSH candidate pairs (pre-verification), bucket-capped; exposed for
+    * the linear-candidate-count guard test.
+    */
+  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val ds = shingleIds(spark, dir)
     val sigCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
       min((col("sid") * a + b) % P).as(s"h$i")
@@ -175,12 +196,22 @@ object Dedup {
       .map(bnd => s"$bnd, band$bnd").mkString(", ")
     val bands = sig.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id", s"stack($Bands, $stackArgs) AS (band, bkey)")
-    val cand = bands.as("x").join(bands.as("y"),
+    // bucket sizes ride the same (band, bkey) partitioning the self-join
+    // shuffles on — the guard adds no extra exchange, and the skipped
+    // volume is observable without a separate job
+    val guarded = bands
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .observe("lsh_bucket_guard",
+        sum(when(col("bsize") > LshBucketCap, 1L).otherwise(0L))
+          .as("rows_in_oversize_buckets"))
+      .filter(col("bsize") <= LshBucketCap)
+      .drop("bsize")
+    guarded.as("x").join(guarded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(cand, idSets(ds), MinhashThreshold)
   }
 
   /** n-gram Jaccard near-dup with rare-shingle blocking: candidates are

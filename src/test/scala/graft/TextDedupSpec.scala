@@ -136,6 +136,31 @@ class TextDedupSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("LSH bucket cap keeps candidates linear under identical-doc blocks") {
+    // 200 identical docs share every band key; unguarded that is one
+    // bucket of 19 900 candidate pairs × 4 bands. The cap must drop the
+    // degenerate buckets (exact dedup owns identical content) while
+    // small-bucket near-dups keep generating candidates.
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-guard").toString
+    import spark.implicits._
+    val block = (1L to 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "en", "web", 40L))
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val near = Seq(
+      (900L, base + " seventeen", "en", "web", 40L),
+      (901L, base + " eighteen", "en", "web", 40L))
+    (block ++ near).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val cand = Dedup.lshCandidates(spark, tmp)
+    val blockPairs = cand.filter(col("doc_a") <= 200 && col("doc_b") <= 200)
+    assert(blockPairs.count() === 0,
+      "identical-doc block must not enter candidate generation")
+    assert(cand.filter(col("doc_a") === 900 && col("doc_b") === 901)
+      .count() === 1, "small-bucket near-dup pair lost to the guard")
+  }
+
   test("a verbatim copy of a benchmark doc is fully contaminated") {
     // every 3+-token text duplicated across the benchmark boundary must
     // surface with contamination 1.0 (all its shingles are benchmark
