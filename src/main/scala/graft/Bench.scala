@@ -25,10 +25,17 @@ object Bench {
       // would make breakage look like speed
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line under ~1900 chars: the harness
+    // that collects this output retains only a bounded tail of stdout, and
+    // a full-precision 69-query line overflows it, truncating the JSON head
+    def f(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop (and silence) Spark BEFORE printing so shutdown warnings cannot
+    // land after the JSON line and push it out of a bounded output tail
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

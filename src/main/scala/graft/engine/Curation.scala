@@ -128,11 +128,14 @@ object Curation {
     * instead of full document bytes — the difference between shuffling
     * ~40 B/row and ~row-size at 100 TB. Equal texts always share both
     * fingerprints (keeper election over exact dupes is exact); two
-    * DISTINCT texts would have to collide in BOTH hashes to share a
-    * group — p ≈ n²/2^60 per modulus pair (~1e9+7 × ~1e9), i.e. ~1e-10
-    * even at 10^10 docs, the same quantified-collision house rule as the
-    * dedup shingle ids (Dedup.scala portable-id note). Every gate is a
-    * codegen'd column program; nothing leaves the two-exchange plan.
+    * DISTINCT texts share a group only by colliding in BOTH hashes:
+    * expected colliding pairs ≈ n²/(2·M1·M2) ≈ n²/2^61, i.e. ~50 pairs
+    * at 10^10 docs — a handful of distinct-text pairs may share a keeper
+    * group at that scale, perturbing dashboard counts negligibly (a
+    * collision demotes one doc to non-keeper; no data is lost). Same
+    * quantified-collision house rule as the dedup shingle ids
+    * (Dedup.scala portable-id note). Every gate is a codegen'd column
+    * program; nothing leaves the two-exchange plan.
     *
     * `sum_quality_kept` sums the micro-scaled INTEGER quality
     * (round(q·1e6) as long) and divides once at the render — double

@@ -156,16 +156,27 @@ object Dedup {
       dedupMinhashPairs(spark, dir).cache()
     }
 
-  /** Degenerate-band-bucket cap: a bucket of k docs sharing a band key
-    * yields k²/2 candidate pairs in ONE join task, and k identical
-    * documents share EVERY band key — web corpora always carry such
-    * blocks. Buckets above this size are excluded from candidate
-    * generation (their rows are counted in the `lsh_bucket_guard`
-    * observed metric): identical docs are [[dedupExact]]'s job, run
-    * first in any real pipeline, and a >cap bucket of genuinely distinct
-    * near-dups still surfaces through its docs' OTHER [[Bands]]-1 band
-    * keys, which only all degenerate together for exact-duplicate
-    * content.
+  /** Degenerate-band-bucket guard: a bucket of k docs sharing a band key
+    * yields k²/2 candidate pairs in ONE join task, and documents with
+    * identical shingle SETS (exact dups, but also reordered sentences or
+    * whitespace variants) share EVERY band key — web corpora always carry
+    * such blocks. The guard has two parts, both mirrored in the DuckDB
+    * oracle CTEs so the candidate sets stay bit-identical across engines:
+    *  1. buckets larger than this cap are excluded from the pair join
+    *     (their rows are counted in the `lsh_bucket_guard` observed
+    *     metric), keeping every join task's work bounded by cap²/2;
+    *  2. docs sharing a FULL [[Bands]]×[[Rows]]-hash signature are linked
+    *     star-wise to their group's min doc_id — O(k) pairs per group —
+    *     so identical-signature blocks survive the cap with LINEAR
+    *     candidate volume instead of vanishing from the output.
+    * Residual recall hole, precisely: a near-dup cluster of more than cap
+    * docs whose signatures DIFFER and whose every band bucket exceeds the
+    * cap loses its cross-signature pairs (members still link within
+    * identical-signature subgroups, and clustering reconnects them when
+    * any sub-cap bucket bridges two subgroups). At cap 64 that requires
+    * 64+ docs agreeing on every 3-hash band key while differing in
+    * signature — content so close to exact-duplicate that
+    * [[dedupExact]]/the signature fallback owns it in practice.
     */
   val LshBucketCap = 64
 
@@ -207,11 +218,22 @@ object Dedup {
           .as("rows_in_oversize_buckets"))
       .filter(col("bsize") <= LshBucketCap)
       .drop("bsize")
-    guarded.as("x").join(guarded.as("y"),
+    val bucketPairs = guarded.as("x").join(guarded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // full-signature star fallback (guard part 2): groups whose 12-hash
+    // signature is identical link each member to the group min — linear in
+    // group size, shuffles only the doc-count-sized signature table. For
+    // sub-cap groups these pairs are a subset of the bucket join's, so the
+    // union changes nothing there; for oversize groups they are the only
+    // surviving candidates
+    val sigKey = (0 until Bands * Rows).map(i => col(s"h$i"))
+    val fallback = sig
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(sigKey: _*)))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+    bucketPairs.union(fallback).distinct()
   }
 
   /** n-gram Jaccard near-dup with rare-shingle blocking: candidates are
@@ -407,12 +429,25 @@ object Dedup {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
     }.mkString(" UNION ALL ")
+    val sigKeyList = (0 until Bands * Rows).map(i => s"h$i").mkString(", ")
+    // gb/fsig mirror the Spark-side bucket cap + full-signature star
+    // fallback exactly (same $LshBucketCap, same min-doc link) so both
+    // engines generate the identical candidate set
     s"""$shingleSql,
        |sig AS (SELECT doc_id, $sigExprs FROM ds GROUP BY doc_id),
        |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-       |    AND x.doc_id < y.doc_id)""".stripMargin
+       |gb AS (SELECT doc_id, band, bkey FROM (
+       |  SELECT doc_id, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bands)
+       |  WHERE bsize <= $LshBucketCap),
+       |fsig AS (SELECT doc_a, doc_b FROM (
+       |  SELECT min(doc_id) OVER (PARTITION BY $sigKeyList) AS doc_a,
+       |    doc_id AS doc_b FROM sig) WHERE doc_a <> doc_b),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM gb x JOIN gb y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id
+       |  UNION ALL SELECT doc_a, doc_b FROM fsig))""".stripMargin
   }
 
   private val minhashSql: String =

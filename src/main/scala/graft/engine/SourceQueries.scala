@@ -26,18 +26,30 @@ import graft.sources.JsonCsvSources
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Per-invocation sink dirs, deleted at JVM exit — Verify/Bench/test
-    * runs must not leak round-trip output on disk.
+  /** Per-invocation sink dirs — Verify/Bench/test runs must not leak
+    * round-trip output on disk. One shared shutdown hook drains a queue
+    * of pending dirs (a hook PER invocation would retain one Thread each
+    * across a long bench session), and each query eagerly deletes its own
+    * previous sink dir on re-invocation so a session iterating the
+    * round-trips holds at most one live dir per prefix.
     */
+  private val pendingSinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
+
+  locally {
+    sys.addShutdownHook {
+      pendingSinkDirs.values.forEach(d => rm(d.toFile))
+    }: Unit
+  }
+
   private def tempSinkDir(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }
+    Option(pendingSinkDirs.put(prefix, dir)).foreach(d => rm(d.toFile))
     dir.toString
   }
 

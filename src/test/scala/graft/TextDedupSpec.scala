@@ -139,8 +139,9 @@ class TextDedupSpec extends SparkSpec {
   test("LSH bucket cap keeps candidates linear under identical-doc blocks") {
     // 200 identical docs share every band key; unguarded that is one
     // bucket of 19 900 candidate pairs × 4 bands. The cap must drop the
-    // degenerate buckets (exact dedup owns identical content) while
-    // small-bucket near-dups keep generating candidates.
+    // degenerate buckets, the full-signature fallback must re-link the
+    // block star-wise (199 pairs, not 19 900), and small-bucket near-dups
+    // must keep generating candidates.
     val tmp = java.nio.file.Files.createTempDirectory("lsh-guard").toString
     import spark.implicits._
     val block = (1L to 200L).map(i =>
@@ -155,8 +156,10 @@ class TextDedupSpec extends SparkSpec {
       .write.parquet(s"$tmp/documents.parquet")
     val cand = Dedup.lshCandidates(spark, tmp)
     val blockPairs = cand.filter(col("doc_a") <= 200 && col("doc_b") <= 200)
-    assert(blockPairs.count() === 0,
-      "identical-doc block must not enter candidate generation")
+    assert(blockPairs.count() === 199,
+      "identical-doc block must collapse to star pairs, not k²/2")
+    assert(blockPairs.filter(col("doc_a") =!= 1).count() === 0,
+      "star fallback must link every block member to the group min")
     assert(cand.filter(col("doc_a") === 900 && col("doc_b") === 901)
       .count() === 1, "small-bucket near-dup pair lost to the guard")
   }
