@@ -77,6 +77,77 @@ object Dedup {
       s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $IdMod)"
 
+  /** UTF-8-BYTE portable id — the multilingual escape hatch the
+    * [[portableId]] note prescribes: fold `acc*31 + byte (mod IdMod)` over
+    * the string's UTF-8 bytes, which are engine-independent where
+    * codepoint/char-unit semantics are not. The byte stream comes from
+    * `hex(encode(s,'UTF-8'))` split into pairs — deliberately NOT a
+    * per-character walk, because Spark's `split(s,'')` yields UTF-16 code
+    * units and an astral-plane character (emoji) would surface as two
+    * surrogates that encode to replacement bytes. Agrees with
+    * [[portableId]] on non-empty ASCII input, where UTF-8 bytes and
+    * codepoints coincide (property-tested); empty input folds to 0 on
+    * both engines.
+    */
+  private[graft] def portableIdUtf8(s: Column): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(hex(encode(s, "UTF-8")), lit("(..)"), lit(1)),
+        p => conv(p, 16, 10).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % IdMod)
+
+  /** DuckDB twin of [[portableIdUtf8]]: derives each codepoint's 1–4
+    * UTF-8 bytes arithmetically (range CASE over `unicode(c)`) and folds
+    * them in byte order. Deferring the mod to the end of each character
+    * is sound: intermediate products stay ≤ IdMod·31⁴ + ~2^13 < 2^51,
+    * far inside int64, and modular reduction commutes with the fold.
+    */
+  private[graft] def idUtf8Sql(e: String): String = {
+    val m = IdMod
+    val step =
+      s"""(acc, x) -> CASE
+         | WHEN x < 128 THEN (acc*31 + x) % $m
+         | WHEN x < 2048 THEN
+         |  ((acc*31 + 192 + x//64)*31 + 128 + x%64) % $m
+         | WHEN x < 65536 THEN
+         |  (((acc*31 + 224 + x//4096)*31 + 128 + (x//64)%64)*31
+         |    + 128 + x%64) % $m
+         | ELSE
+         |  ((((acc*31 + 240 + x//262144)*31 + 128 + (x//4096)%64)*31
+         |    + 128 + (x//64)%64)*31 + 128 + x%64) % $m END""".stripMargin
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      step + ")"
+  }
+
+  /** Non-ASCII rows planted into [[utf8Fingerprint]]: Latin-1 accents,
+    * CJK, an astral-plane emoji (two UTF-16 surrogates — the case a
+    * per-character Spark walk would corrupt), and Cyrillic. The oracle
+    * VALUES clause is generated from these same literals, so both engines
+    * are guaranteed to hash identical byte sequences.
+    */
+  private[graft] val Utf8PlantedRows: Seq[(Long, String)] = Seq(
+    (900001L, "héllo wörld"),
+    (900002L, "日本語のテキスト"),
+    (900003L, "emoji 🚀 mix"),
+    (900004L, "кириллица текст"))
+
+  /** UTF-8 portable-fingerprint gate: [[portableIdUtf8]] proven engine-
+    * portable end to end — the (ASCII) fixture corpus plus the planted
+    * non-ASCII rows, fingerprinted on Spark and re-derived byte-for-byte
+    * by the DuckDB oracle. The ASCII rows double as the in-query
+    * ASCII-equivalence surface (PropertySpec asserts utf8 id == ascii id
+    * there).
+    */
+  def utf8Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Utf8PlantedRows.toDF("doc_id", "text")
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(col("doc_id"), portableIdUtf8(col("text")).as("utf8_fp"))
+  }
+
   /** Exact dedup: group by full content, keep the minimum id (the standard
     * hash-groupBy exact pass run before any fuzzy matching).
     */
@@ -394,7 +465,8 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _,
-    "q_decontaminate" -> decontaminate _)
+    "q_decontaminate" -> decontaminate _,
+    "q_utf8_fingerprint" -> utf8Fingerprint _)
 
   // ---- oracle SQL (generated to mirror the constants above) ----
 
@@ -518,5 +590,13 @@ object Dedup {
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_simhash" -> simhashSql,
-    "q_decontaminate" -> decontaminateSql)
+    "q_decontaminate" -> decontaminateSql,
+    "q_utf8_fingerprint" -> {
+      val values = Utf8PlantedRows.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""SELECT doc_id, ${idUtf8Sql("text")} AS utf8_fp FROM (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text))""".stripMargin
+    })
 }

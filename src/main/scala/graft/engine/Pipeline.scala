@@ -141,9 +141,10 @@ object Pipeline {
     * (LIKE disjunction = the food-industry cut, NB:204) → star metric
     * assembly (NB:620–642) → one-hot activity dummies via fixed-value pivot
     * (NB:342-462) → synthesized opening-hours availability (NB:486–528) →
-    * boolean recode of a derived attribute (NB:238) → null fill (NB:677).
-    * One row per retained customer — "a user of the reference could run
-    * their whole notebook here".
+    * boolean recode of a derived attribute (NB:238) → null fill (NB:677) →
+    * final "Missing"→0 recode (NB:685–691). One row per retained
+    * customer — "a user of the reference could run their whole notebook
+    * here".
     *
     * Scale shape: the filter lands on the dimension scan; every fact
     * arrives pre-aggregated to the key grain; the pivot carries a fixed
@@ -170,7 +171,8 @@ object Pipeline {
     val keep = Seq("c_custkey", "c_mktsegment", "n_name", "n_orders",
       "total_spend", "n_items", "sum_qty", "n_events", "avg_event_value") ++
       Reshape.EventTypes ++ Seq("avail_hours", "attr_big_spender")
-    ScalarOps.recodeBooleans(staged, Seq("attr_big_spender"))
+    val recoded = ScalarOps.recodeBooleans(staged, Seq("attr_big_spender"))
+    ScalarOps.missingToZero(recoded, Seq("attr_big_spender"))
       .select(keep.map(col): _*)
   }
 
@@ -274,10 +276,13 @@ object Pipeline {
          |    THEN (c_custkey * 7 + 3) % 24 + 24
          |    ELSE (c_custkey * 7 + 3) % 24 END - c_custkey % 24 AS INTEGER)
          |    AS avail_hours,
-         |  CASE WHEN a.attr = 'True' THEN '1' WHEN a.attr = 'False' THEN '0'
-         |    ELSE 'Missing' END AS attr_big_spender
+         |  CASE WHEN b.attr2 = 'Missing' THEN '0' ELSE b.attr2 END
+         |    AS attr_big_spender
          |FROM joined, LATERAL (SELECT CASE WHEN total_spend IS NULL
          |  THEN 'unknown' WHEN total_spend > 500000 THEN 'True'
-         |  ELSE 'False' END AS attr) a""".stripMargin
+         |  ELSE 'False' END AS attr) a,
+         |  LATERAL (SELECT CASE WHEN a.attr = 'True' THEN '1'
+         |    WHEN a.attr = 'False' THEN '0'
+         |    ELSE 'Missing' END AS attr2) b""".stripMargin
     })
 }

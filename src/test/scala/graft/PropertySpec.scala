@@ -98,6 +98,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("utf8 portable id folds UTF-8 bytes; agrees with ascii id on ASCII") {
+    import org.apache.spark.sql.functions.col
+    // generated printable-ASCII plus the planted multilingual rows (incl.
+    // the astral-plane emoji whose surrogate pair would corrupt a
+    // per-character fold)
+    val strs = (samples(Gen.nonEmptyListOf(
+      Gen.choose(33.toChar, 126.toChar)).map(_.mkString), 100) ++
+      graft.engine.Dedup.Utf8PlantedRows.map(_._2) ++ Seq("")).distinct
+    import spark.implicits._
+    val got = strs.toDF("s")
+      .select(col("s"),
+        graft.engine.Dedup.portableIdUtf8(col("s")).as("u"),
+        graft.engine.Dedup.portableId(col("s")).as("a"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    strs.foreach { s =>
+      val exp = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foldLeft(0L)((acc, b) =>
+          (acc * 31 + (b & 0xff)) % graft.engine.Dedup.IdMod)
+      assert(got(s)._1 === exp, s"utf8 byte-fold mismatch for '$s'")
+      if (s.nonEmpty && s.forall(_ < 128))
+        assert(got(s)._2 === exp, s"ascii id diverges on ASCII input '$s'")
+    }
+  }
+
   test("stub decoder is pure and shape-stable on arbitrary payloads") {
     val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
     samples(bytesGen, 100).foreach { bytes =>
