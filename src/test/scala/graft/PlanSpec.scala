@@ -181,6 +181,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SinglePartition exchanges only sit above aggregates (all queries)") {
+    // a SinglePartition exchange is sanctioned ONLY when its input is
+    // already aggregate-bounded (global aggs, 1-row collect-scalar
+    // feedback kept in-plan, post-aggregate windows like q_domain_mix's
+    // nSources-row frame): the single task then receives pre-aggregated
+    // rows, never raw table rows. Checked structurally — the exchange's
+    // tree child must be an Aggregate — so any future query that funnels
+    // an unbounded frame through one task fails here by name.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!name.startsWith("ml_")) {
+        val p = plan(fn(spark, sf))
+        val lines = p.split("\n")
+        // detail-section ids whose Exchange argument is SinglePartition
+        val spIds = lines.zipWithIndex.collect {
+          case (l, i) if l.matches("""\(\d+\) Exchange\s*""") &&
+              lines.drop(i + 1).takeWhile(!_.matches("""\(\d+\) .*"""))
+                .exists(_.contains("SinglePartition")) =>
+            l.replaceAll("""^\((\d+)\).*""", "$1")
+        }
+        spIds.foreach { id =>
+          val treeIdx = lines.indexWhere(_.matches(s""".*Exchange \\($id\\)\\s*"""))
+          assert(treeIdx >= 0, s"$name: no tree line for Exchange ($id):\n$p")
+          assert(lines(treeIdx + 1).contains("Aggregate"),
+            s"$name: SinglePartition exchange ($id) above a non-aggregate " +
+              s"(unbounded rows into one task):\n${lines(treeIdx)}\n" +
+              s"${lines(treeIdx + 1)}\n$p")
+        }
+      }
+    }
+  }
+
   test("range join keys on (user, hour bucket), not the user alone") {
     // a user-only equi-key materializes a power user's full
     // k_purchases × k_events pair set in one SMJ key group before the
