@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
   * differ per engine, which would make the DuckDB oracle unverifiable, and
   * a dense-id dictionary (row_number over sorted distinct shingles) funnels
   * the whole vocabulary through ONE task — the classic 100 TB killer. Token
-  * ids here are therefore a PORTABLE POLYNOMIAL STRING HASH,
-  * `fold(acc = acc*31 + codepoint, mod 2^31-1)`, computed inline on both
-  * engines (Spark `aggregate`/`transform` HOFs; DuckDB `list_reduce`):
-  * pure map-side — no dictionary join, no global sort, no broadcast — and
-  * bit-identical across engines, so LSH candidate sets match exactly. The
-  * downstream minhash/simhash mixing stays `(a*id + b) mod p` over these
-  * ids (id < 2^31, a < 2^14: products stay in 64-bit range on both
-  * engines). Id collisions (~n²/2^32: ≈16 expected over the 260k-shingle
-  * sf0.1 vocabulary) perturb a Jaccard estimate by <1% and are computed
+  * ids here are therefore a PORTABLE POLYNOMIAL STRING HASH over the
+  * string's UTF-8 BYTES, `fold(acc = acc*31 + byte, mod 2^31-1)`
+  * ([[portableIdUtf8]]), computed inline on both engines (Spark
+  * `aggregate`/`transform` HOFs; DuckDB `list_reduce` deriving the same
+  * bytes arithmetically from codepoints): pure map-side — no dictionary
+  * join, no global sort, no broadcast — and bit-identical across engines
+  * FOR ANY UNICODE INPUT (gated by `q_utf8_fingerprint` plus the planted
+  * [[MultilingualDedupRows]] flowing through every dedup query), so LSH
+  * candidate sets match exactly on multilingual corpora. The downstream
+  * minhash/simhash mixing stays `(a*id + b) mod p` over these ids
+  * (id < 2^31, a < 2^14: products stay in 64-bit range on both engines).
+  * Id collisions (~n²/2^32: ≈16 expected over the 260k-shingle sf0.1
+  * vocabulary) perturb a Jaccard estimate by <1% and are computed
   * identically on both sides.
   *
   * Scale design: candidate generation is always BLOCKED (LSH band buckets /
@@ -54,16 +58,15 @@ object Dedup {
     */
   val IdMod = 2147483647L
 
-  /** Portable polynomial string hash (`acc*31 + char, mod IdMod`),
+  /** ASCII-scoped polynomial string hash (`acc*31 + char, mod IdMod`),
     * identical on Spark and DuckDB (`list_reduce` twin in [[idSql]]) FOR
-    * NON-EMPTY ASCII INPUT — the fixture corpus. Outside that scope the
-    * engines diverge: Spark `ascii('')`=0 vs DuckDB `unicode('')`=-1, and
-    * for non-ASCII text Spark `ascii` returns the first (signed) UTF-8
-    * byte while DuckDB `unicode` returns the codepoint. A multilingual
-    * corpus would fold over UTF-8 bytes on both sides (Spark
-    * `encode`+HOF, DuckDB `encode`) for true codepoint-independent
-    * portability; shingles/tokens here are non-empty ASCII by
-    * construction.
+    * NON-EMPTY ASCII INPUT ONLY. Outside that scope the engines diverge:
+    * Spark `ascii('')`=0 vs DuckDB `unicode('')`=-1, and for non-ASCII
+    * text Spark `ascii` returns the first (signed) UTF-8 byte while
+    * DuckDB `unicode` returns the codepoint. RETAINED as the documented
+    * ASCII fast path and PropertySpec's equivalence surface (utf8 id ==
+    * ascii id on ASCII input); the dedup family's DEFAULT id is
+    * [[portableIdUtf8]], which is portable for any Unicode input.
     */
   private[graft] def portableId(s: Column): Column =
     aggregate(
@@ -148,6 +151,36 @@ object Dedup {
       .select(col("doc_id"), portableIdUtf8(col("text")).as("utf8_fp"))
   }
 
+  /** Non-ASCII rows planted into the dedup family's document source
+    * ([[dedupDocs]]): a multilingual NEAR-DUP pair (910001/910002 — same
+    * 28-token accented/CJK/emoji/Cyrillic prefix, different last token →
+    * 3-gram Jaccard 26/28 ≈ 0.93) plus one unrelated multilingual doc.
+    * Every shingle/token id the pair produces exercises the 2–4-byte
+    * UTF-8 paths of [[portableIdUtf8]]/[[idUtf8Sql]] end to end through
+    * minhash → verify → clusters, so the engine/oracle id contract is
+    * gated on multilingual text in every dedup query, not just the
+    * dedicated fingerprint query.
+    */
+  private[graft] val MultilingualDedupRows: Seq[(Long, String)] = {
+    val base = "zürich café naïve résumé touché crème brûlée déjà vu piñata " +
+      "日本語 テキスト 解析 変換 処理 データ 🚀 ロケット 発射 準備 " +
+      "кириллица текст пример слово данные поток система анализ"
+    Seq(
+      (910001L, base + " конец"),
+      (910002L, base + " финал"),
+      (910003L, "véritablement autre document 完全に異なる内容 другой текст совсем 😀 ici"))
+  }
+
+  /** The dedup family's document source: fixture corpus plus the planted
+    * multilingual rows. The oracle mirror is [[docsCte]], whose VALUES
+    * clause is generated from the same literals.
+    */
+  private[graft] def dedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(MultilingualDedupRows.toDF("doc_id", "text"))
+  }
+
   /** Exact dedup: group by full content, keep the minimum id (the standard
     * hash-groupBy exact pass run before any fuzzy matching).
     */
@@ -172,11 +205,11 @@ object Dedup {
       slice(t, lit(1), len3),
       arrays_zip(slice(t, lit(2), len3), slice(t, lit(3), len3)),
       (a, bc) => concat_ws(" ", a, bc.getField("0"), bc.getField("1")))
-    Tables.documents(spark, dir).select(
+    dedupDocs(spark, dir).select(
       col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
-  /** (doc_id, sid) via [[portableId]] — a pure map-side projection: no
+  /** (doc_id, sid) via [[portableIdUtf8]] — a pure map-side projection: no
     * dictionary join, no global sort, nothing that narrows to one task at
     * any corpus size.
     *
@@ -193,7 +226,7 @@ object Dedup {
   private def shingleIds(spark: SparkSession, dir: String): DataFrame =
     SessionMemo.getOrCompute(spark, s"dedup.shingleIds:$dir") {
       shingles(spark, dir)
-        .select(col("doc_id"), portableId(col("shingle")).as("sid"))
+        .select(col("doc_id"), portableIdUtf8(col("shingle")).as("sid"))
         .cache()
     }
 
@@ -328,13 +361,13 @@ object Dedup {
   /** 16-bit SimHash over distinct unigram tokens: per bit j, sum +-1 votes
     * (vote = parity of hash_j(token id)); bit set iff the vote sum is
     * positive. One aggregation pass computes all 16 bit-sums; token ids via
-    * [[portableId]] — map-side, no dictionary.
+    * [[portableIdUtf8]] — map-side, no dictionary.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir).select(
+    val toks = dedupDocs(spark, dir).select(
       col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val dt = toks.select(col("doc_id"), portableId(col("tok")).as("tid"))
+    val dt = toks.select(col("doc_id"), portableIdUtf8(col("tok")).as("tid"))
     val bitSums = (0 until 16).map { j =>
       val bit = ((col("tid") * HashA(j % HashA.size) + HashB(j % HashB.size)
         + j) % P) % 2
@@ -470,13 +503,25 @@ object Dedup {
 
   // ---- oracle SQL (generated to mirror the constants above) ----
 
+  /** DuckDB twin of [[dedupDocs]]: fixture corpus + the planted
+    * multilingual VALUES, generated from the same literals.
+    */
+  private val docsCte: String = {
+    val values = MultilingualDedupRows.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    s"""docs AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))""".stripMargin
+  }
+
   private val shingleSql =
-    s"""sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+    s"""$docsCte,
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(t) - 1),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
       |  WHERE len(t) >= 3),
-      |ds AS (SELECT doc_id, ${idSql("shingle")} AS sid FROM sh),
+      |ds AS (SELECT doc_id, ${idUtf8Sql("shingle")} AS sid FROM sh),
       |sets AS (SELECT doc_id, list_distinct(list(sid)) AS sids,
       |  count(*) AS n FROM ds GROUP BY doc_id)""".stripMargin
 
@@ -558,10 +603,11 @@ object Dedup {
     val sig = (0 until 16)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""WITH $docsCte,
+       |toks AS (SELECT doc_id,
        |    unnest(list_distinct(string_split(text, ' '))) AS tok
-       |  FROM documents),
-       |dt AS (SELECT doc_id, ${idSql("tok")} AS tid FROM toks),
+       |  FROM docs),
+       |dt AS (SELECT doc_id, ${idUtf8Sql("tok")} AS tid FROM toks),
        |sums AS (SELECT doc_id, $bitSums FROM dt GROUP BY doc_id),
        |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM sums)
        |SELECT doc_id, simhash16,

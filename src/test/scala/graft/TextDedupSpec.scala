@@ -83,9 +83,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("planted multilingual near-dup pair survives minhash end to end") {
+    // the UTF-8 id contract gate: the accented/CJK/emoji/Cyrillic planted
+    // pair must surface as a confirmed near-dup, proving non-ASCII text
+    // flows through shingle ids -> LSH -> exact-jaccard verification
+    val Seq(a, b) = Dedup.MultilingualDedupRows.take(2).map(_._1)
+    val hit = Dedup.dedupMinhash(spark, sf)
+      .filter(col("doc_a") === a && col("doc_b") === b).collect()
+    assert(hit.length === 1, "planted multilingual pair missing")
+    assert(hit(0).getAs[Double]("jaccard") >= 0.9)
+  }
+
   test("simhash: identical token sets get identical signatures") {
     val sig = Dedup.dedupSimhash(spark, sf)
-    assert(sig.count() === Tables.documents(spark, sf).count())
+    // one signature per doc, planted multilingual rows included
+    assert(sig.count() === Tables.documents(spark, sf).count()
+      + Dedup.MultilingualDedupRows.size)
     // doc tokens -> signature must be a function: join docs with equal
     // distinct-token sets and check signatures match
     val toks = Tables.documents(spark, sf).select(
