@@ -264,23 +264,33 @@ object Dedup {
     * yields k²/2 candidate pairs in ONE join task, and documents with
     * identical shingle SETS (exact dups, but also reordered sentences or
     * whitespace variants) share EVERY band key — web corpora always carry
-    * such blocks. The guard has two parts, both mirrored in the DuckDB
+    * such blocks. The guard has four parts, all mirrored in the DuckDB
     * oracle CTEs so the candidate sets stay bit-identical across engines:
-    *  1. buckets larger than this cap are excluded from the pair join
+    *  1. buckets larger than this cap are excluded from the pairwise join
     *     (their rows are counted in the `lsh_bucket_guard` observed
     *     metric), keeping every join task's work bounded by cap²/2;
     *  2. docs sharing a FULL [[Bands]]×[[Rows]]-hash signature are linked
     *     star-wise to their group's min doc_id — O(k) pairs per group —
     *     so identical-signature blocks survive the cap with LINEAR
-    *     candidate volume instead of vanishing from the output.
-    * Residual recall hole, precisely: a near-dup cluster of more than cap
-    * docs whose signatures DIFFER and whose every band bucket exceeds the
-    * cap loses its cross-signature pairs (members still link within
-    * identical-signature subgroups, and clustering reconnects them when
-    * any sub-cap bucket bridges two subgroups). At cap 64 that requires
-    * 64+ docs agreeing on every 3-hash band key while differing in
-    * signature — content so close to exact-duplicate that
-    * [[dedupExact]]/the signature fallback owns it in practice.
+    *     candidate volume instead of vanishing from the output;
+    *  3. every oversize bucket also star-links its members to the BUCKET
+    *     min — O(k) candidates that exact-jaccard verification then
+    *     confirms or rejects — so a >cap near-dup block with DIFFERING
+    *     signatures stays connected (clustering unifies it through the
+    *     verified star edges);
+    *  4. oversize-bucket rows are re-keyed by a SECOND hash family — the
+    *     doc's NEXT band key, 3 more independent minhashes — and
+    *     sub-buckets that fall back under the cap get the full pairwise
+    *     join, recovering direct pairs inside giant buckets at bounded
+    *     cap²/2 task cost.
+    * Residual recall hole, now narrow: inside an oversize bucket, a pair
+    * whose jaccard-to-bucket-min is below threshold AND whose secondary
+    * sub-bucket also exceeds the cap contributes no direct edge (its
+    * members still link via any other sub-cap bucket, the signature
+    * fallback, or transitively through verified star edges in
+    * clustering). At cap 64 that requires 64+ docs agreeing on SIX
+    * minhashes while differing in signature — content
+    * [[dedupExact]]/the fallbacks own in practice.
     */
   val LshBucketCap = 64
 
@@ -295,9 +305,12 @@ object Dedup {
   }
 
   /** LSH candidate pairs (pre-verification), bucket-capped; exposed for
-    * the linear-candidate-count guard test.
+    * the linear-candidate-count guard test. `cap` is parameterized ONLY so
+    * tests can trigger the oversize paths on small fixtures; production
+    * callers always use [[LshBucketCap]] (the oracle mirrors that value).
     */
-  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidates(spark: SparkSession, dir: String,
+      cap: Int = LshBucketCap): DataFrame = {
     val ds = shingleIds(spark, dir)
     val sigCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
       min((col("sid") * a + b) % P).as(s"h$i")
@@ -307,10 +320,14 @@ object Dedup {
       val ks = (0 until Rows).map(r => col(s"h${bnd * Rows + r}"))
       concat_ws(":", ks: _*).as(s"band$bnd")
     }
+    // each stacked row carries its band key AND the doc's NEXT band key
+    // (the guard's second hash family, part 4) — a constant-width column
+    // that rides along from the start instead of a doc_id-keyed join back
+    // against the band table later
     val stackArgs = (0 until Bands)
-      .map(bnd => s"$bnd, band$bnd").mkString(", ")
+      .map(bnd => s"$bnd, band$bnd, band${(bnd + 1) % Bands}").mkString(", ")
     val bands = sig.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id", s"stack($Bands, $stackArgs) AS (band, bkey)")
+      .selectExpr("doc_id", s"stack($Bands, $stackArgs) AS (band, bkey, bkey2)")
     // bucket sizes ride the same (band, bkey) partitioning the self-join
     // shuffles on — the guard adds no extra exchange, and the skipped
     // volume is observable without a separate job
@@ -318,10 +335,10 @@ object Dedup {
       .withColumn("bsize",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
       .observe("lsh_bucket_guard",
-        sum(when(col("bsize") > LshBucketCap, 1L).otherwise(0L))
+        sum(when(col("bsize") > cap, 1L).otherwise(0L))
           .as("rows_in_oversize_buckets"))
-      .filter(col("bsize") <= LshBucketCap)
-      .drop("bsize")
+      .filter(col("bsize") <= cap)
+      .drop("bsize", "bkey2")
     val bucketPairs = guarded.as("x").join(guarded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -331,13 +348,38 @@ object Dedup {
     // group size, shuffles only the doc-count-sized signature table. For
     // sub-cap groups these pairs are a subset of the bucket join's, so the
     // union changes nothing there; for oversize groups they are the only
-    // surviving candidates
+    // guaranteed candidates
     val sigKey = (0 until Bands * Rows).map(i => col(s"h$i"))
     val fallback = sig
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy(sigKey: _*)))
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
-    bucketPairs.union(fallback).distinct()
+    // oversize buckets (guard parts 3+4): star-link to the bucket min
+    // (linear connectivity), and re-key by the second band family —
+    // sub-buckets back under the cap get the full pairwise join. Both
+    // windows and the sub-join cluster on (band, bkey[, bkey2]) prefixes,
+    // so they ride the same hash partitioning as the bucket-size window.
+    val oversize = bands
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsize") > cap)
+      .drop("bsize")
+    val star = oversize
+      .withColumn("bmin",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    val sub = oversize
+      .withColumn("s2", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bkey"), col("bkey2"))))
+      .filter(col("s2") <= cap)
+      .drop("s2")
+    val subPairs = sub.as("x").join(sub.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.bkey2") === col("y.bkey2") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    bucketPairs.union(fallback).union(star).union(subPairs).distinct()
   }
 
   /** n-gram Jaccard near-dup with rare-shingle blocking: candidates are
@@ -542,29 +584,44 @@ object Dedup {
       s"min((sid * $a + $b) % $P) AS h$i"
     }.mkString(", ")
     val bandSelects = (0 until Bands).map { bnd =>
-      val key = (0 until Rows).map(r => s"CAST(h${bnd * Rows + r} AS VARCHAR)")
+      def key(b: Int) = (0 until Rows)
+        .map(r => s"CAST(h${b * Rows + r} AS VARCHAR)")
         .mkString(" || ':' || ")
-      s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+      s"SELECT doc_id, $bnd AS band, ${key(bnd)} AS bkey, " +
+        s"${key((bnd + 1) % Bands)} AS bkey2 FROM sig"
     }.mkString(" UNION ALL ")
     val sigKeyList = (0 until Bands * Rows).map(i => s"h$i").mkString(", ")
-    // gb/fsig mirror the Spark-side bucket cap + full-signature star
-    // fallback exactly (same $LshBucketCap, same min-doc link) so both
+    // gb/fsig/star/sub mirror the Spark-side guard exactly (same
+    // $LshBucketCap, same min-doc links, same second band family) so both
     // engines generate the identical candidate set
     s"""$shingleSql,
        |sig AS (SELECT doc_id, $sigExprs FROM ds GROUP BY doc_id),
        |bands AS ($bandSelects),
-       |gb AS (SELECT doc_id, band, bkey FROM (
-       |  SELECT doc_id, band, bkey,
-       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bands)
+       |sized AS (SELECT doc_id, band, bkey, bkey2,
+       |  count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bands),
+       |gb AS (SELECT doc_id, band, bkey FROM sized
        |  WHERE bsize <= $LshBucketCap),
        |fsig AS (SELECT doc_a, doc_b FROM (
        |  SELECT min(doc_id) OVER (PARTITION BY $sigKeyList) AS doc_a,
        |    doc_id AS doc_b FROM sig) WHERE doc_a <> doc_b),
+       |star AS (SELECT doc_a, doc_b FROM (
+       |  SELECT min(doc_id) OVER (PARTITION BY band, bkey) AS doc_a,
+       |    doc_id AS doc_b FROM sized WHERE bsize > $LshBucketCap)
+       |  WHERE doc_a <> doc_b),
+       |sub AS (SELECT doc_id, band, bkey, bkey2 FROM (
+       |  SELECT doc_id, band, bkey, bkey2,
+       |    count(*) OVER (PARTITION BY band, bkey, bkey2) AS s2
+       |  FROM sized WHERE bsize > $LshBucketCap)
+       |  WHERE s2 <= $LshBucketCap),
        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM gb x JOIN gb y ON x.band = y.band AND x.bkey = y.bkey
        |    AND x.doc_id < y.doc_id
-       |  UNION ALL SELECT doc_a, doc_b FROM fsig))""".stripMargin
+       |  UNION ALL SELECT doc_a, doc_b FROM fsig
+       |  UNION ALL SELECT doc_a, doc_b FROM star
+       |  UNION ALL SELECT x.doc_id, y.doc_id
+       |  FROM sub x JOIN sub y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.bkey2 = y.bkey2 AND x.doc_id < y.doc_id))""".stripMargin
   }
 
   private val minhashSql: String =

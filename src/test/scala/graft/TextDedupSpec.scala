@@ -152,9 +152,9 @@ class TextDedupSpec extends SparkSpec {
   test("LSH bucket cap keeps candidates linear under identical-doc blocks") {
     // 200 identical docs share every band key; unguarded that is one
     // bucket of 19 900 candidate pairs × 4 bands. The cap must drop the
-    // degenerate buckets, the full-signature fallback must re-link the
-    // block star-wise (199 pairs, not 19 900), and small-bucket near-dups
-    // must keep generating candidates.
+    // degenerate buckets from the pairwise join, the signature/bucket star
+    // fallbacks must re-link the block star-wise (199 pairs, not 19 900),
+    // and small-bucket near-dups must keep generating candidates.
     val tmp = java.nio.file.Files.createTempDirectory("lsh-guard").toString
     import spark.implicits._
     val block = (1L to 200L).map(i =>
@@ -167,14 +167,95 @@ class TextDedupSpec extends SparkSpec {
       (901L, base + " eighteen", "en", "web", 40L))
     (block ++ near).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$tmp/documents.parquet")
-    val cand = Dedup.lshCandidates(spark, tmp)
-    val blockPairs = cand.filter(col("doc_a") <= 200 && col("doc_b") <= 200)
-    assert(blockPairs.count() === 199,
-      "identical-doc block must collapse to star pairs, not k²/2")
-    assert(blockPairs.filter(col("doc_a") =!= 1).count() === 0,
-      "star fallback must link every block member to the group min")
-    assert(cand.filter(col("doc_a") === 900 && col("doc_b") === 901)
-      .count() === 1, "small-bucket near-dup pair lost to the guard")
+    // retrieve the lsh_bucket_guard observed metric: a silent cap
+    // regression (guard stops counting / stops capping) must fail by name
+    @volatile var observed: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("lsh_bucket_guard").foreach(row =>
+          observed = Some(row.getAs[Long]("rows_in_oversize_buckets")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val cand = Dedup.lshCandidates(spark, tmp)
+      val blockPairs = cand.filter(col("doc_a") <= 200 && col("doc_b") <= 200)
+      assert(blockPairs.count() === 199,
+        "identical-doc block must collapse to star pairs, not k²/2")
+      assert(blockPairs.filter(col("doc_a") =!= 1).count() === 0,
+        "star fallback must link every block member to the group min")
+      assert(cand.filter(col("doc_a") === 900 && col("doc_b") === 901)
+        .count() === 1, "small-bucket near-dup pair lost to the guard")
+      // listener delivery is async — poll the bus briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (observed.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(observed.contains(200L * Dedup.Bands),
+        s"expected 800 rows in oversize buckets (200 docs x 4 bands), " +
+          s"observed $observed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("oversize-bucket star links a >cap distinct-signature block") {
+    // 120 near-dup docs (56 common tokens + 4 unique): band buckets exceed
+    // the cap while ~half the signatures are DISTINCT, so neither the
+    // pairwise join nor the full-signature fallback alone can cover the
+    // block — the oversize-bucket star must keep every doc connected, and
+    // clustering must unify the block into one component.
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-star").toString
+    import spark.implicits._
+    val common = (0 until 56).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 120L).map(i =>
+      (i, common + " " + (0 until 4).map(j => s"u${i}x$j").mkString(" "),
+        "en", "web", 40L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.dedupMinhash(spark, tmp)
+      .filter(col("doc_a") <= 120 && col("doc_b") <= 120).cache()
+    try {
+      val linked = pairs.select(col("doc_a").as("d"))
+        .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+      assert(linked === 120,
+        "every block member must appear in at least one verified pair")
+      val roots = Dedup.dedupClusters(spark, tmp)
+        .filter(col("doc_id") <= 120)
+        .select("component_root").distinct().collect()
+      assert(roots.map(_.getLong(0)).toSeq === Seq(1L),
+        "block must cluster into one component rooted at doc 1")
+    } finally pairs.unpersist()
+  }
+
+  test("secondary sub-bucket split recovers direct pairs in giant buckets") {
+    // Two families (A, B) over a shared core plus an overlap group carrying
+    // both family blocks: at cap 6 every family band bucket is oversize, so
+    // pre-split the B-family's direct pairs could only come from star edges.
+    // The second-band re-key must place them in sub-cap sub-buckets and
+    // emit their full pairwise candidates (model-derived expected set).
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-sub").toString
+    import spark.implicits._
+    val core = (0 until 8).map(i => s"c$i").mkString(" ")
+    val blockA = (0 until 12).map(i => s"a$i").mkString(" ")
+    val blockB = (0 until 12).map(i => s"b$i").mkString(" ")
+    val docs =
+      (1L to 8L).map(i => (i, s"$core $blockA ua$i", "en", "web", 40L)) ++
+      (9L to 16L).map(i => (i, s"$core $blockB ub$i", "en", "web", 40L)) ++
+      (17L to 20L).map(i =>
+        (i, s"$core $blockA $blockB uo$i", "en", "web", 40L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val cand = Dedup.lshCandidates(spark, tmp, cap = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs reachable ONLY through the sub-bucket split at cap 6
+    // (derived from an independent model of the guard; all are J >= 0.6)
+    val expected = Set((10L, 11L), (10L, 14L), (10L, 15L), (10L, 16L),
+      (11L, 14L), (11L, 15L), (11L, 16L), (14L, 15L), (14L, 16L),
+      (15L, 16L))
+    assert(expected.subsetOf(cand),
+      s"sub-bucket split pairs missing: ${expected -- cand}")
   }
 
   test("a verbatim copy of a benchmark doc is fully contaminated") {
