@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // JIT sink for the calibration loop result — a volatile write the
+  // optimizer cannot prove dead, so the fixed-work loop is never elided
+  @volatile private var calibSink: Long = 0L
+
+  /** Fixed-work CPU probe: `threads` threads each run 2e8 LCG steps; the
+    * returned wall-clock seconds measure THIS MACHINE AT THIS MOMENT at the
+    * same parallelism as the query sweep. The work is deterministic and
+    * machine-independent, so two bench artifacts are comparable after
+    * normalizing by their calib values (rule documented in BASELINE.md) —
+    * ambient host contention inflates the probe and the queries together.
+    */
+  private def calibrate(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var acc = 1L
+        var i = 0
+        while (i < 200000000) {
+          acc = acc * 6364136223846793005L + 1442695040888963407L
+          i += 1
+        }
+        calibSink = acc
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,6 +46,9 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
+    // fixed-work probe before AND after the sweep: contention that ramps
+    // up mid-sweep shows as pre/post divergence
+    val calibPre = calibrate(cpus.toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -25,6 +57,7 @@ object Bench {
       // would make breakage look like speed
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val calibPost = calibrate(cpus.toInt)
     // 3-decimal values keep the whole line under ~1900 chars: the harness
     // that collects this output retains only a bounded tail of stdout, and
     // a full-precision 69-query line overflows it, truncating the JSON head
@@ -36,6 +69,8 @@ object Bench {
     // land after the JSON line and push it out of a bounded output tail
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calib = s""""calib_sec":${f((calibPre + calibPost) / 2)},""" +
+      s""""calib_pre":${f(calibPre)},"calib_post":${f(calibPost)}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
   }
 }
