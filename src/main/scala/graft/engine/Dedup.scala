@@ -304,6 +304,35 @@ object Dedup {
     verifyPairs(lshCandidates(spark, dir), idSets(ds), MinhashThreshold)
   }
 
+  /** 12-hash minhash signature per doc — one aggregation pass over the
+    * memoized shingle-id table, shared by the full LSH pass and the
+    * incremental (delta-vs-corpus) probe.
+    */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(spark, dir)
+    val sigCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
+      min((col("sid") * a + b) % P).as(s"h$i")
+    }
+    ds.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Stacked band rows (doc_id, band, bkey, bkey2). Each row carries its
+    * band key AND the doc's NEXT band key (the oversize guard's second
+    * hash family) — a constant-width column that rides along from the
+    * start instead of a doc_id-keyed join back against the band table
+    * later.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bnd =>
+      val ks = (0 until Rows).map(r => col(s"h${bnd * Rows + r}"))
+      concat_ws(":", ks: _*).as(s"band$bnd")
+    }
+    val stackArgs = (0 until Bands)
+      .map(bnd => s"$bnd, band$bnd, band${(bnd + 1) % Bands}").mkString(", ")
+    sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($Bands, $stackArgs) AS (band, bkey, bkey2)")
+  }
+
   /** LSH candidate pairs (pre-verification), bucket-capped; exposed for
     * the linear-candidate-count guard test. `cap` is parameterized ONLY so
     * tests can trigger the oversize paths on small fixtures; production
@@ -311,23 +340,8 @@ object Dedup {
     */
   private[graft] def lshCandidates(spark: SparkSession, dir: String,
       cap: Int = LshBucketCap): DataFrame = {
-    val ds = shingleIds(spark, dir)
-    val sigCols = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
-      min((col("sid") * a + b) % P).as(s"h$i")
-    }
-    val sig = ds.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until Bands).map { bnd =>
-      val ks = (0 until Rows).map(r => col(s"h${bnd * Rows + r}"))
-      concat_ws(":", ks: _*).as(s"band$bnd")
-    }
-    // each stacked row carries its band key AND the doc's NEXT band key
-    // (the guard's second hash family, part 4) — a constant-width column
-    // that rides along from the start instead of a doc_id-keyed join back
-    // against the band table later
-    val stackArgs = (0 until Bands)
-      .map(bnd => s"$bnd, band$bnd, band${(bnd + 1) % Bands}").mkString(", ")
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id", s"stack($Bands, $stackArgs) AS (band, bkey, bkey2)")
+    val sig = signatures(spark, dir)
+    val bands = bandRows(sig)
     // bucket sizes ride the same (band, bkey) partitioning the self-join
     // shuffles on — the guard adds no extra exchange, and the skipped
     // volume is observable without a separate job
@@ -380,6 +394,53 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     bucketPairs.union(fallback).union(star).union(subPairs).distinct()
+  }
+
+  /** "Today's batch" slice for the incremental pass: doc_id % 11 == 0
+    * stands in for the ingest timestamp predicate a production pipeline
+    * would use (the fixture carries no ingest date; the plan shape is
+    * identical). The corpus filter is written `% 11 > 0` (not `<> 0`) so
+    * the two sides carry DISTINCT predicate strings the plan gate can
+    * tell apart.
+    */
+  val IncrementalDeltaMod = 11L
+
+  /** Incremental (delta-vs-corpus) dedup — the shape a production ingest
+    * actually runs: today's batch probes the EXISTING corpus band index
+    * instead of rebuilding a corpus-vs-corpus pass. The corpus side is
+    * NEVER self-joined (plan-gated in PlanSpec): the only (band, bkey)
+    * joins are delta×corpus, so the per-run cost is delta-sized — at
+    * 100 TB the corpus band table is a persisted index (bucketed by band
+    * key) and this query is the probe that runs per ingest batch.
+    *
+    * Guard (mirrored in the oracle CTEs): corpus buckets over
+    * [[LshBucketCap]] are excluded from the pairwise probe — each delta
+    * row's join work is bounded by cap — and instead STAR-LINK each delta
+    * row to the oversize bucket's min corpus doc (one candidate per band,
+    * linear), which exact-jaccard verification then confirms or rejects.
+    * Dup detection INSIDE the batch (delta-vs-delta) is deliberately out
+    * of scope: that is the existing corpus-vs-itself pass run at batch
+    * grain ([[dedupMinhash]] over the delta alone).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(signatures(spark, dir)).drop("bkey2")
+    val delta = bands.filter(col("doc_id") % IncrementalDeltaMod === 0)
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val corpus = bands.filter(col("doc_id") % IncrementalDeltaMod > 0)
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+    val small = corpus.filter(col("bsize") <= LshBucketCap)
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    val pairwise = delta.join(small, Seq("band", "bkey"))
+      .select("doc_a", "doc_b")
+    val oversizeMin = corpus.filter(col("bsize") > LshBucketCap)
+      .groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_b"))
+    val star = delta.join(oversizeMin, Seq("band", "bkey"))
+      .select("doc_a", "doc_b")
+    val cand = pairwise.union(star).distinct()
+    verifyPairs(cand, idSets(shingleIds(spark, dir)), MinhashThreshold)
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_corpus"),
+        col("jaccard"))
   }
 
   /** n-gram Jaccard near-dup with rare-shingle blocking: candidates are
@@ -538,6 +599,7 @@ object Dedup {
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_minhash" -> dedupMinhash _,
+    "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_decontaminate" -> decontaminate _,
@@ -578,18 +640,23 @@ object Dedup {
        |  (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids))) >= $threshold
        |""".stripMargin
 
+  /** DuckDB twins of [[signatures]]/[[bandRows]], shared by the full-pass
+    * and incremental oracle CTEs.
+    */
+  private val sigExprs: String = HashA.zip(HashB).zipWithIndex.map {
+    case ((a, b), i) => s"min((sid * $a + $b) % $P) AS h$i"
+  }.mkString(", ")
+
+  private val bandSelects: String = (0 until Bands).map { bnd =>
+    def key(b: Int) = (0 until Rows)
+      .map(r => s"CAST(h${b * Rows + r} AS VARCHAR)")
+      .mkString(" || ':' || ")
+    s"SELECT doc_id, $bnd AS band, ${key(bnd)} AS bkey, " +
+      s"${key((bnd + 1) % Bands)} AS bkey2 FROM sig"
+  }.mkString(" UNION ALL ")
+
   /** Shared CTE body: shingles -> signatures -> bands -> candidates. */
   private val minhashCtes: String = {
-    val sigExprs = HashA.zip(HashB).zipWithIndex.map { case ((a, b), i) =>
-      s"min((sid * $a + $b) % $P) AS h$i"
-    }.mkString(", ")
-    val bandSelects = (0 until Bands).map { bnd =>
-      def key(b: Int) = (0 until Rows)
-        .map(r => s"CAST(h${b * Rows + r} AS VARCHAR)")
-        .mkString(" || ':' || ")
-      s"SELECT doc_id, $bnd AS band, ${key(bnd)} AS bkey, " +
-        s"${key((bnd + 1) % Bands)} AS bkey2 FROM sig"
-    }.mkString(" UNION ALL ")
     val sigKeyList = (0 until Bands * Rows).map(i => s"h$i").mkString(", ")
     // gb/fsig/star/sub mirror the Spark-side guard exactly (same
     // $LshBucketCap, same min-doc links, same second band family) so both
@@ -626,6 +693,31 @@ object Dedup {
 
   private val minhashSql: String =
     s"WITH $minhashCtes\n${verifySql(MinhashThreshold)}"
+
+  /** DuckDB twin of [[dedupIncremental]]: same slice predicates (`= 0` /
+    * `> 0`), same corpus-bucket cap, same oversize star-link, same
+    * verification — candidate sets stay bit-identical across engines.
+    */
+  private val incrementalSql: String =
+    s"""WITH $shingleSql,
+       |sig AS (SELECT doc_id, $sigExprs FROM ds GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |delta AS (SELECT doc_id, band, bkey FROM bands
+       |  WHERE doc_id % $IncrementalDeltaMod = 0),
+       |corpus AS (SELECT doc_id, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) AS bsize
+       |  FROM bands WHERE doc_id % $IncrementalDeltaMod > 0),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT d.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM delta d JOIN corpus c ON d.band = c.band AND d.bkey = c.bkey
+       |  WHERE c.bsize <= $LshBucketCap
+       |  UNION ALL
+       |  SELECT d.doc_id, o.doc_b
+       |  FROM delta d JOIN (SELECT band, bkey, min(doc_id) AS doc_b
+       |    FROM corpus WHERE bsize > $LshBucketCap GROUP BY band, bkey) o
+       |    ON d.band = o.band AND d.bkey = o.bkey)),
+       |ver AS (${verifySql(MinhashThreshold)})
+       |SELECT doc_a AS doc_new, doc_b AS doc_corpus, jaccard FROM ver""".stripMargin
 
   /** Connected components as a recursive transitive closure (fixture dup
     * clusters are tiny, so the closure is small); root = min reachable id.
@@ -690,6 +782,7 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_incremental" -> incrementalSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_simhash" -> simhashSql,

@@ -141,6 +141,28 @@ class PlanSpec extends SparkSpec {
       s"no corpus-sized shuffle join in decontamination:\n$p")
   }
 
+  test("incremental dedup probes the corpus with the delta only") {
+    // every band-key join must be delta×corpus — a corpus self-join would
+    // rebuild the full corpus-vs-corpus pass the incremental shape exists
+    // to avoid. Checked structurally on the physical plan: each (band,
+    // bkey)-keyed join has exactly one side carrying the delta slice
+    // predicate (`% 11 = 0`) and one carrying the corpus slice (`% 11 > 0`)
+    val df = Dedup.dedupIncremental(spark, sf)
+    val bandJoins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.toString.contains("bkey")) => j
+    }
+    assert(bandJoins.size === 2,
+      s"expected the pairwise + star band-key joins, got ${bandJoins.size}")
+    bandJoins.foreach { j =>
+      val sides = Seq(j.left.toString, j.right.toString)
+      assert(sides.count(_.contains("% 11) = 0")) === 1,
+        s"band join must have exactly one delta side:\n${j.treeString}")
+      assert(sides.count(_.contains("% 11) > 0")) === 1,
+        s"band join must have exactly one corpus side:\n${j.treeString}")
+    }
+  }
+
   test("IVF probes push the query filter to the scan; candidates hash-join") {
     val p = plan(Similarity.annIvf(spark, sf))
     // vec_id < NQueryVecs sits on the window partition key, so Catalyst

@@ -258,6 +258,48 @@ class TextDedupSpec extends SparkSpec {
       s"sub-bucket split pairs missing: ${expected -- cand}")
   }
 
+  test("incremental dedup links new docs to corpus only, star-capped") {
+    // corpus: a 150-doc identical block (oversize at cap 64) plus one
+    // near-dup partner; delta: one doc identical to the block (must get
+    // ONE star edge to the block min, not 150 pairwise edges) and one
+    // near-dup of the partner (small-bucket pairwise path). Corpus-corpus
+    // and delta-delta near-dups must never surface.
+    val tmp = java.nio.file.Files.createTempDirectory("inc-dedup").toString
+    import spark.implicits._
+    val mod = Dedup.IncrementalDeltaMod
+    val blockText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val blockIds = (5000L to 5200L).filter(_ % mod != 0).take(150)
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val corpusDocs = blockIds.map(i => (i, blockText, "en", "web", 40L)) ++
+      Seq((7001L, base + " seventeen", "en", "web", 40L),
+        // corpus-corpus near-dup pair: must NOT appear in the output
+        (7002L, "red orange yellow green blue indigo violet pink", "en", "web", 40L),
+        (7003L, "red orange yellow green blue indigo violet black", "en", "web", 40L))
+    val deltaDocs = Seq(
+      (1100L, blockText, "en", "web", 40L),
+      (2200L, base + " eighteen", "en", "web", 40L),
+      // delta-delta near-dup pair: must NOT appear either
+      (3300L, "cats dogs birds fish mice goats sheep cows", "en", "web", 40L),
+      (4400L, "cats dogs birds fish mice goats sheep bulls", "en", "web", 40L))
+    (corpusDocs ++ deltaDocs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupIncremental(spark, tmp).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % mod === 0, s"doc_new ${r.getLong(0)} not in delta")
+      assert(r.getLong(1) % mod > 0, s"doc_corpus ${r.getLong(1)} not in corpus")
+    }
+    val blockHits = out.filter(_.getLong(0) == 1100L)
+    assert(blockHits.length === 1,
+      "oversize block must star-link the delta doc once, not pairwise")
+    assert(blockHits(0).getLong(1) === blockIds.min)
+    assert(blockHits(0).getAs[Double]("jaccard") === 1.0)
+    val cross = out.filter(r => r.getLong(0) == 2200L && r.getLong(1) == 7001L)
+    assert(cross.length === 1, "cross-boundary near-dup pair missing")
+    assert(cross(0).getAs[Double]("jaccard") >= 0.8)
+  }
+
   test("a verbatim copy of a benchmark doc is fully contaminated") {
     // every 3+-token text duplicated across the benchmark boundary must
     // surface with contamination 1.0 (all its shingles are benchmark
