@@ -5,20 +5,35 @@ object Bench {
   // optimizer cannot prove dead, so the fixed-work loop is never elided
   @volatile private var calibSink: Long = 0L
 
-  /** Fixed-work CPU probe: `threads` threads each run 2e8 LCG steps; the
-    * returned wall-clock seconds measure THIS MACHINE AT THIS MOMENT at the
-    * same parallelism as the query sweep. The work is deterministic and
-    * machine-independent, so two bench artifacts are comparable after
-    * normalizing by their calib values (rule documented in BASELINE.md) —
-    * ambient host contention inflates the probe and the queries together.
+  /** Queries between calibration probes. Endpoint-only probes provably
+    * miss transient mid-sweep contention (round-8 artifact: endpoint
+    * probes within 3% of a quiet machine's while totals differed 35%), so
+    * a probe runs before every [[CalibEvery]]-query block and once after
+    * the sweep, and the whole series is emitted.
+    */
+  val CalibEvery = 8
+
+  /** LCG steps per probe thread: ~0.15 s on a quiet 32-thread host —
+    * ~10 probes cost ~1.5 s against a ~50 s sweep, cheap enough to
+    * interleave while still long enough to average over scheduler noise.
+    */
+  val CalibSteps = 100000000L
+
+  /** Fixed-work CPU probe: `threads` threads each run [[CalibSteps]] LCG
+    * steps; the returned wall-clock seconds measure THIS MACHINE AT THIS
+    * MOMENT at the same parallelism as the query sweep. The work is
+    * deterministic and machine-independent, so two bench artifacts are
+    * comparable after normalizing per-query times by the nearest probe
+    * (rule in BASELINE.md "Bench calibration") — ambient host contention
+    * inflates the probe and the queries together.
     */
   private def calibrate(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { _ =>
       val t = new Thread(() => {
         var acc = 1L
-        var i = 0
-        while (i < 200000000) {
+        var i = 0L
+        while (i < CalibSteps) {
           acc = acc * 6364136223846793005L + 1442695040888963407L
           i += 1
         }
@@ -33,9 +48,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // '*' is valid for local[*]; the probe then matches its parallelism
+    val nThreads = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", nThreads)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,31 +64,37 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
-    // fixed-work probe before AND after the sweep: contention that ramps
-    // up mid-sweep shows as pre/post divergence
-    val calibPre = calibrate(cpus.toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      // -1 marks a failed query explicitly — recording its time-to-throw
-      // would make breakage look like speed
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val calibPost = calibrate(cpus.toInt)
+    // sorted query order keeps probe→query alignment stable across rounds:
+    // query i (0-based) normalizes by probe floor(i / CalibEvery)
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((name, fn), i) =>
+        if (i % CalibEvery == 0) probes += calibrate(nThreads)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        // -1 marks a failed query explicitly — recording its time-to-throw
+        // would make breakage look like speed
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    probes += calibrate(nThreads)
     // 3-decimal values keep the whole line under ~1900 chars: the harness
     // that collects this output retains only a bounded tail of stdout, and
-    // a full-precision 69-query line overflows it, truncating the JSON head
+    // a full-precision line overflows it, truncating the JSON head. At 72
+    // queries + a ~10-element calib series the line is ~1850 chars —
+    // headroom for ~2 more queries; shorten names before adding beyond that
     def f(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // stop (and silence) Spark BEFORE printing so shutdown warnings cannot
     // land after the JSON line and push it out of a bounded output tail
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    val calib = s""""calib_sec":${f((calibPre + calibPost) / 2)},""" +
-      s""""calib_pre":${f(calibPre)},"calib_post":${f(calibPost)}"""
+    val sortedProbes = probes.sorted
+    val median = sortedProbes(sortedProbes.size / 2)
+    val calib = s""""calib_sec":${f(median)},""" +
+      s""""calib_series":${probes.map(f).mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
   }
 }
