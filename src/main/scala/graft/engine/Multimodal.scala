@@ -102,25 +102,169 @@ object Multimodal {
         substring(col("payload").cast("string"),
           col("frame_off") + 1, lit(4)).as("frame_magic"))
 
-  /** Aggregate view over the decoded features (drives the decode path from
-    * a DataFrame query so Verify/Bench exercise it; rows-only check — the
-    * stub decoder has no SQL equivalent worth mirroring).
+  /** Planted P6 (binary PPM) images: (doc_id, width, height). Raster byte
+    * `i` is `(i*7 + 13) % 251` — pure arithmetic, so the DuckDB oracle
+    * derives the exact channel means from the same formula and the REAL
+    * decoder below is hash-gated end to end (the `q_utf8_fingerprint`
+    * planted-row pattern). Ids sit far above the fixture corpus range.
     */
-  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, dir).toDF()
-      .groupBy("media_type")
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(sum(element_at(col("features"), 1)), 6).as("sum_f0"),
-        max(col("width")).as("max_width"),
-        max(col("height")).as("max_height"))
+  private[graft] val PpmPlanted: Seq[(Long, Int, Int)] =
+    Seq((920001L, 4, 3), (920002L, 8, 5), (920003L, 16, 16))
+
+  /** Build a planted P6 payload: standard header + arithmetic raster. */
+  private[graft] def ppmPayload(w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    header ++ Array.tabulate(w * h * 3)(i => ((i * 7 + 13) % 251).toByte)
+  }
+
+  /** Decoded P6 image: dimensions + per-channel byte sums (sums, not
+    * means, so the one double division happens in exactly one place on
+    * each engine).
+    */
+  case class PpmImage(width: Int, height: Int,
+    sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL P6 decoder (not a stub): parses the PPM header — magic,
+    * whitespace/`#`-comment tokens, width, height, maxval ≤ 255, the
+    * single whitespace byte before the raster — and folds the RGB raster
+    * into per-channel sums. Throws on malformed/truncated input; callers
+    * quarantine those rows rather than NPE a cluster job.
+    */
+  private[graft] def decodePpm(bytes: Array[Byte]): PpmImage = {
+    var pos = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def token(): String = {
+      while (pos < bytes.length &&
+          (isWs(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      new String(bytes, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(token() == "P6", "not a binary PPM (P6) payload")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval")
+    pos += 1 // the single whitespace byte that terminates the header
+    require(bytes.length - pos >= w * h * 3, "truncated raster")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0
+    while (p < w * h) {
+      sr += bytes(pos + 3 * p) & 0xff
+      sg += bytes(pos + 3 * p + 1) & 0xff
+      sb += bytes(pos + 3 * p + 2) & 0xff
+      p += 1
+    }
+    PpmImage(w, h, sr, sg, sb)
+  }
+
+  /** One decoded media row for the driver query: real dims + channel
+    * means for PPM payloads, stub dims + null means otherwise.
+    */
+  case class MediaDecoded(doc_id: Long, media_type: String, n_bytes: Int,
+    width: Int, height: Int, mean_r: Option[Double], mean_g: Option[Double],
+    mean_b: Option[Double])
+
+  /** Magic-dispatched decode kernel: P6 payloads go through the REAL
+    * [[decodePpm]]; everything else through the stub (no codecs in this
+    * container for JPEG/audio/video).
+    */
+  private def decodeAny(id: Long, mt: String,
+      bytes: Array[Byte]): MediaDecoded =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+      val img = decodePpm(bytes)
+      val n = img.width.toLong * img.height
+      MediaDecoded(id, mt, bytes.length, img.width, img.height,
+        Some(img.sumR.toDouble / n), Some(img.sumG.toDouble / n),
+        Some(img.sumB.toDouble / n))
+    } else {
+      val f = stubDecode(id, mt, bytes)
+      MediaDecoded(id, mt, f.n_bytes, f.width, f.height, None, None, None)
+    }
+
+  /** The media table plus the planted PPM rows (the decode query's
+    * source; [[mediaTable]] alone stays the metadata query's source so
+    * its oracle is untouched).
+    */
+  private def mediaTableFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = PpmPlanted
+      .map { case (id, w, h) => (id, "image", ppmPayload(w, h)) }
+      .toDF("doc_id", "media_type", "payload")
+    mediaTable(spark, dir).unionByName(planted)
+  }
+
+  /** Per-doc decode over the full media table — the whole corpus flows
+    * through the partition-wise decode stage (real P6 parse for planted
+    * rows, stub for the synthetic corpus payloads), and every output cell
+    * is hash-checked against the DuckDB oracle deriving the same values
+    * arithmetically.
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTableFull(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .filter(col("payload").isNotNull)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec handles, buffers)
+        it.map { case (id, mt, bytes) => decodeAny(id, mt, bytes) }
+      }
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+  }
 
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> multimodalMeta _,
     "q_multimodal_decode" -> multimodalDecode _)
 
+  /** DuckDB twin of [[multimodalDecode]]: stub dims from the payload
+    * length (payload = 4-byte magic + ASCII text, so n_bytes =
+    * 4 + strlen), PPM dims/means from the planted header literals and the
+    * arithmetic raster formula. Channel sums are exact integers on both
+    * engines; the single double division then rounds identically.
+    */
+  private val decodeSql: String = {
+    val ppmValues = PpmPlanted.map { case (id, w, h) => s"($id, $w, $h)" }
+      .mkString(", ")
+    def mean(c: Int) =
+      s"round(list_sum(list_transform(range(0, w*h), " +
+        s"p -> ((3*p + $c)*7 + 13) % 251)) / (w*h), 6)"
+    s"""WITH stub AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    CAST(4 + strlen(text) AS INTEGER) AS n_bytes
+       |  FROM documents),
+       |ppm AS (SELECT * FROM (VALUES $ppmValues) v(doc_id, w, h))
+       |SELECT doc_id, media_type, n_bytes,
+       |  CAST(16 + n_bytes % 64 AS INTEGER) AS width,
+       |  CAST(16 + (n_bytes // 64) % 64 AS INTEGER) AS height,
+       |  CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+       |  CAST(NULL AS DOUBLE) AS mean_b
+       |FROM stub
+       |UNION ALL
+       |SELECT doc_id, 'image' AS media_type,
+       |  CAST(9 + strlen(CAST(w AS VARCHAR)) + strlen(CAST(h AS VARCHAR))
+       |    + w*h*3 AS INTEGER) AS n_bytes,
+       |  w AS width, h AS height,
+       |  ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+       |FROM ppm""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
-      """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(4 + strlen(text) AS INTEGER) AS n_bytes, 'IMG0' AS magic, sha256('IMG0' || text) AS sha256 FROM documents""")
+      """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(4 + strlen(text) AS INTEGER) AS n_bytes, 'IMG0' AS magic, sha256('IMG0' || text) AS sha256 FROM documents""",
+    "q_multimodal_decode" -> decodeSql)
 }

@@ -47,6 +47,52 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(counted.filter(col("count") =!= col("expected")).count() === 0)
   }
 
+  test("PPM decoder: dims and channel means match a brute-force model") {
+    val (w, h) = (8, 5)
+    val img = Multimodal.decodePpm(Multimodal.ppmPayload(w, h))
+    assert(img.width === w && img.height === h)
+    // independent model of the arithmetic raster
+    val raster = Array.tabulate(w * h * 3)(i => (i * 7 + 13) % 251)
+    assert(img.sumR === raster.indices.filter(_ % 3 == 0).map(raster).sum)
+    assert(img.sumG === raster.indices.filter(_ % 3 == 1).map(raster).sum)
+    assert(img.sumB === raster.indices.filter(_ % 3 == 2).map(raster).sum)
+  }
+
+  test("PPM decoder: header comments parse; malformed payloads throw") {
+    val base = Multimodal.ppmPayload(4, 3)
+    val raster = base.drop("P6\n4 3\n255\n".length)
+    val commented = ("P6\n# a comment line\n4 3\n255\n"
+      .getBytes("US-ASCII") ++ raster)
+    val img = Multimodal.decodePpm(commented)
+    assert(img.width === 4 && img.height === 3)
+    assert(img.sumR === Multimodal.decodePpm(base).sumR)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n4 3\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(base.dropRight(1)) // truncated raster
+    }
+  }
+
+  test("decode query: planted PPMs decode through the real parser") {
+    val out = Multimodal.multimodalDecode(spark, sf)
+      .filter(col("doc_id") >= 920000L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Multimodal.PpmPlanted.map(_._1).toSet)
+    Multimodal.PpmPlanted.foreach { case (id, w, h) =>
+      val r = out(id)
+      assert(r.getInt(3) === w && r.getInt(4) === h)
+      val img = Multimodal.decodePpm(Multimodal.ppmPayload(w, h))
+      val exp = BigDecimal(img.sumR.toDouble / (w * h))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === exp, s"mean_r of doc $id")
+    }
+    // corpus rows keep stub dims and null means
+    val stub = Multimodal.multimodalDecode(spark, sf)
+      .filter(col("doc_id") < 920000L)
+    assert(stub.filter(col("mean_r").isNotNull).count() === 0)
+  }
+
   test("streaming windowed counts match the batch event-window query") {
     val q = EventStream.runToMemory(spark, sf, "stream_out")
     try {
