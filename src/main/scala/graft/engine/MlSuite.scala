@@ -1,13 +1,16 @@
 package graft.engine
 
+import scala.util.{Failure, Success, Try}
+
 import org.apache.spark.ml.{Pipeline => MlPipeline, Transformer}
 import org.apache.spark.ml.attribute.AttributeGroup
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, LogisticRegressionModel, RandomForestClassificationModel, RandomForestClassifier}
-import org.apache.spark.ml.feature.{OneHotEncoder, RFormula, StringIndexer, UnivariateFeatureSelector}
+import org.apache.spark.ml.feature.{Bucketizer, OneHotEncoder, QuantileDiscretizer, RFormula, StringIndexer, UnivariateFeatureSelector, VectorAssembler, VectorSlicer}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.mllib.evaluation.{BinaryClassificationMetrics, MulticlassMetrics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** The reference's ML surface (SURVEY.md §2.9 M1–M12) re-hosted on the
   * synthetic basetable: StringIndexer×2 → OneHotEncoder → RFormula →
@@ -96,8 +99,16 @@ object MlSuite {
     } finally preds.unpersist()
   }
 
-  /** M4–M6: formula assembly, seeded split, chi2-percentile selection —
-    * returns the selected (train, test) feature frames, both CACHED.
+  /** Prepared ML frames plus the feature-selection provenance: which
+    * statistic actually ran (`"chi2"` or the `"anova_f"` fallback) and the
+    * selected/total slot counts — asserted by MlSpec.
+    */
+  final case class PreparedMl(train: DataFrame, test: DataFrame,
+    statistic: String, nSelected: Int, nTotal: Int)
+
+  /** M4–M6: formula assembly, seeded split, chi-square percentile
+    * selection — returns the selected (train, test) feature frames, both
+    * CACHED, plus selection provenance.
     *
     * Memoized per (session, dir): `ml_train_eval` and `ml_describe` share
     * the same star-join → encode → formula → select chain, and every
@@ -106,7 +117,7 @@ object MlSuite {
     * (|customers| rows × selected-feature vectors), so keeping them cached
     * for the session costs ~nothing; [[SessionMemo]] evicts on session end.
     */
-  def prepare(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def prepared(spark: SparkSession, dir: String): PreparedMl =
     SessionMemo.getOrCompute(spark, s"ml.prepare:$dir") {
       // the two StringIndexer fits, the OHE fit, the RFormula fit, and the
       // formula transform each traverse the labeled basetable — cache the
@@ -125,37 +136,105 @@ object MlSuite {
       val mlParts = math.max(1,
         math.ceil(labeled.count() / 65536.0).toInt)
       val encoded = encodeCategoricals(labeled)
-      val rf = new RFormula().setFormula("label ~ . - c_custkey")
+      // The reference selects with ChiSqSelector(percentile=0.9)
+      // (`Databricks Notebook.py:775`) over an (almost) all-dummy matrix.
+      // Our matrix mixes one-hot dummies with continuous counts/amounts,
+      // and Spark's chi2 hard-fails past 10k distinct feature values (hit
+      // at sf0.1) — so restore the reference's statistic by decile-
+      // bucketing every continuous column (QuantileDiscretizer) into a
+      // PARALLEL all-categorical vector with the SAME slot layout, running
+      // chi2 over that, and slicing the ORIGINAL vector by the selected
+      // slots: selection is the reference's chi-square, training still
+      // sees real values, and per-feature cardinality is bounded at 11
+      // regardless of scale.
+      val assembledCols = encoded.columns
+        .filterNot(c => c == "label" || c == "c_custkey")
+      val contCols = assembledCols.filter(c =>
+        encoded.schema(c).dataType.isInstanceOf[NumericType])
+      val decOf = contCols.map(c => c -> s"${c}__dec").toMap
+      val qd = new QuantileDiscretizer()
+        .setInputCols(contCols).setOutputCols(contCols.map(decOf))
+        .setNumBuckets(10).setHandleInvalid("keep")
+        .fit(encoded)
+      // Zero-inflated columns (n_events is 0 for most customers) break
+      // plain decile splits: when one value v carries most of the mass,
+      // every interior split equals v, left-closed buckets put ALL rows in
+      // one category, chi2's degrees of freedom hit zero (p = 1.0), and
+      // the most predictive features get dropped. Refine the fitted splits
+      // so each quantile point v becomes its own singleton bucket
+      // [v, nextUp(v)): any repeated-mass value gets a category of its own
+      // wherever it sits (min, max, middle) and cardinality stays
+      // ≤ 2·buckets+1.
+      val refined = qd.getSplitsArray.map { sp =>
+        Array(Double.NegativeInfinity) ++
+          sp.filterNot(_.isInfinite)
+            .flatMap(s => Array(s, Math.nextUp(s))).distinct.sorted ++
+          Array(Double.PositiveInfinity)
+      }
+      val disc = new Bucketizer()
+        .setInputCols(contCols).setOutputCols(contCols.map(decOf))
+        .setSplitsArray(refined).setHandleInvalid("keep")
+        .transform(encoded)
+      // RFormula "." resolves to dataset column order; the assembler below
+      // walks the same order with each continuous column swapped for its
+      // decile twin, so slot i means the same feature in both vectors.
+      val rf = new RFormula()
+        .setFormula(("label ~ . - c_custkey" +:
+          contCols.map(c => s"- ${decOf(c)}")).mkString(" "))
         .setFeaturesCol("features").setLabelCol("label")
+      val discAsm = new VectorAssembler()
+        .setInputCols(assembledCols.map(c => decOf.getOrElse(c, c)))
+        .setOutputCol("features_disc")
       // repartition, not coalesce: coalesce(n) pulls the WHOLE upstream
       // encode+assemble chain into n tasks (serializing it at small n);
-      // the narrow shuffle here is rows × a feature vector — cheap — and
-      // the transform keeps the cached frame's full parallelism
-      val formed = rf.fit(encoded).transform(encoded)
-        .select("c_custkey", "features", "label")
+      // the narrow shuffle here is rows × two feature vectors — cheap —
+      // and the transform keeps the cached frame's full parallelism
+      val formed = discAsm.transform(rf.fit(disc).transform(disc))
+        .select("c_custkey", "features", "features_disc", "label")
         .repartition(mlParts).cache()
       val Array(train, test) =
         formed.randomSplit(Array(0.7, 0.3), seed = Seed)
-      // ChiSqSelector's Spark-4 successor. The reference ran chi2 over an
-      // (almost) all-dummy matrix; our matrix mixes one-hot dummies with
-      // continuous counts/amounts, and chi2 hard-fails past 10k distinct
-      // feature values (hit at sf0.1) — featureType "continuous" selects the
-      // ANOVA F-test, which is the correct statistic for this matrix and
-      // scale-safe (0/1 dummies are valid continuous inputs to it).
-      val selector = new UnivariateFeatureSelector()
-        .setFeatureType("continuous").setLabelType("categorical")
+      val chi2 = new UnivariateFeatureSelector()
+        .setFeatureType("categorical").setLabelType("categorical")
         .setSelectionMode("percentile").setSelectionThreshold(0.9)
-        .setFeaturesCol("features").setOutputCol("selectedFeatures")
+        .setFeaturesCol("features_disc").setOutputCol("sel_disc")
         .setLabelCol("label")
-      val selModel = selector.fit(train)
-      def sel(df: DataFrame): DataFrame = selModel.transform(df)
-        .drop("features").withColumnRenamed("selectedFeatures", "features")
+      // ANOVA F-test fallback — the pre-round-9 documented substitution —
+      // in case chi2 ever rejects a bucketed matrix it shouldn't.
+      val (statistic, selIdx) = Try(chi2.fit(train).selectedFeatures) match {
+        case Success(idx) => ("chi2", idx)
+        case Failure(_) =>
+          val anova = new UnivariateFeatureSelector()
+            .setFeatureType("continuous").setLabelType("categorical")
+            .setSelectionMode("percentile").setSelectionThreshold(0.9)
+            .setFeaturesCol("features").setOutputCol("sel_cont")
+            .setLabelCol("label")
+          ("anova_f", anova.fit(train).selectedFeatures)
+      }
+      val nTotal = {
+        val n = AttributeGroup.fromStructField(formed.schema("features")).size
+        if (n >= 0) n
+        else formed.select("features").head.getAs[Vector](0).size
+      }
+      // VectorSlicer keeps the sliced slots' attribute metadata, so
+      // describeModel still resolves real feature names.
+      val slicer = new VectorSlicer().setInputCol("features")
+        .setOutputCol("selectedFeatures").setIndices(selIdx.sorted)
+      def sel(df: DataFrame): DataFrame = slicer.transform(df)
+        .drop("features", "features_disc")
+        .withColumnRenamed("selectedFeatures", "features")
         .cache()
       val (trainS, testS) = (sel(train), sel(test))
       trainS.count(); testS.count()
       formed.unpersist(); labeled.unpersist()
-      (trainS, testS)
+      PreparedMl(trainS, testS, statistic, selIdx.length, nTotal)
     }
+
+  /** M4–M6 frames only (the common call shape). */
+  def prepare(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = prepared(spark, dir)
+    (p.train, p.test)
+  }
 
   private def estimator(name: String) = name match {
     case "lr" => new LogisticRegression().setMaxIter(10).setRegParam(0.01)

@@ -27,6 +27,23 @@ class MlSpec extends SparkSpec {
     metrics.foreach { case ((_, _, _), v) => assert(v >= 0.0 && v <= 1.0) }
   }
 
+  test("feature selection runs the reference's chi-square at ~90%") {
+    val p = MlSuite.prepared(spark, sf)
+    assert(p.statistic === "chi2",
+      s"selection fell back to ${p.statistic}")
+    assert(p.nSelected < p.nTotal, "percentile selection dropped nothing")
+    val ratio = p.nSelected.toDouble / p.nTotal
+    assert(ratio >= 0.85 && ratio <= 0.95,
+      s"selected ${p.nSelected}/${p.nTotal} = $ratio, expected ≈0.9")
+  }
+
+  test("models land in the reference's quality order: RF ≥ LR on test AUC") {
+    // Final Report.pdf p.4: the tree ensembles beat the linear model on
+    // the held-out split. Assert the ordering the reference publishes.
+    assert(metrics(("rf", "test", "auc")) >= metrics(("lr", "test", "auc")),
+      s"rf=${metrics(("rf", "test", "auc"))} lr=${metrics(("lr", "test", "auc"))}")
+  }
+
   test("labeled basetable keeps one row per customer with binary label") {
     val bt = MlSuite.basetableLabeled(spark, sf)
     assert(bt.select("c_custkey").distinct().count() === bt.count())
@@ -36,13 +53,16 @@ class MlSpec extends SparkSpec {
     assert(labels.contains(1.0), "no positive labels in fixture")
   }
 
-  test("fixed seed makes the LR run reproducible") {
-    val a = MlSuite.trainEval(spark, sf, Seq("lr")).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
-      .sortBy(t => (t._1, t._2, t._3))
-    val b = MlSuite.trainEval(spark, sf, Seq("lr")).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
-      .sortBy(t => (t._1, t._2, t._3))
+  test("seed 7 reproduces the FULL metrics table across fresh sessions") {
+    // spark.newSession() gets a fresh SessionMemo identity, so the second
+    // run re-prepares, re-selects, and re-fits all three models from
+    // scratch — same-session memoization cannot fake this equality.
+    def table(s: org.apache.spark.sql.SparkSession) =
+      MlSuite.trainEval(s, sf, Seq("lr", "rf", "gbt")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+    val a = table(spark)
+    val b = table(spark.newSession())
     assert(a.sameElements(b))
   }
 }
