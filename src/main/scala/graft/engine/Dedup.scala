@@ -443,6 +443,69 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Bucket count for the persisted corpus band index. Sized for the
+    * fixture; a 100 TB corpus picks thousands (one bucket ≈ one HDFS-block
+    * of band rows) — the probe plan shape below is bucket-count-invariant.
+    */
+  private[graft] val CorpusIndexBuckets = 8
+
+  /** Persisted corpus band INDEX — the artifact a production ingest keeps
+    * BETWEEN batches so each delta probe pays delta-sized work only. The
+    * oversize guard is folded into the index at BUILD time: sub-cap
+    * buckets keep their member rows, buckets over [[LshBucketCap]]
+    * collapse to ONE star row (the bucket-min doc), so the index is
+    * bounded at cap rows per (band, bkey) and the probe needs no window
+    * at read time. Written `bucketBy(band, bkey)` + `saveAsTable`: a
+    * probe join on (band, bkey) reads the index co-located — NO Exchange
+    * on the corpus side (plan-gated in PlanSpec), only the delta side
+    * shuffles, and Spark prunes unneeded buckets. Memoized per
+    * (session, dir): built once, probed every batch.
+    */
+  private def corpusBandIndex(spark: SparkSession, dir: String): String =
+    SessionMemo.getOrCompute(spark, s"dedup.corpusBandIndex:$dir") {
+      val table = s"graft_corpus_band_index_${math.abs(dir.hashCode.toLong)}"
+      val bands = bandRows(signatures(spark, dir)).drop("bkey2")
+      val corpus = bands.filter(col("doc_id") % IncrementalDeltaMod > 0)
+        .withColumn("bsize",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      val rows = corpus.filter(col("bsize") <= LshBucketCap)
+        .select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+        .union(corpus.filter(col("bsize") > LshBucketCap)
+          .groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_b")))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_index").toString
+      rows.write.bucketBy(CorpusIndexBuckets, "band", "bkey")
+        .option("path", s"$path/$table").mode("overwrite")
+        .saveAsTable(table)
+      table
+    }
+
+  /** Delta-probe candidates against the persisted index: a plain
+    * (band, bkey) equi-join — pairwise and star candidates fall out of
+    * the index's row shape with no per-probe window. Exposed for the
+    * no-corpus-side-exchange plan gate.
+    */
+  private[graft] def incrementalProbeCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    val idx = spark.table(corpusBandIndex(spark, dir))
+    val delta = bandRows(signatures(spark, dir)).drop("bkey2")
+      .filter(col("doc_id") % IncrementalDeltaMod === 0)
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    delta.join(idx, Seq("band", "bkey"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** [[dedupIncremental]] re-run through the persisted bucketed index —
+    * bit-identical output (same oracle SQL), different physical shape:
+    * the corpus side is a bucketed table scan instead of a recomputed
+    * band table, so repeat batches never pay corpus-sized work.
+    */
+  def dedupIncrementalBucketed(spark: SparkSession, dir: String): DataFrame =
+    verifyPairs(incrementalProbeCandidates(spark, dir),
+        idSets(shingleIds(spark, dir)), MinhashThreshold)
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_corpus"),
+        col("jaccard"))
+
   /** n-gram Jaccard near-dup with rare-shingle blocking: candidates are
     * pairs sharing at least one shingle with global frequency <=
     * [[RareShingleMaxFreq]] (near-identical docs always share their rare
@@ -600,6 +663,7 @@ object Dedup {
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_incremental" -> dedupIncremental _,
+    "q_dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_decontaminate" -> decontaminate _,
@@ -783,6 +847,7 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_incremental" -> incrementalSql,
+    "q_dedup_incremental_bucketed" -> incrementalSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_simhash" -> simhashSql,

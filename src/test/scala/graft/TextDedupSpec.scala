@@ -298,6 +298,12 @@ class TextDedupSpec extends SparkSpec {
     val cross = out.filter(r => r.getLong(0) == 2200L && r.getLong(1) == 7001L)
     assert(cross.length === 1, "cross-boundary near-dup pair missing")
     assert(cross(0).getAs[Double]("jaccard") >= 0.8)
+    // the persisted-index probe is bit-identical to the direct pass —
+    // same candidates, same verification, different physical shape
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))
+    assert(Dedup.dedupIncrementalBucketed(spark, tmp).collect().map(key).toSet
+      === out.map(key).toSet)
   }
 
   test("a verbatim copy of a benchmark doc is fully contaminated") {
