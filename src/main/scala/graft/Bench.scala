@@ -80,9 +80,11 @@ object Bench {
     probes += calibrate(nThreads)
     // 3-decimal values keep the whole line under ~1900 chars: the harness
     // that collects this output retains only a bounded tail of stdout, and
-    // a full-precision line overflows it, truncating the JSON head. At 72
-    // queries + a ~10-element calib series the line is ~1850 chars —
-    // headroom for ~2 more queries; shorten names before adding beyond that
+    // a full-precision line overflows it, truncating the JSON head. At 73
+    // queries + an 11-element calib series the line is ~1870 chars —
+    // headroom for ~1 more query; shorten names before adding beyond
+    // that. The series median (BASELINE.md's calib_sec) is derivable, so
+    // it is not emitted; "sf" is the fixture basename for the same reason.
     def f(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -91,10 +93,9 @@ object Bench {
     // land after the JSON line and push it out of a bounded output tail
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    val sortedProbes = probes.sorted
-    val median = sortedProbes(sortedProbes.size / 2)
-    val calib = s""""calib_sec":${f(median)},""" +
+    val calib =
       s""""calib_series":${probes.map(f).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfName"}""")
   }
 }
