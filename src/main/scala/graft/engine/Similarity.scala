@@ -149,21 +149,40 @@ object Similarity {
     when(denom =!= 0.0, dot(a, b) / denom)
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val cent = e.select(col("label").as("cell"), posexplode(col("embedding")))
+  /** Per-cell mean centroids over `rows` (any frame with `embedding` and a
+    * `cell` column). nCells rows — always broadcast-sized.
+    */
+  private def centroidsOf(rows: DataFrame): DataFrame =
+    rows.select(col("cell"), posexplode(col("embedding")))
       .groupBy("cell", "pos")
       .agg(round(avg(col("col").cast("double")), 6).as("c"))
       .groupBy("cell")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cell"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .withColumn("cos_c",
-        round(cosHof(col("centroid"), col("embedding")), 6))
-      .withColumn("crank", row_number().over(wAssign))
+
+  /** Every vector scored against every centroid with its per-vector
+    * probe rank (crank 1 = assigned cell). Map-side: centroids broadcast,
+    * the window partitions by vec_id which rides the scan's row grain.
+    * Memoized per (session, dir) — [[annIvf]], [[semanticDedup]] and the
+    * incremental probe all consume this same frame.
+    */
+  private def cellRanked(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"sim.cellRanked:$dir") {
+      val e = Tables.embeddings(spark, dir)
+      val cent = centroidsOf(e.withColumn("cell", col("label")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cell"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("cos_c",
+          round(cosHof(col("centroid"), col("embedding")), 6))
+        .withColumn("crank", row_number().over(wAssign))
+        .drop("centroid")
+        .cache()
+    }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = cellRanked(spark, dir)
     val corpus = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("cell"))
@@ -226,22 +245,57 @@ object Similarity {
     * (least, greatest) so the output is bit-identical to the plain
     * a.vec_id < b.vec_id self-join the oracle runs.
     */
-  private[graft] def nearDupPairsGrid(e: DataFrame, chunks: Int): DataFrame = {
+  private[graft] def nearDupPairsGrid(e: DataFrame, chunks: Int,
+      blockCol: String = "label"): DataFrame = {
     val withC = e.withColumn("c",
       pmod(col("vec_id"), lit(chunks)).cast("int"))
-    val aSide = withC.select(col("label"), col("vec_id").as("ida"),
+    val aSide = withC.select(col(blockCol), col("vec_id").as("ida"),
         col("embedding").as("ea"), col("c").as("gi"))
       .withColumn("gj", explode(sequence(col("gi"), lit(chunks - 1))))
-    val bSide = withC.select(col("label"), col("vec_id").as("idb"),
+    val bSide = withC.select(col(blockCol), col("vec_id").as("idb"),
         col("embedding").as("eb"), col("c").as("gj"))
       .withColumn("gi", explode(sequence(lit(0), col("gj"))))
     val cos = cosine_sim(col("ea"), col("eb"))
-    aSide.join(bSide, Seq("label", "gi", "gj"))
+    aSide.join(bSide, Seq(blockCol, "gi", "gj"))
       .filter(col("gi") =!= col("gj") || col("ida") < col("idb"))
       .withColumn("cos_sim", round(cos, 6))
       .filter(col("cos_sim") >= NearDupThreshold)
-      .select(col("label"), least(col("ida"), col("idb")).as("vec_a"),
+      .select(col(blockCol), least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"), col("cos_sim"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus by nearest centroid, then inside each cluster mark
+    * every vector that has a semantically-near neighbor (cosine ≥
+    * [[NearDupThreshold]]) with a SMALLER vec_id as a duplicate of the
+    * least such neighbor; survivors (`keep = true`) are the
+    * semantic-representative subset a curation pipeline trains on.
+    *
+    * The min-id-representative rule (rather than SemDeDup's
+    * farthest-from-centroid choice) makes the output a pure function of
+    * the data — deterministic across engines, so the whole query is
+    * oracle-checked, not rows-only.
+    *
+    * Scale shape: assignment is map-side (centroids broadcast, one window
+    * keyed by vec_id); within-cell pair scoring reuses the bounded
+    * chunk-grid self-join of [[nearDupPairsGrid]] keyed by the ASSIGNED
+    * cell, so a hot cell's quadratic work lands in bounded-memory grid
+    * tasks; the dup_of reduction and final left join are linear.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assign = cellRanked(spark, dir).filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val maxCell = assign.groupBy("cell").count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    val chunks =
+      math.max(1, math.ceil(maxCell.toDouble / NearDupChunkRows).toInt)
+    val dup = nearDupPairsGrid(assign, chunks, blockCol = "cell")
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    assign.select("vec_id", "cell")
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
   }
 
   /** Per-label centroid, dimension-exploded (posexplode -> groupBy): the
@@ -288,6 +342,7 @@ object Similarity {
     "q_sim_cosine_topk" -> simCosineTopk _,
     "q_ann_lsh" -> annLsh _,
     "q_ann_ivf" -> annIvf _,
+    "q_semantic_dedup" -> semanticDedup _,
     "q_embed_near_dup" -> embedNearDup _,
     "q_embed_centroid" -> embedCentroid _)
 
@@ -301,6 +356,25 @@ object Similarity {
        |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
        |  * sqrt(list_reduce(list_transform(range(1, len($b)+1),
        |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y))))""".stripMargin
+
+  /** Shared centroid/assignment CTE chain (DuckDB): mean centroid per
+    * label cell, every vector scored against every centroid, probe-ranked
+    * per vector — the twin of [[cellRanked]].
+    */
+  private def cellCtes: String =
+    s"""cent AS (
+       |  SELECT cell, list(c ORDER BY dim) AS centroid FROM (
+       |    SELECT label AS cell, i AS dim,
+       |      round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS c
+       |    FROM embeddings, LATERAL (SELECT
+       |      generate_subscripts(embedding, 1) AS i,
+       |      unnest(embedding) AS x)
+       |    GROUP BY label, i) GROUP BY cell),
+       |scored AS (SELECT vec_id, embedding, cell,
+       |    round(${cosSql("centroid", "embedding")}, 6) AS cos_c
+       |  FROM embeddings CROSS JOIN cent),
+       |ranked0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_c DESC, cell) AS crank FROM scored)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_sim_cosine_topk" ->
@@ -322,19 +396,7 @@ object Similarity {
     "q_embed_centroid" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim, round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS centroid, count(*) AS n FROM embeddings, LATERAL (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x) GROUP BY label, i""",
     "q_ann_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT cell, list(c ORDER BY dim) AS centroid FROM (
-         |    SELECT label AS cell, i AS dim,
-         |      round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS c
-         |    FROM embeddings, LATERAL (SELECT
-         |      generate_subscripts(embedding, 1) AS i,
-         |      unnest(embedding) AS x)
-         |    GROUP BY label, i) GROUP BY cell),
-         |scored AS (SELECT vec_id, embedding, cell,
-         |    round(${cosSql("centroid", "embedding")}, 6) AS cos_c
-         |  FROM embeddings CROSS JOIN cent),
-         |ranked0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cos_c DESC, cell) AS crank FROM scored),
+      s"""WITH $cellCtes,
          |corpus AS (SELECT vec_id AS neighbor_id, embedding AS ce, cell
          |  FROM ranked0 WHERE crank = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS qe, cell
@@ -346,5 +408,18 @@ object Similarity {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= $TopK""".stripMargin)
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q_semantic_dedup" ->
+      s"""WITH $cellCtes,
+         |assign AS (SELECT vec_id, embedding, cell
+         |  FROM ranked0 WHERE crank = 1),
+         |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6)
+         |    >= $NearDupThreshold),
+         |dup AS (SELECT vb AS vec_id, min(va) AS dup_of
+         |  FROM pairs GROUP BY vb)
+         |SELECT a.vec_id, a.cell, d.dup_of, (d.dup_of IS NULL) AS keep
+         |FROM assign a LEFT JOIN dup d USING (vec_id)""".stripMargin)
 }

@@ -133,6 +133,28 @@ class SimilaritySpec extends SparkSpec {
     } finally { ivf.unpersist(); bf.unpersist() }
   }
 
+  test("semantic dedup: one row per vector, reps precede dups, dups real") {
+    val sd = Similarity.semanticDedup(spark, sf).cache()
+    val e = Tables.embeddings(spark, sf)
+    try {
+      // total cover: exactly one verdict per corpus vector
+      assert(sd.count() === e.count())
+      // keep <=> no dup_of; every dup points at a strictly smaller id
+      assert(sd.filter(col("keep") =!= col("dup_of").isNull).count() === 0)
+      assert(sd.filter(col("dup_of") >= col("vec_id")).count() === 0)
+      // every (dup_of, vec_id) pair genuinely clears the cosine threshold
+      val emb = e.select(col("vec_id"), col("embedding"))
+      val confirmed = sd.filter(col("dup_of").isNotNull)
+        .join(emb.withColumnRenamed("vec_id", "dup_of")
+          .withColumnRenamed("embedding", "er"), Seq("dup_of"))
+        .join(emb, Seq("vec_id"))
+        .withColumn("cs",
+          round(cosine_sim(col("er"), col("embedding")), 6))
+      assert(confirmed.filter(col("cs") < Similarity.NearDupThreshold)
+        .count() === 0)
+    } finally { sd.unpersist() }
+  }
+
   test("chunk-grid near-dup emits each pair exactly once at any grid size") {
     val e = Tables.embeddings(spark, sf)
     val base = Similarity.nearDupPairsGrid(e, 1).collect()
