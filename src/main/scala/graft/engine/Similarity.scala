@@ -164,22 +164,22 @@ object Similarity {
   /** Every vector scored against every centroid with its per-vector
     * probe rank (crank 1 = assigned cell). Map-side: centroids broadcast,
     * the window partitions by vec_id which rides the scan's row grain.
-    * Memoized per (session, dir) — [[annIvf]], [[semanticDedup]] and the
-    * incremental probe all consume this same frame.
+    * Shared lineage for [[annIvf]] and [[semanticDedup]] — deliberately
+    * NOT cached: materializing a corpus-sized ranked frame is not the
+    * 100 TB plan, and caching would block probe-filter pushdown into the
+    * parquet scan (plan-gated in PlanSpec).
     */
-  private def cellRanked(spark: SparkSession, dir: String): DataFrame =
-    SessionMemo.getOrCompute(spark, s"sim.cellRanked:$dir") {
-      val e = Tables.embeddings(spark, dir)
-      val cent = centroidsOf(e.withColumn("cell", col("label")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_c").desc, col("cell"))
-      e.crossJoin(broadcast(cent))
-        .withColumn("cos_c",
-          round(cosHof(col("centroid"), col("embedding")), 6))
-        .withColumn("crank", row_number().over(wAssign))
-        .drop("centroid")
-        .cache()
-    }
+  private def cellRanked(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = centroidsOf(e.withColumn("cell", col("label")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cell"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos_c",
+        round(cosHof(col("centroid"), col("embedding")), 6))
+      .withColumn("crank", row_number().over(wAssign))
+      .drop("centroid")
+  }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val ranked = cellRanked(spark, dir)
@@ -298,6 +298,82 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Centroids fitted on the EXISTING corpus slice only (vec_id >=
+    * [[NQueryVecs]]; the complement is "today's batch"): the incremental
+    * path scores new vectors against the index's own quantizer rather
+    * than refitting over data that includes them. nCells rows, cached.
+    */
+  private def corpusCentroids(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"sim.corpusCent:$dir") {
+      centroidsOf(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= NQueryVecs)
+        .withColumn("cell", col("label"))).cache()
+    }
+
+  /** Persisted corpus cell INDEX — the artifact a production vector store
+    * keeps BETWEEN ingest batches. Corpus vectors are assigned to their
+    * nearest corpus-centroid cell (map-side: centroids broadcast) and
+    * written `partitionBy(cell)`, so a probe restricted to its nProbe
+    * cells is a PARTITION-PRUNED scan: only the probed cells' files are
+    * read, and the corpus is never rescanned or reshuffled per batch.
+    * Memoized per (session, dir): built once, probed every batch.
+    */
+  private def corpusCellIndex(spark: SparkSession, dir: String): String =
+    SessionMemo.getOrCompute(spark, s"sim.cellIndex:$dir") {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cell"))
+      val assigned = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= NQueryVecs)
+        .crossJoin(broadcast(corpusCentroids(spark, dir)))
+        .withColumn("cos_c",
+          round(cosHof(col("centroid"), col("embedding")), 6))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+          col("cell"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_cell_index").toString
+      assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Incremental (delta-vs-corpus) ANN — the per-batch shape: each new
+    * vector finds its top-k among the EXISTING corpus through the
+    * persisted [[corpusCellIndex]]. The batch assigns map-side against
+    * the broadcast corpus centroids, the probed cell set (bounded by
+    * nCells — an index dimension, not data-sized) becomes a literal
+    * partition filter on the index scan, and the candidate join
+    * broadcasts the batch — so per-batch cost is |batch| x nProbe
+    * cell-scans with NO corpus-side shuffle (plan-gated in PlanSpec).
+    */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cent = corpusCentroids(spark, dir)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cell"))
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NQueryVecs)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c",
+        round(cosHof(col("centroid"), col("embedding")), 6))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell"))
+    // driver-side cell list: nCells-bounded (10 here, thousands at 100 TB)
+    // — the price of a LITERAL partition filter the scan can prune on
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(corpusCellIndex(spark, dir))
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    idx.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos_sim", round(cosine_sim(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Per-label centroid, dimension-exploded (posexplode -> groupBy): the
     * oracle-checkable form. Summation via double accumulation; the per-cell
     * error is ~1e-14 relative, far below the round-6 granularity.
@@ -342,6 +418,7 @@ object Similarity {
     "q_sim_cosine_topk" -> simCosineTopk _,
     "q_ann_lsh" -> annLsh _,
     "q_ann_ivf" -> annIvf _,
+    "q_ann_incremental" -> annIncremental _,
     "q_semantic_dedup" -> semanticDedup _,
     "q_embed_near_dup" -> embedNearDup _,
     "q_embed_centroid" -> embedCentroid _)
@@ -361,12 +438,17 @@ object Similarity {
     * label cell, every vector scored against every centroid, probe-ranked
     * per vector — the twin of [[cellRanked]].
     */
-  private def cellCtes: String =
+  private def cellCtes: String = cellCtesFrom("embeddings")
+
+  /** Same chain with the centroid-fit source parameterized (the
+    * incremental oracle fits centroids on the corpus slice only).
+    */
+  private def cellCtesFrom(centSrc: String): String =
     s"""cent AS (
        |  SELECT cell, list(c ORDER BY dim) AS centroid FROM (
        |    SELECT label AS cell, i AS dim,
        |      round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS c
-       |    FROM embeddings, LATERAL (SELECT
+       |    FROM $centSrc, LATERAL (SELECT
        |      generate_subscripts(embedding, 1) AS i,
        |      unnest(embedding) AS x)
        |    GROUP BY label, i) GROUP BY cell),
@@ -405,6 +487,20 @@ object Similarity {
          |    round(${cosSql("qe", "ce")}, 6) AS cos_sim
          |  FROM corpus JOIN probes USING (cell)
          |  WHERE neighbor_id <> query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q_ann_incremental" ->
+      s"""WITH ${cellCtesFrom(
+            s"(SELECT * FROM embeddings WHERE vec_id >= $NQueryVecs) corp")},
+         |corpus AS (SELECT vec_id AS neighbor_id, embedding AS ce, cell
+         |  FROM ranked0 WHERE crank = 1 AND vec_id >= $NQueryVecs),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qe, cell
+         |  FROM ranked0 WHERE vec_id < $NQueryVecs AND crank <= $NProbe),
+         |cand AS (SELECT query_id, neighbor_id,
+         |    round(${cosSql("qe", "ce")}, 6) AS cos_sim
+         |  FROM corpus JOIN probes USING (cell)),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank

@@ -125,6 +125,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental ANN probes a partition-pruned cell index, corpus shuffle-free") {
+    // the per-batch contract: the probe reads ONLY the probed cells'
+    // partitions of the persisted index (literal partition filter), and
+    // the index side of the candidate join never shuffles — the batch is
+    // the broadcast side. AQE off so the physical tree is concrete.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Similarity.annIncremental(spark, sf)
+      val p = df.queryExecution.executedPlan
+      def isIdxScan(s: SparkPlan): Boolean = s match {
+        case f: FileSourceScanExec => f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_cell_index"))
+        case _ => false
+      }
+      val scans = p.collect { case f: FileSourceScanExec if isIdxScan(f) => f }
+      assert(scans.nonEmpty, s"no cell-index scan in plan:\n$p")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"cell filter did not reach the index scan as a partition filter:\n$p")
+      val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+        .filter(_.collectFirst { case s if isIdxScan(s) => s }.isDefined)
+      assert(bhj.nonEmpty, s"index probe is not a broadcast join:\n$p")
+      // only the INDEX side must be shuffle-free; the batch side windows
+      // (delta-sized) before it broadcasts
+      val idxSide = bhj.head.children
+        .find(_.collectFirst { case s if isIdxScan(s) => s }.isDefined)
+      assert(idxSide.isDefined)
+      assert(idxSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus index side shuffles:\n${idxSide.get}")
+      // behavior: batch queries only, corpus neighbors only, k-bounded
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getLong(0) < Similarity.NQueryVecs))
+      assert(rows.forall(_.getLong(1) >= Similarity.NQueryVecs))
+      assert(rows.groupBy(_.getLong(0)).values
+        .forall(_.length <= Similarity.TopK))
+    } finally { spark.conf.set("spark.sql.adaptive.enabled", prevA) }
+  }
+
   test("dedup plans never narrow to a single partition") {
     // the portable-hash token ids are pure map-side: no global-window
     // dictionary, so nothing in any dedup plan may gather all rows into
@@ -221,9 +263,11 @@ class PlanSpec extends SparkSpec {
     // everywhere). ml_* queries return driver-assembled local metric
     // tables (no join plans) and pay model fitting to construct — skipped.
     // q_salient_terms carries a 1-row broadcast corpus-size factor, the
-    // same collect-scalar-kept-in-plan shape as q_agg_multi
+    // same collect-scalar-kept-in-plan shape as q_agg_multi.
+    // q_semantic_dedup and q_ann_incremental score vectors against the
+    // same nCells-row broadcast centroid table as q_ann_ivf
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
-      "q_salient_terms")
+      "q_salient_terms", "q_semantic_dedup", "q_ann_incremental")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
