@@ -81,9 +81,37 @@ object StreamingQueries {
         col("n_events"))
   }
 
+  /** Streaming exact dedup: `dropDuplicates` on the key columns over the
+    * replay, append mode — each key's FIRST arrival is emitted once, so
+    * after `processAllAvailable` the sink holds exactly the batch
+    * DISTINCT set regardless of how the source split the microbatches.
+    * That makes it fully oracle-checkable (unlike watermark-dependent
+    * outputs).
+    *
+    * Scale shape: state is one entry per distinct key (keyed state store,
+    * same shuffle key as the batch distinct's exchange). An unbounded
+    * production stream bounds that state with
+    * `dropDuplicatesWithinWatermark` — at the cost of the exact-once-ever
+    * guarantee this query proves; the fixture replay is finite, so the
+    * exact variant is the right contract here.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+    val s2 = sizedStreamSession(spark, dir)
+    val q = EventStream.readEvents(s2, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s2.table(table)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_event_window" -> streamEventWindow _,
-    "q_stream_sessions" -> streamSessions _)
+    "q_stream_sessions" -> streamSessions _,
+    "q_stream_dedup" -> streamDedup _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
     * the same finite fixture, and complete mode converges to the batch
@@ -91,5 +119,7 @@ object StreamingQueries {
     */
   val oracles: Map[String, String] = Map(
     "q_stream_event_window" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""")
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""")
 }

@@ -113,4 +113,15 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).count() === 0)
   }
+
+  test("streaming dedup emits exactly the batch distinct set, once each") {
+    val got = graft.streaming.StreamingQueries.streamDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // no key emitted twice across the whole replay
+    assert(got.length === got.toSet.size)
+    val want = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet === want)
+  }
 }
