@@ -78,15 +78,19 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     probes += calibrate(nThreads)
-    // 3-decimal values keep the whole line under ~1900 chars: the harness
-    // that collects this output retains only a bounded tail of stdout, and
-    // a full-precision line overflows it, truncating the JSON head. At 73
-    // queries + an 11-element calib series the line is ~1870 chars —
-    // headroom for ~1 more query; shorten names before adding beyond
-    // that. The series median (BASELINE.md's calib_sec) is derivable, so
-    // it is not emitted; "sf" is the fixture basename for the same reason.
+    // The whole line must stay under ~1900 chars: the harness that
+    // collects this output retains only a bounded tail of stdout, and an
+    // overflowing line truncates the JSON head. Per-query times are
+    // 2-decimal (10 ms granularity — well under run-to-run noise); the
+    // calib series keeps 3 decimals (its probes are ~0.15 s, so the
+    // normalization needs ms precision). At 76 queries + a 11-element
+    // series the line is ~1810 chars — headroom for ~3 more queries;
+    // shorten names before adding beyond that. The series median
+    // (BASELINE.md's calib_sec) is derivable, so it is not emitted; "sf"
+    // is the fixture basename for the same reason.
     def f(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    def f2(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // stop (and silence) Spark BEFORE printing so shutdown warnings cannot

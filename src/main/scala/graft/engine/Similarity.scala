@@ -133,22 +133,6 @@ object Similarity {
     */
   val NProbe = 4
 
-  /** Engine-portable cosine over any numeric arrays: index-ordered
-    * left-fold in double, bit-identical to [[cosSql]]'s list_reduce twin
-    * (and to the native float kernel when both inputs are floats). Used
-    * where one side is a DOUBLE centroid — [[CosineSimilarity]] reads
-    * float slots only.
-    */
-  private def cosHof(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    // zero vectors yield NULL, the native kernel's contract (and ANSI
-    // mode would otherwise abort the job on the division)
-    when(denom =!= 0.0, dot(a, b) / denom)
-  }
-
   /** Per-cell mean centroids over `rows` (any frame with `embedding` and a
     * `cell` column). nCells rows — always broadcast-sized.
     */
@@ -176,7 +160,7 @@ object Similarity {
       .orderBy(col("cos_c").desc, col("cell"))
     e.crossJoin(broadcast(cent))
       .withColumn("cos_c",
-        round(cosHof(col("centroid"), col("embedding")), 6))
+        round(cosine_sim(col("centroid"), col("embedding")), 6))
       .withColumn("crank", row_number().over(wAssign))
       .drop("centroid")
   }
@@ -283,8 +267,13 @@ object Similarity {
     * tasks; the dup_of reduction and final left join are linear.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the assignment ONCE (production SemDeDup persists its
+    // cluster assignments as a table): four consumers read it — the
+    // max-cell measure, both self-join sides, and the final verdict join
+    // — and would otherwise each re-run the centroid scoring pass
     val assign = cellRanked(spark, dir).filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
     val maxCell = assign.groupBy("cell").count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     val chunks =
@@ -326,7 +315,7 @@ object Similarity {
         .filter(col("vec_id") >= NQueryVecs)
         .crossJoin(broadcast(corpusCentroids(spark, dir)))
         .withColumn("cos_c",
-          round(cosHof(col("centroid"), col("embedding")), 6))
+          round(cosine_sim(col("centroid"), col("embedding")), 6))
         .withColumn("crank", row_number().over(wAssign))
         .filter(col("crank") === 1)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
@@ -354,7 +343,7 @@ object Similarity {
       .filter(col("vec_id") < NQueryVecs)
       .crossJoin(broadcast(cent))
       .withColumn("cos_c",
-        round(cosHof(col("centroid"), col("embedding")), 6))
+        round(cosine_sim(col("centroid"), col("embedding")), 6))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") <= NProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

@@ -7,11 +7,17 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.glue
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
-/** Native Catalyst expression: cosine similarity of two float vectors in a
-  * single fused pass (dot product + both norms in one loop), with
+/** Native Catalyst expression: cosine similarity of two numeric vectors in
+  * a single fused pass (dot product + both norms in one loop), with
   * whole-stage codegen via [[doGenCode]] — no per-element lambda dispatch,
   * no boxing, unlike the equivalent `zip_with`/`aggregate` higher-order
   * chain. On a 100 TB ANN scan this is the hot inner loop.
+  *
+  * Each side reads through its DECLARED array element type (float
+  * embeddings, double centroids — resolved once at planning, not per
+  * element), so the centroid-assignment scans of the IVF family run the
+  * same codegen'd kernel as the float-float ANN re-rank instead of an
+  * interpreted HOF chain.
   *
   * Accumulation is index-ordered double arithmetic (each accumulator
   * independent, left-to-right), so results are bit-identical to a
@@ -26,6 +32,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  @transient private lazy val leftDouble = isDoubleArray(left)
+  @transient private lazy val rightDouble = isDoubleArray(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -36,8 +49,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -57,6 +70,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
+      val getX = if (leftDouble) s"$a.getDouble($i)"
+        else s"(double) $a.getFloat($i)"
+      val getY = if (rightDouble) s"$b.getDouble($i)"
+        else s"(double) $b.getFloat($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n == 0 || $b.numElements() != $n) {
@@ -64,8 +81,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xv = (double) $a.getFloat($i);
-         |    double $yv = (double) $b.getFloat($i);
+         |    double $xv = $getX;
+         |    double $yv = $getY;
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
