@@ -352,7 +352,19 @@ object Similarity {
     // — the price of a LITERAL partition filter the scan can prune on
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val idx = spark.read.parquet(corpusCellIndex(spark, dir))
+    // explicit schema: an EMPTY corpus writes a data-file-less index,
+    // which schema inference cannot read back (and a production reader
+    // never infers — the index schema is part of its contract)
+    val e = Tables.embeddings(spark, dir)
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        e.schema("vec_id").dataType),
+      org.apache.spark.sql.types.StructField("ce",
+        e.schema("embedding").dataType),
+      org.apache.spark.sql.types.StructField("cell",
+        e.schema("label").dataType)))
+    val idx = spark.read.schema(idxSchema)
+      .parquet(corpusCellIndex(spark, dir))
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -362,6 +374,26 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
+
+  /** One Lloyd (k-means) refinement of the IVF coarse quantizer: the
+    * E-step is the existing nearest-centroid assignment ([[cellRanked]],
+    * label-mean seeded), the M-step recomputes each cell's centroid as
+    * the mean of its ASSIGNED members — the quantizer-training pass a
+    * production vector index runs where no labels exist. Emitted
+    * dimension-exploded with the member count, fully oracle-checked;
+    * further iterations re-run the same plan with the previous output as
+    * the seed (each round is one broadcast + one corpus-grain groupBy —
+    * the canonical distributed Lloyd shape).
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    cellRanked(spark, dir).filter(col("crank") === 1)
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos")
+      .agg(
+        round(sum(col("col").cast("double")) / count(lit(1)), 6)
+          .as("centroid"),
+        count(lit(1)).as("n_members"))
+      .withColumnRenamed("pos", "dim")
 
   /** Per-label centroid, dimension-exploded (posexplode -> groupBy): the
     * oracle-checkable form. Summation via double accumulation; the per-cell
@@ -409,6 +441,7 @@ object Similarity {
     "q_ann_ivf" -> annIvf _,
     "q_ann_incremental" -> annIncremental _,
     "q_semantic_dedup" -> semanticDedup _,
+    "q_kmeans_refine" -> kmeansRefine _,
     "q_embed_near_dup" -> embedNearDup _,
     "q_embed_centroid" -> embedCentroid _)
 
@@ -506,5 +539,16 @@ object Similarity {
          |dup AS (SELECT vb AS vec_id, min(va) AS dup_of
          |  FROM pairs GROUP BY vb)
          |SELECT a.vec_id, a.cell, d.dup_of, (d.dup_of IS NULL) AS keep
-         |FROM assign a LEFT JOIN dup d USING (vec_id)""".stripMargin)
+         |FROM assign a LEFT JOIN dup d USING (vec_id)""".stripMargin,
+    "q_kmeans_refine" ->
+      s"""WITH $cellCtes,
+         |assign AS (SELECT vec_id, embedding, cell
+         |  FROM ranked0 WHERE crank = 1)
+         |SELECT cell, CAST(i - 1 AS INTEGER) AS dim,
+         |  round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS centroid,
+         |  count(*) AS n_members
+         |FROM assign, LATERAL (SELECT
+         |  generate_subscripts(embedding, 1) AS i,
+         |  unnest(embedding) AS x)
+         |GROUP BY cell, i""".stripMargin)
 }

@@ -267,7 +267,8 @@ class PlanSpec extends SparkSpec {
     // q_semantic_dedup and q_ann_incremental score vectors against the
     // same nCells-row broadcast centroid table as q_ann_ivf
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
-      "q_salient_terms", "q_semantic_dedup", "q_ann_incremental")
+      "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
+      "q_kmeans_refine")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))

@@ -155,6 +155,27 @@ class SimilaritySpec extends SparkSpec {
     } finally { sd.unpersist() }
   }
 
+  test("k-means refinement partitions the corpus and moves the centroids") {
+    val refined = Similarity.kmeansRefine(spark, sf).cache()
+    try {
+      val nVecs = Tables.embeddings(spark, sf).count()
+      // every vector lands in exactly one cell: per-dim member counts sum
+      // to the corpus size (checked on dim 0; all dims carry equal counts)
+      val d0 = refined.filter(col("dim") === 0)
+      assert(d0.agg(sum(col("n_members"))).head.getLong(0) === nVecs)
+      assert(refined.groupBy("cell", "dim").count()
+        .filter(col("count") > 1).count() === 0)
+      // the M-step must actually move mass: assignment reshuffles vectors
+      // across label boundaries, so refined != the label-mean seed
+      val seed = Similarity.embedCentroid(spark, sf)
+        .select(col("label").as("cell"), col("dim"),
+          col("centroid").as("seed_c"))
+      val moved = refined.join(seed, Seq("cell", "dim"))
+        .filter(col("centroid") =!= col("seed_c")).count()
+      assert(moved > 0, "refinement left every centroid exactly at its seed")
+    } finally { refined.unpersist() }
+  }
+
   test("chunk-grid near-dup emits each pair exactly once at any grid size") {
     val e = Tables.embeddings(spark, sf)
     val base = Similarity.nearDupPairsGrid(e, 1).collect()
