@@ -213,6 +213,113 @@ object Curation {
         "expected_tokens")
   }
 
+  /** Sequence packing (concat-and-chunk): lay the shuffled corpus out as
+    * one token stream and cut it into fixed-length training sequences of
+    * [[PackLen]] tokens — the step that turns curated documents into the
+    * dense batches a trainer consumes. Each row reports where its document
+    * lands: starting pack, offset inside it, and how many pack boundaries
+    * the document straddles (a straddle means the example is split across
+    * two training sequences — the packing-efficiency diagnostic).
+    *
+    * The global running token offset is a DISTRIBUTED PREFIX SUM, not a
+    * partition-less window: sort by the portable shuffle key (range
+    * partition), take per-partition token subtotals (one numPartitions-row
+    * collect — a bounded dimension, same class as `zipWithIndex`'s offset
+    * job), then emit offsets per partition with the subtotal carried in.
+    * A `sum() OVER (ORDER BY ...)` with no PARTITION BY would funnel the
+    * corpus through one task and cannot scale; this shape shuffles once
+    * for the range sort and never narrows. All arithmetic is Long — no
+    * doubles anywhere, so the oracle compare is bit-exact.
+    */
+  val PackLen = 256L
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val key = (col("doc_id") * 2654435761L) % 1000000007L
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        key.as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    val rdd = sorted.rdd
+    // per-partition token subtotals: numPartitions longs to the driver
+    val partSums = rdd.mapPartitions(
+      it => Iterator.single(it.map(_.getLong(1)).sum),
+      preservesPartitioning = true).collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.map { r =>
+        val n = r.getLong(1)
+        val start = cum
+        cum += n
+        val packId = start / PackLen
+        val endPack = if (n > 0) (start + n - 1) / PackLen else packId
+        org.apache.spark.sql.Row(r.getLong(0), n, r.getLong(2), start,
+          packId, start % PackLen, endPack - packId)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("doc_id", "n_tokens", "shuffle_key",
+      "cum_start", "pack_id", "pack_offset", "n_boundary_crossings")
+      .map(StructField(_, LongType, nullable = false)))
+    spark.createDataFrame(packed, schema)
+  }
+
+  /** Per-domain quality-threshold curation: keep the top [[QualityKeepFrac]]
+    * share of documents per source by the corpus-curate quality score —
+    * the "keep the best 30% of every domain" recipe step, which a single
+    * global threshold gets wrong (it empties low-scoring domains instead
+    * of thinning them). Rank and count ride ONE window partitioned by
+    * source (both frames share the partitioning, so Spark plans a single
+    * exchange); per-source sorts scale with the largest domain, the usual
+    * window story. Keep decisions are pure integer comparisons on the
+    * micro-scaled score — bit-exact against the oracle.
+    */
+  val QualityKeepFrac = 0.3
+
+  def qualityThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(TextOps.Stopwords)))
+    val q = round(
+      least(nTok.cast("double") / 50, lit(1.0)) *
+        (lit(1.0) - nStop.cast("double") / nTok), 6)
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("q_micro").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(q * 1000000L).cast("long").as("q_micro"))
+      .withColumn("q_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(wAll))
+      .withColumn("kept",
+        col("q_rank") <= ceil(col("n_source") * QualityKeepFrac).cast("long"))
+  }
+
+  /** Deterministic hash split: train/validation/test assignment from the
+    * portable content fingerprint mod 100 — reproducible across engines
+    * and runs, and STABLE UNDER RE-INGESTION (a doc keeps its split when
+    * the corpus around it changes, which a row-number split does not
+    * guarantee). Reported per (split, source) with each split's share of
+    * its source; the share window rides the post-aggregate frame
+    * (nSources × 3 rows), never corpus rows.
+    */
+  val SplitTrainPct = 80
+  val SplitValPct = 90 // upper bound; test = the rest
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextOps.portableFp(col("text"), FpBase1, FpMod1) % 100
+    val split = when(bucket < SplitTrainPct, "train")
+      .when(bucket < SplitValPct, "validation").otherwise("test")
+    val w = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(split.as("split"), col("source"), size(toks).as("n_tok"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"))
+      .withColumn("source_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_scrub" -> textScrub _,
     "q_doc_chunk" -> docChunk _,
@@ -220,7 +327,10 @@ object Curation {
     "q_repetition" -> repetition _,
     "q_data_shuffle" -> dataShuffle _,
     "q_corpus_curate" -> corpusCurate _,
-    "q_domain_mix" -> domainMix _)
+    "q_domain_mix" -> domainMix _,
+    "q_pack_sequences" -> packSequences _,
+    "q_quality_threshold" -> qualityThreshold _,
+    "q_hash_split" -> hashSplit _)
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
   private val enList =
@@ -272,6 +382,54 @@ object Curation {
     "q_data_shuffle" ->
       """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS position FROM documents""",
     "q_corpus_curate" -> corpusCurateSql,
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    (doc_id * 2654435761) % 1000000007 AS shuffle_key
+         |  FROM documents),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY shuffle_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cum_start FROM t)
+         |SELECT doc_id, n_tokens, shuffle_key, cum_start,
+         |  cum_start // $PackLen AS pack_id,
+         |  cum_start % $PackLen AS pack_offset,
+         |  CASE WHEN n_tokens > 0
+         |    THEN (cum_start + n_tokens - 1) // $PackLen
+         |      - cum_start // $PackLen
+         |    ELSE CAST(0 AS BIGINT) END AS n_boundary_crossings
+         |FROM c""".stripMargin,
+    "q_quality_threshold" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS n_stop
+         |  FROM documents),
+         |m AS (SELECT doc_id, source,
+         |    CAST(round(($qExpr) * 1000000) AS BIGINT) AS q_micro FROM s),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY q_micro DESC, doc_id) AS BIGINT) AS q_rank,
+         |    count(*) OVER (PARTITION BY source) AS n_source FROM m)
+         |SELECT doc_id, source, q_micro, q_rank, n_source,
+         |  q_rank <= CAST(ceil(n_source * $QualityKeepFrac) AS BIGINT)
+         |    AS kept
+         |FROM r""".stripMargin,
+    "q_hash_split" ->
+      s"""WITH b AS (SELECT
+         |    ${TextOps.portableFpSql("text", FpBase1, FpMod1)} % 100
+         |      AS bucket,
+         |    source, len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |s AS (SELECT CASE WHEN bucket < $SplitTrainPct THEN 'train'
+         |      WHEN bucket < $SplitValPct THEN 'validation'
+         |      ELSE 'test' END AS split, source, n_tok FROM b),
+         |a AS (SELECT split, source, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM s GROUP BY split, source)
+         |SELECT split, source, n_docs, n_tokens,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    sum(n_docs) OVER (PARTITION BY source), 6) AS source_share
+         |FROM a""".stripMargin,
     "q_domain_mix" ->
       s"""WITH t AS (SELECT source,
          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -104,4 +104,81 @@ class CurationSpec extends SparkSpec {
     assert(report.agg(sum("n_docs")).collect()(0).getLong(0) ===
       Tables.documents(spark, sf).count())
   }
+
+  test("sequence packing tiles the token stream exactly, in shuffle order") {
+    val p = Curation.packSequences(spark, sf).cache()
+    try {
+      val rows = p.orderBy("cum_start").collect()
+      assert(rows.length === Tables.documents(spark, sf).count())
+      // the stream is gapless: each doc starts where the previous ended
+      var expect = 0L
+      rows.foreach { r =>
+        assert(r.getAs[Long]("cum_start") === expect,
+          s"gap before doc ${r.getLong(0)}")
+        expect += r.getAs[Long]("n_tokens")
+        // pack geometry is internally consistent
+        assert(r.getAs[Long]("pack_id") ===
+          r.getAs[Long]("cum_start") / Curation.PackLen)
+        assert(r.getAs[Long]("pack_offset") ===
+          r.getAs[Long]("cum_start") % Curation.PackLen)
+      }
+      // order matches the deterministic shuffle, not ingest order
+      val byKey = rows.sortBy(r =>
+        (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+      assert(byKey.map(_.getLong(0)).sameElements(rows.map(_.getLong(0))))
+      // boundary-crossing accounting: total crossings = packs touched - 1
+      // summed over docs is >= total packs - n_docs lower bound; check the
+      // per-row closed form instead (end pack - start pack)
+      rows.foreach { r =>
+        val end = (r.getAs[Long]("cum_start") +
+          math.max(r.getAs[Long]("n_tokens"), 1L) - 1) / Curation.PackLen
+        assert(r.getAs[Long]("n_boundary_crossings") ===
+          end - r.getAs[Long]("pack_id"))
+      }
+    } finally p.unpersist()
+  }
+
+  test("quality threshold keeps exactly ceil(frac * n) docs per source") {
+    val t = Curation.qualityThreshold(spark, sf).cache()
+    try {
+      val perSource = t.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        min(when(col("kept"), col("q_micro"))).as("min_kept"),
+        max(when(!col("kept"), col("q_micro"))).as("max_dropped"))
+      perSource.collect().foreach { r =>
+        val expectKept = math.ceil(
+          r.getAs[Long]("n") * Curation.QualityKeepFrac).toLong
+        assert(r.getAs[Long]("n_kept") === expectKept, r.toString)
+        // every kept doc scores >= every dropped doc within its source
+        assert(r.getAs[Long]("min_kept") >= r.getAs[Long]("max_dropped"),
+          r.toString)
+      }
+    } finally t.unpersist()
+  }
+
+  test("hash split partitions the corpus and is re-ingestion stable") {
+    val s = Curation.hashSplit(spark, sf).cache()
+    try {
+      // every doc lands in exactly one split
+      assert(s.agg(sum("n_docs")).collect()(0).getLong(0) ===
+        Tables.documents(spark, sf).count())
+      // shares sum to 1 within each source
+      val bad = s.groupBy("source").agg(sum("source_share").as("tot"))
+        .filter(abs(col("tot") - 1.0) > 1e-4)
+      assert(bad.count() === 0)
+      // stability: recomputing on a subset never reassigns a doc — check
+      // via the underlying bucket rule on a 10% slice
+      import graft.engine.TextOps
+      val full = Tables.documents(spark, sf).select(col("doc_id"),
+        (TextOps.portableFp(col("text"), Curation.FpBase1,
+          Curation.FpMod1) % 100).as("b"))
+      val slice = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"),
+          (TextOps.portableFp(col("text"), Curation.FpBase1,
+            Curation.FpMod1) % 100).as("b2"))
+      assert(full.join(slice, "doc_id")
+        .filter(col("b") =!= col("b2")).count() === 0)
+    } finally s.unpersist()
+  }
 }
