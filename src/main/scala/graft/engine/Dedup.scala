@@ -658,6 +658,64 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Bloom-prefiltered decontamination — the scale path for when the
+    * benchmark shingle set outgrows a broadcast hash table. Semantics are
+    * IDENTICAL to [[decontaminate]] (it shares that oracle SQL): a Bloom
+    * filter over the benchmark shingle ids (m = 2^16 bits, k = 3
+    * xxhash64 probes) prunes the corpus shingle stream BEFORE the exact
+    * sid join, and that join is pinned to sort-merge — the plan an
+    * eval-suite-too-big-to-broadcast run would use. Bloom false positives
+    * survive the prefilter but die in the exact join, so the output stays
+    * exact; per-doc shingle totals aggregate off the unfiltered stream
+    * and only the contaminated-doc-sized hit counts broadcast back.
+    *
+    * The bitmap is built with one bounded bit-OR aggregate (m/64 = 1024
+    * rows to the driver — a dimension-sized collect, same class as
+    * `q_embed_near_dup`'s 1-row grid probe) and ships to executors as a
+    * foldable array literal, referenced by codegen as a constant: rows
+    * never carry it. At 100 TB the prefilter is what keeps the exchange
+    * affordable — only the contaminated fraction of corpus shingles plus
+    * the ~(kn/m)^k false-positive trickle is shuffled, not every shingle
+    * in the corpus.
+    */
+  val BloomBits = 1 << 16
+  val BloomHashes = 3
+
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val ids = shingleIds(spark, dir)
+    val bench = ids.filter(col("doc_id") % DecontamBenchMod === 0)
+      .select("sid").distinct()
+    val positions = (0 until BloomHashes).map(i =>
+      pmod(xxhash64(col("sid"), lit(i)), lit(BloomBits.toLong)))
+    val words = new Array[Long](BloomBits / 64)
+    bench.select(explode(array(positions: _*)).as("p"))
+      .select(expr("CAST(p DIV 64 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy("w").agg(bit_or(col("b")).as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val bloom = typedLit(words.toSeq)
+    val corpus = ids.filter(col("doc_id") % DecontamBenchMod =!= 0)
+    val probe = (0 until BloomHashes).foldLeft(corpus) { (d, i) =>
+      d.withColumn(s"bp$i",
+        pmod(xxhash64(col("sid"), lit(i)), lit(BloomBits.toLong)))
+    }
+    val bloomOk = (0 until BloomHashes).map { i =>
+      get(bloom, expr(s"CAST(bp$i DIV 64 AS INT)")).bitwiseAND(
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bp$i % 64 AS INT))")) =!=
+        lit(0L)
+    }.reduce(_ && _)
+    val hits = probe.filter(bloomOk)
+      .join(bench.hint("merge"), Seq("sid"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sid")).as("n_hits"))
+    corpus.groupBy("doc_id")
+      .agg(countDistinct(col("sid")).as("n_shingles"))
+      .join(broadcast(hits), Seq("doc_id"))
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -667,6 +725,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_decontaminate" -> decontaminate _,
+    "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
 
   // ---- oracle SQL (generated to mirror the constants above) ----
@@ -852,6 +911,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_simhash" -> simhashSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_utf8_fingerprint" -> {
       val values = Utf8PlantedRows.map { case (id, t) =>
         s"($id, '${t.replace("'", "''")}')"

@@ -219,6 +219,25 @@ class PlanSpec extends SparkSpec {
       s"no corpus-sized shuffle join in decontamination:\n$p")
   }
 
+  test("bloom decontamination: sort-merge sid join, bloom prunes the probe") {
+    // the bloom variant is the benchmark-set-too-big-to-broadcast plan:
+    // the exact sid join must be the pinned sort-merge (no broadcast of
+    // the bench side), and the k-probe bitmap test must sit on the corpus
+    // side as a filter BEFORE that exchange
+    val df = Dedup.decontaminateBloom(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"),
+      s"bench sid join must be sort-merge in the bloom variant:\n$p")
+    assert(p.contains("shiftleft"),
+      s"bloom bit test does not reach the plan:\n$p")
+    // exactness: bloom + exact confirm == the broadcast path, bit for bit
+    val a = df.orderBy("doc_id").collect().map(_.toSeq)
+    val b = Dedup.decontaminate(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length === b.length && a.zip(b).forall(t => t._1 == t._2),
+      "bloom-prefiltered result diverges from broadcast decontamination")
+  }
+
   test("incremental dedup probes the corpus with the delta only") {
     // every band-key join must be delta×corpus — a corpus self-join would
     // rebuild the full corpus-vs-corpus pass the incremental shape exists
