@@ -285,9 +285,11 @@ class PlanSpec extends SparkSpec {
     // same collect-scalar-kept-in-plan shape as q_agg_multi.
     // q_semantic_dedup and q_ann_incremental score vectors against the
     // same nCells-row broadcast centroid table as q_ann_ivf
+    // q_ann_pq scans the compact code index against a broadcast of the
+    // per-query lookup tables — the PQ analog of cosine top-k's probe set
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
-      "q_kmeans_refine")
+      "q_kmeans_refine", "q_ann_pq")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))

@@ -133,6 +133,30 @@ class SimilaritySpec extends SparkSpec {
     } finally { ivf.unpersist(); bf.unpersist() }
   }
 
+  test("PQ: compact codes, exact rerank scores, and a recall floor") {
+    val pq = Similarity.annPq(spark, sf).cache()
+    val bf = Similarity.simCosineTopk(spark, sf).cache()
+    try {
+      // k-bounded, dense ranks, corpus-only neighbors
+      assert(pq.groupBy("query_id").count()
+        .filter(col("count") > Similarity.TopK).count() === 0)
+      assert(pq.filter(col("rank") < 1 ||
+        col("rank") > Similarity.TopK).count() === 0)
+      assert(pq.filter(col("neighbor_id") < Similarity.NQueryVecs)
+        .count() === 0)
+      // the rerank is exact: every reported cosine equals brute force
+      val joined = pq.as("p").join(bf.as("b"),
+        col("p.query_id") === col("b.query_id") &&
+          col("p.neighbor_id") === col("b.neighbor_id"))
+      assert(joined.filter(col("p.cos_sim") =!= col("b.cos_sim"))
+        .count() === 0)
+      // shortlist+rerank recall (sf0.01 measured: 0.77 at shortlist 80;
+      // at sf0.001 the shortlist covers most of the corpus, so higher)
+      val recall = joined.count().toDouble / bf.count()
+      assert(recall >= 0.5, s"PQ recall $recall below floor")
+    } finally { pq.unpersist(); bf.unpersist() }
+  }
+
   test("semantic dedup: one row per vector, reps precede dups, dups real") {
     val sd = Similarity.semanticDedup(spark, sf).cache()
     val e = Tables.embeddings(spark, sf)
