@@ -234,9 +234,14 @@ object Curation {
   val PackLen = 256L
 
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val key = (col("doc_id") * 2654435761L) % 1000000007L
+    // null-guards are identity on clean data (fixture ids/text are
+    // non-null) but keep the row accessors below total on corrupt rows
+    val id = coalesce(col("doc_id"), lit(-1L))
+    val key = (id * 2654435761L) % 1000000007L
     val sorted = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+      .select(id.as("doc_id"),
+        greatest(coalesce(size(toks), lit(0)), lit(0)).cast("long")
+          .as("n_tokens"),
         key.as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
     val rdd = sorted.rdd

@@ -489,6 +489,12 @@ object Similarity {
         st => st.getField("c")).as("cv"))
       .withColumn("cnorm2",
         aggregate(col("cv"), lit(0.0), (a, x) => a + x * x))
+      // dense position of the code within its subspace codebook: the
+      // element_at fold must index by POSITION, never the raw label value
+      // (labels need not be contiguous — gappy labels would index past
+      // the end of the lookup row)
+      .withColumn("cidx", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("code"))) - 1)
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -508,8 +514,8 @@ object Similarity {
       .filter(col("rk") === 1)
       .groupBy("vec_id")
       .agg(
-        transform(array_sort(collect_list(struct(col("s"), col("code")))),
-          st => st.getField("code")).as("codes"),
+        transform(array_sort(collect_list(struct(col("s"), col("cidx")))),
+          st => st.getField("cidx")).as("codes"),
         sum(col("cnorm2")).as("rnorm2"))
     // per-query lookup tables: dot(query subvector, codebook entry) for
     // every (subspace, code) — nSub × nCodes doubles per query, broadcast

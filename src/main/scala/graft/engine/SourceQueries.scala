@@ -98,6 +98,16 @@ object SourceQueries {
     checksum(JsonCsvSources.readCsv(spark, tmp, Some(eventsLite)))
   }
 
+  /** ORC twin of [[jsonlRoundtrip]]: the columnar non-parquet interchange
+    * path (ORC self-describes its schema, so no explicit schema needed on
+    * the read side).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-orc")
+    JsonCsvSources.writeOrc(eventsProjection(spark, dir), tmp)
+    checksum(JsonCsvSources.readOrc(spark, tmp))
+  }
+
   private val customerLite = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_nationkey", IntegerType),
@@ -138,6 +148,7 @@ object SourceQueries {
   val queries: Map[String, Q] = Map(
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_csv_roundtrip" -> csvRoundtrip _,
+    "q_orc_roundtrip" -> orcRoundtrip _,
     "q_multiline_roundtrip" -> multilineRoundtrip _)
 
   /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
@@ -146,5 +157,6 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "q_jsonl_roundtrip" -> checksumSql,
     "q_csv_roundtrip" -> checksumSql,
+    "q_orc_roundtrip" -> checksumSql,
     "q_multiline_roundtrip" -> customerChecksumSql)
 }

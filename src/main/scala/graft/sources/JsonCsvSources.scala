@@ -76,4 +76,16 @@ object JsonCsvSources {
   def writeParquetPartitioned(df: DataFrame, path: String,
       partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** ORC scan — the other splittable columnar format Spark ships natively;
+    * like parquet it carries its own schema, supports predicate pushdown
+    * and column pruning, and is the interchange format for Hive-era
+    * warehouses a corpus ingest often has to read from.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (splittable columnar output, one file per partition). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

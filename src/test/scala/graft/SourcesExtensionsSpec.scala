@@ -60,6 +60,16 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq === src.columns.sorted.toSeq)
   }
 
+  test("ORC round-trip preserves rows, schema, and exact values") {
+    val out = tmpDir("orc")
+    val src = Tables.nation(spark, sf)
+    JsonCsvSources.writeOrc(src, out)
+    val back = JsonCsvSources.readOrc(spark, out)
+    assert(back.count() === src.count())
+    assert(back.schema === src.schema)
+    assert(back.exceptAll(src).count() === 0)
+  }
+
   test("partitioned parquet sink lays out partition directories") {
     val out = tmpDir("part")
     JsonCsvSources.writeParquetPartitioned(
