@@ -131,7 +131,12 @@ object Multimodal {
     * into per-channel sums. Throws on malformed/truncated input; callers
     * quarantine those rows rather than NPE a cluster job.
     */
-  private[graft] def decodePpm(bytes: Array[Byte]): PpmImage = {
+  /** Parse a P6 header (magic, whitespace/`#`-comment tokens, width,
+    * height, maxval ≤ 255, the single terminating whitespace byte);
+    * returns (width, height, raster start offset). Throws on malformed
+    * input.
+    */
+  private[graft] def parsePpmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     var pos = 0
     def isWs(b: Byte): Boolean =
       b == ' ' || b == '\n' || b == '\r' || b == '\t'
@@ -155,6 +160,11 @@ object Multimodal {
     require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval")
     pos += 1 // the single whitespace byte that terminates the header
     require(bytes.length - pos >= w * h * 3, "truncated raster")
+    (w, h, pos)
+  }
+
+  private[graft] def decodePpm(bytes: Array[Byte]): PpmImage = {
+    val (w, h, pos) = parsePpmHeader(bytes)
     var (sr, sg, sb) = (0L, 0L, 0L)
     var p = 0
     while (p < w * h) {
@@ -226,9 +236,65 @@ object Multimodal {
         round(col("mean_b"), 6).as("mean_b"))
   }
 
+  /** One thumbnail pixel of a resized image. */
+  case class ThumbPixel(doc_id: Long, px: Int, py: Int,
+    r: Int, g: Int, b: Int)
+
+  /** Nearest-neighbor resize of a P6 raster to [[ThumbW]]×[[ThumbH]]:
+    * source pixel (floor(px·w/tw), floor(py·h/th)) per thumb cell — the
+    * standard decimation kernel, integer-exact so the oracle derives the
+    * same pixels from the planted raster formula.
+    */
+  val ThumbW = 4
+  val ThumbH = 4
+
+  private[graft] def resizePpm(docId: Long,
+      bytes: Array[Byte]): Seq[ThumbPixel] = {
+    val (w, h, pos) = parsePpmHeader(bytes)
+    for {
+      py <- 0 until ThumbH
+      px <- 0 until ThumbW
+    } yield {
+      val sx = px * w / ThumbW
+      val sy = py * h / ThumbH
+      val p = pos + 3 * (sy * w + sx)
+      ThumbPixel(docId, px, py,
+        bytes(p) & 0xff, bytes(p + 1) & 0xff, bytes(p + 2) & 0xff)
+    }
+  }
+
+  /** Partition-wise image resize over the media table: only P6 payloads
+    * enter the kernel (magic-filtered in-plan — the codegen'd filter is
+    * the column-prune/decode-dispatch shape a mixed-modality corpus
+    * needs), each emitting its [[ThumbW]]×[[ThumbH]] thumbnail as rows.
+    * The flatMap-through-mapPartitions shape is the one-payload-to-many-
+    * samples explosion every frame/patch extraction pipeline runs.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTableFull(spark, dir)
+      .filter(col("payload").isNotNull &&
+        substring(col("payload").cast("string"), 1, 2) === "P6")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec handles, buffers)
+        it.flatMap { case (id, bytes) => resizePpm(id, bytes) }
+      }
+      .toDF()
+  }
+
+  /** Frame/stride sampling registered as a driver query: one row per
+    * 64-byte frame offset with its 4-char magic window.
+    */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir)
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> multimodalMeta _,
-    "q_multimodal_decode" -> multimodalDecode _)
+    "q_multimodal_decode" -> multimodalDecode _,
+    "q_multimodal_resize" -> multimodalResize _,
+    "q_frame_sample" -> multimodalFrameSample _)
 
   /** DuckDB twin of [[multimodalDecode]]: stub dims from the payload
     * length (payload = 4-byte magic + ASCII text, so n_bytes =
@@ -263,8 +329,37 @@ object Multimodal {
        |FROM ppm""".stripMargin
   }
 
+  /** DuckDB twin of [[multimodalResize]]: the planted dims cross the thumb
+    * grid; the nearest-neighbor source pixel index feeds the arithmetic
+    * raster formula — integer-exact on both engines.
+    */
+  private val resizeSql: String = {
+    val ppmValues = PpmPlanted.map { case (id, w, h) => s"($id, $w, $h)" }
+      .mkString(", ")
+    s"""WITH ppm AS (SELECT * FROM (VALUES $ppmValues) v(doc_id, w, h)),
+       |grid AS (SELECT doc_id, w, h, px, py FROM ppm,
+       |  (SELECT unnest(range(0, $ThumbW)) AS px),
+       |  (SELECT unnest(range(0, $ThumbH)) AS py)),
+       |src AS (SELECT doc_id, px, py,
+       |    ((py * h) // $ThumbH) * w + ((px * w) // $ThumbW) AS p
+       |  FROM grid)
+       |SELECT doc_id, CAST(px AS INTEGER) AS px, CAST(py AS INTEGER) AS py,
+       |  CAST(((3 * p) * 7 + 13) % 251 AS INTEGER) AS r,
+       |  CAST(((3 * p + 1) * 7 + 13) % 251 AS INTEGER) AS g,
+       |  CAST(((3 * p + 2) * 7 + 13) % 251 AS INTEGER) AS b
+       |FROM src""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(4 + strlen(text) AS INTEGER) AS n_bytes, 'IMG0' AS magic, sha256('IMG0' || text) AS sha256 FROM documents""",
-    "q_multimodal_decode" -> decodeSql)
+    "q_multimodal_decode" -> decodeSql,
+    "q_multimodal_resize" -> resizeSql,
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 'IMG0' || text AS p FROM documents),
+        |o AS (SELECT doc_id, p,
+        |    unnest(range(0, strlen(p), 64)) AS frame_off FROM m)
+        |SELECT doc_id, CAST(frame_off AS INTEGER) AS frame_off,
+        |  substr(p, CAST(frame_off + 1 AS INTEGER), 4) AS frame_magic
+        |FROM o""".stripMargin)
 }

@@ -74,6 +74,43 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("PPM resize: nearest-neighbor pixels match a brute-force model") {
+    val (w, h) = (8, 5)
+    val thumb = Multimodal.resizePpm(7L, Multimodal.ppmPayload(w, h))
+    assert(thumb.length === Multimodal.ThumbW * Multimodal.ThumbH)
+    val raster = Array.tabulate(w * h * 3)(i => (i * 7 + 13) % 251)
+    thumb.foreach { t =>
+      val p = 3 * ((t.py * h / Multimodal.ThumbH) * w +
+        (t.px * w / Multimodal.ThumbW))
+      assert((t.r, t.g, t.b) === (raster(p), raster(p + 1), raster(p + 2)),
+        s"pixel (${t.px},${t.py})")
+    }
+    // identity-scale resize of a thumb-sized image keeps every pixel
+    val same = Multimodal.resizePpm(8L,
+      Multimodal.ppmPayload(Multimodal.ThumbW, Multimodal.ThumbH))
+    val smallRaster = Array.tabulate(
+      Multimodal.ThumbW * Multimodal.ThumbH * 3)(i => (i * 7 + 13) % 251)
+    same.foreach { t =>
+      val p = 3 * (t.py * Multimodal.ThumbW + t.px)
+      assert((t.r, t.g, t.b) ===
+        (smallRaster(p), smallRaster(p + 1), smallRaster(p + 2)))
+    }
+  }
+
+  test("resize query: only P6 payloads reach the kernel, grid complete") {
+    val out = Multimodal.multimodalResize(spark, sf).cache()
+    try {
+      // exactly the planted images, each with a full thumb grid
+      assert(out.select("doc_id").distinct().count() ===
+        Multimodal.PpmPlanted.size)
+      assert(out.count() === Multimodal.PpmPlanted.size *
+        Multimodal.ThumbW * Multimodal.ThumbH)
+      assert(out.filter(col("r") < 0 || col("r") > 255 ||
+        col("g") < 0 || col("g") > 255 ||
+        col("b") < 0 || col("b") > 255).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("decode query: planted PPMs decode through the real parser") {
     val out = Multimodal.multimodalDecode(spark, sf)
       .filter(col("doc_id") >= 920000L).collect()
