@@ -209,6 +209,34 @@ object Ext {
         .as("skew_ratio"))
   }
 
+  /** Skew-salted fact⋈dim join driven to the plain-join answer: the
+    * [[graft.operators.SkewJoin]] utility as a driver-visible query.
+    * Events salt [[SaltFactor]] ways on the uniform event id, the
+    * customer dim replicates across every salt value, and the join keys
+    * become (user_id, __salt) — one hot user spreads over [[SaltFactor]]
+    * reducers instead of hammering one. Salting is result-invariant by
+    * construction, so the oracle is simply the UNSALTED join — the
+    * correctness gate IS the invariance proof. Money sums follow the
+    * exact-decimal-then-render rule.
+    */
+  val SaltFactor = 8
+
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("event_id"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SkewJoin
+      .saltedJoin(fact, dim, "user_id", SaltFactor, Some(col("event_id")))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_value"))
+  }
+
   /** Built-in gap session windows (`session_window`, the declarative twin
     * of [[sessionize]] and of the stateful
     * [[graft.streaming.SessionState]]): window.end is last-event + gap by
@@ -339,6 +367,7 @@ object Ext {
     "q_approx_stats" -> approxStats _,
     "q_upsert" -> upsert _,
     "q_skew_profile" -> skewProfile _,
+    "q_salted_join" -> saltedJoinQuery _,
     "q_asof_join" -> asofJoin _,
     "q_range_join" -> rangeJoin _,
     "q_session_window" -> sessionWindow _,
@@ -366,6 +395,8 @@ object Ext {
       """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN 'U' ELSE o_orderstatus END AS o_orderstatus, round(CAST(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE), 3) AS o_totalprice FROM orders""",
     "q_skew_profile" ->
       """SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_key_rows, round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_ratio FROM (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey)""",
+    "q_salted_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment, event_type""",
     "q_session_window" ->
       """WITH flagged AS (SELECT user_id, ts, value, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, value, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end_gap, user_id, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value FROM sessions GROUP BY user_id, session_seq""",
     "q_sliding_window" ->

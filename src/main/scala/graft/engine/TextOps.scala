@@ -144,12 +144,64 @@ object TextOps {
         col("salience"), col("rank"))
   }
 
+  /** BM25 retrieval scoring — the lexical counterpart of the ANN family:
+    * rank the corpus for a fixed query-term set (common / medium / rare
+    * df in the fixture vocabulary) with the Robertson–Sparck Jones
+    * formula, RATIONAL idf variant ((N-df+0.5)/(df+0.5) without the ln —
+    * ln is monotone so per-term ranking is unchanged, and keeping the
+    * score a division chain of exact integers is the house cross-engine
+    * rule; the choice is documented here like [[salientTerms]]'s rarity
+    * weight). k1 = 1.2, b = 0.75 (the standard defaults).
+    *
+    * Plan shape: tokens explode once and FILTER TO THE QUERY TERMS before
+    * any shuffle (the tf table is |hits|-sized, not corpus-sized); df and
+    * the one-row corpus totals broadcast back; per-term ranking is a
+    * window keyed by term. Operand order in the score expression is
+    * mirrored exactly in the oracle so the double arithmetic is
+    * bit-identical.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+  val Bm25QueryTerms: Seq[String] = Seq("data", "vector", "dup")
+
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens)).cast("long").as("total_tokens"))
+    val dl = docs.select(col("doc_id"),
+      size(tokens).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term").isInCollection(Bm25QueryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("bm25", round(
+        col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
+            lit(Bm25B) * col("dl") * col("n_docs") / col("total_tokens"))),
+        6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select("term", "doc_id", "tf", "dl", "bm25", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_quality" -> textQuality _,
     "q_lang_id" -> langId _,
     "q_token_count" -> tokenCount _,
     "q_doc_fingerprint" -> docFingerprint _,
-    "q_salient_terms" -> salientTerms _)
+    "q_salient_terms" -> salientTerms _,
+    "q_bm25" -> bm25 _)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
   private def markerScore(ms: Seq[String]): String =
@@ -183,5 +235,29 @@ object TextOps {
          |    ORDER BY salience DESC, term) AS rank FROM s)
          |SELECT doc_id, term, tf, df, salience,
          |  CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= $SalientK""".stripMargin)
+         |FROM r WHERE rank <= $SalientK""".stripMargin,
+    "q_bm25" -> {
+      val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS term FROM documents),
+         |tfg AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ($termList) GROUP BY doc_id, term),
+         |dfg AS (SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM tfg GROUP BY term),
+         |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' '))
+         |    AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |      AS total_tokens FROM documents),
+         |s AS (SELECT term, doc_id, tf, dl, round(
+         |    (n_docs - df + 0.5) / (df + 0.5) * (tf * ${Bm25K1 + 1}) /
+         |      (tf + $Bm25K1 * (${1 - Bm25B} +
+         |        $Bm25B * dl * n_docs / total_tokens)), 6) AS bm25
+         |  FROM tfg JOIN dfg USING (term) JOIN dlt USING (doc_id)
+         |  CROSS JOIN tot),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY term
+         |    ORDER BY bm25 DESC, doc_id) AS rank FROM s)
+         |SELECT term, doc_id, tf, dl, bm25, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $Bm25TopK""".stripMargin
+    })
 }

@@ -287,9 +287,11 @@ class PlanSpec extends SparkSpec {
     // same nCells-row broadcast centroid table as q_ann_ivf
     // q_ann_pq scans the compact code index against a broadcast of the
     // per-query lookup tables — the PQ analog of cosine top-k's probe set
+    // q_bm25 carries the same 1-row corpus-totals broadcast as
+    // q_salient_terms
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
-      "q_kmeans_refine", "q_ann_pq")
+      "q_kmeans_refine", "q_ann_pq", "q_bm25")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
@@ -334,6 +336,17 @@ class PlanSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("salted join: the salt reaches the physical join keys") {
+    // the whole point of q_salted_join is that one hot user spreads over
+    // SaltFactor reducers — that only happens if __salt is a JOIN KEY,
+    // not a post-join column
+    val p = plan(Ext.saltedJoinQuery(spark, sf))
+    val keyLines = p.split("\n").filter(l =>
+      l.contains("Left keys") || l.contains("Right keys"))
+    assert(keyLines.forall(_.contains("__salt")) && keyLines.nonEmpty,
+      s"salt does not reach the join keys:\n$p")
   }
 
   test("range join keys on (user, hour bucket), not the user alone") {
