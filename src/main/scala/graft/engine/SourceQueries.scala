@@ -108,6 +108,48 @@ object SourceQueries {
     checksum(JsonCsvSources.readOrc(spark, tmp))
   }
 
+  /** Partitioned export + PRUNED read-back: documents written
+    * `partitionBy(lang)`, then only two language partitions re-read and
+    * aggregated. The layout decision that matters most at 100 TB — a
+    * lang-partitioned corpus makes per-language passes read only their
+    * directories; the plan gate (PlanSpec) asserts the lang predicate
+    * lands in the scan's PartitionFilters, i.e. the other partitions are
+    * never opened. Oracle: the same aggregate over the unexported table.
+    */
+  val ExportLangs: Seq[String] = Seq("en", "de")
+
+  def partitionedExport(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-part")
+    JsonCsvSources.writeParquetPartitioned(
+      Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "n_chars"), tmp, "lang")
+    prunedReadBack(spark, tmp)
+  }
+
+  /** The read side of [[partitionedExport]], split out so the plan gate
+    * can inspect exactly what the driver query executes. The schema is
+    * explicit — no footer-sampling inference job, and an empty export
+    * (zero matching rows upstream) reads back as an empty frame instead
+    * of failing inference.
+    */
+  private val exportSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("lang", StringType)))
+
+  private[graft] def prunedReadBack(spark: SparkSession,
+      tmp: String): DataFrame =
+    spark.read.schema(exportSchema).parquet(tmp)
+      .filter(col("lang").isInCollection(ExportLangs))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
   private val customerLite = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_nationkey", IntegerType),
@@ -149,6 +191,7 @@ object SourceQueries {
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
+    "q_partitioned_export" -> partitionedExport _,
     "q_multiline_roundtrip" -> multilineRoundtrip _)
 
   /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
@@ -158,5 +201,14 @@ object SourceQueries {
     "q_jsonl_roundtrip" -> checksumSql,
     "q_csv_roundtrip" -> checksumSql,
     "q_orc_roundtrip" -> checksumSql,
+    "q_partitioned_export" -> {
+      val langs = ExportLangs.map(l => s"'$l'").mkString(", ")
+      s"""SELECT lang, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents WHERE lang IN ($langs)
+         |GROUP BY lang""".stripMargin
+    },
     "q_multiline_roundtrip" -> customerChecksumSql)
 }

@@ -338,6 +338,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned export: the lang predicate prunes partitions at scan") {
+    // the read-back must skip non-selected language directories entirely:
+    // the lang predicate belongs in the scan's PartitionFilters (pruning),
+    // not in a per-row Filter above the scan
+    val tmp = Files.createTempDirectory("part-export").toString
+    graft.sources.JsonCsvSources.writeParquetPartitioned(
+      Tables.documents(spark, sf)
+        .select("doc_id", "lang", "source", "n_chars"), tmp, "lang")
+    val p = plan(SourceQueries.prunedReadBack(spark, tmp))
+    val pf = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("lang") && l.contains("en")),
+      s"lang predicate does not reach PartitionFilters:\n$p")
+  }
+
   test("salted join: the salt reaches the physical join keys") {
     // the whole point of q_salted_join is that one hot user spreads over
     // SaltFactor reducers — that only happens if __salt is a JOIN KEY,
