@@ -318,6 +318,34 @@ object Ext {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
         count(lit(1)).as("n"))
 
+  /** Equi-depth quantile binning (feature discretization): ntile quartiles
+    * of extended price within each return flag, reported as per-bin
+    * profiles — the binning step a feature pipeline runs before bucketed
+    * encodings. The ntile window orders by a UNIQUE key triple so bin
+    * assignment is total-order deterministic on both engines. Scale note:
+    * the exact path sorts each group; at 100 TB the same report comes
+    * from approx-quantile CUTPOINTS broadcast as literals (the
+    * [[approxStats]] family) — this query is the exact gate for that.
+    */
+  val NBins = 4
+
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bin", ntile(NBins).over(w))
+      .groupBy("l_returnflag", "bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("sum_price"))
+  }
+
   /** Running-window analytics over the event stream: per-user cumulative
     * sum (exact decimal), previous event type, and sequence number. The
     * (ts, event_id) ordering key is unique per user, so frames are
@@ -362,6 +390,7 @@ object Ext {
   val queries: Map[String, Q] = Map(
     "q_rollup" -> rollup _,
     "q_percentile" -> percentile _,
+    "q_quantile_bins" -> quantileBins _,
     "q_window_running" -> windowRunning _,
     "q_sessionize" -> sessionize _,
     "q_approx_stats" -> approxStats _,
@@ -383,6 +412,18 @@ object Ext {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
+    "q_quantile_bins" ->
+      s"""WITH b AS (SELECT l_returnflag, l_extendedprice,
+         |    CAST(ntile($NBins) OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         |      AS INTEGER) AS bin
+         |  FROM lineitem)
+         |SELECT l_returnflag, bin, count(*) AS n,
+         |  round(min(l_extendedprice), 2) AS min_price,
+         |  round(max(l_extendedprice), 2) AS max_price,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+         |    AS DOUBLE), 2) AS sum_price
+         |FROM b GROUP BY l_returnflag, bin""".stripMargin,
     "q_window_running" ->
       """SELECT user_id, event_id, ts, round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq FROM events""",
     "q_sessionize" ->
