@@ -678,6 +678,39 @@ object Dedup {
     * the ~(kn/m)^k false-positive trickle is shuffled, not every shingle
     * in the corpus.
     */
+  /** Repeated-span (exact-substring) boilerplate detection: every
+    * 8-token window shared by at least two documents, top spans by
+    * cross-document spread — the signal exact-substring dedup pipelines
+    * act on (shared spans are boilerplate/templates; a full pipeline
+    * would then cut or dedupe those spans). Window positions explode
+    * map-side; the one shuffle groups by the span; the global top-k is an
+    * `orderBy().limit()` so it plans as TakeOrderedAndProject
+    * (per-partition heads + driver merge), never a single-partition
+    * window. The (n_docs, n_occ, span) order key is total, so the cut
+    * is deterministic on both engines.
+    */
+  val SpanTokens = 8
+  val SpanTopK = 20
+
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (SpanTokens - 1)))
+          .as("p"), col("t"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), col("p"), lit(SpanTokens)))
+          .as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(SpanTopK)
+  }
+
   val BloomBits = 1 << 16
   val BloomHashes = 3
 
@@ -726,6 +759,7 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhash _,
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
+    "q_repeated_spans" -> repeatedSpans _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
 
   // ---- oracle SQL (generated to mirror the constants above) ----
@@ -912,6 +946,19 @@ object Dedup {
     "q_dedup_simhash" -> simhashSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_repeated_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |grams AS (SELECT doc_id,
+         |    array_to_string(t[p : p + ${SpanTokens - 1}], ' ') AS span
+         |  FROM toks, LATERAL (SELECT
+         |    unnest(range(1, len(t) - ${SpanTokens - 2})) AS p)
+         |  WHERE len(t) >= $SpanTokens)
+         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM grams GROUP BY span
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, span
+         |LIMIT $SpanTopK""".stripMargin,
     "q_utf8_fingerprint" -> {
       val values = Utf8PlantedRows.map { case (id, t) =>
         s"($id, '${t.replace("'", "''")}')"
