@@ -108,10 +108,67 @@ object StreamingQueries {
     s2.table(table)
   }
 
+  /** Streaming ingest curation: the stateless quality gate a production
+    * ingest runs on every arriving document — token count, quality score
+    * and language marker computed map-side ON THE STREAM, rows failing
+    * the corpus-curate gates dropped in flight. No windows and no state
+    * store, so append-mode output over the finite replay is EXACTLY the
+    * batch-filtered set (fully oracle-checkable), and each microbatch
+    * pipelines through with zero shuffle — the shape that scales to any
+    * ingest rate by adding executors. Gate constants are shared with
+    * [[graft.engine.Curation.corpusCurate]] (this pass gates only; the
+    * keeper election that needs cross-document state stays batch-side or
+    * in [[streamDedup]]'s keyed-state form).
+    */
+  private val docSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.{Curation, TextOps}
+    val table = s"graft_stream_qual_${runSeq.incrementAndGet()}"
+    val s2 = spark.newSession() // stateless: no state sizing needed
+    val docs = s2.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks,
+      t => t.isInCollection(TextOps.Stopwords)))
+    val scoreEn = size(filter(toks,
+      t => t.isInCollection(TextOps.LangMarkers.head._2)))
+    val q0 = round(
+      least(nTok.cast("double") / 50, lit(1.0)) *
+        (lit(1.0) - nStop.cast("double") / nTok), 6)
+    val gated = docs.select(col("doc_id"), col("source"),
+        nTok.cast("long").as("n_tok"),
+        round(q0 * 1000000L).cast("long").as("q_micro"),
+        scoreEn.as("score_en"))
+      .filter(
+        col("q_micro") >= (Curation.QualityFloor * 1000000L).toLong &&
+          col("n_tok").between(Curation.MinTokens, Curation.MaxTokens) &&
+          col("score_en") >= 1)
+      .select("doc_id", "source", "n_tok", "q_micro")
+    val q = gated.writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s2.table(table)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_event_window" -> streamEventWindow _,
     "q_stream_sessions" -> streamSessions _,
-    "q_stream_dedup" -> streamDedup _)
+    "q_stream_dedup" -> streamDedup _,
+    "q_stream_quality" -> streamQuality _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
     * the same finite fixture, and complete mode converges to the batch
@@ -121,5 +178,29 @@ object StreamingQueries {
     "q_stream_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""",
     "q_stream_dedup" ->
-      """SELECT DISTINCT user_id, event_type FROM events""")
+      """SELECT DISTINCT user_id, event_type FROM events""",
+    "q_stream_quality" -> {
+      import graft.engine.{Curation, TextOps}
+      val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+      val enList =
+        TextOps.LangMarkers.head._2.map(s => s"'$s'").mkString(", ")
+      val qExpr =
+        """round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) *
+          |    (1.0 - CAST(n_stop AS DOUBLE) / n_tok), 6)""".stripMargin
+      s"""WITH scored AS (SELECT doc_id, source,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS n_stop,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($enList))) AS score_en
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(round(($qExpr) * 1000000) AS BIGINT) AS q_micro
+         |FROM scored
+         |WHERE CAST(round(($qExpr) * 1000000) AS BIGINT)
+         |    >= ${(Curation.QualityFloor * 1000000L).toLong}
+         |  AND n_tok BETWEEN ${Curation.MinTokens}
+         |    AND ${Curation.MaxTokens}
+         |  AND score_en >= 1""".stripMargin
+    })
 }
