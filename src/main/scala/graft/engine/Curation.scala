@@ -244,7 +244,13 @@ object Curation {
           .as("n_tokens"),
         key.as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
-    val rdd = sorted.rdd
+    // localCheckpoint: the offsets collect below and the final
+    // createDataFrame are TWO jobs over this RDD — the checkpoint (eager
+    // at the first job) makes the second read the same materialized
+    // layout instead of re-running the range-sort shuffle, so cum_start
+    // is anchored to one physical ordering by construction, not by
+    // recompute determinism
+    val rdd = sorted.rdd.localCheckpoint()
     // per-partition token subtotals: numPartitions longs to the driver
     val partSums = rdd.mapPartitions(
       it => Iterator.single(it.map(_.getLong(1)).sum),

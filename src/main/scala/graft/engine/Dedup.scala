@@ -637,47 +637,33 @@ object Dedup {
     * Scale shape: shingle ids are the shared memoized map-side table
     * ([[shingleIds]]); the benchmark's distinct-shingle set is benchmark-
     * sized (eval suites are tiny next to a training corpus), so it
-    * BROADCASTS and the whole pass is one scan of the training shingles +
-    * one groupBy doc_id — no shuffle of the corpus against itself.
+    * BROADCASTS and the whole pass is scans of the cached shingle table —
+    * no shuffle of the corpus against itself.
+    *
+    * Aggregate shape (shared with [[decontaminateBloom]]): hit counts and
+    * per-doc totals are TWO single-countDistinct aggregates joined back
+    * (hits are contaminated-doc-sized, so they broadcast) — one groupBy
+    * with two countDistincts would plan an Expand that doubles every row
+    * through the shuffle, the costlier plan at corpus scale.
     */
   val DecontamBenchMod = 97L
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val ids = shingleIds(spark, dir)
     val bench = ids.filter(col("doc_id") % DecontamBenchMod === 0)
-      .select("sid").distinct().withColumn("hit", lit(1))
-    ids.filter(col("doc_id") % DecontamBenchMod =!= 0)
-      .join(broadcast(bench), Seq("sid"), "left")
+      .select("sid").distinct()
+    val corpus = ids.filter(col("doc_id") % DecontamBenchMod =!= 0)
+    val hits = corpus.join(broadcast(bench), Seq("sid"))
       .groupBy("doc_id")
-      .agg(
-        countDistinct(col("sid")).as("n_shingles"),
-        countDistinct(when(col("hit") === 1, col("sid"))).as("n_hits"))
-      .filter(col("n_hits") >= 1)
+      .agg(countDistinct(col("sid")).as("n_hits"))
+    corpus.groupBy("doc_id")
+      .agg(countDistinct(col("sid")).as("n_shingles"))
+      .join(broadcast(hits), Seq("doc_id"))
       .select(col("doc_id"), col("n_hits"), col("n_shingles"),
         round(col("n_hits").cast("double") / col("n_shingles"), 6)
           .as("contamination"))
   }
 
-  /** Bloom-prefiltered decontamination — the scale path for when the
-    * benchmark shingle set outgrows a broadcast hash table. Semantics are
-    * IDENTICAL to [[decontaminate]] (it shares that oracle SQL): a Bloom
-    * filter over the benchmark shingle ids (m = 2^16 bits, k = 3
-    * xxhash64 probes) prunes the corpus shingle stream BEFORE the exact
-    * sid join, and that join is pinned to sort-merge — the plan an
-    * eval-suite-too-big-to-broadcast run would use. Bloom false positives
-    * survive the prefilter but die in the exact join, so the output stays
-    * exact; per-doc shingle totals aggregate off the unfiltered stream
-    * and only the contaminated-doc-sized hit counts broadcast back.
-    *
-    * The bitmap is built with one bounded bit-OR aggregate (m/64 = 1024
-    * rows to the driver — a dimension-sized collect, same class as
-    * `q_embed_near_dup`'s 1-row grid probe) and ships to executors as a
-    * foldable array literal, referenced by codegen as a constant: rows
-    * never carry it. At 100 TB the prefilter is what keeps the exchange
-    * affordable — only the contaminated fraction of corpus shingles plus
-    * the ~(kn/m)^k false-positive trickle is shuffled, not every shingle
-    * in the corpus.
-    */
   /** Repeated-span (exact-substring) boilerplate detection: every
     * 8-token window shared by at least two documents, top spans by
     * cross-document spread — the signal exact-substring dedup pipelines
@@ -711,6 +697,35 @@ object Dedup {
       .limit(SpanTopK)
   }
 
+  /** Bloom-prefiltered decontamination — the scale path for when the
+    * benchmark shingle set outgrows a broadcast hash table. Semantics are
+    * IDENTICAL to [[decontaminate]] (it shares that oracle SQL): a Bloom
+    * filter over the benchmark shingle ids (m = 2^16 bits, k = 3
+    * xxhash64 probes) prunes the corpus shingle stream BEFORE the exact
+    * sid join, and that join is pinned to sort-merge — the plan an
+    * eval-suite-too-big-to-broadcast run would use. Bloom false positives
+    * survive the prefilter but die in the exact join, so the output stays
+    * exact; per-doc shingle totals aggregate off the unfiltered stream
+    * and only the contaminated-doc-sized hit counts broadcast back.
+    *
+    * The bitmap is built with one bounded bit-OR aggregate (m/64 = 1024
+    * rows to the driver — a dimension-sized collect, same class as
+    * `q_embed_near_dup`'s 1-row grid probe) and ships to executors as a
+    * foldable array literal, referenced by codegen as a constant: rows
+    * never carry it. At 100 TB the prefilter is what keeps the exchange
+    * affordable — only the contaminated fraction of corpus shingles plus
+    * the ~(kn/m)^k false-positive trickle is shuffled, not every shingle
+    * in the corpus.
+    *
+    * EAGER-BUILD semantics: constructing this query runs the bitmap
+    * aggregation immediately (the collect is at DataFrame-construction
+    * time), and the bitmap is a frozen snapshot of the benchmark set.
+    * That is safe here because it reads the same memoized/cached
+    * [[shingleIds]] snapshot the exact join reads — within a session the
+    * two cannot diverge; a long-lived service rebuilding a corpus dir
+    * must invalidate the memo AND rebuild this query, or a stale bitmap's
+    * false negatives would silently drop real contamination.
+    */
   val BloomBits = 1 << 16
   val BloomHashes = 3
 

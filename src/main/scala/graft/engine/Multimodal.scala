@@ -93,14 +93,20 @@ object Multimodal {
   /** Frame/sample selection analog: deterministic stride sampling of the
     * payload (video frame-sampling shape without a codec). Output is one
     * row per sampled offset — the explode-to-frames pattern.
+    *
+    * Offsets are CHARACTER positions on the UTF-8-decoded payload (the
+    * mediaTable payload is text by construction), matching the DuckDB
+    * twin's strlen/substr semantics exactly — byte offsets on the binary
+    * column would silently diverge from the oracle on any non-ASCII text.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)
+      .withColumn("chars", col("payload").cast("string"))
       .withColumn("frame_off",
-        explode(sequence(lit(0), length(col("payload")) - 1, lit(64))))
+        explode(sequence(lit(0), length(col("chars")) - 1, lit(64))))
       .select(col("doc_id"), col("frame_off"),
-        substring(col("payload").cast("string"),
-          col("frame_off") + 1, lit(4)).as("frame_magic"))
+        substring(col("chars"), col("frame_off") + 1, lit(4))
+          .as("frame_magic"))
 
   /** Planted P6 (binary PPM) images: (doc_id, width, height). Raster byte
     * `i` is `(i*7 + 13) % 251` — pure arithmetic, so the DuckDB oracle
@@ -273,13 +279,23 @@ object Multimodal {
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTableFull(spark, dir)
+      // raw-byte magic check: a binary substring compares the first two
+      // BYTES — casting the whole payload to string would decode the full
+      // raster per row just for the magic, and byte-vs-char drift on
+      // non-UTF-8 rasters could misroute payloads
       .filter(col("payload").isNotNull &&
-        substring(col("payload").cast("string"), 1, 2) === "P6")
+        substring(col("payload"), 1, 2) ===
+          lit("P6".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init would go here (codec handles, buffers)
-        it.flatMap { case (id, bytes) => resizePpm(id, bytes) }
+        // per-partition init would go here (codec handles, buffers);
+        // a P6-prefixed but malformed payload quarantines to zero rows
+        // instead of failing the job (same contract as decodeFeatures'
+        // null filter — row-level defects must never abort a cluster run)
+        it.flatMap { case (id, bytes) =>
+          scala.util.Try(resizePpm(id, bytes)).getOrElse(Seq.empty)
+        }
       }
       .toDF()
   }

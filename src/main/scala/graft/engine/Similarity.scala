@@ -441,7 +441,7 @@ object Similarity {
     * subspace gets a codebook (per-label subvector means, round-6 — the
     * same deterministic label-as-cluster stand-in as [[annIvf]], and the
     * plan is identical once codebooks exist); a corpus vector is encoded
-    * as [[PqNSub]] small ints — 8 codes instead of 64 floats, a 32×
+    * as [[PqNSub]] small ints — 16 codes instead of 64 floats, a 16×
     * compression that is what lets a 100 TB corpus's index live in
     * cluster RAM. Queries never decode: each query precomputes a
     * per-subspace table of dot products against every codebook entry
