@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness retains only a bounded tail of stdout: route forked
+// run output straight through (no "[info] " prefix) and drop the
+// "[success] Total time..." epilogue so neither eats the budget of
+// graft.Bench's one-line JSON artifact.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command loop, not a task — exempt it
+// from the unused-setting lint so the warning doesn't land on stdout
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

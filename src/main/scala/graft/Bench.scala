@@ -78,28 +78,90 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     probes += calibrate(nThreads)
-    // The whole line must stay under ~1900 chars: the harness that
-    // collects this output retains only a bounded tail of stdout, and an
-    // overflowing line truncates the JSON head. Per-query times are
-    // 2-decimal (10 ms granularity — well under run-to-run noise); the
-    // calib series keeps 3 decimals (its probes are ~0.15 s, so the
-    // normalization needs ms precision). At 76 queries + a 11-element
-    // series the line is ~1810 chars — headroom for ~3 more queries;
-    // shorten names before adding beyond that. The series median
-    // (BASELINE.md's calib_sec) is derivable, so it is not emitted; "sf"
-    // is the fixture basename for the same reason.
+    // ---- emission budget ----
+    // The harness retains only the LAST ~2000 chars of stdout, and the
+    // artifact is whatever of the ONE JSON line survives in that tail —
+    // round 9's line overflowed and lost its head (total + 7 entries +
+    // the calib series). Three levers keep the whole line inside the
+    // budget at 92 queries (~1920 chars, ~70 headroom):
+    //   1. per-query keys go through [[shortKey]] (rule table mirrored in
+    //      BASELINE.md "Bench key abbreviations");
+    //   2. seconds are 2-decimal with a trailing zero trimmed;
+    //   3. the calibration series is integer MILLISECONDS ("calib_ms").
+    // The full-fidelity record (long names, 3-decimal seconds) is written
+    // to BENCH_LOCAL.json in the working dir, NOT stdout; the calib
+    // series also appends to BENCH_CALIB.jsonl as cross-round history.
     def f(v: Double): String = f"$v%.3f"
-    def f2(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+    def f2(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.endsWith("0")) s.dropRight(1) else s
+    }
+    val shortKeys = results.map { case (k, _) => shortKey(k) }
+    require(shortKeys.distinct.size == results.size,
+      "shortKey collision would silently merge two queries in the artifact")
+    val qs = results.zip(shortKeys)
+      .map { case ((_, v), sk) => "\"" + sk + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // stop (and silence) Spark BEFORE printing so shutdown warnings cannot
     // land after the JSON line and push it out of a bounded output tail
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    val calib =
-      s""""calib_series":${probes.map(f).mkString("[", ",", "]")}"""
+    val calibMs =
+      s""""calib_ms":${probes.map(p => math.round(p * 1000).toString)
+        .mkString("[", ",", "]")}"""
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfName"}""")
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
+      s"""$calibMs,"queries":$qs,"sf":"$sfName"}"""
+    if (line.length > 1950)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
+        "is near the 2000-char stdout-tail budget; shorten keys in shortKey")
+    writeLocalRecords(results, probes.toSeq, sfName, total)
+    println(line)
+  }
+
+  /** Stdout-artifact key for a query: a deterministic abbreviation that
+    * keeps ~92 entries inside the harness's 2000-char stdout tail. The
+    * rule (also in BASELINE.md): drop the `q_` prefix, then
+    * `dedup_`→`dd_`, `stream_`→`st_`, `multimodal_`→`mm_`,
+    * `decontaminate`→`decontam` (leading tokens only), and
+    * `incremental`→`incr` anywhere. Full names appear in
+    * BENCH_LOCAL.json and as Verify/CORRECTNESS keys.
+    */
+  private[graft] def shortKey(name: String): String = {
+    val base = if (name.startsWith("q_")) name.drop(2) else name
+    val prefixed = Seq("dedup_" -> "dd_", "stream_" -> "st_",
+      "multimodal_" -> "mm_", "decontaminate" -> "decontam")
+      .collectFirst { case (a, b) if base.startsWith(a) =>
+        b + base.substring(a.length) }
+      .getOrElse(base)
+    prefixed.replace("incremental", "incr")
+  }
+
+  /** Full-fidelity sidecar records (the stdout line is budget-bound):
+    * BENCH_LOCAL.json gets long names + 3-decimal seconds + the probe
+    * series, overwritten per run; BENCH_CALIB.jsonl appends one line per
+    * run so calibration history survives across rounds even when a tail
+    * truncation eats part of stdout. Best-effort — a read-only working
+    * dir must not fail the bench.
+    */
+  private def writeLocalRecords(results: Seq[(String, Double)],
+      probes: Seq[Double], sfName: String, total: Double): Unit = {
+    def f(v: Double): String = f"$v%.3f"
+    val calib = probes.map(f).mkString("[", ",", "]")
+    try {
+      val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+          s""""calib_series":$calib,"queries":$qs,"sf":"$sfName"}""" + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_CALIB.jsonl"),
+        s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfName",""" +
+          s""""calib_series":$calib}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+    } catch { case _: Throwable => () }
   }
 }
