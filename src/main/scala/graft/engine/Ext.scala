@@ -269,7 +269,9 @@ object Ext {
     * distinct counts and t-digest-style percentiles next to their exact
     * twins. Engine-specific sketches have no cross-engine oracle (driver
     * records a rows-only check); the ScalaTest asserts relative error
-    * bounds against the exact values instead.
+    * bounds against the exact values instead. The exact columns are NOT
+    * exempt: [[approxExact]] re-derives them as their own fully
+    * hash-gated query, so only the sketches ride the rows-only check.
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -279,6 +281,18 @@ object Ext {
         countDistinct(col("l_orderkey")).as("exact_orders"),
         round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4)
           .as("p50_approx"),
+        count(lit(1)).as("n"))
+
+  /** The exact half of [[approxStats]], split out as an oracle-checked
+    * query: the sketch columns are legitimately engine-specific, but
+    * exact distinct counts and row counts must not hide behind that
+    * exemption — this is the hash gate for them.
+    */
+  def approxExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
 
   /** Set operations (union / intersect / except) over two key sets:
@@ -394,6 +408,7 @@ object Ext {
     "q_window_running" -> windowRunning _,
     "q_sessionize" -> sessionize _,
     "q_approx_stats" -> approxStats _,
+    "q_approx_exact" -> approxExact _,
     "q_upsert" -> upsert _,
     "q_skew_profile" -> skewProfile _,
     "q_salted_join" -> saltedJoinQuery _,
@@ -412,6 +427,8 @@ object Ext {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
+    "q_approx_exact" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
     "q_quantile_bins" ->
       s"""WITH b AS (SELECT l_returnflag, l_extendedprice,
          |    CAST(ntile($NBins) OVER (PARTITION BY l_returnflag

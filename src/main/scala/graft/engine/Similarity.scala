@@ -61,11 +61,22 @@ object Similarity {
     */
   val NTables = 4
   val PlanesPerTable = 6
+
+  /** Plane-weight formula constants — shared by [[planeWeights]] and the
+    * q_ann_lsh oracle SQL so the two engines derive the same matrix.
+    */
+  val PwMulA = 7919L
+  val PwAddA = 13L
+  val PwMulB = 104729L
+  val PwAddB = 7L
+  val PwMod = 1009L
+  val PwShift = 504L
+
   def planeWeights(dim: Int): Seq[Array[Int]] =
     (0 until NTables * PlanesPerTable).map { p =>
       Array.tabulate(dim)(d =>
-        ((((7919L * p + 13L) * (d + 1) + 104729L * p + 7L) % 1009L)
-          - 504L).toInt)
+        ((((PwMulA * p + PwAddA) * (d + 1) + PwMulB * p + PwAddB) % PwMod)
+          - PwShift).toInt)
     }
 
   /** Array of one bucket signature per table — a single native-expression
@@ -79,8 +90,15 @@ object Similarity {
   /** ANN: corpus + queries hashed once into NTables buckets (posexplode to
     * (table, sig) keys), candidates = same-bucket pairs unioned across
     * tables, exact cosine re-ranks the deduplicated candidates.
-    * Probabilistic recall (ScalaTest measures it against brute force) — so
-    * no SQL oracle; the driver records a rows-only check.
+    *
+    * Fully ORACLE-CHECKED (round 10): recall is probabilistic IN THE
+    * INDEX-DESIGN sense, but every step is deterministic arithmetic —
+    * integer plane weights from [[planeWeights]]'s closed formula, sign
+    * tests on a dimension-ordered double fold (exact float×int products,
+    * identical summation order to DuckDB's `list_reduce`), candidate
+    * pairs = same-(table,sig) equality — so the DuckDB twin derives the
+    * identical candidate set and ranking. ScalaTest still measures the
+    * recall-vs-brute-force curve; the oracle gates the exact output.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
@@ -611,7 +629,46 @@ object Similarity {
        |ranked0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY cos_c DESC, cell) AS crank FROM scored)""".stripMargin
 
+  /** DuckDB twin of [[annLsh]]: plane weights derive inline from the
+    * [[planeWeights]] formula (i = d+1 is range's 1-based index), dots
+    * fold in dimension order (bit-identical to the codegen'd
+    * [[graft.functions.HyperplaneSignatures]] loop — float×int products
+    * are exact in double, and both engines add in the same order), table
+    * signatures re-assemble via the same dot>0 bit tests.
+    */
+  private def lshSql: String = {
+    val w = s"(((($PwMulA*p + $PwAddA) * i + $PwMulB*p + $PwAddB) " +
+      s"% $PwMod) - $PwShift)"
+    s"""dots AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * $w),
+       |      (a,b) -> a+b) AS dot
+       |  FROM embeddings,
+       |    (SELECT unnest(range(0, ${NTables * PlanesPerTable})) AS p)),
+       |sigs AS (
+       |  SELECT vec_id, CAST(p // $PlanesPerTable AS INTEGER) AS tbl,
+       |    CAST(sum(CASE WHEN dot > 0
+       |      THEN (1 << CAST(p % $PlanesPerTable AS INTEGER))
+       |      ELSE 0 END) AS INTEGER) AS sig
+       |  FROM dots GROUP BY vec_id, p // $PlanesPerTable),
+       |qs AS (SELECT vec_id AS query_id, tbl, sig FROM sigs
+       |  WHERE vec_id < $NQueryVecs),
+       |cand AS (SELECT DISTINCT query_id, s.vec_id AS neighbor_id
+       |  FROM sigs s JOIN qs USING (tbl, sig) WHERE s.vec_id <> query_id),
+       |rer AS (SELECT query_id, neighbor_id,
+       |    round(${cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH $lshSql
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q_sim_cosine_topk" ->
       s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NQueryVecs),
          |pairs AS (SELECT query_id, vec_id AS neighbor_id,
