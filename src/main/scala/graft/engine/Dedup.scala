@@ -461,8 +461,11 @@ object Dedup {
     * shuffles, and Spark prunes unneeded buckets. Memoized per
     * (session, dir): built once, probed every batch.
     */
+  private final case class BandIndex(table: String, path: String)
+
   private def corpusBandIndex(spark: SparkSession, dir: String): String =
-    SessionMemo.getOrCompute(spark, s"dedup.corpusBandIndex:$dir") {
+    SessionMemo.getOrComputeCleanup(spark,
+        s"dedup.corpusBandIndex:$dir") {
       val table = s"graft_corpus_band_index_${math.abs(dir.hashCode.toLong)}"
       val bands = bandRows(signatures(spark, dir)).drop("bkey2")
       val corpus = bands.filter(col("doc_id") % IncrementalDeltaMod > 0)
@@ -472,13 +475,21 @@ object Dedup {
         .select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
         .union(corpus.filter(col("bsize") > LshBucketCap)
           .groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_b")))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_band_index").toString
+      // registered for JVM-exit deletion; the cleanup below additionally
+      // drops it (and the catalog name) as soon as the memo entry goes
+      val path = TempArtifacts.tempDir(s"graft_band_index_$table")
       rows.write.bucketBy(CorpusIndexBuckets, "band", "bkey")
         .option("path", s"$path/$table").mode("overwrite")
         .saveAsTable(table)
-      table
-    }
+      BandIndex(table, path)
+    } { bi =>
+      // Try: application-end eviction runs while the session stops, where
+      // catalog calls may no longer be served — the dir delete below is
+      // the part that must always happen
+      scala.util.Try(
+        spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")): Unit
+      TempArtifacts.delete(bi.path)
+    }.table
 
   /** Delta-probe candidates against the persisted index: a plain
     * (band, bkey) equi-join — pairwise and star candidates fall out of

@@ -24,11 +24,23 @@ import org.apache.spark.sql.SparkSession
   * compute under a genuine race; query execution here is sequential.
   */
 private[graft] object SessionMemo {
-  private val store = new ConcurrentHashMap[(SparkSession, String), AnyRef]()
+  private val store =
+    new ConcurrentHashMap[(SparkSession, String), (AnyRef, () => Unit)]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
   def getOrCompute[T <: AnyRef](spark: SparkSession, key: String)
-      (compute: => T): T = {
+      (compute: => T): T =
+    getOrComputeCleanup(spark, key)(compute)(_ => ())
+
+  /** [[getOrCompute]] plus an eviction cleanup: entries owning on-disk
+    * or catalog artifacts (the persisted band/cell indexes) register how
+    * to release them, and [[invalidate]]/[[evictSession]] run it exactly
+    * once when the entry goes. Cleanups must be idempotent and safe on a
+    * stopping session (wrap catalog calls in Try — application-end
+    * eviction fires while the context shuts down).
+    */
+  def getOrComputeCleanup[T <: AnyRef](spark: SparkSession, key: String)
+      (compute: => T)(cleanup: T => Unit): T = {
     if (hooked.add(spark)) {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
@@ -37,20 +49,29 @@ private[graft] object SessionMemo {
     }
     val k = (spark, key)
     val existing = store.get(k)
-    if (existing != null) existing.asInstanceOf[T]
+    if (existing != null) existing._1.asInstanceOf[T]
     else {
       val v = compute
-      val prev = store.putIfAbsent(k, v)
-      if (prev != null) prev.asInstanceOf[T] else v
+      val prev = store.putIfAbsent(k, (v, () => cleanup(v)))
+      if (prev != null) prev._1.asInstanceOf[T] else v
     }
   }
 
-  /** Drop one entry (e.g. after rewriting the data under a dir). */
+  /** Drop one entry (e.g. after rewriting the data under a dir),
+    * running its cleanup.
+    */
   def invalidate(spark: SparkSession, key: String): Unit =
-    store.remove((spark, key))
+    Option(store.remove((spark, key))).foreach(_._2())
 
   def evictSession(spark: SparkSession): Unit = {
-    store.keySet.removeIf(_._1 eq spark)
+    val it = store.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        it.remove()
+        e.getValue._2()
+      }
+    }
     hooked.remove(spark)
   }
 }

@@ -326,7 +326,7 @@ object Similarity {
     * Memoized per (session, dir): built once, probed every batch.
     */
   private def corpusCellIndex(spark: SparkSession, dir: String): String =
-    SessionMemo.getOrCompute(spark, s"sim.cellIndex:$dir") {
+    SessionMemo.getOrComputeCleanup(spark, s"sim.cellIndex:$dir") {
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_c").desc, col("cell"))
       val assigned = Tables.embeddings(spark, dir)
@@ -338,11 +338,13 @@ object Similarity {
         .filter(col("crank") === 1)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
           col("cell"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_cell_index").toString
+      // registered for JVM-exit deletion AND deleted eagerly when the
+      // memo entry is invalidated/evicted
+      val path = TempArtifacts.tempDir(
+        s"graft_cell_index_${math.abs(dir.hashCode.toLong)}")
       assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
       path
-    }
+    } { path => TempArtifacts.delete(path) }
 
   /** Incremental (delta-vs-corpus) ANN — the per-batch shape: each new
     * vector finds its top-k among the EXISTING corpus through the

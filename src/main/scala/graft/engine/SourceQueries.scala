@@ -1,7 +1,5 @@
 package graft.engine
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -27,31 +25,14 @@ object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Per-invocation sink dirs — Verify/Bench/test runs must not leak
-    * round-trip output on disk. One shared shutdown hook drains a queue
-    * of pending dirs (a hook PER invocation would retain one Thread each
-    * across a long bench session), and each query eagerly deletes its own
-    * previous sink dir on re-invocation so a session iterating the
-    * round-trips holds at most one live dir per prefix.
+    * round-trip output on disk. Registration/JVM-exit cleanup lives in
+    * the shared [[TempArtifacts]] registry (one queue + one shutdown
+    * hook for sink dirs and the persisted dedup/ANN index dirs alike);
+    * the per-prefix replacement means a session iterating a round-trip
+    * query holds at most one live dir per prefix.
     */
-  private val pendingSinkDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
-
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rm))
-    f.delete(): Unit
-  }
-
-  locally {
-    sys.addShutdownHook {
-      pendingSinkDirs.values.forEach(d => rm(d.toFile))
-    }: Unit
-  }
-
-  private def tempSinkDir(prefix: String): String = {
-    val dir = Files.createTempDirectory(prefix)
-    Option(pendingSinkDirs.put(prefix, dir)).foreach(d => rm(d.toFile))
-    dir.toString
-  }
+  private def tempSinkDir(prefix: String): String =
+    TempArtifacts.tempDir(prefix)
 
   private val eventsLite = StructType(Seq(
     StructField("event_id", LongType),
