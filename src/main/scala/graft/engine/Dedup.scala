@@ -617,17 +617,38 @@ object Dedup {
           least(col("root"), coalesce(col("min_nroot"), col("root")))
             .as("new_root"))
         .cache()
-      val updated = propagated
+      // the convergence metric rides the SAME job that materializes the
+      // round: localCheckpoint (eager, a tracked action) executes the
+      // plan including the CollectMetrics node, so each round is ONE job
+      // — a separate changed-rows count() per round would double the
+      // per-round job overhead that dominates this loop's wall time (the
+      // data is dup-sized, not corpus-sized). STRING-named observe, not
+      // the Observation API: Observation.register materializes the
+      // session's lazy (non-serializable) ObservationManager field,
+      // after which ANY closure that drags the session in — e.g. Spark
+      // ML's trainingSummary captured by a model-transform UDF — fails
+      // task serialization for the rest of the session's lifetime. The
+      // named metric reads back synchronously from this query's own
+      // execution, no listener wait, no session-level registration.
+      val metric = s"cc_changed_$iter"
+      val observed = propagated
         .join(propagated.select(col("node").as("new_root"),
           col("new_root").as("rroot")), Seq("new_root"), "left")
         .select(col("node"), col("root"),
           coalesce(col("rroot"), col("new_root")).as("new_root"))
-        .localCheckpoint()
+        .observe(metric, sum(when(col("new_root") =!= col("root"), 1L)
+          .otherwise(0L)).as("changed"))
+      val updated = observed.localCheckpoint()
       // localCheckpoint is eager: `updated` is materialized, so the
       // round's cache can drop NOW — without this, executor storage creeps
       // by one cached frame per round
       propagated.unpersist()
-      changed = updated.filter(col("new_root") =!= col("root")).count()
+      // defensive fallback: an absent/null metric (must not happen on a
+      // healthy run — ClusteringSpec gates it) degrades to a count job
+      changed = observed.queryExecution.observedMetrics.get(metric)
+        .flatMap(r => Option(r.getAs[Any]("changed")))
+        .collect { case n: Number => n.longValue() }
+        .getOrElse(updated.filter(col("new_root") =!= col("root")).count())
       labels = updated.select(col("node"), col("new_root").as("root"))
       iter += 1
     }

@@ -24,6 +24,43 @@ class ClusteringSpec extends SparkSpec {
     assert(labels.filter(col("keep")).count() === 1)
   }
 
+  test("convergence rides the observed metric — no per-round count job") {
+    // The changed-rows metric must ride the round's materialization
+    // (observe + localCheckpoint), not a separate count() action. AQE
+    // and broadcast exchanges legitimately split one query into several
+    // jobs, so a raw job-count bound is meaningless; the gate counts
+    // jobs whose CALLSITE is a count() inside Dedup. Exactly ONE is
+    // legitimate — the edge-sizing count at loop setup. The old
+    // per-round convergence regime fires `rounds` more; the defensive
+    // observation-timeout fallback would too. Neither may fire on a
+    // healthy multi-round run.
+    val dedupCountJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(
+          j.properties.getProperty("callSite.short")).getOrElse("")
+        if (site.startsWith("count at Dedup"))
+          dedupCountJobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = spark.range(255)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val (labels, rounds) = Dedup.clusterPairs(pairs)
+      assert(labels.count() === 256)
+      assert(rounds >= 2, s"want a multi-round run, got $rounds")
+      // the listener bus is async — give queued job-start events a
+      // moment to drain before reading
+      Thread.sleep(1000)
+      val n = dedupCountJobs.get()
+      assert(n <= 1,
+        s"$n count-at-Dedup jobs over $rounds rounds — convergence is " +
+          "running a per-round count action instead of the observed metric")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("disjoint components keep distinct roots and one keeper each") {
     val a = spark.range(99)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
