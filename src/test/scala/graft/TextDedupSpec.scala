@@ -258,6 +258,88 @@ class TextDedupSpec extends SparkSpec {
       s"sub-bucket split pairs missing: ${expected -- cand}")
   }
 
+  test("production cap 64 stays linear with adversarial blocks in sf0.1") {
+    // The oversize-guard tests above trigger the degenerate paths on
+    // small fixtures (via the test-only `cap` parameter where needed);
+    // this one pins the PRODUCTION configuration — cap = LshBucketCap =
+    // 64, no parameter override — against the full sf0.1 corpus (5 000
+    // docs) with two planted adversarial blocks:
+    //   block1: 150 IDENTICAL docs — every band bucket AND every
+    //     second-band sub-bucket holds 150 > 64 rows, so the pairwise
+    //     join and the sub-bucket split both stay silent and coverage
+    //     must come from the full-signature star (guard part 2);
+    //   block2: 140 near-dup docs (60 shared tokens + 4 unique each) —
+    //     signatures mostly DISTINCT, the shared band buckets exceed the
+    //     cap, and most sub-buckets do too, so coverage must come from
+    //     the oversize-bucket star (guard part 3).
+    // The gate: candidate volume incident to each block is LINEAR in
+    // block size (an unguarded pass would emit ~11k/9.7k pairwise
+    // candidates), and the guard's observed metric reports the skipped
+    // volume.
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-sf01").toString
+    import spark.implicits._
+    val block1 = (800001L to 800150L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "en", "web", 40L))
+    val core = (0 until 60).map(i => s"w$i").mkString(" ")
+    val block2 = (810001L to 810140L).map(i =>
+      (i, core + " " + (0 until 4).map(j => s"u${i}x$j").mkString(" "),
+        "en", "web", 40L))
+    Tables.documents(spark, "/root/testdata/sf0.1")
+      .unionByName((block1 ++ block2)
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    @volatile var observed: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("lsh_bucket_guard").foreach(row =>
+          observed = Some(row.getAs[Long]("rows_in_oversize_buckets")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val cand = Dedup.lshCandidates(spark, tmp).cache()
+      try {
+        // block1: exactly the 149-star to the block min — nothing else
+        val b1 = cand.filter(col("doc_a") >= 800001L &&
+          col("doc_b") <= 800150L && col("doc_a") <= 800150L)
+        assert(b1.count() === 149,
+          "identical block must collapse to its signature star")
+        assert(b1.filter(col("doc_a") =!= 800001L).count() === 0)
+        // block2: linear candidate volume (10x block size allows star
+        // edges per band plus residual sub-cap pairs; the unguarded
+        // all-pairs volume is 9 730) and near-total star connectivity
+        val b2 = cand.filter(col("doc_a") >= 810001L &&
+          col("doc_a") <= 810140L && col("doc_b") <= 810140L &&
+          col("doc_b") >= 810001L).cache()
+        try {
+          val n2 = b2.count()
+          assert(n2 <= 10L * 140,
+            s"block2 candidates $n2 — guard failed to stay linear")
+          val linked = b2.select(col("doc_a").as("d"))
+            .union(b2.select(col("doc_b").as("d"))).distinct().count()
+          assert(linked >= 133,
+            s"only $linked of 140 block2 docs reached by star edges")
+        } finally b2.unpersist()
+        // no cross-contamination: planted blocks never pair with the
+        // sf0.1 corpus (disjoint vocabularies)
+        assert(cand.filter(col("doc_a") < 800000L &&
+          col("doc_b") >= 800000L).count() === 0)
+        // the guard metric must account for both planted blocks: all
+        // 150 block1 rows x 4 bands, plus block2's oversize share
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (observed.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(observed.exists(_ >= 150L * Dedup.Bands),
+          s"guard metric undercounts oversize rows: $observed")
+      } finally cand.unpersist()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incremental dedup links new docs to corpus only, star-capped") {
     // corpus: a 150-doc identical block (oversize at cap 64) plus one
     // near-dup partner; delta: one doc identical to the block (must get
