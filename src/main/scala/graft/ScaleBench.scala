@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{SessionMemo, Tables, TempArtifacts}
+
+/** Scale-evidence bench: runs the dedup + ANN family on synthesized
+  * 1x / 2x / 5x / 10x copies of the sf0.1 corpus and reports each
+  * query's scaling exponent alpha = log(t_10x / t_1x) / log(10) — the
+  * one-command check that the blocked/bucketed operators actually grow
+  * near-linearly (alpha ≈ 1) instead of quadratically (alpha ≈ 2), the
+  * claim every oversize guard and chunk grid exists to defend.
+  *
+  * Corpus synthesis preserves structure instead of inflating dup rates:
+  * copy k of a document salts EVERY token with `_k`, so each copy
+  * reproduces the original's internal near-dup clusters while sharing
+  * no shingles across copies — output size, vocabulary, and candidate
+  * volume all scale by s, which is exactly the regime where a linear
+  * operator shows alpha ≈ 1. (A naive row replication would create
+  * s-sized cross-copy dup clusters — a different, denser problem whose
+  * output grows s² and which no correct near-dup pass can keep linear.)
+  * Embeddings shift vec_ids per copy and nudge each vector by k/1000 so
+  * copies are distinct but the cell/label geometry is preserved; the
+  * probe set stays the original NQueryVecs, so ANN times measure
+  * corpus-side scaling at fixed query load.
+  *
+  * Timing is STEADY STATE: each query runs twice per scale and the
+  * second run is reported, so one-time session/memo builds (shingle
+  * table, persisted indexes) do not smear the exponent; memos and
+  * caches are evicted between scales so each scale starts cold then
+  * warms identically. Fixed per-query overhead (~0.1–0.3 s of job
+  * machinery) biases small-corpus points, so alpha is computed from the
+  * 1x→10x endpoints where the bias is smallest — expect alpha slightly
+  * BELOW 1 for linear operators at these sizes.
+  */
+object ScaleBench {
+  val Scales = Seq(1, 2, 5, 10)
+
+  val QueryNames = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_dedup_clusters", "q_decontaminate_bloom",
+    "q_dedup_incremental_bucketed", "q_sim_cosine_topk", "q_ann_lsh",
+    "q_ann_ivf", "q_ann_incremental")
+
+  private def synth(spark: SparkSession, base: String, s: Int): String = {
+    val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
+    val docs = Tables.documents(spark, base)
+    (0 until s).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + k * 1000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = Tables.embeddings(spark, base)
+    (0 until s).map { k =>
+      if (k == 0) e
+      else e.select(
+        (col("vec_id") + k * 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(k * 0.001f))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        scala.util.Try(cpus.toInt).getOrElse(32))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = SparkEntry.queries
+    // (query -> scale -> steady-state seconds)
+    val times = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[Int, Double]]
+    for (s <- Scales) {
+      val dir = synth(spark, base, s)
+      for (name <- QueryNames) {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          queries(name)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // cold pass pays session/memo/index builds
+        val steady = once()
+        times.getOrElseUpdate(name,
+          scala.collection.mutable.Map.empty)(s) = steady
+        System.err.println(f"[scalebench] ${s}%2dx $name%-30s $steady%.2f s")
+      }
+      // each scale tears down its memoized shingle tables, models, and
+      // persisted indexes so the next starts from the same (cold) state
+      SessionMemo.evictSession(spark)
+      spark.catalog.clearCache()
+      TempArtifacts.delete(dir)
+    }
+    spark.stop()
+    val header = "| query | " +
+      Scales.map(s => s"${s}x (s)").mkString(" | ") + " | alpha |"
+    val sep = "| --- |" + Scales.map(_ => " --- |").mkString + " --- |"
+    val rows = QueryNames.map { name =>
+      val t = times(name)
+      val alpha = math.log(t(Scales.last) / t(Scales.head)) /
+        math.log(Scales.last.toDouble / Scales.head)
+      s"| $name | " +
+        Scales.map(s => f"${t(s)}%.2f").mkString(" | ") +
+        f" | $alpha%.2f |"
+    }
+    println((header +: sep +: rows).mkString("\n"))
+  }
+}
