@@ -124,18 +124,21 @@ object Bench {
     * keeps ~92 entries inside the harness's 2000-char stdout tail. The
     * rule (also in BASELINE.md): drop the `q_` prefix, then
     * `dedup_`→`dd_`, `stream_`→`st_`, `multimodal_`→`mm_`,
-    * `decontaminate`→`decontam` (leading tokens only), and
-    * `incremental`→`incr` anywhere. Full names appear in
-    * BENCH_LOCAL.json and as Verify/CORRECTNESS keys.
+    * `decontaminate`→`decontam`, `embed_`→`em_` (leading tokens only),
+    * and `incremental`→`incr`, `roundtrip`→`rt`, `window`→`win`
+    * anywhere. Full names appear in BENCH_LOCAL.json and as
+    * Verify/CORRECTNESS keys.
     */
   private[graft] def shortKey(name: String): String = {
     val base = if (name.startsWith("q_")) name.drop(2) else name
     val prefixed = Seq("dedup_" -> "dd_", "stream_" -> "st_",
-      "multimodal_" -> "mm_", "decontaminate" -> "decontam")
+      "multimodal_" -> "mm_", "decontaminate" -> "decontam",
+      "embed_" -> "em_")
       .collectFirst { case (a, b) if base.startsWith(a) =>
         b + base.substring(a.length) }
       .getOrElse(base)
     prefixed.replace("incremental", "incr")
+      .replace("roundtrip", "rt").replace("window", "win")
   }
 
   /** Full-fidelity sidecar records (the stdout line is budget-bound):

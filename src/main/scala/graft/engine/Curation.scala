@@ -72,6 +72,36 @@ object Curation {
         round(count(when(col("doc_id") % 10 < 3, true)).cast("double") /
           count(lit(1)), 6).as("sample_ratio"))
 
+  /** Deterministic weighted sampling — length-proportional acceptance:
+    * a doc is kept iff its portable unit hash u(doc_id) < w, with
+    * weight w = min(1, n_tokens / [[SampleTargetTokens]]). This is the
+    * weight-proportional downsampling pass a data-mixing curriculum
+    * runs (acceptance probability is exactly w per row), and it is
+    * engine-portable and rerun-stable: u is Knuth multiplicative
+    * hashing on doc_id mod a prime (the [[dataShuffle]] key) scaled to
+    * [0,1) — no rand(), no seed state, no coordination, so ablations
+    * resample the IDENTICAL subset.
+    *
+    * Scale shape: ONE map-side scan — no shuffle and no global sort
+    * (the orderBy-rand()-limit alternative funnels the corpus through a
+    * total order and is unreproducible across retries). Exact-size
+    * draws, where needed, compose [[dataShuffle]]'s deterministic
+    * order with a limit instead.
+    */
+  val SampleTargetTokens = 100.0
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = pmod(col("doc_id") * 2654435761L, lit(1000000007L))
+      .cast("double") / 1000000007.0
+    val w = least(lit(1.0), size(toks).cast("double") / SampleTargetTokens)
+    Tables.documents(spark, dir)
+      .filter(u < w)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(w, 6).as("weight"),
+        round(u, 6).as("u"))
+  }
+
   /** Repetition scoring (Gopher-style quality filter): fraction of
     * duplicated word-2-grams per document — high values flag boilerplate
     * and spam. Integer-ratio arithmetic, bit-exact everywhere.
@@ -335,6 +365,7 @@ object Curation {
     "q_text_scrub" -> textScrub _,
     "q_doc_chunk" -> docChunk _,
     "q_stratified_sample" -> stratifiedSample _,
+    "q_weighted_sample" -> weightedSample _,
     "q_repetition" -> repetition _,
     "q_data_shuffle" -> dataShuffle _,
     "q_corpus_curate" -> corpusCurate _,
@@ -386,6 +417,8 @@ object Curation {
       """SELECT doc_id, CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS BIGINT) AS n_urls, regexp_replace(regexp_replace(raw, 'https?://[^ ]+', '<URL>', 'g'), '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g') AS scrubbed FROM (SELECT doc_id, text || ' contact user' || doc_id || '@example.com via http://site' || doc_id || '.com' AS raw FROM documents)""",
     "q_doc_chunk" ->
       s"""SELECT doc_id, CAST(start / $ChunkStride AS INTEGER) AS chunk_idx, CAST(len(t[start + 1 : least(start + $ChunkSize, len(t))]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[start + 1 : least(start + $ChunkSize, len(t))], ' ') AS chunk_text FROM (SELECT doc_id, string_split(text, ' ') AS t, unnest(range(0, greatest(len(string_split(text, ' ')), 1), $ChunkStride)) AS start FROM documents) WHERE len(t[start + 1 : least(start + $ChunkSize, len(t))]) > 0""",
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE) / 1000000007 AS u FROM documents) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(least(1.0, n_tokens / 100.0), 6) AS weight, round(u, 6) AS u FROM s WHERE u < least(1.0, n_tokens / 100.0)""",
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total, COUNT(CASE WHEN doc_id % 10 < 3 THEN 1 END) AS n_sampled, round(CAST(COUNT(CASE WHEN doc_id % 10 < 3 THEN 1 END) AS DOUBLE) / count(*), 6) AS sample_ratio FROM documents GROUP BY lang""",
     "q_repetition" ->

@@ -585,6 +585,53 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  /** Scalar int8 quantization of the embedding corpus (per-dimension
+    * min/max codebook): code = floor((x-dmin)/(dmax-dmin)·254 + 0.5) - 127
+    * in [-127, 127] — the 4× memory cut that lets a brute-force or IVF
+    * scan hold its vectors in executor RAM at corpus scale, complementary
+    * to PQ's 16× (scalar quantization preserves per-dimension locality
+    * and needs no codebook training; PQ compresses harder). Emitted as
+    * per-vector integrity stats (exact code sum, max reconstruction
+    * error, RMSE) that the oracle re-derives; the code arrays themselves
+    * stay distributed.
+    *
+    * Scale shape: the codebook is DIMENSION-sized (64 min/max rows — an
+    * index artifact), computed in one aggregate and BROADCAST back;
+    * quantization and reconstruction are then pure map-side arithmetic.
+    * Every float widens to double before arithmetic and both engines
+    * evaluate the same IEEE expression tree, so the codes (and the
+    * order-free code_sum / max_abs_err) are bit-identical; only RMSE
+    * crosses a summation order, at ~1e-16 relative — far under round-6.
+    * A constant dimension (dmax = dmin) quantizes to code 0 and
+    * reconstructs exactly.
+    */
+  val QuantLevels = 254
+
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
+    val stats = dims.groupBy("pos")
+      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+    val range = col("dmax") - col("dmin")
+    val code = when(col("dmax") === col("dmin"), lit(0L))
+      .otherwise(
+        floor((col("v") - col("dmin")) / range * QuantLevels + 0.5)
+          .cast("long") - 127)
+    val deq = when(col("dmax") === col("dmin"), col("dmin"))
+      .otherwise(col("dmin") +
+        (col("code") + 127).cast("double") * range / QuantLevels)
+    dims.join(broadcast(stats), Seq("pos"))
+      .withColumn("code", code)
+      .withColumn("err", abs(col("v") - deq))
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("code")).as("code_sum"),
+        round(max(col("err")), 6).as("max_abs_err"),
+        round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_topk" -> simCosineTopk _,
     "q_ann_lsh" -> annLsh _,
@@ -594,7 +641,8 @@ object Similarity {
     "q_semantic_dedup" -> semanticDedup _,
     "q_kmeans_refine" -> kmeansRefine _,
     "q_embed_near_dup" -> embedNearDup _,
-    "q_embed_centroid" -> embedCentroid _)
+    "q_embed_centroid" -> embedCentroid _,
+    "q_embed_quantize" -> embedQuantize _)
 
   /** Shared cosine SQL fragment: same fused accumulation order as the
     * Catalyst expression (independent accumulators, index order).
@@ -667,6 +715,28 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      s"""WITH dims AS (SELECT vec_id, i - 1 AS pos, CAST(x AS DOUBLE) AS v
+         |  FROM embeddings, LATERAL (SELECT
+         |    generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding) AS x)),
+         |stats AS (SELECT pos, min(v) AS dmin, max(v) AS dmax
+         |  FROM dims GROUP BY pos),
+         |q AS (SELECT vec_id, v, dmin, dmax,
+         |    CASE WHEN dmax = dmin THEN 0
+         |      ELSE floor((v - dmin) / (dmax - dmin) * $QuantLevels + 0.5)
+         |        - 127 END AS code
+         |  FROM dims JOIN stats USING (pos)),
+         |r AS (SELECT vec_id, v, code,
+         |    CASE WHEN dmax = dmin THEN dmin
+         |      ELSE dmin + (code + 127) * (dmax - dmin) / $QuantLevels
+         |      END AS deq
+         |  FROM q)
+         |SELECT vec_id, count(*) AS n_dims,
+         |  CAST(sum(code) AS BIGINT) AS code_sum,
+         |  round(max(abs(v - deq)), 6) AS max_abs_err,
+         |  round(sqrt(avg((v - deq) * (v - deq))), 6) AS rmse
+         |FROM r GROUP BY vec_id""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $lshSql
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank

@@ -157,6 +157,32 @@ class CurationSpec extends SparkSpec {
     } finally t.unpersist()
   }
 
+  test("weighted sample is exactly the u(doc_id) < w(doc) subset") {
+    // the whole point of hash-threshold sampling is exact driver-side
+    // reproducibility: recompute the accept set independently from the
+    // raw table and demand set equality, plus the acceptance invariant
+    // on every emitted row
+    val got = Curation.weightedSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().filter { r =>
+        val id = r.getLong(0)
+        val u = (((id * 2654435761L) % 1000000007L + 1000000007L)
+          % 1000000007L).toDouble / 1000000007L
+        val w = math.min(1.0, r.getInt(1) / Curation.SampleTargetTokens)
+        u < w
+      }.map(_.getLong(0)).toSet
+    assert(got === expected,
+      s"sample set diverges: ${(got -- expected).take(3)} extra, " +
+        s"${(expected -- got).take(3)} missing")
+    // emitted u/weight are round-6 projections of the filter operands,
+    // so allow one ulp of that rounding before calling a row a violation
+    assert(Curation.weightedSample(spark, sf)
+      .filter(col("u") > col("weight") + 1e-6).count() === 0,
+      "emitted row violates the acceptance predicate")
+  }
+
   test("hash split partitions the corpus and is re-ingestion stable") {
     val s = Curation.hashSplit(spark, sf).cache()
     try {

@@ -217,6 +217,11 @@ class PlanSpec extends SparkSpec {
       s"benchmark side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join in decontamination:\n$p")
+    // the hit/total split must plan as two single-countDistinct
+    // aggregates joined back — a dual-countDistinct groupBy would plan
+    // an Expand that doubles every corpus row through the shuffle
+    assert(!p.contains("Expand"),
+      s"dual-countDistinct Expand crept back into decontamination:\n$p")
   }
 
   test("bloom decontamination: sort-merge sid join, bloom prunes the probe") {

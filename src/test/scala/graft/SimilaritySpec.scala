@@ -200,6 +200,32 @@ class SimilaritySpec extends SparkSpec {
     } finally { refined.unpersist() }
   }
 
+  test("int8 quantization: full coverage, bounded codes, half-step error") {
+    val q = Similarity.embedQuantize(spark, sf).cache()
+    try {
+      val e = Tables.embeddings(spark, sf)
+      assert(q.count() === e.count(), "one stats row per corpus vector")
+      assert(q.filter(col("n_dims") =!= 64).count() === 0)
+      // codes live in [-127, 127]: the per-vector sum is bounded by
+      // 127 * n_dims on both sides
+      assert(q.filter(abs(col("code_sum")) > 127L * 64).count() === 0)
+      // nearest-level rounding bounds reconstruction error by half a
+      // quantization step of the WIDEST dimension range
+      val widest = e.select(posexplode(col("embedding")))
+        .select(col("pos"), col("col").cast("double").as("v"))
+        .groupBy("pos")
+        .agg((max(col("v")) - min(col("v"))).as("range"))
+        .agg(max(col("range"))).head.getDouble(0)
+      val bound = widest / Similarity.QuantLevels / 2 * (1 + 1e-9) + 1e-6
+      val worst = q.agg(max(col("max_abs_err"))).head.getDouble(0)
+      assert(worst <= bound,
+        s"max reconstruction error $worst exceeds half-step bound $bound")
+      // and the quantizer must actually be lossy on real data (guards
+      // against a degenerate all-zero-code regression)
+      assert(q.filter(col("rmse") > 0).count() > 0)
+    } finally q.unpersist()
+  }
+
   test("chunk-grid near-dup emits each pair exactly once at any grid size") {
     val e = Tables.embeddings(spark, sf)
     val base = Similarity.nearDupPairsGrid(e, 1).collect()
