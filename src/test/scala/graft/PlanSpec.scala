@@ -277,6 +277,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join:\n$p")
   }
 
+  test("quantization broadcasts its dimension codebook; sampling is scan-only") {
+    // the per-dimension min/max codebook is 64 rows — an index artifact
+    // that must ride a broadcast back to the dimension stream, never a
+    // corpus-sized shuffle join
+    val pq = plan(Similarity.embedQuantize(spark, sf))
+    assert(pq.contains("BroadcastHashJoin"),
+      s"codebook join must broadcast:\n$pq")
+    assert(!pq.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in quantization:\n$pq")
+    // weighted sampling is ONE map-side pass: any Exchange means the
+    // scan-filter-project shape regressed into a shuffle
+    val ps = plan(Curation.weightedSample(spark, sf))
+    assert(!ps.contains("Exchange"),
+      s"weighted sampling must plan zero exchanges:\n$ps")
+  }
+
   test("no query plans a CartesianProduct") {
     // nested-loop joins are sanctioned only where the build side is a
     // broadcast of bounded size: the cosine top-k probe set (NQueryVecs
