@@ -521,22 +521,29 @@ object Similarity {
     val sub = pqSub(e)
     val cb = pqCodebook(sub)
     // encode the corpus: nearest codebook entry per (vector, subspace),
-    // then pivot to one compact code array + reconstructed norm per vector
-    val wEnc = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("l2"), col("code"))
+    // then pivot to one compact code array + reconstructed norm per
+    // vector. The per-(vector, subspace) argmin is a min_by AGGREGATE,
+    // not a row_number window: the aggregate partial-combines map-side
+    // (each task forwards one row per group, not one per candidate code)
+    // and needs no sort — the window form shuffles the full
+    // (vector × subspace × codes) stream and sorts every group. The
+    // (l2, code) ordering struct is unique within a group (codes are
+    // distinct), so the argmin keeps the window's exact tie-break.
     val enc = sub.filter(col("vec_id") >= NQueryVecs)
       .join(broadcast(cb), Seq("s"))
       .withColumn("l2", aggregate(
         zip_with(col("sv"), col("cv"),
           (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
         lit(0.0), (a, x) => a + x))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
+      .groupBy("vec_id", "s")
+      .agg(min_by(struct(col("cidx"), col("cnorm2")),
+        struct(col("l2"), col("code"))).as("best"))
       .groupBy("vec_id")
       .agg(
-        transform(array_sort(collect_list(struct(col("s"), col("cidx")))),
+        transform(
+          array_sort(collect_list(struct(col("s"), col("best.cidx")))),
           st => st.getField("cidx")).as("codes"),
-        sum(col("cnorm2")).as("rnorm2"))
+        sum(col("best.cnorm2")).as("rnorm2"))
     // per-query lookup tables: dot(query subvector, codebook entry) for
     // every (subspace, code) — nSub × nCodes doubles per query, broadcast
     val qd = sub.filter(col("vec_id") < NQueryVecs)
