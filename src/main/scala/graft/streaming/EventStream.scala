@@ -29,13 +29,18 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming DataFrame over a fixture dir (file-source replay). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming DataFrame over a fixture dir (file-source replay). The
+    * default glob selects just the events table out of a fixture dir; a
+    * spool-dir caller (the sessionization drain) widens it to pick up
+    * files it appends after the initial replay.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file-stream sources take a directory; select just the events table
+    // file-stream sources take a directory; the glob selects the table
     spark.readStream
       .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

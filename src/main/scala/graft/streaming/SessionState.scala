@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -65,8 +67,23 @@ object SessionState {
     closed.result().iterator
   }
 
+  /** Sentinel user for the end-of-replay drain event: filtered out AFTER
+    * the watermark node (so only its event-time effect survives), it
+    * advances the watermark past every open session's timeout.
+    */
+  val DrainUser = -1L
+
   /** Wire the stateful operator over a streaming (or batch-test) events
-    * DataFrame with event-time semantics.
+    * DataFrame with event-time semantics. The drain-sentinel filter sits
+    * AFTER the stateful operator, NOT before it: a pre-operator
+    * `filter(user_id =!= DrainUser)` is deterministic, so Catalyst
+    * pushes it through the EventTimeWatermark node INTO the parquet
+    * scan — the sentinel row then never reaches the watermark operator
+    * and the drain silently does nothing (observed: batch input 10000,
+    * not 10001). Downstream of `flatMapGroupsWithState` nothing can be
+    * pushed (the operator is an opaque function), so filtering the
+    * sentinel's own session row there is safe; its open state simply
+    * dies with the query (its timeout sits past its own watermark).
     */
   def sessionStream(spark: SparkSession,
       events: org.apache.spark.sql.DataFrame): Dataset[ClosedSession] = {
@@ -78,17 +95,82 @@ object SessionState {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(updateSessions)
+      .filter(_.user_id != DrainUser)
   }
 
-  /** Run against the finite fixture replay; returns closed sessions
-    * collected through a memory sink.
+  /** Run against the finite fixture replay AND DRAIN: one far-future
+    * sentinel event (the "watermark heartbeat" a production pipeline
+    * injects to flush a quiescent stream) advances the watermark past
+    * every open session's timeout, so the sink ends up with EVERY
+    * session — equal to the batch sessionizer row for row, which is
+    * what makes `q_stream_sessions` oracle-checkable. Without the
+    * drain, sessions still open at end-of-replay (last event within
+    * watermark-delay + gap of the stream's max event time) would never
+    * emit — which sessions those are is an execution property, not a
+    * function of the data.
+    *
+    * The fixture dir is read-only, so the replay runs from a SPOOL copy
+    * (registered for JVM-exit cleanup) and the sentinel is placed there
+    * BEFORE the query starts: the first listing takes both files into
+    * one data batch (sessions fold per user from the batch's sorted
+    * events, so co-arrival is harmless), and the engine's follow-up
+    * watermark batch fires every timeout. Appending the sentinel to a
+    * RUNNING stateful query is not reliable — observed on Spark 4.1:
+    * after its watermark-propagation batches the flatMapGroupsWithState
+    * query stopped ingesting newly listed files, while the same source
+    * under a stateless sink picked them up immediately.
     */
   def runToMemory(spark: SparkSession, dir: String,
       tableName: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val q = sessionStream(spark, EventStream.readEvents(spark, dir))
+    val spool = graft.engine.TempArtifacts.tempDir(s"graft_spool_$tableName")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(spool, "events.parquet")): Unit
+    appendDrainSentinel(spark, dir, spool)
+    val q = sessionStream(spark,
+        EventStream.readEvents(spark, spool, glob = "*.parquet"))
       .writeStream.format("memory").queryName(tableName)
       .outputMode("append").start()
     q.processAllAvailable()
+    // the timeout batch that emits the drained tail runs right AFTER the
+    // last data batch (watermark propagation); processAllAvailable only
+    // awaits data offsets, so wait for the sink to quiesce
+    var prev = -1L
+    var stable = 0
+    var guard = 0
+    while (stable < 3 && guard < 100) {
+      val n = spark.table(tableName).count()
+      if (n == prev) stable += 1 else { stable = 0; prev = n }
+      Thread.sleep(100)
+      q.processAllAvailable()
+      guard += 1
+    }
     q
+  }
+
+  /** One drain event far past max event time + watermark delay + gap,
+    * written into the spool with the raw source schema (nanosecond
+    * LongType ts, like the fixture file).
+    */
+  private def appendDrainSentinel(spark: SparkSession, dir: String,
+      spool: String): Unit = {
+    val maxRow = graft.engine.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head()
+    // empty replay: any sentinel drains a stream with no sessions
+    val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // 2 h watermark delay + 30 min gap + 1 h margin
+    val sentinelNs = (maxUs + (2L * 3600 + 1800 + 3600) * 1000000L) * 1000L
+    val out = java.nio.file.Files.createTempDirectory("graft_drain")
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, sentinelNs, DrainUser, "drain", 0.0, "{}")),
+        EventStream.eventSchema)
+      .coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val part = java.nio.file.Files.list(out).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("drain sentinel parquet not written"))
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(spool, "zz_drain.parquet")): Unit
+    graft.engine.TempArtifacts.delete(out.toString)
   }
 }

@@ -63,11 +63,15 @@ object StreamingQueries {
   }
 
   /** Stateful sessionization stream (flatMapGroupsWithState) driven to
-    * completion over the replay. Rows-only by design: which sessions
-    * CLOSE depends on watermark advancement across microbatches — an
-    * execution property, not a function of the data — so there is no SQL
-    * oracle; the batch-parity property (every closed session equals a
-    * batch session) is asserted in PlanSpec instead.
+    * completion over the replay AND DRAINED: a far-future watermark
+    * heartbeat ([[SessionState.runToMemory]]) times out every open
+    * session, so the sink holds EVERY session — row-identical to the
+    * batch sessionizer, which graduates this query from rows-only to
+    * fully ORACLE-CHECKED (round 10; the oracle is the batch
+    * `q_sessionize` CTE chain projected to this output's columns).
+    * Which sessions a drain-less run emits depends on watermark
+    * advancement across microbatches — an execution property; the drain
+    * removes exactly that dependence.
     */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     val table = s"graft_stream_sess_${runSeq.incrementAndGet()}"
@@ -177,6 +181,8 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "q_stream_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""",
+    "q_stream_sessions" ->
+      """WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM sessions GROUP BY user_id, session_seq""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
     "q_stream_quality" -> {

@@ -406,21 +406,22 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"asofJoin should shuffle once on user_id:\n$p")
   }
 
-  test("stateful streaming sessions agree with the batch sessionizer") {
+  test("drained streaming sessions EQUAL the batch sessionizer's set") {
     val q = graft.streaming.SessionState.runToMemory(spark, sf, "sess_out")
     try {
-      val streamed = spark.table("sess_out")
-      val batch = Ext.sessionize(spark, sf)
-      // closed streamed sessions + at most one open session per user =
-      // batch sessions; compare on the closed prefix
-      val streamedKeyed = streamed.select(
-        col("user_id"), col("start_us"), col("n_events"))
-      val batchKeyed = batch.select(col("user_id"),
-        unix_micros(col("session_start")).as("start_us"), col("n_events"))
-      val mismatched = streamedKeyed.except(batchKeyed)
-      assert(mismatched.count() === 0,
-        "every closed streamed session must match a batch session")
-      assert(streamed.count() > 0, "no sessions closed in replay")
+      // the watermark-heartbeat drain flushes every open session, so the
+      // streamed set must equal the batch set EXACTLY (both directions,
+      // multiplicity included) — not merely be a closed-prefix subset
+      val streamed = spark.table("sess_out").select(
+        col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      val batch = Ext.sessionize(spark, sf).select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"))
+      assert(streamed.exceptAll(batch).count() === 0,
+        "streamed session absent from the batch set")
+      assert(batch.exceptAll(streamed).count() === 0,
+        "batch session never emitted by the drained stream")
+      assert(streamed.count() > 0, "no sessions emitted in replay")
     } finally q.stop()
   }
 }
