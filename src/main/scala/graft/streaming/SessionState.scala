@@ -138,10 +138,10 @@ object SessionState {
     var prev = -1L
     var stable = 0
     var guard = 0
-    while (stable < 3 && guard < 100) {
+    while (stable < 2 && guard < 200) {
       val n = spark.table(tableName).count()
       if (n == prev) stable += 1 else { stable = 0; prev = n }
-      Thread.sleep(100)
+      Thread.sleep(50)
       q.processAllAvailable()
       guard += 1
     }
