@@ -112,6 +112,81 @@ object StreamingQueries {
     s2.table(table)
   }
 
+  /** Stream-static broadcast enrichment — the enrich-on-ingest join a
+    * production pipeline runs on every arriving event: the stream's
+    * rows join a BROADCAST dimension (customer segment) map-side,
+    * stateless, append mode — so the replayed output is EXACTLY the
+    * batch left join (fully oracle-checkable) and each microbatch
+    * pipelines through with no state store and no stream-side shuffle.
+    * The static side stays dimension-sized (stream-static joins re-read
+    * the dimension per microbatch — Spark's freshness contract); a
+    * dimension too big to broadcast moves to a keyed state store or a
+    * pre-bucketed join, not this plan.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+    val s2 = sizedStreamSession(spark, dir)
+    val dim = broadcast(graft.engine.Tables.load(s2, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")))
+    val q = EventStream.readEvents(s2, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("segment"), lit("UNKNOWN")).as("segment"),
+        col("event_type"),
+        round(col("value").cast("decimal(12,2)").cast("double"), 2)
+          .as("value"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s2.table(table)
+  }
+
+  /** Stream-stream interval join — click→purchase attribution ON the
+    * stream: both inputs are unbounded watermarked streams, equi-keyed
+    * on user and banded by event time (purchase within 30 min after the
+    * click), append mode. This is the join shape whose BOTH sides grow
+    * without bound: Spark co-partitions the two state stores on the
+    * equi-key, and the watermark + band condition together bound how
+    * long a click waits in state for a matching purchase — state is
+    * delay × arrival-rate, not the stream so far. The fixture replay
+    * completes before the 14-day delay evicts anything, so the drained
+    * sink is EXACTLY the batch interval join (fully oracle-checkable);
+    * a production deployment shrinks the delay to its real disorder
+    * bound and the identical plan caps state accordingly.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_stream_join_${runSeq.incrementAndGet()}"
+    val s2 = sizedStreamSession(spark, dir)
+    val clicks = EventStream.readEvents(s2, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "14 days")
+    val purchases = EventStream.readEvents(s2, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "14 days")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s2.table(table)
+  }
+
   /** Streaming ingest curation: the stateless quality gate a production
     * ingest runs on every arriving document — token count, quality score
     * and language marker computed map-side ON THE STREAM, rows failing
@@ -172,6 +247,8 @@ object StreamingQueries {
     "q_stream_event_window" -> streamEventWindow _,
     "q_stream_sessions" -> streamSessions _,
     "q_stream_dedup" -> streamDedup _,
+    "q_stream_enrich" -> streamEnrich _,
+    "q_stream_join" -> streamStreamJoin _,
     "q_stream_quality" -> streamQuality _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
@@ -185,6 +262,10 @@ object StreamingQueries {
       """WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), sessions AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events FROM sessions GROUP BY user_id, session_seq""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    "q_stream_enrich" ->
+      """SELECT event_id, user_id, coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS value FROM events LEFT JOIN customer ON user_id = c_custkey""",
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, p.event_id AS purchase_id, p.ts AS purchase_ts, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "q_stream_quality" -> {
       import graft.engine.{Curation, TextOps}
       val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")

@@ -151,6 +151,62 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("stream-static enrichment equals the batch left join exactly") {
+    val streamed = graft.streaming.StreamingQueries
+      .streamEnrich(spark, sf).cache()
+    try {
+      val batch = Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .join(Tables.load(spark, sf, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment")), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("segment"), lit("UNKNOWN")).as("segment"),
+          col("event_type"),
+          round(col("value").cast("decimal(12,2)").cast("double"), 2)
+            .as("value"))
+      // append-mode stateless enrichment over a finite replay must be
+      // the batch join row for row, multiplicity included
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // every event enriched exactly once — the join must not duplicate
+      assert(streamed.count() ===
+        Tables.events(spark, sf).count())
+    } finally { streamed.unpersist(): Unit }
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = graft.streaming.StreamingQueries
+      .streamStreamJoin(spark, sf).cache()
+    try {
+      val e = Tables.events(spark, sf)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val batch = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") +
+              expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("purchase_id"), col("purchase_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+      // no state eviction over the finite replay → append-mode output is
+      // the batch join row for row
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      assert(streamed.count() > 0)
+      // every emitted pair honors the band
+      assert(streamed.filter(col("gap_us") < 0 ||
+        col("gap_us") > 30L * 60 * 1000000).count() === 0)
+    } finally { streamed.unpersist(): Unit }
+  }
+
   test("streaming dedup emits exactly the batch distinct set, once each") {
     val got = graft.streaming.StreamingQueries.streamDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1)))
