@@ -80,14 +80,17 @@ object Bench {
     probes += calibrate(nThreads)
     // ---- emission budget ----
     // The harness retains only the LAST ~2000 chars of stdout, and the
-    // artifact is whatever of the ONE JSON line survives in that tail —
+    // artifact is whatever of the final JSON line survives in that tail —
     // round 9's line overflowed and lost its head (total + 7 entries +
-    // the calib series). Three levers keep the whole line inside the
-    // budget at 92 queries (~1920 chars, ~70 headroom):
+    // the calib series). Four levers keep the query line inside the
+    // budget at 95 queries (~1850 chars, ~150 headroom):
     //   1. per-query keys go through [[shortKey]] (rule table mirrored in
     //      BASELINE.md "Bench key abbreviations");
     //   2. seconds are 2-decimal with a trailing zero trimmed;
-    //   3. the calibration series is integer MILLISECONDS ("calib_ms").
+    //   3. the calibration series is integer MILLISECONDS ("calib_ms");
+    //   4. the calib series is its OWN line printed BEFORE the query
+    //      line, so tail truncation sacrifices calibration (which also
+    //      persists in BENCH_CALIB.jsonl) before any query entry.
     // The full-fidelity record (long names, 3-decimal seconds) is written
     // to BENCH_LOCAL.json in the working dir, NOT stdout; the calib
     // series also appends to BENCH_CALIB.jsonl as cross-round history.
@@ -107,16 +110,18 @@ object Bench {
     // land after the JSON line and push it out of a bounded output tail
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    val calibMs =
-      s""""calib_ms":${probes.map(p => math.round(p * 1000).toString)
-        .mkString("[", ",", "]")}"""
     val sfName = new java.io.File(sfDir).getName
+    val calibLine =
+      s"""{"metric":"calib_ms","series":${probes
+        .map(p => math.round(p * 1000).toString)
+        .mkString("[", ",", "]")},"sf":"$sfName"}"""
     val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
-      s"""$calibMs,"queries":$qs,"sf":"$sfName"}"""
+      s""""queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
         "is near the 2000-char stdout-tail budget; shorten keys in shortKey")
     writeLocalRecords(results, probes.toSeq, sfName, total)
+    println(calibLine)
     println(line)
   }
 
