@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Driver-visible streaming surface: the windowed-aggregation stream run
   * to completion over the finite fixture replay, with the SAME oracle as
@@ -187,6 +188,107 @@ object StreamingQueries {
     s2.table(table)
   }
 
+  /** Bucket count of the upsert target store. At fixture scale 16 keeps
+    * partitions non-trivial; a production deployment sizes this to its
+    * write parallelism (hundreds–thousands) — the touched-bucket collect
+    * below stays bounded by THIS constant, never by data volume.
+    */
+  val UpsertBuckets = 16
+
+  /** Files the upsert spool splits the fixture into — one microbatch per
+    * file (`maxFilesPerTrigger=1`), so the merge loop is exercised across
+    * a REAL multi-batch replay instead of one batch swallowing the table.
+    */
+  private val UpsertSpoolFiles = 4
+
+  private val upsertSpoolSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private val upsertStoreSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("last_ts", TimestampType),
+    StructField("last_event_id", LongType),
+    StructField("last_event_type", StringType),
+    StructField("last_value", DoubleType),
+    StructField("n_versions", LongType),
+    StructField("bucket", LongType)))
+
+  /** Streaming keyed upsert — the SINK half of a production ingest: each
+    * microbatch MERGEs into a bucket-partitioned parquet store through
+    * `foreachBatch` + dynamic partition overwrite, the plain-Spark
+    * expression of the Delta/Hudi "MERGE with partition pruning" shape.
+    * Per batch: bucket the arriving rows (`pmod(user_id, UpsertBuckets)`),
+    * collect the ≤[[UpsertBuckets]] touched bucket ids (bounded by the
+    * layout constant, not data), read ONLY those partitions back from the
+    * store (partition-pruned scan), merge latest-per-user under the total
+    * order (ts, event_id) while summing version counts, and overwrite
+    * JUST the touched partitions (`partitionOverwriteMode=dynamic`). The
+    * `localCheckpoint` materializes the merged result BEFORE the write so
+    * the job never overwrites files its own scan is still reading.
+    *
+    * Latest-per-key under a total order is associative and commutative,
+    * so the drained store is byte-identical to the batch argmax no matter
+    * how the replay chunks into microbatches — which makes the sink fully
+    * oracle-checkable, and `n_versions` additionally proves every event
+    * was applied exactly once. Per-batch cost scales with batch size plus
+    * the touched buckets' store partitions — never with corpus size.
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = sizedStreamSession(spark, dir)
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val spool = graft.engine.TempArtifacts.tempDir("graft-upsert-spool")
+    val target = graft.engine.TempArtifacts.tempDir("graft-upsert-store")
+    graft.engine.Tables.events(s2, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(UpsertSpoolFiles)
+      .write.mode("overwrite").parquet(spool)
+    val merge = (batch: DataFrame, _: Long) => {
+      val sp = batch.sparkSession
+      sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val batchRows = batch.select(
+        col("user_id"),
+        col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"),
+        lit(1L).as("n_versions"),
+        pmod(col("user_id"), lit(UpsertBuckets.toLong)).as("bucket"))
+      val touched = batchRows.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val existing = sp.read.schema(upsertStoreSchema).parquet(target)
+        .filter(col("bucket").isin(touched: _*))
+      val ord = struct(col("last_ts"), col("last_event_id"))
+      val merged = existing.unionByName(batchRows)
+        .groupBy("user_id", "bucket")
+        .agg(
+          max_by(struct(col("last_ts"), col("last_event_id"),
+            col("last_event_type"), col("last_value")), ord).as("m"),
+          sum(col("n_versions")).as("n_versions"))
+        .select(col("user_id"), col("m.last_ts").as("last_ts"),
+          col("m.last_event_id").as("last_event_id"),
+          col("m.last_event_type").as("last_event_type"),
+          col("m.last_value").as("last_value"),
+          col("n_versions"), col("bucket"))
+        .localCheckpoint()
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(target)
+    }
+    val q = s2.readStream.schema(upsertSpoolSchema)
+      .option("maxFilesPerTrigger", 1).parquet(spool)
+      .writeStream.foreachBatch(merge).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.schema(upsertStoreSchema).parquet(target)
+      .select(col("user_id"), col("bucket"), col("last_ts"),
+        col("last_event_id"), col("last_event_type"),
+        round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
+          .as("last_value"),
+        col("n_versions"))
+  }
+
   /** Streaming ingest curation: the stateless quality gate a production
     * ingest runs on every arriving document — token count, quality score
     * and language marker computed map-side ON THE STREAM, rows failing
@@ -249,6 +351,7 @@ object StreamingQueries {
     "q_stream_dedup" -> streamDedup _,
     "q_stream_enrich" -> streamEnrich _,
     "q_stream_join" -> streamStreamJoin _,
+    "q_stream_upsert" -> streamUpsert _,
     "q_stream_quality" -> streamQuality _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
@@ -266,6 +369,8 @@ object StreamingQueries {
       """SELECT event_id, user_id, coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS value FROM events LEFT JOIN customer ON user_id = c_custkey""",
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, p.event_id AS purchase_id, p.ts AS purchase_ts, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "q_stream_upsert" ->
+      """SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1""",
     "q_stream_quality" -> {
       import graft.engine.{Curation, TextOps}
       val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")

@@ -207,6 +207,38 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally { streamed.unpersist(): Unit }
   }
 
+  test("streaming foreachBatch upsert store equals the batch argmax per key") {
+    val got = graft.streaming.StreamingQueries.streamUpsert(spark, sf).cache()
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val batch = Tables.events(spark, sf)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_versions",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          pmod(col("user_id"),
+            lit(graft.streaming.StreamingQueries.UpsertBuckets.toLong))
+            .as("bucket"),
+          col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          round(col("value").cast("decimal(12,2)").cast("double"), 2)
+            .as("last_value"),
+          col("n_versions"))
+      // the merged store is the batch latest-per-key, row for row
+      assert(got.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(got).count() === 0)
+      // n_versions sums to the event count — every event applied once
+      assert(got.agg(sum(col("n_versions"))).head.getLong(0) ===
+        Tables.events(spark, sf).count())
+      // one row per user — the store is keyed
+      assert(got.select("user_id").distinct().count() === got.count())
+    } finally { got.unpersist(): Unit }
+  }
+
   test("streaming dedup emits exactly the batch distinct set, once each") {
     val got = graft.streaming.StreamingQueries.streamDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1)))
