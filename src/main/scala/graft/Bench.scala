@@ -144,6 +144,10 @@ object Bench {
       .getOrElse(base)
     prefixed.replace("incremental", "incr")
       .replace("roundtrip", "rt").replace("window", "win")
+      .replace("fingerprint", "fp").replace("quality", "qual")
+      .replace("sample", "smp").replace("availability", "avail")
+      .replace("sessions", "sess").replace("priority", "prio")
+      .replace("summary", "sum")
   }
 
   /** Full-fidelity sidecar records (the stdout line is budget-bound):

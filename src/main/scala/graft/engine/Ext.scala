@@ -401,8 +401,36 @@ object Ext {
         max(col("ts")).as("session_end"))
   }
 
+  /** Event-sourced SCD type-2 build: compress each user's event stream
+    * into its state-CHANGE history with validity intervals — the
+    * dimension-versioning shape every warehouse (and every corpus
+    * metadata store tracking document-state transitions) maintains. Lag
+    * detects changes, then version/valid_to rank the surviving change
+    * rows; every window rides the SAME (user_id, (ts, event_id))
+    * partitioning and sort, so the whole query is one exchange + one
+    * sort, and the filter between the two window blocks preserves both.
+    * Per-user history lengths bound the window work — the same skew
+    * envelope as sessionize.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"), col("ts").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0))
+          .as("is_current"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_rollup" -> rollup _,
+    "q_scd2" -> scd2 _,
     "q_percentile" -> percentile _,
     "q_quantile_bins" -> quantileBins _,
     "q_window_running" -> windowRunning _,
@@ -423,6 +451,8 @@ object Ext {
     "q_set_ops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH chg AS (SELECT user_id, ts, event_id, event_type, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), v AS (SELECT user_id, event_type, ts, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version, lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM chg WHERE prev_type IS NULL OR prev_type <> event_type) SELECT user_id, version, event_type AS state, ts AS valid_from, valid_to, CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current FROM v""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_percentile" ->

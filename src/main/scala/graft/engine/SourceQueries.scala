@@ -131,6 +131,48 @@ object SourceQueries {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
 
+  /** Fragment count the compaction fixture scatters the table into —
+    * stands in for the thousands of small files streaming ingest and
+    * dynamic partition overwrite leave behind in a long-lived store.
+    */
+  val FragFiles = 64
+
+  /** Compaction target bytes per output file. Production stores target
+    * 128 MB–1 GB; the fixture constant is sized so the sf0.01/sf0.1
+    * rewrite is observably multi-file→few-file while every output file
+    * still holds thousands of rows.
+    */
+  val CompactTargetBytes = 256L * 1024
+
+  /** Small-file compaction — the OPTIMIZE/rewrite pass every long-lived
+    * store needs: ingest leaves [[FragFiles]] small files; the compactor
+    * lists the store's data files (the table-manifest read every
+    * compactor starts with — file-count-sized, never row-sized), derives
+    * the output file count from actual bytes / [[CompactTargetBytes]],
+    * and rewrites via `coalesce` — a NARROW repack, no Exchange: the
+    * data only needs re-packing, not re-clustering, so shuffling it
+    * would be pure waste (plan-gated in PlanSpec). The driver gate
+    * proves the rewrite value-exact with the round-trips' checksum; the
+    * spec asserts the file-count collapse.
+    */
+  def compactStore(spark: SparkSession, dir: String): DataFrame =
+    compactInto(spark, dir, tempSinkDir("graft-frag"),
+      tempSinkDir("graft-compact"))
+
+  private[graft] def compactInto(spark: SparkSession, dir: String,
+      frag: String, compacted: String): DataFrame = {
+    eventsProjection(spark, dir).repartition(FragFiles)
+      .write.mode("overwrite").parquet(frag)
+    val bytes = Option(new java.io.File(frag).listFiles)
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val nOut = math.max(1,
+      math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
+    spark.read.schema(eventsLite).parquet(frag).coalesce(nOut)
+      .write.mode("overwrite").parquet(compacted)
+    checksum(spark.read.schema(eventsLite).parquet(compacted))
+  }
+
   private val customerLite = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_nationkey", IntegerType),
@@ -173,7 +215,8 @@ object SourceQueries {
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_partitioned_export" -> partitionedExport _,
-    "q_multiline_roundtrip" -> multilineRoundtrip _)
+    "q_multiline_roundtrip" -> multilineRoundtrip _,
+    "q_compact" -> compactStore _)
 
   /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
     * scan round-trip lost nothing.
@@ -191,5 +234,6 @@ object SourceQueries {
          |FROM documents WHERE lang IN ($langs)
          |GROUP BY lang""".stripMargin
     },
-    "q_multiline_roundtrip" -> customerChecksumSql)
+    "q_multiline_roundtrip" -> customerChecksumSql,
+    "q_compact" -> checksumSql)
 }

@@ -99,6 +99,45 @@ class CoreOpsSpec extends SparkSpec {
     assert(h.filter(col("close_hour_adj") <= col("open_hour")).count() === 0)
   }
 
+  test("bench short keys are injective and the line projects in-budget") {
+    val keys = SparkEntry.queries.keySet.toSeq
+    val shorts = keys.map(Bench.shortKey)
+    val dups = shorts.groupBy(identity).filter(_._2.size > 1).keys
+    assert(shorts.distinct.size === keys.size,
+      s"shortKey collisions: ${dups.mkString(", ")}")
+    // worst case per entry: "key":99.99, → len+9; ~70 chars of framing
+    val projected = 70 + shorts.map(_.length + 9).sum
+    assert(projected < 2000,
+      s"projected bench stdout line $projected chars ≥ 2000 budget")
+  }
+
+  test("scd2: versions chain, states alternate, one current row per user") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Ext.scd2(spark, sf).cache()
+    try {
+      val w = Window.partitionBy("user_id").orderBy("version")
+      // exactly one open version per user, and it is the highest version
+      val agg = d.groupBy("user_id").agg(
+        sum(col("is_current")).as("n_open"),
+        max(col("version")).as("vmax"),
+        count(lit(1)).as("n"))
+      assert(agg.filter(col("n_open") =!= 1 ||
+        col("vmax") =!= col("n")).count() === 0)
+      // intervals chain: valid_to of version v = valid_from of v+1, and
+      // only the last version is open-ended
+      val chained = d
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      assert(chained.filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from")).count() === 0)
+      assert(chained.filter(col("next_from").isNull &&
+        col("is_current") =!= 1).count() === 0)
+      // consecutive states differ — change history, not an event log
+      val alt = d.withColumn("prev_state", lag(col("state"), 1).over(w))
+      assert(alt.filter(col("prev_state").isNotNull &&
+        col("prev_state") === col("state")).count() === 0)
+    } finally { d.unpersist(): Unit }
+  }
+
   test("set ops: |union| = |intersect| + |except| + |b-only|") {
     val rows = Ext.setOps(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

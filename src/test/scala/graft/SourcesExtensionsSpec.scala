@@ -120,6 +120,29 @@ class SourcesExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses the file count and preserves every value") {
+    val frag = tmpDir("frag")
+    val compacted = tmpDir("compact")
+    val got = SourceQueries.compactInto(spark, sf, frag, compacted)
+    def parquetFiles(d: String): Int = Option(new java.io.File(d).listFiles)
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) === SourceQueries.FragFiles)
+    assert(parquetFiles(compacted) < SourceQueries.FragFiles)
+    // the rewrite loses nothing: compacted rows == source rows exactly
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val back = spark.read.parquet(compacted)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+    assert(got.count() > 0)
+    // the repack is narrow: Coalesce, no Exchange anywhere in the plan
+    val plan = spark.read.parquet(frag).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce"))
+    assert(!plan.contains("Exchange"))
+  }
+
   test("SQL entry: registered views serve raw spark.sql text") {
     val out = SqlEntry.sqlQ1(spark, sf)
     assert(out.count() > 0)
