@@ -142,12 +142,16 @@ object Bench {
       .collectFirst { case (a, b) if base.startsWith(a) =>
         b + base.substring(a.length) }
       .getOrElse(base)
-    prefixed.replace("incremental", "incr")
-      .replace("roundtrip", "rt").replace("window", "win")
-      .replace("fingerprint", "fp").replace("quality", "qual")
-      .replace("sample", "smp").replace("availability", "avail")
-      .replace("sessions", "sess").replace("priority", "prio")
-      .replace("summary", "sum")
+    Seq("incremental" -> "incr", "roundtrip" -> "rt", "window" -> "win",
+      "fingerprint" -> "fp", "quality" -> "qual", "sample" -> "smp",
+      "availability" -> "avail", "sessions" -> "sess",
+      "priority" -> "prio", "summary" -> "sum", "partitioned" -> "part",
+      "basetable" -> "bt", "pipeline" -> "pipe", "integrity" -> "integ",
+      "stratified" -> "strat", "jaccard" -> "jac", "dedup" -> "dd",
+      "threshold" -> "thr", "approx" -> "apx", "quantile" -> "qtile",
+      "shipping" -> "ship", "running" -> "run", "repeated" -> "rep",
+      "multiline" -> "mljson")
+      .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 
   /** Full-fidelity sidecar records (the stdout line is budget-bound):

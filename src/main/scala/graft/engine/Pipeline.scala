@@ -176,7 +176,46 @@ object Pipeline {
       .select(keep.map(col): _*)
   }
 
+  /** Referential-integrity audit — the data-quality gate a pipeline runs
+    * BEFORE its training joins: orphan counts per foreign-key
+    * relationship across the star schema and the corpus tables, one row
+    * per edge. Each check is a left join on the edge's key (the same
+    * shuffle the downstream ETL join pays — so the audit doubles as a
+    * dry run of the join graph); dimension-sized parents broadcast under
+    * AQE. Parents are key-unique by construction, so the left join
+    * preserves child cardinality and the orphan sum is exact.
+    */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(rel: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey).as("ck"))
+        .join(parent.select(col(parentKey).as("pk")),
+          col("ck") === col("pk"), "left")
+        .agg(
+          lit(rel).as("rel"),
+          count(lit(1)).as("n_child"),
+          sum(when(col("pk").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_orphans"))
+        .select("rel", "n_child", "n_orphans")
+    val t = Tables
+    Seq(
+      edge("lineitem->orders", t.lineitem(spark, dir), "l_orderkey",
+        t.orders(spark, dir), "o_orderkey"),
+      edge("orders->customer", t.orders(spark, dir), "o_custkey",
+        t.customer(spark, dir), "c_custkey"),
+      edge("customer->nation", t.customer(spark, dir), "c_nationkey",
+        t.nation(spark, dir), "n_nationkey"),
+      edge("supplier->nation", t.supplier(spark, dir), "s_nationkey",
+        t.nation(spark, dir), "n_nationkey"),
+      edge("embeddings->documents", t.embeddings(spark, dir), "vec_id",
+        t.documents(spark, dir), "doc_id"),
+      edge("events->customer", t.events(spark, dir), "user_id",
+        t.customer(spark, dir), "c_custkey"))
+      .reduce(_.unionByName(_))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ref_integrity" -> refIntegrity _,
     "q_join_inner" -> joinInner _,
     "q_join_left" -> joinLeft _,
     "q_basetable_star" -> basetableStar _,
@@ -243,6 +282,27 @@ object Pipeline {
       |FROM p""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ref_integrity" -> {
+      val edges = Seq(
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation",
+          "n_nationkey"),
+        ("embeddings->documents", "embeddings", "vec_id", "documents",
+          "doc_id"),
+        ("events->customer", "events", "user_id", "customer",
+          "c_custkey"))
+      edges.map { case (rel, c, ck, p, pk) =>
+        s"""SELECT '$rel' AS rel, count(*) AS n_child,
+           |  CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_orphans
+           |FROM $c c LEFT JOIN $p p ON c.$ck = p.$pk""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "")
+    },
     "q_join_inner" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey""",
     "q_join_left" ->

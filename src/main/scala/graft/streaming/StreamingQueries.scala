@@ -256,7 +256,11 @@ object StreamingQueries {
         col("event_type").as("last_event_type"),
         col("value").as("last_value"),
         lit(1L).as("n_versions"),
-        pmod(col("user_id"), lit(UpsertBuckets.toLong)).as("bucket"))
+        // coalesce sentinel: a null key must still route to a REAL
+        // bucket (pmod(-1)=15) — a null partition value would break the
+        // touched-bucket collect and the partition layout alike
+        pmod(coalesce(col("user_id"), lit(-1L)),
+          lit(UpsertBuckets.toLong)).as("bucket"))
       val touched = batchRows.select("bucket").distinct()
         .collect().map(_.getLong(0)).toSeq
       val existing = sp.read.schema(upsertStoreSchema).parquet(target)
