@@ -51,6 +51,21 @@ class PlanSpec extends SparkSpec {
     assert(auditScans === baseScans)
   }
 
+  test("scd2 rides one exchange + one sort for both window blocks") {
+    val p = plan(Ext.scd2(spark, sf))
+    val tree = p.split("\n").takeWhile(!_.startsWith("(1)"))
+    val exchanges = tree.count(_.contains("Exchange"))
+    val sorts = tree.count(_.contains("Sort"))
+    val windows = tree.count(_.contains("Window"))
+    assert(exchanges === 1, s"scd2 should shuffle once, saw $exchanges")
+    assert(sorts === 1,
+      s"second window block must reuse the sort, saw $sorts")
+    assert(windows === 2)
+    // unused event columns never reach the scan
+    assert(p.contains(
+      "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
+  }
+
   test("approximate aggregates stay within 5% of exact") {
     val rows = Ext.approxStats(spark, sf).collect()
     rows.foreach { r =>
