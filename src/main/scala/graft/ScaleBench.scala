@@ -42,7 +42,12 @@ object ScaleBench {
     "q_dedup_simhash", "q_dedup_clusters", "q_decontaminate_bloom",
     "q_dedup_incremental_bucketed", "q_sim_cosine_topk", "q_ann_lsh",
     "q_ann_ivf", "q_ann_incremental", "q_embed_quantize",
-    "q_weighted_sample", "q_pack_sequences", "q_repeated_spans")
+    "q_weighted_sample", "q_pack_sequences", "q_repeated_spans",
+    // event/ingest family (reads the synthesized events table): window
+    // programs should hold alpha ≈ 1 (per-user histories scale in count,
+    // not depth); the upsert's per-batch merge scales with batch size
+    "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
+    "q_compact", "q_stream_upsert")
 
   private def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
@@ -66,6 +71,21 @@ object ScaleBench {
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events: copy k shifts event ids and USER ids, keeping timestamps —
+    // each copy reproduces the original's per-user history shapes and
+    // window densities without merging histories across copies, so
+    // session counts, change histories, and upsert keys all scale by s
+    // while per-key work stays constant (the linear regime)
+    val ev = Tables.events(spark, base)
+    (0 until s).map { k =>
+      if (k == 0) ev
+      else ev.select(
+        (col("event_id") + k * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + k * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
