@@ -64,6 +64,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
+    // fail on a shortKey collision BEFORE the sweep: two queries merging
+    // into one artifact key must abort while aborting is still cheap, not
+    // after minutes of timed work (CoreOpsSpec gates this too)
+    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
+    val shortKeys = sortedNames.map(shortKey)
+    require(shortKeys.distinct.size == sortedNames.size,
+      "shortKey collision would silently merge two queries in the artifact")
     // sorted query order keeps probe→query alignment stable across rounds:
     // query i (0-based) normalizes by probe floor(i / CalibEvery)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -94,14 +101,10 @@ object Bench {
     // The full-fidelity record (long names, 3-decimal seconds) is written
     // to BENCH_LOCAL.json in the working dir, NOT stdout; the calib
     // series also appends to BENCH_CALIB.jsonl as cross-round history.
-    def f(v: Double): String = f"$v%.3f"
     def f2(v: Double): String = {
       val s = f"$v%.2f"
       if (s.endsWith("0")) s.dropRight(1) else s
     }
-    val shortKeys = results.map { case (k, _) => shortKey(k) }
-    require(shortKeys.distinct.size == results.size,
-      "shortKey collision would silently merge two queries in the artifact")
     val qs = results.zip(shortKeys)
       .map { case ((_, v), sk) => "\"" + sk + "\":" + f2(v) }
       .mkString("{", ",", "}")

@@ -26,7 +26,10 @@ import org.apache.spark.sql.SparkSession
 private[graft] object SessionMemo {
   private val store =
     new ConcurrentHashMap[(SparkSession, String), (AnyRef, () => Unit)]()
-  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+  // session -> its registered application-end listener, so eviction can
+  // deregister it (evict + re-memoize must not accumulate listeners on
+  // the shared SparkContext)
+  private val hooked = new ConcurrentHashMap[SparkSession, SparkListener]()
 
   def getOrCompute[T <: AnyRef](spark: SparkSession, key: String)
       (compute: => T): T =
@@ -41,11 +44,13 @@ private[graft] object SessionMemo {
     */
   def getOrComputeCleanup[T <: AnyRef](spark: SparkSession, key: String)
       (compute: => T)(cleanup: T => Unit): T = {
-    if (hooked.add(spark)) {
-      spark.sparkContext.addSparkListener(new SparkListener {
+    if (!hooked.containsKey(spark)) {
+      val l = new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
           evictSession(spark)
-      })
+      }
+      if (hooked.putIfAbsent(spark, l) == null)
+        spark.sparkContext.addSparkListener(l)
     }
     val k = (spark, key)
     val existing = store.get(k)
@@ -72,6 +77,9 @@ private[graft] object SessionMemo {
         e.getValue._2()
       }
     }
-    hooked.remove(spark)
+    Option(hooked.remove(spark)).foreach { l =>
+      // the context may already be shutting down (application-end path)
+      scala.util.Try(spark.sparkContext.removeSparkListener(l)): Unit
+    }
   }
 }

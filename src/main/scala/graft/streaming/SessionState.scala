@@ -132,15 +132,24 @@ object SessionState {
       .writeStream.format("memory").queryName(tableName)
       .outputMode("append").start()
     q.processAllAvailable()
-    // the timeout batch that emits the drained tail runs right AFTER the
-    // last data batch (watermark propagation); processAllAvailable only
-    // awaits data offsets, so wait for the sink to quiesce
-    var prev = -1L
-    var stable = 0
+    // the timeout batch that emits the drained tail is a NO-DATA batch
+    // run right after the last data batch (watermark propagation), and
+    // processAllAvailable only awaits data offsets. Await the EVENT, not
+    // wall-clock quiet: drained = some completed batch ingested zero
+    // rows AFTER the cumulative input reached the whole spool (replay +
+    // sentinel) — a loaded host can delay the trigger thread, but it
+    // cannot fake a completed zero-input batch in the progress log.
+    // replay rows + the one sentinel row (Tables.events reads only the
+    // spool's events.parquet; zz_drain.parquet holds exactly one row)
+    val totalRows = graft.engine.Tables.events(spark, spool).count() + 1
+    def drained(): Boolean = {
+      val ps = q.recentProgress.sortBy(_.batchId)
+      val cum = ps.scanLeft(0L)(_ + _.numInputRows).drop(1)
+      ps.zip(cum).exists { case (p, c) =>
+        c >= totalRows && p.numInputRows == 0 }
+    }
     var guard = 0
-    while (stable < 2 && guard < 200) {
-      val n = spark.table(tableName).count()
-      if (n == prev) stable += 1 else { stable = 0; prev = n }
+    while (!drained() && guard < 600) { // 30 s ceiling, normally ~1 poll
       Thread.sleep(50)
       q.processAllAvailable()
       guard += 1

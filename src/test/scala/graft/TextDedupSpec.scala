@@ -6,6 +6,13 @@ import graft.engine._
 /** Text-analysis + dedup behavior on the planted-near-dup fixtures. */
 class TextDedupSpec extends SparkSpec {
 
+  /** The full-scale corpus the production-cap test plants blocks into. */
+  private val Sf01Dir = "/root/testdata/sf0.1"
+
+  /** Exit-registered temp dir (bare createTempDirectory leaks per run). */
+  private def tmpFixtureDir(prefix: String): String =
+    graft.engine.TempArtifacts.tempDir(prefix)
+
   test("fingerprints are injective over the distinct fixture texts") {
     val fp = TextOps.docFingerprint(spark, sf)
     val distinctTexts = Tables.documents(spark, sf)
@@ -155,7 +162,7 @@ class TextDedupSpec extends SparkSpec {
     // degenerate buckets from the pairwise join, the signature/bucket star
     // fallbacks must re-link the block star-wise (199 pairs, not 19 900),
     // and small-bucket near-dups must keep generating candidates.
-    val tmp = java.nio.file.Files.createTempDirectory("lsh-guard").toString
+    val tmp = tmpFixtureDir("lsh-guard")
     import spark.implicits._
     val block = (1L to 200L).map(i =>
       (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
@@ -206,7 +213,7 @@ class TextDedupSpec extends SparkSpec {
     // pairwise join nor the full-signature fallback alone can cover the
     // block — the oversize-bucket star must keep every doc connected, and
     // clustering must unify the block into one component.
-    val tmp = java.nio.file.Files.createTempDirectory("lsh-star").toString
+    val tmp = tmpFixtureDir("lsh-star")
     import spark.implicits._
     val common = (0 until 56).map(i => s"w$i").mkString(" ")
     val docs = (1L to 120L).map(i =>
@@ -235,7 +242,7 @@ class TextDedupSpec extends SparkSpec {
     // pre-split the B-family's direct pairs could only come from star edges.
     // The second-band re-key must place them in sub-cap sub-buckets and
     // emit their full pairwise candidates (model-derived expected set).
-    val tmp = java.nio.file.Files.createTempDirectory("lsh-sub").toString
+    val tmp = tmpFixtureDir("lsh-sub")
     import spark.implicits._
     val core = (0 until 8).map(i => s"c$i").mkString(" ")
     val blockA = (0 until 12).map(i => s"a$i").mkString(" ")
@@ -276,7 +283,9 @@ class TextDedupSpec extends SparkSpec {
     // block size (an unguarded pass would emit ~11k/9.7k pairwise
     // candidates), and the guard's observed metric reports the skipped
     // volume.
-    val tmp = java.nio.file.Files.createTempDirectory("lsh-sf01").toString
+    // registered for JVM-exit cleanup like every other on-disk artifact
+    // (a bare createTempDirectory would leak ~1 MB per suite run)
+    val tmp = graft.engine.TempArtifacts.tempDir("lsh-sf01")
     import spark.implicits._
     val block1 = (800001L to 800150L).map(i =>
       (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
@@ -285,7 +294,7 @@ class TextDedupSpec extends SparkSpec {
     val block2 = (810001L to 810140L).map(i =>
       (i, core + " " + (0 until 4).map(j => s"u${i}x$j").mkString(" "),
         "en", "web", 40L))
-    Tables.documents(spark, "/root/testdata/sf0.1")
+    Tables.documents(spark, Sf01Dir)
       .unionByName((block1 ++ block2)
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
       .write.parquet(s"$tmp/documents.parquet")
@@ -346,7 +355,7 @@ class TextDedupSpec extends SparkSpec {
     // ONE star edge to the block min, not 150 pairwise edges) and one
     // near-dup of the partner (small-bucket pairwise path). Corpus-corpus
     // and delta-delta near-dups must never surface.
-    val tmp = java.nio.file.Files.createTempDirectory("inc-dedup").toString
+    val tmp = tmpFixtureDir("inc-dedup")
     import spark.implicits._
     val mod = Dedup.IncrementalDeltaMod
     val blockText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
