@@ -139,9 +139,13 @@ object SessionState {
     // rows AFTER the cumulative input reached the whole spool (replay +
     // sentinel) — a loaded host can delay the trigger thread, but it
     // cannot fake a completed zero-input batch in the progress log.
-    // replay rows + the one sentinel row (Tables.events reads only the
-    // spool's events.parquet; zz_drain.parquet holds exactly one row)
-    val totalRows = graft.engine.Tables.events(spark, spool).count() + 1
+    // count the spool with the STREAM's schema and glob — exactly what
+    // the source will ingest, with no schema inference (a Spark-written
+    // fixture makes events.parquet a directory, which Files.copy copies
+    // as an empty dir: the batch count and the stream then agree on
+    // seeing only the sentinel)
+    val totalRows = spark.read.schema(EventStream.eventSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(spool).count()
     def drained(): Boolean = {
       val ps = q.recentProgress.sortBy(_.batchId)
       val cum = ps.scanLeft(0L)(_ + _.numInputRows).drop(1)
