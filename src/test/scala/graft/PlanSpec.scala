@@ -51,6 +51,15 @@ class PlanSpec extends SparkSpec {
     assert(auditScans === baseScans)
   }
 
+  test("ref-integrity audit broadcasts its dimension-sized parents") {
+    val p = plan(Pipeline.refIntegrity(spark, sf))
+    // every parent here is dimension-sized at fixture scale; none of the
+    // six orphan checks should fall back to a shuffled join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension-sized parent fell back to a shuffled join")
+  }
+
   test("scd2 rides one exchange + one sort for both window blocks") {
     val p = plan(Ext.scd2(spark, sf))
     val tree = p.split("\n").takeWhile(!_.startsWith("(1)"))
