@@ -131,6 +131,37 @@ object SourceQueries {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
 
+  /** Raw text-lines round-trip — the rawest corpus interchange format
+    * (one document per line: tab-separated id/lang/source, then the
+    * text, which is tab-free by fixture construction): write through
+    * the text sink (splittable, one file per partition — the layout raw
+    * web-scale corpora actually ship in), read back with the text
+    * source + explicit column parsing (split with a field limit so the
+    * document body keeps its spaces), aggregate per language. The
+    * weighted sum ties each document's body length to its id, so a
+    * text↔id misassignment in the round-trip fails the hash gate even
+    * when totals happen to match.
+    */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-textlines")
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
+        col("text")).as("value"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(tmp)
+    spark.read.text(tmp)
+      .select(split(col("value"), "\t", 4).as("f"))
+      .select(col("f")(0).cast("long").as("doc_id"),
+        col("f")(1).as("lang"), col("f")(2).as("source"),
+        col("f")(3).as("text"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(col("doc_id") * length(col("text"))).as("weighted_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** Fragment count the compaction fixture scatters the table into —
     * stands in for the thousands of small files streaming ingest and
     * dynamic partition overwrite leave behind in a long-lived store.
@@ -216,6 +247,7 @@ object SourceQueries {
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_partitioned_export" -> partitionedExport _,
     "q_multiline_roundtrip" -> multilineRoundtrip _,
+    "q_text_roundtrip" -> textRoundtrip _,
     "q_compact" -> compactStore _)
 
   /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
@@ -235,5 +267,12 @@ object SourceQueries {
          |GROUP BY lang""".stripMargin
     },
     "q_multiline_roundtrip" -> customerChecksumSql,
+    "q_text_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id * length(text)) AS BIGINT) AS weighted_sum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_compact" -> checksumSql)
 }

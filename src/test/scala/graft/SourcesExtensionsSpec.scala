@@ -120,6 +120,22 @@ class SourcesExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("text-lines sink round-trips documents row for row") {
+    val out = tmpDir("textlines")
+    val src = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text")
+    src.select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
+        col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+      .select(split(col("value"), "\t", 4).as("f"))
+      .select(col("f")(0).cast("long").as("doc_id"),
+        col("f")(1).as("lang"), col("f")(2).as("source"),
+        col("f")(3).as("text"))
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("compaction collapses the file count and preserves every value") {
     val frag = tmpDir("frag")
     val compacted = tmpDir("compact")
