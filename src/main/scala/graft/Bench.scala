@@ -27,6 +27,30 @@ object Bench {
     * (rule in BASELINE.md "Bench calibration") — ambient host contention
     * inflates the probe and the queries together.
     */
+  /** Bytes each I/O probe must pull through the page cache. The CPU
+    * probe is blind to I/O / memory-bandwidth contention (observed
+    * round 10: three same-head sweeps at 88/106/114 s with probe
+    * medians 0.132–0.139 s), so every calibration point also times a
+    * fixed-volume sequential re-read of a fixture file: quiet ~tens of
+    * ms, inflating with exactly the bandwidth pressure that slows the
+    * shuffle/write-bound queries.
+    */
+  val IoProbeBytes: Long = 128L * 1024 * 1024
+
+  private def ioProbe(path: java.nio.file.Path): Double = {
+    val t0 = System.nanoTime()
+    var read = 0L
+    var guard = 0
+    while (read < IoProbeBytes && guard < 100000) {
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      if (bytes.length == 0) return 0.0
+      calibSink ^= bytes(guard % bytes.length).toLong
+      read += bytes.length
+      guard += 1
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def calibrate(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { _ =>
@@ -74,9 +98,18 @@ object Bench {
     // sorted query order keeps probe→query alignment stable across rounds:
     // query i (0-based) normalizes by probe floor(i / CalibEvery)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // largest fixture file = the I/O probe's re-read target
+    val probeFile = Seq("lineitem", "events", "documents")
+      .map(t => java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .sortBy(p => -java.nio.file.Files.size(p)).headOption
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((name, fn), i) =>
-        if (i % CalibEvery == 0) probes += calibrate(nThreads)
+        if (i % CalibEvery == 0) {
+          probes += calibrate(nThreads)
+          ioProbes += probeFile.map(ioProbe).getOrElse(0.0)
+        }
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
@@ -85,6 +118,7 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     probes += calibrate(nThreads)
+    ioProbes += probeFile.map(ioProbe).getOrElse(0.0)
     // ---- emission budget ----
     // The harness retains only the LAST ~2000 chars of stdout, and the
     // artifact is whatever of the final JSON line survives in that tail —
@@ -114,16 +148,17 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     val sfName = new java.io.File(sfDir).getName
+    def msSeries(xs: Seq[Double]): String =
+      xs.map(p => math.round(p * 1000).toString).mkString("[", ",", "]")
     val calibLine =
-      s"""{"metric":"calib_ms","series":${probes
-        .map(p => math.round(p * 1000).toString)
-        .mkString("[", ",", "]")},"sf":"$sfName"}"""
+      s"""{"metric":"calib_ms","series":${msSeries(probes.toSeq)},""" +
+        s""""io_ms":${msSeries(ioProbes.toSeq)},"sf":"$sfName"}"""
     val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
         "is near the 2000-char stdout-tail budget; shorten keys in shortKey")
-    writeLocalRecords(results, probes.toSeq, sfName, total)
+    writeLocalRecords(results, probes.toSeq, ioProbes.toSeq, sfName, total)
     println(calibLine)
     println(line)
   }
@@ -165,20 +200,23 @@ object Bench {
     * dir must not fail the bench.
     */
   private def writeLocalRecords(results: Seq[(String, Double)],
-      probes: Seq[Double], sfName: String, total: Double): Unit = {
+      probes: Seq[Double], ioProbes: Seq[Double], sfName: String,
+      total: Double): Unit = {
     def f(v: Double): String = f"$v%.3f"
     val calib = probes.map(f).mkString("[", ",", "]")
+    val io = ioProbes.map(f).mkString("[", ",", "]")
     try {
       val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
-          s""""calib_series":$calib,"queries":$qs,"sf":"$sfName"}""" + "\n")
+          s""""calib_series":$calib,"io_series":$io,""" +
+          s""""queries":$qs,"sf":"$sfName"}""" + "\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_CALIB.jsonl"),
         s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfName",""" +
-          s""""calib_series":$calib}""" + "\n",
+          s""""calib_series":$calib,"io_series":$io}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND): Unit
     } catch { case _: Throwable => () }
