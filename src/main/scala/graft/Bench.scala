@@ -188,7 +188,7 @@ object Bench {
       "stratified" -> "strat", "jaccard" -> "jac", "dedup" -> "dd",
       "threshold" -> "thr", "approx" -> "apx", "quantile" -> "qtile",
       "shipping" -> "ship", "running" -> "run", "repeated" -> "rep",
-      "multiline" -> "mljson")
+      "multiline" -> "mljson", "budget" -> "bgt", "unigram" -> "ugram")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

@@ -335,6 +335,67 @@ object Curation {
         col("q_rank") <= ceil(col("n_source") * QualityKeepFrac).cast("long"))
   }
 
+  /** Token budget for [[tokenBudget]] — the corpus-selection cutoff. At
+    * fixture scale (~27k tokens at sf0.01) 10k selects the top ~third;
+    * a production run sets this to the training-run token count.
+    */
+  val TokenBudget = 10000L
+
+  /** Token-budget corpus selection: "give me the best N tokens" — order
+    * the corpus by quality (micro-scaled integer score, ties broken by
+    * doc_id for a total order) and keep every document fully contained in
+    * the first [[TokenBudget]] tokens of that stream. The complement of
+    * [[qualityThreshold]]'s per-domain fraction: this is the global
+    * budget-capped recipe step ("train on the best 10B tokens"), the
+    * final selection a data mixture executes after per-domain curation.
+    *
+    * The running token offset is the same DISTRIBUTED PREFIX SUM as
+    * [[packSequences]]: range-sort by (quality desc, doc_id), collect one
+    * numPartitions-row subtotal vector, emit per-partition offsets with
+    * the carried base. A `sum() OVER (ORDER BY quality)` with no
+    * PARTITION BY would funnel the corpus through one task; this shape
+    * shuffles once for the range sort and stays fully parallel. Keep
+    * decisions are Long comparisons — bit-exact against the oracle.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(TextOps.Stopwords)))
+    val q = round(
+      least(nTok.cast("double") / 50, lit(1.0)) *
+        (lit(1.0) - nStop.cast("double") / nTok), 6)
+    val sorted = Tables.documents(spark, dir)
+      .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        greatest(nTok, lit(0)).cast("long").as("n_tokens"),
+        round(q * 1000000L).cast("long").as("q_micro"))
+      .orderBy(col("q_micro").desc, col("doc_id"))
+    // localCheckpoint anchors BOTH passes (subtotal collect + final scan)
+    // to one materialized layout — same rationale as packSequences
+    val rdd = sorted.rdd.localCheckpoint()
+    val partSums = rdd.mapPartitions(
+      it => Iterator.single(it.map(_.getLong(1)).sum),
+      preservesPartitioning = true).collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.flatMap { r =>
+        val n = r.getLong(1)
+        val start = cum
+        cum += n
+        // kept ⟺ the doc lies entirely inside the first TokenBudget
+        // tokens; cum_before is monotone so partitions past the budget
+        // emit nothing (map-side filter, no second shuffle)
+        if (start + n <= TokenBudget)
+          Iterator.single(org.apache.spark.sql.Row(
+            r.getLong(0), n, r.getLong(2), start))
+        else Iterator.empty
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("doc_id", "n_tokens", "q_micro",
+      "cum_before").map(StructField(_, LongType, nullable = false)))
+    spark.createDataFrame(kept, schema)
+  }
+
   /** Deterministic hash split: train/validation/test assignment from the
     * portable content fingerprint mod 100 — reproducible across engines
     * and runs, and STABLE UNDER RE-INGESTION (a doc keeps its split when
@@ -372,6 +433,7 @@ object Curation {
     "q_domain_mix" -> domainMix _,
     "q_pack_sequences" -> packSequences _,
     "q_quality_threshold" -> qualityThreshold _,
+    "q_token_budget" -> tokenBudget _,
     "q_hash_split" -> hashSplit _)
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
@@ -458,6 +520,20 @@ object Curation {
          |  q_rank <= CAST(ceil(n_source * $QualityKeepFrac) AS BIGINT)
          |    AS kept
          |FROM r""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS n_stop
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |    CAST(round(($qExpr) * 1000000) AS BIGINT) AS q_micro FROM s),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY q_micro DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cum_before FROM m)
+         |SELECT doc_id, n_tokens, q_micro, cum_before FROM c
+         |WHERE cum_before + n_tokens <= $TokenBudget""".stripMargin,
     "q_hash_split" ->
       s"""WITH b AS (SELECT
          |    ${TextOps.portableFpSql("text", FpBase1, FpMod1)} % 100

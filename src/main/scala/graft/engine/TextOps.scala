@@ -195,12 +195,54 @@ object TextOps {
       .select("term", "doc_id", "tf", "dl", "bm25", "rank")
   }
 
+  /** Unigram-LM document scoring — the corpus-statistics quality filter a
+    * training pipeline runs after the heuristic [[textQuality]] pass:
+    * score every document by how typical its tokens are under the
+    * corpus's own unigram distribution (gibberish / OCR noise / wrong-
+    * language text scores low; fluent text scores high). The statistic is
+    * the ARITHMETIC-mean token probability `Σ c·cnt / (n_tokens·N)` —
+    * the rational-arithmetic member of the unigram-score family (the
+    * geometric mean / perplexity needs `ln`, which the house cross-engine
+    * rule avoids; bm25 above makes the same trade for its idf). The
+    * numerator `Σ c·cnt` stays exact BIGINT in both engines; the only
+    * float op is one mirrored division chain at the end.
+    *
+    * Plan shape: tokens explode into the map-side-combined (doc, term, c)
+    * table; the vocabulary is a corpus-level aggregate that Heaps' law
+    * keeps orders of magnitude smaller than the corpus — it broadcasts at
+    * fixture scale and becomes a key-partitioned dimension join at
+    * 100 TB, the [[salientTerms]] shape. The token grand total comes from
+    * a plain scan-side `sum(size(tokens))` (the [[bm25]] shape) rather
+    * than re-aggregating the vocab — a third explode+shuffle subtree for
+    * one scalar would triple the heaviest stage. Division runs AFTER the
+    * per-doc aggregate, on one row per document.
+    */
+  def unigramProb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val vocab = tf.groupBy("term").agg(sum(col("c")).as("cnt"))
+    val totals = docs.agg(sum(size(tokens)).cast("long").as("n_total"))
+    tf.join(broadcast(vocab), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * col("cnt")).cast("long").as("sum_cnt"))
+      .crossJoin(broadcast(totals))
+      // chained /: keeps every intermediate a double (a single
+      // n_tokens·N product would overflow Long at corpus scale) and
+      // mirrors the oracle's operand order exactly
+      .select(col("doc_id"), col("n_tokens"), col("sum_cnt"),
+        round(col("sum_cnt").cast("double") / col("n_tokens")
+          / col("n_total"), 9).as("mean_prob"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_quality" -> textQuality _,
     "q_lang_id" -> langId _,
     "q_token_count" -> tokenCount _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
+    "q_unigram_prob" -> unigramProb _,
     "q_bm25" -> bm25 _)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -236,6 +278,20 @@ object TextOps {
          |SELECT doc_id, term, tf, df, salience,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= $SalientK""".stripMargin,
+    "q_unigram_prob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS term FROM documents),
+        |tfg AS (SELECT doc_id, term, count(*) AS c FROM tok
+        |  GROUP BY doc_id, term),
+        |v AS (SELECT term, sum(c) AS cnt FROM tfg GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c * cnt) AS BIGINT) AS sum_cnt
+        |  FROM tfg JOIN v USING (term) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_cnt,
+        |  round(CAST(sum_cnt AS DOUBLE) / n_tokens / n_total, 9)
+        |    AS mean_prob
+        |FROM d CROSS JOIN tot""".stripMargin,
     "q_bm25" -> {
       val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))

@@ -157,6 +157,32 @@ class CurationSpec extends SparkSpec {
     } finally t.unpersist()
   }
 
+  test("token budget equals a sequential replay of the quality-ordered prefix") {
+    val got = Curation.tokenBudget(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("q_micro"),
+          r.getAs[Long]("cum_before")))).toMap
+    // independent truth: scores from qualityThreshold (oracle-gated
+    // elsewhere, separate code path), prefix rule replayed sequentially
+    val scores = Curation.qualityThreshold(spark, sf)
+      .select("doc_id", "q_micro").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("q_micro")))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var cum = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    scores.sortBy { case (id, q) => (-q, id) }.foreach { case (id, q) =>
+      val n = nTok(id)
+      if (cum + n <= Curation.TokenBudget) expect(id) = (n, q, cum)
+      cum += n
+    }
+    assert(got === expect.toMap)
+    assert(got.nonEmpty &&
+      got.values.map(_._1).sum <= Curation.TokenBudget)
+  }
+
   test("weighted sample is exactly the u(doc_id) < w(doc) subset") {
     // the whole point of hash-threshold sampling is exact driver-side
     // reproducibility: recompute the accept set independently from the

@@ -48,6 +48,30 @@ class TextDedupSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("unigram prob matches an exact in-memory recompute") {
+    val rows = TextOps.unigramProb(spark, sf).collect()
+    // independent truth: the whole statistic in plain Scala Longs
+    // (split with limit -1 mirrors Spark's trailing-empty handling)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val cnt = docs.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val total = cnt.values.sum
+    val byId = docs.toMap
+    assert(rows.length === docs.length)
+    rows.foreach { r =>
+      val toks = byId(r.getAs[Long]("doc_id"))
+      val n = toks.length.toLong
+      val sumCnt = toks.iterator.map(cnt).sum
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("sum_cnt") === sumCnt)
+      val p = r.getAs[Double]("mean_prob")
+      assert(p > 0 && p <= 1)
+      assert(p === BigDecimal(sumCnt.toDouble / n / total)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("exact dedup preserves total row count") {
     val d = Dedup.dedupExact(spark, sf)
     val total = d.agg(sum("n_copies")).collect()(0).getLong(0)
