@@ -175,7 +175,7 @@ object Bench {
   private[graft] def shortKey(name: String): String = {
     val base = if (name.startsWith("q_")) name.drop(2) else name
     val prefixed = Seq("dedup_" -> "dd_", "stream_" -> "st_",
-      "multimodal_" -> "mm_", "decontaminate" -> "decontam",
+      "multimodal_" -> "mm_", "decontaminate" -> "dctm",
       "embed_" -> "em_")
       .collectFirst { case (a, b) if base.startsWith(a) =>
         b + base.substring(a.length) }
@@ -188,7 +188,19 @@ object Bench {
       "stratified" -> "strat", "jaccard" -> "jac", "dedup" -> "dd",
       "threshold" -> "thr", "approx" -> "apx", "quantile" -> "qtile",
       "shipping" -> "ship", "running" -> "run", "repeated" -> "rep",
-      "multiline" -> "mljson", "budget" -> "bgt", "unigram" -> "ugram")
+      "multiline" -> "mljson", "budget" -> "bgt", "unigram" -> "ugram",
+      "two_key_reagg" -> "2k_reagg", "bucketed" -> "bkt",
+      "cosine" -> "cos", "distinct" -> "dist", "sequences" -> "seqs",
+      "recency" -> "rec", "dummies" -> "dum", "salient" -> "sal",
+      "extract" -> "ext", "describe" -> "desc", "clusters" -> "clus",
+      "centroid" -> "cent", "near_dup" -> "nd", "quantize" -> "qnt",
+      "percentile" -> "pctl", "profile" -> "prof", "project" -> "proj",
+      "shuffle" -> "shuf", "weighted" -> "wt", "train_eval" -> "tr_ev",
+      "pricing" -> "pri", "sliding" -> "sld", "repetition" -> "repn",
+      "session" -> "sess", "string" -> "str", "filter" -> "flt",
+      "explode" -> "expl", "refine" -> "ref", "hours" -> "hrs",
+      "corpus" -> "corp", "snapshot" -> "snap",
+      "inverted_index" -> "inv_idx")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

@@ -47,7 +47,12 @@ object ScaleBench {
     // programs should hold alpha ≈ 1 (per-user histories scale in count,
     // not depth); the upsert's per-batch merge scales with batch size
     "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
-    "q_compact", "q_stream_upsert")
+    "q_compact", "q_stream_upsert",
+    // linkage/index family: salted copies share no first-token blocks
+    // and no vocabulary across copies, so blocked fuzzy matching, the
+    // bounded-postings index build, and the fingerprint diff should all
+    // hold alpha ≈ 1
+    "q_fuzzy_match", "q_inverted_index", "q_snapshot_diff")
 
   private def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
@@ -90,6 +95,9 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional args: run only the named queries (incremental re-measure
+    // after adding a family; no args = the full list)
+    val names = if (args.nonEmpty) QueryNames.filter(args.toSet) else QueryNames
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -105,7 +113,7 @@ object ScaleBench {
       .empty[String, scala.collection.mutable.Map[Int, Double]]
     for (s <- Scales) {
       val dir = synth(spark, base, s)
-      for (name <- QueryNames) {
+      for (name <- names) {
         def once(): Double = {
           val t0 = System.nanoTime()
           queries(name)(spark, dir).count()
@@ -127,7 +135,7 @@ object ScaleBench {
     val header = "| query | " +
       Scales.map(s => s"${s}x (s)").mkString(" | ") + " | alpha |"
     val sep = "| --- |" + Scales.map(_ => " --- |").mkString + " --- |"
-    val rows = QueryNames.map { name =>
+    val rows = names.map { name =>
       val t = times(name)
       val alpha = math.log(t(Scales.last) / t(Scales.head)) /
         math.log(Scales.last.toDouble / Scales.head)

@@ -25,7 +25,7 @@ object SparkEntry {
     RelOps.queries ++ Reshape.queries ++ Pipeline.queries ++ Ext.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ MlSuite.queries ++ SqlEntry.queries ++
-      Curation.queries ++ SourceQueries.queries ++
+      Curation.queries ++ SourceQueries.queries ++ Linkage.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,6 +35,6 @@ object SparkEntry {
     RelOps.oracles ++ Reshape.oracles ++ Pipeline.oracles ++ Ext.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ MlSuite.oracles ++ SqlEntry.oracles ++
-      Curation.oracles ++ SourceQueries.oracles ++
+      Curation.oracles ++ SourceQueries.oracles ++ Linkage.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

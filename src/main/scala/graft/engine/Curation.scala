@@ -366,7 +366,9 @@ object Curation {
     val sorted = Tables.documents(spark, dir)
       .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
         greatest(nTok, lit(0)).cast("long").as("n_tokens"),
-        round(q * 1000000L).cast("long").as("q_micro"))
+        // null text ⇒ null score; coalesce to 0 so the partition scan's
+        // getLong never hits a null (adversarial rows sort last, unkept)
+        coalesce(round(q * 1000000L).cast("long"), lit(0L)).as("q_micro"))
       .orderBy(col("q_micro").desc, col("doc_id"))
     // localCheckpoint anchors BOTH passes (subtotal collect + final scan)
     // to one materialized layout — same rationale as packSequences

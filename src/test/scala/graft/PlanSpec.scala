@@ -216,7 +216,10 @@ class PlanSpec extends SparkSpec {
 
   test("curation funnel stays a two-exchange plan") {
     val p = plan(Curation.corpusCurate(spark, sf))
-    val exchanges = p.split("\n").count(_.trim.startsWith("Exchange"))
+    // detail-section headers, not the "+-"-prefixed tree rendering (the
+    // latter made this gate count zero and pass vacuously)
+    val exchanges = p.split("\n")
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
     // one shuffle for the fingerprint-keyed keeper window, one for the
     // per-source rollup — gates composition from quietly adding passes
     assert(exchanges <= 2, s"curation funnel grew beyond 2 exchanges:\n$p")
@@ -317,6 +320,27 @@ class PlanSpec extends SparkSpec {
       s"weighted sampling must plan zero exchanges:\n$ps")
   }
 
+  test("inverted index builds in one exchange; snapshot diff shuffles " +
+    "fingerprints, not text") {
+    // the in-row array_distinct must keep (doc,term) dedup map-side: a
+    // pair-keyed distinct() would add a second exchange before the
+    // term-keyed window, and the final groupBy must reuse the window's
+    // partitioning rather than re-shuffling
+    val p = plan(graft.engine.Linkage.invertedIndex(spark, sf))
+    // count detail-section headers "(n) Exchange" — the tree rendering
+    // prefixes nodes with "+-", which a startsWith miss-counts as zero
+    val exchanges = p.split("\n")
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1,
+      s"inverted index must build in exactly one exchange:\n$p")
+    // the snapshot diff's join may move 32-byte md5 fingerprints but
+    // never raw document text
+    val pd = plan(graft.engine.Linkage.snapshotDiff(spark, sf))
+    val keys = pd.split("\n").filter(_.contains("hashpartitioning"))
+    assert(!keys.exists(_.contains("text#")),
+      s"snapshot diff shuffles raw text:\n$pd")
+  }
+
   test("no query plans a CartesianProduct") {
     // nested-loop joins are sanctioned only where the build side is a
     // broadcast of bounded size: the cosine top-k probe set (NQueryVecs
@@ -332,11 +356,11 @@ class PlanSpec extends SparkSpec {
     // same nCells-row broadcast centroid table as q_ann_ivf
     // q_ann_pq scans the compact code index against a broadcast of the
     // per-query lookup tables — the PQ analog of cosine top-k's probe set
-    // q_bm25 carries the same 1-row corpus-totals broadcast as
-    // q_salient_terms
+    // q_bm25 and q_unigram_prob carry the same 1-row corpus-totals
+    // broadcast as q_salient_terms
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
-      "q_kmeans_refine", "q_ann_pq", "q_bm25")
+      "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
