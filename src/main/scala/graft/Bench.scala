@@ -78,6 +78,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", nThreads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -200,7 +202,8 @@ object Bench {
       "session" -> "sess", "string" -> "str", "filter" -> "flt",
       "explode" -> "expl", "refine" -> "ref", "hours" -> "hrs",
       "corpus" -> "corp", "snapshot" -> "snap",
-      "inverted_index" -> "inv_idx")
+      "inverted_index" -> "inv_idx", "coverage" -> "cov",
+      "zorder_layout" -> "zorder")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

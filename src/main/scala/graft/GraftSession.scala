@@ -23,6 +23,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Fixture parquet stores tz-less timestamp[us]; read it as a UTC
+      // instant (TIMESTAMP) rather than TIMESTAMP_NTZ so event-time
+      // functions (unix_micros, window, watermarks) keep their proven
+      // semantics — and so engine/oracle agree on the same instants.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

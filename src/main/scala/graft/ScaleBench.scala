@@ -47,12 +47,15 @@ object ScaleBench {
     // programs should hold alpha ≈ 1 (per-user histories scale in count,
     // not depth); the upsert's per-batch merge scales with batch size
     "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
-    "q_compact", "q_stream_upsert",
+    "q_compact", "q_stream_upsert", "q_event_sequences",
     // linkage/index family: salted copies share no first-token blocks
     // and no vocabulary across copies, so blocked fuzzy matching, the
     // bounded-postings index build, and the fingerprint diff should all
     // hold alpha ≈ 1
-    "q_fuzzy_match", "q_inverted_index", "q_snapshot_diff")
+    "q_fuzzy_match", "q_inverted_index", "q_snapshot_diff",
+    // salted copies share no bigrams, so the common set and per-doc
+    // coverage scale by s — the broadcast join-back's linear regime
+    "q_bigram_coverage")
 
   private def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
@@ -104,6 +107,8 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         scala.util.Try(cpus.toInt).getOrElse(32))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

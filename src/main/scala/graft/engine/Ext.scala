@@ -428,7 +428,56 @@ object Ext {
           .as("is_current"))
   }
 
+  /** Per-user journey cap for [[eventSequences]] — training pipelines cap
+    * behavioral context windows, and the cap is what bounds the aggregation
+    * buffer: a bot account with 10⁹ events costs the same 64-slot state as
+    * a median user.
+    */
+  val SeqCap = 64
+
+  /** Trajectory assembly: each user's chronological event-type journey as
+    * one training example — the sequence-building pass behind behavioral /
+    * session-based models (and the batch shape of conversation-turn
+    * assembly). The journey is capped at [[SeqCap]] events BEFORE
+    * collection (the inverted-index postings rule): `row_number` ranks
+    * within the user, the filter drops the tail, and only then does
+    * `collect_list` run — so per-user state is ≤ cap regardless of skew.
+    * Both window specs and the final aggregate ride ONE hash partitioning
+    * on `user_id` (the unordered total-count window adds no exchange, and
+    * the groupBy's clustering requirement is satisfied by the existing
+    * partitioning) — the whole query is a single shuffle of (user_id, ts,
+    * event_id, type) tuples, never payloads.
+    *
+    * Determinism: ties in `ts` break on the unique `event_id` in both
+    * engines; the struct sort is by the integer rank, so the concatenated
+    * journey is a pure function of the data. `span_s` is
+    * floor-epoch-second difference — Spark's `unix_timestamp` truncates
+    * and DuckDB's `date_diff('second',…)` counts boundary crossings,
+    * which is the same diff-of-truncations number.
+    */
+  def eventSequences(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_events", count(lit(1)).over(wAll))
+      .filter(col("rn") <= SeqCap)
+      .groupBy(col("user_id"), col("n_events"))
+      .agg(
+        concat_ws(">",
+          transform(sort_array(collect_list(struct(col("rn"),
+            col("event_type")))), x => x.getField("event_type")))
+          .as("journey"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("journey"),
+        (unix_timestamp(col("last_ts")) - unix_timestamp(col("first_ts")))
+          .cast("long").as("span_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_sequences" -> eventSequences _,
     "q_rollup" -> rollup _,
     "q_scd2" -> scd2 _,
     "q_percentile" -> percentile _,
@@ -451,6 +500,17 @@ object Ext {
     "q_set_ops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
+    "q_event_sequences" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_events
+         |  FROM events)
+         |SELECT user_id, n_events,
+         |  string_agg(event_type, '>' ORDER BY rn) AS journey,
+         |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s
+         |FROM o WHERE rn <= $SeqCap
+         |GROUP BY user_id, n_events""".stripMargin,
     "q_scd2" ->
       """WITH chg AS (SELECT user_id, ts, event_id, event_type, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), v AS (SELECT user_id, event_type, ts, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version, lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM chg WHERE prev_type IS NULL OR prev_type <> event_type) SELECT user_id, version, event_type AS state, ts AS valid_from, valid_to, CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current FROM v""",
     "q_rollup" ->

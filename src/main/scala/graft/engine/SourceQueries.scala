@@ -204,6 +204,88 @@ object SourceQueries {
     checksum(spark.read.schema(eventsLite).parquet(compacted))
   }
 
+  /** Output files the z-order rewrite targets — stands in for the
+    * file-count a production OPTIMIZE ZORDER pass emits per partition.
+    */
+  val ZFiles = 8
+
+  /** Morton interleave of the two 8-bit bucket columns `cx`/`dy`,
+    * generated once and rendered for each engine (Spark SQL spells shifts
+    * `shiftleft`/`shiftright`; DuckDB spells them `<<`/`>>`; `&`/`|` are
+    * shared). Pure BIGINT bit arithmetic — no floats, codegen'd in Spark.
+    */
+  private def zBitsExpr(shl: (String, Int) => String,
+      shr: (String, Int) => String): String =
+    (0 until 8).map { i =>
+      s"(${shl(s"(${shr("cx", i)} & 1)", 2 * i)} | " +
+        s"${shl(s"(${shr("dy", i)} & 1)", 2 * i + 1)})"
+    }.mkString("(", " | ", ")")
+
+  private val zSpark =
+    zBitsExpr((e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+  private val zDuck =
+    zBitsExpr((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
+  /** Z-order (Morton-curve) layout rewrite — the multi-dimensional
+    * clustering pass behind `OPTIMIZE ZORDER BY`: sorting by the bit
+    * interleave of two bucketized dimensions makes every output file a
+    * tight bounding box in BOTH dimensions at once, so file-level min/max
+    * stats prune scans filtered on either one. A single-column sort gives
+    * perfect pruning on that column and none on the other; the z curve
+    * splits the difference — the layout decision that matters once a
+    * 100 TB fact table is queried by customer AND by date.
+    *
+    * The bucket scales come from an in-plan 1-row max aggregate
+    * (broadcast back, the S6 scalar-feedback pattern), so the bucketing
+    * is scale-free across fixture sizes — both dims always span the full
+    * 8-bit range. The pass itself is `repartitionByRange(z)` +
+    * `sortWithinPartitions(z)` + parquet rewrite: ONE range exchange of
+    * narrow (key, z) tuples, never payloads. The driver query re-reads
+    * the rewritten store (explicit schema) and aggregates per 1024-wide
+    * z tile; the oracle recomputes z from the original table — equality
+    * proves the bit math AND that the rewrite lost nothing. The per-FILE
+    * bounding-box tightness (the actual pruning claim) is asserted in
+    * SourcesExtensionsSpec against a round-robin control layout.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-zorder")
+    writeZOrdered(spark, dir, tmp)
+    spark.read.schema(zSchema).parquet(tmp)
+      .groupBy(expr("CAST(z DIV 1024 AS BIGINT)").as("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"),
+        min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+  }
+
+  private val zSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("day", LongType),
+    StructField("z", LongType)))
+
+  private[graft] def zValues(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+          .as("day"))
+    val bounds = o.agg(max(col("o_custkey")).as("max_ck"),
+      max(col("day")).as("max_dy"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("cx", expr("CAST(o_custkey * 256 DIV (max_ck + 1) AS BIGINT)"))
+      .withColumn("dy", expr("CAST(day * 256 DIV (max_dy + 1) AS BIGINT)"))
+      .withColumn("z", expr(zSpark).cast("long"))
+      .select("o_orderkey", "o_custkey", "day", "z")
+  }
+
+  private[graft] def writeZOrdered(spark: SparkSession, dir: String,
+      tmp: String): Unit =
+    zValues(spark, dir)
+      .repartitionByRange(ZFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(tmp)
+
   private val customerLite = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_nationkey", IntegerType),
@@ -248,7 +330,8 @@ object SourceQueries {
     "q_partitioned_export" -> partitionedExport _,
     "q_multiline_roundtrip" -> multilineRoundtrip _,
     "q_text_roundtrip" -> textRoundtrip _,
-    "q_compact" -> compactStore _)
+    "q_compact" -> compactStore _,
+    "q_zorder_layout" -> zorderLayout _)
 
   /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
     * scan round-trip lost nothing.
@@ -274,5 +357,23 @@ object SourceQueries {
         |  CAST(sum(doc_id * length(text)) AS BIGINT) AS weighted_sum,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
-    "q_compact" -> checksumSql)
+    "q_compact" -> checksumSql,
+    // recomputes z from the ORIGINAL table: equality proves the bit
+    // interleave AND that the layout rewrite lost nothing
+    "q_zorder_layout" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |    CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+         |      AS BIGINT) AS day
+         |  FROM orders),
+         |b AS (SELECT max(o_custkey) AS max_ck, max(day) AS max_dy FROM o),
+         |c AS (SELECT o_orderkey, o_custkey, day,
+         |    CAST(o_custkey * 256 // (max_ck + 1) AS BIGINT) AS cx,
+         |    CAST(day * 256 // (max_dy + 1) AS BIGINT) AS dy
+         |  FROM o CROSS JOIN b),
+         |z AS (SELECT o_orderkey, o_custkey, day,
+         |    CAST($zDuck AS BIGINT) AS z FROM c)
+         |SELECT CAST(z // 1024 AS BIGINT) AS tile, count(*) AS n,
+         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+         |  min(day) AS min_day, max(day) AS max_day
+         |FROM z GROUP BY 1""".stripMargin)
 }

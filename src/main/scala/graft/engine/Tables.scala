@@ -25,10 +25,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-    * timestamp type and rejects it outright; read it as a nano-epoch long
-    * and truncate to microseconds (the same floor DuckDB applies when it
-    * loads nanos into its microsecond timestamps).
+  /** events.ts has shipped in two physical layouts across fixture
+    * generations: parquet TIMESTAMP(NANOS) (Spark rejects nanos outright —
+    * read as a nano-epoch long via `nanosAsLong` and truncate to micros,
+    * the same floor DuckDB applies), and tz-less TIMESTAMP(MICROS) (read
+    * as a UTC-instant TimestampType — NTZ inference is disabled
+    * engine-wide, see [[graft.GraftSession]]). The LongType guard picks
+    * the right normalization per file, so either generation yields the
+    * same UTC instants.
     *
     * Side effect, by design: `nanosAsLong` is a session-wide SQLConf (no
     * per-read option exists), so after the first events load any other

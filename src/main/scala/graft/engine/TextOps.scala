@@ -236,6 +236,53 @@ object TextOps {
           / col("n_total"), 9).as("mean_prob"))
   }
 
+  /** Corpus-frequency floor for [[bigramCoverage]]: a bigram is "common"
+    * when its corpus-wide instance count reaches this. The floor is what
+    * bounds the common set — Zipf puts the overwhelming mass of DISTINCT
+    * bigrams below any fixed count, so the surviving dimension stays
+    * broadcastable long after the corpus itself stops being.
+    */
+  val BigramMinCount = 3
+
+  /** Bigram-LM coverage scoring — the bigram member of the n-gram quality
+    * family next to [[unigramProb]]: the fraction (in ppm) of a document's
+    * bigram INSTANCES that are "common" corpus-wide (count ≥
+    * [[BigramMinCount]]). Fluent text is built almost entirely from
+    * recurring word pairs; OCR noise, shuffled text, and wrong-language
+    * interleavings score low even when their unigrams are all ordinary —
+    * the word-order signal the unigram score cannot see. This is the
+    * count-based stand-in for an LM perplexity filter (CCNet-style) under
+    * the house cross-engine rule: no `ln`, so coverage replaces log-prob,
+    * and the score is an exact integer (`hits·10⁶ DIV n_bigrams` — both
+    * engines floor-divide BIGINTs, zero float drift).
+    *
+    * Plan shape: bigrams come from one `zip_with` over the token array
+    * (array(i) ⊗ array(i+1), codegen'd, no self-join) and explode once;
+    * the common set is a corpus aggregate of that exploded table,
+    * broadcast back for the per-doc hit count ([[salientTerms]]'s
+    * join-back shape). Docs with <2 tokens have no bigrams and drop out,
+    * mirrored by the oracle's empty `range`.
+    */
+  def bigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // zip_with pads the shorter side with null, so the trailing pair is
+    // (last, null) → concat null → filtered: exactly size-1 bigrams
+    val bigrams = expr(
+      "filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)), " +
+        "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)")
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+    val common = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= BigramMinCount)
+      .select(col("bg"), lit(1).as("hit"))
+    bg.join(broadcast(common), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), count(col("hit")).as("hits"))
+      .select(col("doc_id"), col("n_bigrams"), col("hits"),
+        expr(s"CAST(hits * ${1000000}L DIV n_bigrams AS BIGINT)")
+          .as("cov_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_quality" -> textQuality _,
     "q_lang_id" -> langId _,
@@ -243,6 +290,7 @@ object TextOps {
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
     "q_unigram_prob" -> unigramProb _,
+    "q_bigram_coverage" -> bigramCoverage _,
     "q_bm25" -> bm25 _)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -292,6 +340,17 @@ object TextOps {
         |  round(CAST(sum_cnt AS DOUBLE) / n_tokens / n_total, 9)
         |    AS mean_prob
         |FROM d CROSS JOIN tot""".stripMargin,
+    "q_bigram_coverage" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+         |b AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg FROM ix),
+         |cnt AS (SELECT bg, count(*) AS c FROM b GROUP BY bg),
+         |common AS (SELECT bg FROM cnt WHERE c >= $BigramMinCount)
+         |SELECT doc_id, count(*) AS n_bigrams, count(cm.bg) AS hits,
+         |  CAST(count(cm.bg) * 1000000 // count(*) AS BIGINT) AS cov_ppm
+         |FROM b LEFT JOIN common cm ON b.bg = cm.bg
+         |GROUP BY doc_id""".stripMargin,
     "q_bm25" -> {
       val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))

@@ -17,13 +17,15 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as readStream needs it declared up front
-    * (nanosecond timestamps arrive as longs — same normalization as
-    * [[graft.engine.Tables.events]]).
+  /** events.parquet schema as readStream needs it declared up front.
+    * The fixture stores `ts` as tz-less INT64 micros; declaring
+    * TimestampType reads those as UTC instants (session tz is UTC and
+    * NTZ inference is disabled engine-wide — [[graft.GraftSession]]),
+    * the same instants [[graft.engine.Tables.events]] yields.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -35,15 +37,12 @@ object EventStream {
     * files it appends after the initial replay.
     */
   def readEvents(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      glob: String = "events.parquet"): DataFrame =
     // file-stream sources take a directory; the glob selects the table
     spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Watermarked tumbling-window aggregation: counts + exact decimal sums
     * per (1-hour window, event_type) — the streaming twin of the batch

@@ -162,8 +162,8 @@ object SessionState {
   }
 
   /** One drain event far past max event time + watermark delay + gap,
-    * written into the spool with the raw source schema (nanosecond
-    * LongType ts, like the fixture file).
+    * written into the spool with the stream's schema (TimestampType ts,
+    * readable alongside the copied fixture file).
     */
   private def appendDrainSentinel(spark: SparkSession, dir: String,
       spool: String): Unit = {
@@ -172,11 +172,14 @@ object SessionState {
     // empty replay: any sentinel drains a stream with no sessions
     val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     // 2 h watermark delay + 30 min gap + 1 h margin
-    val sentinelNs = (maxUs + (2L * 3600 + 1800 + 3600) * 1000000L) * 1000L
+    val sentinelUs = maxUs + (2L * 3600 + 1800 + 3600) * 1000000L
+    val sentinelTs = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sentinelUs / 1000000L,
+        (sentinelUs % 1000000L) * 1000L))
     val out = java.nio.file.Files.createTempDirectory("graft_drain")
     spark.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
-          -1L, sentinelNs, DrainUser, "drain", 0.0, "{}")),
+          -1L, sentinelTs, DrainUser, "drain", 0.0, "{}")),
         EventStream.eventSchema)
       .coalesce(1).write.mode("overwrite").parquet(out.toString)
     val part = java.nio.file.Files.list(out).iterator().asScala

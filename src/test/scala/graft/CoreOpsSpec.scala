@@ -111,6 +111,26 @@ class CoreOpsSpec extends SparkSpec {
       s"projected bench stdout line $projected chars ≥ 2000 budget")
   }
 
+  test("event sequences: capped, ordered, exact in-memory replay") {
+    val got = Ext.eventSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val expected = ev.groupBy(_._1).map { case (user, rows) =>
+      val sorted = rows.sortBy(t =>
+        (t._2.toInstant.getEpochSecond * 1000000000L +
+          t._2.toInstant.getNano, t._3))
+      val capped = sorted.take(Ext.SeqCap)
+      val span = capped.last._2.toInstant.getEpochSecond -
+        capped.head._2.toInstant.getEpochSecond
+      user -> ((rows.size.toLong, capped.map(_._4).mkString(">"), span))
+    }
+    assert(got === expected)
+  }
+
   test("scd2: versions chain, states alternate, one current row per user") {
     import org.apache.spark.sql.expressions.Window
     val d = Ext.scd2(spark, sf).cache()

@@ -209,6 +209,38 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(out.getString(0) === "0" && out.getString(1) === "Missing")
   }
 
+  test("z-order layout: files are tight boxes in BOTH dims vs round-robin") {
+    // tile aggregation covers every order exactly once, inside 64 tiles
+    val tiles = SourceQueries.zorderLayout(spark, sf).collect()
+    assert(tiles.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    assert(tiles.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+
+    // per-FILE bounding boxes: the pruning claim. Average normalized
+    // box area of the z-sorted layout must be far below the round-robin
+    // control's (which spreads every file across both full ranges).
+    def avgArea(dir: String): Double = {
+      val files = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length > 1, s"expected multiple files in $dir")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("o_custkey")), max(col("o_custkey")),
+            min(col("day")), max(col("day"))).collect()(0)
+        (r.getLong(1) - r.getLong(0)).toDouble *
+          (r.getLong(3) - r.getLong(2))
+      }
+      spans.sum / spans.length
+    }
+    val zDir = tmpDir("zorder-files")
+    SourceQueries.writeZOrdered(spark, sf, zDir)
+    val ctlDir = tmpDir("zorder-ctl")
+    SourceQueries.zValues(spark, sf).repartition(SourceQueries.ZFiles)
+      .write.mode("overwrite").parquet(ctlDir)
+    val (zArea, ctlArea) = (avgArea(zDir), avgArea(ctlDir))
+    assert(zArea < 0.5 * ctlArea,
+      s"z-order layout not tighter: z=$zArea vs control=$ctlArea")
+  }
+
   test("model introspection yields coefficients, intercept, importances") {
     val d = MlSuite.describeModel(spark, sf).collect()
     val models = d.map(_.getString(0)).toSet

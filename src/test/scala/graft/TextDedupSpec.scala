@@ -48,6 +48,35 @@ class TextDedupSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("bigram coverage matches an exact in-memory recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).map(_.split(" ", -1)).getOrElse(Array.empty)))
+    def bigrams(ws: Array[String]): Seq[String] =
+      if (ws.length < 2) Seq.empty
+      else ws.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+    val counts = docs.iterator.flatMap(d => bigrams(d._2)).toSeq
+      .groupBy(identity).map { case (b, xs) => (b, xs.size.toLong) }
+    val common = counts.filter(_._2 >= TextOps.BigramMinCount).keySet
+    val expected = docs.flatMap { case (id, ws) =>
+      val bgs = bigrams(ws)
+      if (bgs.isEmpty) None
+      else {
+        val hits = bgs.count(common).toLong
+        Some(id -> ((bgs.size.toLong, hits,
+          hits * 1000000L / bgs.size)))
+      }
+    }.toMap
+    val got = TextOps.bigramCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === expected)
+    // coverage is a proper ratio and the common set is non-trivial
+    assert(got.values.forall { case (n, h, c) =>
+      h <= n && c >= 0 && c <= 1000000L })
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("unigram prob matches an exact in-memory recompute") {
     val rows = TextOps.unigramProb(spark, sf).collect()
     // independent truth: the whole statistic in plain Scala Longs
