@@ -191,7 +191,7 @@ object Bench {
       "threshold" -> "thr", "approx" -> "apx", "quantile" -> "qtile",
       "shipping" -> "ship", "running" -> "run", "repeated" -> "rep",
       "multiline" -> "mljson", "budget" -> "bgt", "unigram" -> "ugram",
-      "two_key_reagg" -> "2k_reagg", "bucketed" -> "bkt",
+      "two_key_reagg" -> "2kre", "bucketed" -> "bkt",
       "cosine" -> "cos", "distinct" -> "dist", "sequences" -> "seqs",
       "recency" -> "rec", "dummies" -> "dum", "salient" -> "sal",
       "extract" -> "ext", "describe" -> "desc", "clusters" -> "clus",
@@ -203,7 +203,16 @@ object Bench {
       "explode" -> "expl", "refine" -> "ref", "hours" -> "hrs",
       "corpus" -> "corp", "snapshot" -> "snap",
       "inverted_index" -> "inv_idx", "coverage" -> "cov",
-      "zorder_layout" -> "zorder")
+      "zorder_layout" -> "zorder", "schema_evolution" -> "sch_evo",
+      "outliers" -> "outl", "cross_validate" -> "cv",
+      "recode" -> "rcd", "event_" -> "ev_", "robust_" -> "rb_",
+      "join" -> "jn", "sql_" -> "s_", "semantic" -> "sem",
+      "fuzzy_match" -> "fuzzy", "count" -> "cnt", "curate" -> "cur",
+      "export" -> "exp", "sim_cos_topk" -> "cos_topk", "ngram" -> "ng",
+      "pagerank" -> "pgrank", "text_" -> "tx_", "global" -> "glob",
+      "kmeans" -> "km", "audit" -> "aud", "split" -> "spl",
+      "multi" -> "mlt", "minhash" -> "mh", "simhash" -> "sh",
+      "bigram" -> "bg", "bloom" -> "blm")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

@@ -476,7 +476,46 @@ object Ext {
           .cast("long").as("span_s"))
   }
 
+  /** Robust per-group outlier detection — the median/MAD monitor a
+    * data-quality pipeline runs per segment (mean/stddev monitors are
+    * themselves corrupted by the outliers they hunt; the median and the
+    * median-absolute-deviation are not). The whole statistic chain is
+    * EXACT INTEGER arithmetic so both engines hash-match bit-for-bit:
+    * values quantize to cents (`round(value·100)`), medians double into
+    * half-cent / quarter-cent units so the 0.5-interpolation of an
+    * even-count median stays integral, and the outlier test
+    * `|x−med| > 3·MAD` becomes the cross-multiplied `2·dev2 > 3·mad4` —
+    * no float ever reaches a comparison.
+    *
+    * Plan shape: one grouped exact-percentile pass for the median, the
+    * group-count-sized result broadcast back for per-row deviations, a
+    * second pass for the MAD, broadcast back again for the count — three
+    * aggregates, two broadcast join-backs, nothing group-unbounded. At
+    * 100 TB the exact `percentile` (which buffers a group's values)
+    * swaps for `approx_percentile` in the same plan; the fixture keeps
+    * the exact form because the oracle gate demands bit equality.
+    */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("CAST(2 * percentile(c, 0.5) AS BIGINT)").as("med2"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(col("c") * 2 - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("med2")).as("med2"),
+        min(col("mad4")).as("mad4"),
+        count(when(col("dev2") * 2 > col("mad4") * 3, true))
+          .as("n_outliers"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_robust_outliers" -> robustOutliers _,
     "q_event_sequences" -> eventSequences _,
     "q_rollup" -> rollup _,
     "q_scd2" -> scd2 _,
@@ -500,6 +539,24 @@ object Ext {
     "q_set_ops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
+    "q_robust_outliers" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2
+        |  FROM c GROUP BY event_type),
+        |d AS (SELECT c.event_type, c.c, m.med2,
+        |    abs(2 * c.c - m.med2) AS dev2
+        |  FROM c JOIN m USING (event_type)),
+        |s AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, min(d.med2) AS med2,
+        |  min(s.mad4) AS mad4,
+        |  count(CASE WHEN 2 * d.dev2 > 3 * s.mad4 THEN 1 END)
+        |    AS n_outliers
+        |FROM d JOIN s USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
     "q_event_sequences" ->
       s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id

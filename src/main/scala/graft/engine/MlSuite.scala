@@ -6,7 +6,9 @@ import org.apache.spark.ml.{Pipeline => MlPipeline, Transformer}
 import org.apache.spark.ml.attribute.AttributeGroup
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, LogisticRegressionModel, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.{Bucketizer, OneHotEncoder, QuantileDiscretizer, RFormula, StringIndexer, UnivariateFeatureSelector, VectorAssembler, VectorSlicer}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
 import org.apache.spark.mllib.evaluation.{BinaryClassificationMetrics, MulticlassMetrics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -340,9 +342,56 @@ object MlSuite {
   def mlTrainEval(spark: SparkSession, dir: String): DataFrame =
     trainEval(spark, dir, Seq("lr", "rf", "gbt"))
 
+  /** Seeded k-fold cross-validation + grid search — the step the
+    * reference EXPLICITLY could not afford ("Cross validation or hyper
+    * parameter tuning could not be used given the slow speed of the
+    * Databricks platform", Final Report.pdf p.4): a 3-fold CV over a
+    * 2×2 LR grid (regParam × elasticNetParam), seed-pinned end to end
+    * so fold assignment, every fold fit, and the averaged metrics are
+    * deterministic. `parallelism=4` fits the fold×combo grid
+    * concurrently — the same scheduler-interleaving argument as
+    * [[trainEval]]; on a cluster the 12 fold-fits spread across
+    * executors, which is exactly why CV is affordable here and wasn't
+    * on the reference's single cramped driver.
+    *
+    * Output: one row per grid point with its cross-validated AUC, the
+    * winning point flagged, plus the winner's held-out test AUC — the
+    * model-selection table the reference's report wished it had.
+    */
+  def crossValidate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (train, test) = prepare(spark, dir)
+    val lr = new LogisticRegression().setMaxIter(10)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    val auc = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC")
+    val m = SessionMemo.getOrCompute(spark, s"ml.cv:$dir") {
+      new CrossValidator()
+        .setEstimator(lr).setEstimatorParamMaps(grid)
+        .setEvaluator(auc).setNumFolds(3).setSeed(Seed)
+        .setParallelism(4)
+        .fit(train)
+    }.asInstanceOf[CrossValidatorModel]
+    val best = m.bestModel.asInstanceOf[LogisticRegressionModel]
+    val testAuc = auc.evaluate(best.transform(test))
+    val rows = grid.zip(m.avgMetrics).map { case (pm, cvAuc) =>
+      val (rp, en) = (pm(lr.regParam), pm(lr.elasticNetParam))
+      (rp, en, cvAuc,
+        if (rp == best.getRegParam && en == best.getElasticNetParam) 1
+        else 0)
+    }.toSeq
+    rows.toDF("reg_param", "elastic_net", "cv_auc", "is_best")
+      .withColumn("cv_auc", round(col("cv_auc"), 4))
+      .withColumn("best_test_auc", round(lit(testAuc), 4))
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_train_eval" -> mlTrainEval _,
-    "ml_describe" -> describeModel _)
+    "ml_describe" -> describeModel _,
+    "ml_cross_validate" -> crossValidate _)
 
   /** Not DuckDB-expressible — no oracle entries (driver rows-only check). */
   val oracles: Map[String, String] = Map.empty

@@ -204,6 +204,45 @@ object SourceQueries {
     checksum(spark.read.schema(eventsLite).parquet(compacted))
   }
 
+  /** Schema-evolution read — the store shape every long-lived corpus
+    * reaches: files written under an OLD schema generation (here: no
+    * `lang` column) sit beside files written after a column was added,
+    * and history is never rewritten. The read side folds the two footers
+    * into the union schema (`mergeSchema`), surfacing NULL `lang` for
+    * old-generation rows; the aggregate then proves both generations'
+    * rows arrive intact and the added column is NULL exactly where the
+    * files predate it.
+    *
+    * Scale note: `mergeSchema` reconciles schemas by sampling file
+    * FOOTERS — driver work sized by file count, not rows, and at real
+    * store scale (millions of files) the union schema comes from a
+    * catalog/metastore instead; the read plan is the same either way.
+    * The generation split rides a partition column (`gen=`), which is
+    * also how production stores version their layout.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-evolve")
+    val docs = Tables.documents(spark, dir)
+    // %3 split: the fixture assigns source by doc_id % 20, so a %2
+    // split would put every source entirely in one generation; %3
+    // interleaves both generations through every source
+    docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/gen=1")
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "source", "n_chars", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_langful"),
+        countDistinct(col("gen")).as("n_gens"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** Output files the z-order rewrite targets — stands in for the
     * file-count a production OPTIMIZE ZORDER pass emits per partition.
     */
@@ -331,7 +370,8 @@ object SourceQueries {
     "q_multiline_roundtrip" -> multilineRoundtrip _,
     "q_text_roundtrip" -> textRoundtrip _,
     "q_compact" -> compactStore _,
-    "q_zorder_layout" -> zorderLayout _)
+    "q_zorder_layout" -> zorderLayout _,
+    "q_schema_evolution" -> schemaEvolution _)
 
   /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
     * scan round-trip lost nothing.
@@ -375,5 +415,21 @@ object SourceQueries {
          |SELECT CAST(z // 1024 AS BIGINT) AS tile, count(*) AS n,
          |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
          |  min(day) AS min_day, max(day) AS max_day
-         |FROM z GROUP BY 1""".stripMargin)
+         |FROM z GROUP BY 1""".stripMargin,
+    // emulates the two schema generations: doc_id % 3 = 0 rows predate
+    // the lang column (NULL), the rest carry it; n_gens proves both
+    // partitions arrived through the merged read
+    "q_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars, CAST(NULL AS VARCHAR) AS lang,
+        |    1 AS gen
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars, lang, 2 AS gen
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT source, count(*) AS n_docs, count(lang) AS n_langful,
+        |  count(DISTINCT gen) AS n_gens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM u GROUP BY source""".stripMargin)
 }

@@ -111,6 +111,34 @@ class CoreOpsSpec extends SparkSpec {
       s"projected bench stdout line $projected chars ≥ 2000 budget")
   }
 
+  test("robust outliers: exact integer median/MAD replay") {
+    val all = Tables.events(spark, sf).select("event_type", "value")
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    def med2(xs: Seq[Long]): Long = {
+      // 2x the interpolated median of integers is always integral
+      val s = xs.sorted
+      if (s.size % 2 == 1) 2 * s(s.size / 2)
+      else s(s.size / 2 - 1) + s(s.size / 2)
+    }
+    val expected = all.groupBy(_._1).map { case (t, rows) =>
+      // n counts every row; the median/MAD chain skips null values
+      val cents = rows.flatMap(_._2).map(v => math.round(v * 100))
+      val m2 = med2(cents.toIndexedSeq)
+      val dev2 = cents.map(c => math.abs(2 * c - m2))
+      val m4 = med2(dev2.toIndexedSeq)
+      t -> ((rows.size.toLong, m2, m4,
+        dev2.count(d => 2 * d > 3 * m4).toLong))
+    }
+    val got = Ext.robustOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // the 3-MAD fence keeps the bulk: outliers are a strict minority
+    assert(got.values.forall { case (n, _, _, o) => o < n / 2 })
+  }
+
   test("event sequences: capped, ordered, exact in-memory replay") {
     val got = Ext.eventSequences(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),

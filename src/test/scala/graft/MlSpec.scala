@@ -53,6 +53,24 @@ class MlSpec extends SparkSpec {
     assert(labels.contains(1.0), "no positive labels in fixture")
   }
 
+  test("cross-validation: 2x2 grid, one winner, AUC sane and reproducible") {
+    def cv(s: org.apache.spark.sql.SparkSession) =
+      MlSuite.crossValidate(s, sf).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getInt(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2))
+    val rows = cv(spark)
+    assert(rows.length === 4)
+    assert(rows.map(_._4).sum === 1, "exactly one grid point wins")
+    assert(rows.forall(r => r._3 > 0.5 && r._3 <= 1.0))
+    val winner = rows.find(_._4 == 1).get
+    assert(winner._3 === rows.map(_._3).max,
+      "winner must carry the best cross-validated AUC")
+    assert(rows.forall(r => r._5 > 0.8), "held-out AUC of the winner")
+    // fresh session → fresh memo → a genuine re-fit must reproduce it
+    assert(cv(spark.newSession()).sameElements(rows))
+  }
+
   test("seed 7 reproduces the FULL metrics table across fresh sessions") {
     // spark.newSession() gets a fresh SessionMemo identity, so the second
     // run re-prepares, re-selects, and re-fits all three models from

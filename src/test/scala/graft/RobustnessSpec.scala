@@ -32,7 +32,8 @@ class RobustnessSpec extends SparkSpec {
   /** ML needs labeled rows; ANN/near-dup assume a 64-dim corpus — the
     * rest must handle empty inputs gracefully.
     */
-  val emptyExclusions: Set[String] = Set("ml_train_eval", "ml_describe")
+  val emptyExclusions: Set[String] =
+    Set("ml_train_eval", "ml_describe", "ml_cross_validate")
 
   test("every query runs on empty inputs without throwing") {
     SparkEntry.queries.foreach { case (name, fn) =>

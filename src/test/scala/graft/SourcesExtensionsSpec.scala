@@ -241,6 +241,26 @@ class SourcesExtensionsSpec extends SparkSpec {
       s"z-order layout not tighter: z=$zArea vs control=$ctlArea")
   }
 
+  test("schema evolution: merged read spans both generations losslessly") {
+    val got = SourceQueries.schemaEvolution(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      // doc_id % 3 == 0 rows were written under the pre-lang schema
+      val langful = rows.count(r => r._1 % 3 != 0 && r._4 != null)
+      src -> ((rows.size.toLong, langful.toLong, 2L,
+        rows.map(_._3).sum))
+    }
+    assert(got === expected)
+    // the added column is genuinely absent in gen-1 rows
+    assert(got.values.forall { case (n, langful, gens, _) =>
+      langful < n && gens == 2L })
+  }
+
   test("model introspection yields coefficients, intercept, importances") {
     val d = MlSuite.describeModel(spark, sf).collect()
     val models = d.map(_.getString(0)).toSet
