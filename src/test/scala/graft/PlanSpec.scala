@@ -95,6 +95,16 @@ class PlanSpec extends SparkSpec {
       s"common-bigram join-back must broadcast:\n$p")
   }
 
+  test("robust outliers: both stat join-backs broadcast, never shuffle") {
+    val p = plan(Ext.robustOutliers(spark, sf))
+    // group-count-sized median and MAD tables must come back as
+    // broadcasts; a SortMergeJoin here would shuffle the fact twice
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD join-backs must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a stat join-back fell back to a shuffled join:\n$p")
+  }
+
   test("approximate aggregates stay within 5% of exact") {
     val rows = Ext.approxStats(spark, sf).collect()
     rows.foreach { r =>
