@@ -190,11 +190,60 @@ object Linkage {
       .filter(col("df") >= MinDf)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the distribution
+    * monitor a corpus refresh runs between versions: has the document
+    * length (or quality, or token-count) distribution SHIFTED since the
+    * last snapshot, beyond what row counts show? D = max |F₁(v) − F₂(v)|
+    * over the merged support, computed here ENTIRELY in integers: with
+    * running counts r₀/r₁ and totals n₀/n₁, the unreduced numerator
+    * |r₀·n₁ − r₁·n₀| is exact BIGINT and its max divides once (floor,
+    * ppm) at the boundary — both engines hash-match bit-for-bit, where a
+    * float CDF difference never would. The two "versions" are the
+    * even/odd doc_id halves (which differ by source mix, so the fixture
+    * statistic is genuinely nonzero).
+    *
+    * Plan shape: one map-side-combined groupBy on the measured value
+    * collapses the corpus to its VALUE SUPPORT (cardinality-sized, like
+    * a histogram); the ordered running-sum window then rides a
+    * SinglePartition exchange ABOVE that aggregate — the sanctioned
+    * post-aggregate single-task pattern (q_domain_mix's shape): the one
+    * task sees distinct values, never rows. Nulls are filtered before
+    * the sort because the engines disagree on null ordering (Spark
+    * NULLS FIRST, DuckDB NULLS LAST) and a null bucket has no place in
+    * a CDF. At 1e12-row scale the ppm product n₀·n₁ would need DECIMAL
+    * or a pre-scaled unit — the numerator comparison itself never
+    * overflows the support walk.
+    */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("n_chars").as("v"), (col("doc_id") % 2).as("grp"))
+    val counts = d.groupBy("v").agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"))
+    val tot = counts.agg(sum(col("c0")).cast("long").as("n0"),
+      sum(col("c1")).cast("long").as("n1"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("r0", sum(col("c0")).over(w).cast("long"))
+      .withColumn("r1", sum(col("c1")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("r0") * col("n1") - col("r1") * col("n0"))
+        .as("dnum"), col("n0"), col("n1"))
+      .groupBy("n0", "n1")
+      .agg(max(col("dnum")).as("d_num"))
+      .select(col("n0"), col("n1"), col("d_num"),
+        expr("CAST(d_num * 1000000L DIV (n0 * n1) AS BIGINT)")
+          .as("d_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fuzzy_match" -> fuzzyMatch _,
     "q_pagerank" -> pageRank _,
     "q_snapshot_diff" -> snapshotDiff _,
-    "q_inverted_index" -> invertedIndex _)
+    "q_inverted_index" -> invertedIndex _,
+    "q_drift_ks" -> driftKs _)
 
   private val pagerankIter = (prev: String, out: String) =>
     s"""$out AS (SELECT e.dst AS node,
@@ -248,5 +297,25 @@ object Linkage {
          |SELECT term, count(*) AS df,
          |  array_to_string((list(doc_id ORDER BY doc_id))[1:$PostingsHead],
          |    ',') AS postings_head
-         |FROM td GROUP BY term HAVING count(*) >= $MinDf""".stripMargin)
+         |FROM td GROUP BY term HAVING count(*) >= $MinDf""".stripMargin,
+    "q_drift_ks" ->
+      """WITH d AS (SELECT n_chars AS v, doc_id % 2 AS grp
+        |    FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM d GROUP BY v),
+        |t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1 FROM c),
+        |r AS (SELECT v,
+        |    sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS r0,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS r1
+        |  FROM c)
+        |SELECT n0, n1,
+        |  CAST(max(abs(r0 * n1 - r1 * n0)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(r0 * n1 - r1 * n0)) * 1000000 // (n0 * n1)
+        |    AS BIGINT) AS d_ppm
+        |FROM r CROSS JOIN t GROUP BY n0, n1""".stripMargin)
 }

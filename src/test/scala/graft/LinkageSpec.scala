@@ -112,6 +112,26 @@ class LinkageSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("KS drift statistic matches an exact in-memory recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = docs.filter(_._1 % 2 == 0).map(_._2)
+    val b = docs.filter(_._1 % 2 != 0).map(_._2)
+    val (n0, n1) = (a.length.toLong, b.length.toLong)
+    val support = (a ++ b).distinct.sorted
+    val dNum = support.map { v =>
+      math.abs(a.count(_ <= v) * n1 - b.count(_ <= v) * n0)
+    }.max
+    val row = Linkage.driftKs(spark, sf).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) ===
+      ((n0, n1, dNum, dNum * 1000000L / (n0 * n1))))
+    // the even/odd halves differ by source mix — drift must be nonzero,
+    // and D is bounded by the trivial maximum n0*n1
+    assert(dNum > 0 && dNum <= n0 * n1)
+  }
+
   test("inverted index: the postings head is the df-smallest doc ids") {
     // cross-check one term against a direct computation
     val td = Tables.documents(spark, sf)

@@ -386,11 +386,12 @@ class PlanSpec extends SparkSpec {
     // same nCells-row broadcast centroid table as q_ann_ivf
     // q_ann_pq scans the compact code index against a broadcast of the
     // per-query lookup tables — the PQ analog of cosine top-k's probe set
-    // q_bm25 and q_unigram_prob carry the same 1-row corpus-totals
-    // broadcast as q_salient_terms
+    // q_bm25, q_unigram_prob, and q_drift_ks carry the same 1-row
+    // corpus-totals broadcast as q_salient_terms
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
-      "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob")
+      "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob",
+      "q_drift_ks")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
