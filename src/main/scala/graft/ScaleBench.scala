@@ -48,6 +48,7 @@ object ScaleBench {
     // not depth); the upsert's per-batch merge scales with batch size
     "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
     "q_compact", "q_stream_upsert", "q_event_sequences",
+    "q_robust_outliers",
     // linkage/index family: salted copies share no first-token blocks
     // and no vocabulary across copies, so blocked fuzzy matching, the
     // bounded-postings index build, and the fingerprint diff should all
@@ -55,7 +56,7 @@ object ScaleBench {
     "q_fuzzy_match", "q_inverted_index", "q_snapshot_diff",
     // salted copies share no bigrams, so the common set and per-doc
     // coverage scale by s — the broadcast join-back's linear regime
-    "q_bigram_coverage")
+    "q_bigram_coverage", "q_drift_ks", "q_schema_evolution")
 
   private def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
