@@ -514,7 +514,38 @@ object Ext {
           .as("n_outliers"))
   }
 
+  /** Per-group cut for [[groupTopK]]. */
+  val GroupTopKK = 3
+
+  /** Per-key top-k WITHOUT the window sort — [[topK]]'s global
+    * TakeOrderedAndProject asymmetry applied per group, via the
+    * [[graft.functions.TopKByScore]] bounded Aggregator: each customer's
+    * three biggest orders, computed as a partial aggregate that combines
+    * k-slot buffers map-side and ships ≤ k entries per key — where the
+    * [[windowRank]] shape must exchange AND SORT every order row first.
+    * Same answer, an order-of-magnitude less shuffle+sort at fact-table
+    * scale; PlanSpec asserts the plan carries an ObjectHashAggregate and
+    * NO Sort or Window operator. The oracle is the window form — the
+    * equivalence of the two shapes is exactly the claim being gated.
+    */
+  def groupTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKByScore(GroupTopKK).toColumn
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.name("topk"))
+      .toDF("o_custkey", "topk")
+      .select(col("o_custkey"), posexplode(col("topk")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("o_orderkey"),
+        round(col("col._1"), 2).as("o_totalprice"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_group_topk" -> groupTopK _,
     "q_robust_outliers" -> robustOutliers _,
     "q_event_sequences" -> eventSequences _,
     "q_rollup" -> rollup _,
@@ -539,6 +570,14 @@ object Ext {
     "q_set_ops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
+    "q_group_topk" ->
+      s"""SELECT o_custkey, CAST(rn AS INTEGER) AS rank, o_orderkey,
+         |  round(o_totalprice, 2) AS o_totalprice
+         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders)
+         |WHERE rn <= $GroupTopKK""".stripMargin,
     "q_robust_outliers" ->
       """WITH c AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS c FROM events),

@@ -111,6 +111,22 @@ class CoreOpsSpec extends SparkSpec {
       s"projected bench stdout line $projected chars ≥ 2000 budget")
   }
 
+  test("group top-k equals the window-ranked form row for row") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Ext.groupTopK(spark, sf)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = Tables.orders(spark, sf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Ext.GroupTopKK)
+      .select(col("o_custkey"), col("rank").cast("int").as("rank"),
+        col("o_orderkey"), round(col("o_totalprice"), 2)
+          .as("o_totalprice"))
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0)
+    assert(want.except(got).count() === 0)
+  }
+
   test("robust outliers: exact integer median/MAD replay") {
     val all = Tables.events(spark, sf).select("event_type", "value")
       .collect()

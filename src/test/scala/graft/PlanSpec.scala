@@ -95,6 +95,17 @@ class PlanSpec extends SparkSpec {
       s"common-bigram join-back must broadcast:\n$p")
   }
 
+  test("group top-k aggregates k-slot buffers: no Sort, no Window") {
+    val p = plan(Ext.groupTopK(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded top-k must run as an object aggregate:\n$p")
+    val lines = p.split("\n")
+    assert(!lines.exists(_.matches("""\(\d+\) Sort.*""")),
+      s"bounded top-k must not sort anywhere:\n$p")
+    assert(!lines.exists(_.matches("""\(\d+\) Window.*""")),
+      s"bounded top-k must not fall back to a window:\n$p")
+  }
+
   test("robust outliers: both stat join-backs broadcast, never shuffle") {
     val p = plan(Ext.robustOutliers(spark, sf))
     // group-count-sized median and MAD tables must come back as
