@@ -424,7 +424,55 @@ object Curation {
           sum(col("n_docs")).over(w), 6))
   }
 
+  /** Winsorization band for [[winsorize]], in integer percent: clip to
+    * [p5, p95] by NEAREST RANK.
+    */
+  val WinsorLoPct = 5
+  val WinsorHiPct = 95
+
+  /** Percentile winsorization — the APPLY step after outlier detection
+    * (Ext.robustOutliers is the detect step): clip each document's
+    * length metric to its source's [p5, p95] band, the standard
+    * pre-training transform that caps pathological documents without
+    * dropping them. Bounds are NEAREST-RANK percentiles (the smallest
+    * value whose cumulative count reaches p% of the group — always an
+    * actual data value, so every quantity here is BIGINT end to end;
+    * interpolated percentiles are NOT integral off the median, and the
+    * engines disagree on double→int casts, which is exactly the drift
+    * this formulation designs out). The threshold test cross-multiplies
+    * (`cum·100 ≥ n·p`) so there is no ceil and no division anywhere.
+    *
+    * Plan: the corpus collapses to its per-source value histogram
+    * (map-side-combined groupBy, the [[graft.engine.Linkage.driftKs]]
+    * support-walk shape); two same-spec windows rank it per source; the
+    * source-count-sized bounds broadcast back for the map-side clip.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val hist = d.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("source").orderBy("v")
+    val wAll = Window.partitionBy("source")
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val bounds = ranked.groupBy("source").agg(
+      min(when(col("cum") * 100 >= col("n") * WinsorLoPct, col("v")))
+        .as("lo"),
+      min(when(col("cum") * 100 >= col("n") * WinsorHiPct, col("v")))
+        .as("hi"))
+    d.join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        greatest(least(col("n_chars"), col("hi")), col("lo"))
+          .as("clipped"),
+        when(greatest(least(col("n_chars"), col("hi")), col("lo"))
+          =!= col("n_chars"), 1L).otherwise(0L).as("was_clipped"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_winsorize" -> winsorize _,
     "q_text_scrub" -> textScrub _,
     "q_doc_chunk" -> docChunk _,
     "q_stratified_sample" -> stratifiedSample _,
@@ -477,6 +525,25 @@ object Curation {
        |FROM flagged GROUP BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |c AS (SELECT source, n_chars AS v, count(*) AS cnt
+         |  FROM d GROUP BY source, n_chars),
+         |r AS (SELECT source, v,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n FROM c),
+         |b AS (SELECT source,
+         |    min(CASE WHEN cum * 100 >= n * $WinsorLoPct THEN v END)
+         |      AS lo,
+         |    min(CASE WHEN cum * 100 >= n * $WinsorHiPct THEN v END)
+         |      AS hi
+         |  FROM r GROUP BY source)
+         |SELECT doc_id, d.source, n_chars,
+         |  greatest(least(n_chars, hi), lo) AS clipped,
+         |  CAST(CASE WHEN greatest(least(n_chars, hi), lo) <> n_chars
+         |    THEN 1 ELSE 0 END AS BIGINT) AS was_clipped
+         |FROM d JOIN b ON d.source = b.source""".stripMargin,
     "q_text_scrub" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS BIGINT) AS n_urls, regexp_replace(regexp_replace(raw, 'https?://[^ ]+', '<URL>', 'g'), '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g') AS scrubbed FROM (SELECT doc_id, text || ' contact user' || doc_id || '@example.com via http://site' || doc_id || '.com' AS raw FROM documents)""",
     "q_doc_chunk" ->

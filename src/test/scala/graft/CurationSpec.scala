@@ -8,6 +8,34 @@ import graft.engine.{Curation, Tables}
   */
 class CurationSpec extends SparkSpec {
 
+  test("winsorize: nearest-rank bounds, exact in-memory replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val vs = rows.map(_._3).sorted
+      val n = vs.length.toLong
+      // smallest value whose cumulative count reaches p% of the group
+      def rank(pct: Int): Long =
+        vs((0 until vs.length)
+          .find(i => (i + 1) * 100L >= n * pct).get)
+      val (lo, hi) = (rank(Curation.WinsorLoPct),
+        rank(Curation.WinsorHiPct))
+      rows.map { case (id, src, v) =>
+        val c = math.max(math.min(v, hi), lo)
+        id -> ((src, v, c, if (c != v) 1L else 0L))
+      }
+    }.toMap
+    val got = Curation.winsorize(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // the band clips a strict, small minority
+    val clipped = got.values.count(_._4 == 1L)
+    assert(clipped > 0 && clipped < got.size / 5)
+  }
+
   test("chunks cover every token: sum of strides reconstructs the doc") {
     val perDoc = Curation.docChunk(spark, sf)
       .groupBy("doc_id")
