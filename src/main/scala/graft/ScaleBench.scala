@@ -56,7 +56,8 @@ object ScaleBench {
     "q_fuzzy_match", "q_inverted_index", "q_snapshot_diff",
     // salted copies share no bigrams, so the common set and per-doc
     // coverage scale by s — the broadcast join-back's linear regime
-    "q_bigram_coverage", "q_drift_ks", "q_schema_evolution")
+    "q_bigram_coverage", "q_drift_ks", "q_schema_evolution",
+    "q_winsorize")
 
   private def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
