@@ -377,12 +377,23 @@ object MlSuite {
     }.asInstanceOf[CrossValidatorModel]
     val best = m.bestModel.asInstanceOf[LogisticRegressionModel]
     val testAuc = auc.evaluate(best.transform(test))
-    val rows = grid.zip(m.avgMetrics).map { case (pm, cvAuc) =>
-      val (rp, en) = (pm(lr.regParam), pm(lr.elasticNetParam))
-      (rp, en, cvAuc,
-        if (rp == best.getRegParam && en == best.getElasticNetParam) 1
-        else 0)
-    }.toSeq
+    // zip the FIT-TIME param maps with avgMetrics — NOT a freshly built
+    // grid: ParamGridBuilder's enumeration order depends on Param
+    // hashCodes (estimator-uid-derived), so a rebuilt grid on a memo-hit
+    // call can order the cartesian product differently and mis-attach
+    // AUCs to grid points. Params are matched by NAME because the
+    // memoized maps key off the original fit's estimator instance.
+    val rows = m.getEstimatorParamMaps.zip(m.avgMetrics).toSeq
+      .map { case (pm, cvAuc) =>
+        def p(name: String): Double = pm.toSeq
+          .find(_.param.name == name)
+          .getOrElse(sys.error(s"CV param map lacks $name"))
+          .value.asInstanceOf[Double]
+        val (rp, en) = (p("regParam"), p("elasticNetParam"))
+        (rp, en, cvAuc,
+          if (rp == best.getRegParam && en == best.getElasticNetParam) 1
+          else 0)
+      }
     rows.toDF("reg_param", "elastic_net", "cv_auc", "is_best")
       .withColumn("cv_auc", round(col("cv_auc"), 4))
       .withColumn("best_test_auc", round(lit(testAuc), 4))

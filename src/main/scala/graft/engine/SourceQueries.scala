@@ -274,10 +274,10 @@ object SourceQueries {
     * splits the difference — the layout decision that matters once a
     * 100 TB fact table is queried by customer AND by date.
     *
-    * The bucket scales come from an in-plan 1-row max aggregate
+    * The bucket scales come from an in-plan 1-row min/max aggregate
     * (broadcast back, the S6 scalar-feedback pattern), so the bucketing
-    * is scale-free across fixture sizes — both dims always span the full
-    * 8-bit range. The pass itself is `repartitionByRange(z)` +
+    * is a pure function of the data — both dims always span the full
+    * 8-bit range at any fixture size or date/key range. The pass itself is `repartitionByRange(z)` +
     * `sortWithinPartitions(z)` + parquet rewrite: ONE range exchange of
     * narrow (key, z) tuples, never payloads. The driver query re-reads
     * the rewritten store (explicit schema) and aggregates per 1024-wide
@@ -305,15 +305,24 @@ object SourceQueries {
     StructField("z", LongType)))
 
   private[graft] def zValues(spark: SparkSession, dir: String): DataFrame = {
+    // the datediff anchor is an arbitrary reference — BOTH bucket bounds
+    // are derived in-plan (min and max alike), so the bucketing is a
+    // pure function of the data: a regenerated fixture with earlier
+    // dates or a shifted key range cannot push days negative or
+    // sign-extend the interleave (the anchor cancels in rawday - min_dy)
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
-          .as("day"))
-    val bounds = o.agg(max(col("o_custkey")).as("max_ck"),
-      max(col("day")).as("max_dy"))
+          .as("rawday"))
+    val bounds = o.agg(
+      min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+      min(col("rawday")).as("min_dy"), max(col("rawday")).as("max_dy"))
     o.crossJoin(broadcast(bounds))
-      .withColumn("cx", expr("CAST(o_custkey * 256 DIV (max_ck + 1) AS BIGINT)"))
-      .withColumn("dy", expr("CAST(day * 256 DIV (max_dy + 1) AS BIGINT)"))
+      .withColumn("day", col("rawday") - col("min_dy"))
+      .withColumn("cx", expr(
+        "CAST((o_custkey - min_ck) * 256 DIV (max_ck - min_ck + 1) AS BIGINT)"))
+      .withColumn("dy", expr(
+        "CAST(day * 256 DIV (max_dy - min_dy + 1) AS BIGINT)"))
       .withColumn("z", expr(zSpark).cast("long"))
       .select("o_orderkey", "o_custkey", "day", "z")
   }
@@ -403,12 +412,15 @@ object SourceQueries {
     "q_zorder_layout" ->
       s"""WITH o AS (SELECT o_orderkey, o_custkey,
          |    CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
-         |      AS BIGINT) AS day
+         |      AS BIGINT) AS rawday
          |  FROM orders),
-         |b AS (SELECT max(o_custkey) AS max_ck, max(day) AS max_dy FROM o),
-         |c AS (SELECT o_orderkey, o_custkey, day,
-         |    CAST(o_custkey * 256 // (max_ck + 1) AS BIGINT) AS cx,
-         |    CAST(day * 256 // (max_dy + 1) AS BIGINT) AS dy
+         |b AS (SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+         |    min(rawday) AS min_dy, max(rawday) AS max_dy FROM o),
+         |c AS (SELECT o_orderkey, o_custkey, rawday - min_dy AS day,
+         |    CAST((o_custkey - min_ck) * 256 // (max_ck - min_ck + 1)
+         |      AS BIGINT) AS cx,
+         |    CAST((rawday - min_dy) * 256 // (max_dy - min_dy + 1)
+         |      AS BIGINT) AS dy
          |  FROM o CROSS JOIN b),
          |z AS (SELECT o_orderkey, o_custkey, day,
          |    CAST($zDuck AS BIGINT) AS z FROM c)

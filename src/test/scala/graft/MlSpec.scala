@@ -67,6 +67,11 @@ class MlSpec extends SparkSpec {
     assert(winner._3 === rows.map(_._3).max,
       "winner must carry the best cross-validated AUC")
     assert(rows.forall(r => r._5 > 0.8), "held-out AUC of the winner")
+    // memo-hit path: a SECOND call in the same session reuses the fitted
+    // CrossValidatorModel but must attach the same AUC to each grid
+    // point (regression: zipping a rebuilt grid against the memoized
+    // avgMetrics mis-ordered the pairs)
+    assert(cv(spark).sameElements(rows))
     // fresh session → fresh memo → a genuine re-fit must reproduce it
     assert(cv(spark.newSession()).sameElements(rows))
   }
