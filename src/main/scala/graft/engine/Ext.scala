@@ -487,6 +487,14 @@ object Ext {
     * `|x−med| > 3·MAD` becomes the cross-multiplied `2·dev2 > 3·mad4` —
     * no float ever reaches a comparison.
     *
+    * Exactness bound: the doubling/quadrupling runs on values that have
+    * already passed through a double→BIGINT cast, and Spark truncates
+    * that cast where DuckDB rounds — the two agree only while every
+    * intermediate (up to 4·cents) is exactly representable in a double,
+    * i.e. |value| < 2^52 cents ≈ 4.5e13 dollars. The events fixture is
+    * orders of magnitude below; a value domain approaching that bound
+    * must re-quantize (e.g. to whole dollars) before this monitor.
+    *
     * Plan shape: one grouped exact-percentile pass for the median, the
     * group-count-sized result broadcast back for per-row deviations, a
     * second pass for the MAD, broadcast back again for the count — three

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, plus a
   * decode / feature-extract stage behind `mapPartitions`.
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC FAKE (clearly marked below); everything around it — binary
-  * column construction, schema, typed Dataset batch shape, partition-wise
-  * execution, metadata extraction — is the real Spark plumbing a production
-  * decoder would drop into.
+  * Decode is REAL for three image codecs: PPM P6 (hand-written header
+  * parser), PNG and JPEG (pure-JVM `javax.imageio.ImageIO`, headless, no
+  * new dependency). Audio/video have no pure-JVM codec in this container,
+  * so THOSE payloads go through a DETERMINISTIC STUB (clearly marked
+  * below); the surrounding plumbing — binary column construction, schema,
+  * typed Dataset batch shape, partition-wise execution, quarantine of
+  * malformed payloads, metadata extraction — is the production shape a
+  * further codec would drop into.
   *
   * Scale design: payload bytes ride the same columnar scan as everything
   * else (parquet binary columns are page-compressed and column-pruned away
@@ -182,38 +185,148 @@ object Multimodal {
     PpmImage(w, h, sr, sg, sb)
   }
 
+  /** Planted PNG images (same (doc_id, width, height) shape as
+    * [[PpmPlanted]]): pixel `p = y*w + x` carries channel values
+    * `((3p + c)*7 + 13) % 251` — the SAME arithmetic raster formula as the
+    * PPMs. PNG is LOSSLESS, so the JVM `ImageIO` decode below recovers
+    * those exact values and the DuckDB oracle derives the channel means
+    * independently from the formula. Only `n_bytes` (deflate output
+    * length) is encoder-dependent; it is measured once on the driver from
+    * the same deterministic payload the engine reads.
+    */
+  private[graft] val PngPlanted: Seq[(Long, Int, Int)] =
+    Seq((930001L, 5, 4), (930002L, 7, 9), (930003L, 12, 8))
+
+  /** Planted JPEG images. JPEG is LOSSY: decoded pixels differ from the
+    * source raster, so — unlike PPM/PNG — the oracle CANNOT re-derive the
+    * means arithmetically. Their oracle rows are pinned literals computed
+    * on the driver by the same pure-JVM decoder the executors run; the
+    * hash gate therefore proves the distributed plumbing and decoder
+    * stability (a regression pin), not independent derivation.
+    */
+  private[graft] val JpegPlanted: Seq[(Long, Int, Int)] =
+    Seq((940001L, 8, 8), (940002L, 16, 8))
+
+  /** A payload with a valid JPEG magic (FF D8 FF) but garbage body: must
+    * QUARANTINE to zero output rows in [[multimodalDecode]] — the oracle
+    * simply omits it, so the driver's row-count + hash gate proves the
+    * quarantine end to end.
+    */
+  private[graft] val MalformedJpegId = 950001L
+  private[graft] def malformedJpegPayload: Array[Byte] =
+    Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++
+      "this is not a scan segment".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Render the arithmetic raster into a BufferedImage and encode with
+    * the pure-JVM `ImageIO` writer (`fmt` = "png" | "jpg"). Deterministic
+    * for a fixed JVM: driver (oracle literals) and executors (decode) run
+    * the same codec classes.
+    */
+  private def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((3 * p) * 7 + 13) % 251
+        val g = ((3 * p + 1) * 7 + 13) % 251
+        val b = ((3 * p + 2) * 7 + 13) % 251
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  private[graft] def pngPayload(w: Int, h: Int): Array[Byte] =
+    encodeImage(w, h, "png")
+  private[graft] def jpegPayload(w: Int, h: Int): Array[Byte] =
+    encodeImage(w, h, "jpg")
+
+  /** REAL PNG/JPEG decoder via pure-JVM `javax.imageio.ImageIO` (no new
+    * dependency; works headless). Disk caching is off — a decode task
+    * must not write scratch files on an executor. Throws on undecodable
+    * bytes; callers quarantine (same contract as [[decodePpm]]).
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): PpmImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, sr, sg, sb)
+  }
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 0x89.toByte &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+  private def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
+
   /** One decoded media row for the driver query: real dims + channel
-    * means for PPM payloads, stub dims + null means otherwise.
+    * means for PPM/PNG/JPEG payloads, stub dims + null means otherwise.
     */
   case class MediaDecoded(doc_id: Long, media_type: String, n_bytes: Int,
     width: Int, height: Int, mean_r: Option[Double], mean_g: Option[Double],
     mean_b: Option[Double])
 
   /** Magic-dispatched decode kernel: P6 payloads go through the REAL
-    * [[decodePpm]]; everything else through the stub (no codecs in this
-    * container for JPEG/audio/video).
+    * [[decodePpm]], PNG/JPEG magics through the REAL `ImageIO`
+    * [[decodeImage]]; unknown magics through the stub (no codecs in this
+    * container for audio/video). A payload whose magic claims a real
+    * codec but whose body fails to decode returns `None` — the row
+    * QUARANTINES instead of failing the job.
     */
   private def decodeAny(id: Long, mt: String,
-      bytes: Array[Byte]): MediaDecoded =
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
-      val img = decodePpm(bytes)
+      bytes: Array[Byte]): Option[MediaDecoded] = {
+    def real(img: PpmImage): MediaDecoded = {
       val n = img.width.toLong * img.height
       MediaDecoded(id, mt, bytes.length, img.width, img.height,
         Some(img.sumR.toDouble / n), Some(img.sumG.toDouble / n),
         Some(img.sumB.toDouble / n))
-    } else {
-      val f = stubDecode(id, mt, bytes)
-      MediaDecoded(id, mt, f.n_bytes, f.width, f.height, None, None, None)
     }
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      scala.util.Try(real(decodePpm(bytes))).toOption
+    else if (isPng(bytes) || isJpeg(bytes))
+      scala.util.Try(real(decodeImage(bytes))).toOption
+    else {
+      val f = stubDecode(id, mt, bytes)
+      Some(MediaDecoded(id, mt, f.n_bytes, f.width, f.height,
+        None, None, None))
+    }
+  }
 
-  /** The media table plus the planted PPM rows (the decode query's
-    * source; [[mediaTable]] alone stays the metadata query's source so
-    * its oracle is untouched).
+  /** The media table plus the planted PPM/PNG/JPEG rows and the planted
+    * malformed-JPEG row (the decode query's source; [[mediaTable]] alone
+    * stays the metadata query's source so its oracle is untouched).
     */
   private def mediaTableFull(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val planted = PpmPlanted
-      .map { case (id, w, h) => (id, "image", ppmPayload(w, h)) }
+    val planted =
+      (PpmPlanted.map { case (id, w, h) => (id, "image", ppmPayload(w, h)) }
+        ++ PngPlanted.map { case (id, w, h) => (id, "image", pngPayload(w, h)) }
+        ++ JpegPlanted.map { case (id, w, h) => (id, "image", jpegPayload(w, h)) }
+        :+ ((MalformedJpegId, "image", malformedJpegPayload)))
       .toDF("doc_id", "media_type", "payload")
     mediaTable(spark, dir).unionByName(planted)
   }
@@ -231,8 +344,10 @@ object Multimodal {
       .filter(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init would go here (codec handles, buffers)
-        it.map { case (id, mt, bytes) => decodeAny(id, mt, bytes) }
+        // per-partition init would go here (codec handles, buffers);
+        // decodeAny returns None for claimed-codec payloads that fail to
+        // decode — those rows quarantine instead of aborting the job
+        it.flatMap { case (id, mt, bytes) => decodeAny(id, mt, bytes) }
       }
       .toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
@@ -269,32 +384,62 @@ object Multimodal {
     }
   }
 
-  /** Partition-wise image resize over the media table: only P6 payloads
-    * enter the kernel (magic-filtered in-plan — the codegen'd filter is
-    * the column-prune/decode-dispatch shape a mixed-modality corpus
-    * needs), each emitting its [[ThumbW]]×[[ThumbH]] thumbnail as rows.
-    * The flatMap-through-mapPartitions shape is the one-payload-to-many-
-    * samples explosion every frame/patch extraction pipeline runs.
+  /** Nearest-neighbor resize of an `ImageIO`-decodable payload (PNG here;
+    * same decimation kernel as [[resizePpm]], reading decoded pixels
+    * instead of the raw raster). For the planted PNGs the lossless decode
+    * recovers the arithmetic raster exactly, so the oracle derives the
+    * same thumbnail pixels from the formula.
+    */
+  private[graft] def resizeImage(docId: Long,
+      bytes: Array[Byte]): Seq[ThumbPixel] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    for {
+      py <- 0 until ThumbH
+      px <- 0 until ThumbW
+    } yield {
+      val rgb = img.getRGB(px * w / ThumbW, py * h / ThumbH)
+      ThumbPixel(docId, px, py,
+        (rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    }
+  }
+
+  /** Partition-wise image resize over the media table: only P6 and PNG
+    * payloads enter the kernel (magic-filtered in-plan — the codegen'd
+    * filter is the column-prune/decode-dispatch shape a mixed-modality
+    * corpus needs; JPEG stays out because its lossy decode has no
+    * independent oracle), each emitting its [[ThumbW]]×[[ThumbH]]
+    * thumbnail as rows. The flatMap-through-mapPartitions shape is the
+    * one-payload-to-many-samples explosion every frame/patch extraction
+    * pipeline runs.
     */
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
     mediaTableFull(spark, dir)
-      // raw-byte magic check: a binary substring compares the first two
+      // raw-byte magic check: a binary substring compares the first
       // BYTES — casting the whole payload to string would decode the full
       // raster per row just for the magic, and byte-vs-char drift on
       // non-UTF-8 rasters could misroute payloads
       .filter(col("payload").isNotNull &&
-        substring(col("payload"), 1, 2) ===
-          lit("P6".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+        (substring(col("payload"), 1, 2) === lit("P6".getBytes(ascii)) ||
+         substring(col("payload"), 1, 4) ===
+           lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (codec handles, buffers);
-        // a P6-prefixed but malformed payload quarantines to zero rows
+        // a magic-prefixed but malformed payload quarantines to zero rows
         // instead of failing the job (same contract as decodeFeatures'
         // null filter — row-level defects must never abort a cluster run)
         it.flatMap { case (id, bytes) =>
-          scala.util.Try(resizePpm(id, bytes)).getOrElse(Seq.empty)
+          scala.util.Try(
+            if (bytes(0) == 'P') resizePpm(id, bytes)
+            else resizeImage(id, bytes)
+          ).getOrElse(Seq.empty)
         }
       }
       .toDF()
@@ -317,6 +462,14 @@ object Multimodal {
     * 4 + strlen), PPM dims/means from the planted header literals and the
     * arithmetic raster formula. Channel sums are exact integers on both
     * engines; the single double division then rounds identically.
+    *
+    * PNG rows reuse the SAME arithmetic mean derivation (lossless decode
+    * recovers the raster exactly — an INDEPENDENT oracle); only their
+    * `n_bytes` (deflate output length) is measured on the driver from the
+    * deterministic payload. JPEG rows are fully driver-pinned literals
+    * (lossy decode — a regression pin, not independent derivation; see
+    * [[JpegPlanted]]). The malformed-JPEG row is ABSENT: the engine must
+    * quarantine it, and the row-count gate proves it did.
     */
   private val decodeSql: String = {
     val ppmValues = PpmPlanted.map { case (id, w, h) => s"($id, $w, $h)" }
@@ -324,12 +477,28 @@ object Multimodal {
     def mean(c: Int) =
       s"round(list_sum(list_transform(range(0, w*h), " +
         s"p -> ((3*p + $c)*7 + 13) % 251)) / (w*h), 6)"
+    val pngValues = PngPlanted.map { case (id, w, h) =>
+      s"($id, $w, $h, ${pngPayload(w, h).length})"
+    }.mkString(", ")
+    val jpegValues = JpegPlanted.map { case (id, w, h) =>
+      val bytes = jpegPayload(w, h)
+      val img = decodeImage(bytes)
+      val n = img.width.toLong * img.height
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"($id, ${bytes.length}, ${img.width}, ${img.height}, " +
+        s"${r6(img.sumR.toDouble / n)}, ${r6(img.sumG.toDouble / n)}, " +
+        s"${r6(img.sumB.toDouble / n)})"
+    }.mkString(", ")
     s"""WITH stub AS (SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
        |    CAST(4 + strlen(text) AS INTEGER) AS n_bytes
        |  FROM documents),
-       |ppm AS (SELECT * FROM (VALUES $ppmValues) v(doc_id, w, h))
+       |ppm AS (SELECT * FROM (VALUES $ppmValues) v(doc_id, w, h)),
+       |png AS (SELECT * FROM (VALUES $pngValues) v(doc_id, w, h, nb)),
+       |jpg AS (SELECT * FROM (VALUES $jpegValues)
+       |  v(doc_id, nb, w, h, mr, mg, mb))
        |SELECT doc_id, media_type, n_bytes,
        |  CAST(16 + n_bytes % 64 AS INTEGER) AS width,
        |  CAST(16 + (n_bytes // 64) % 64 AS INTEGER) AS height,
@@ -342,15 +511,29 @@ object Multimodal {
        |    + w*h*3 AS INTEGER) AS n_bytes,
        |  w AS width, h AS height,
        |  ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
-       |FROM ppm""".stripMargin
+       |FROM ppm
+       |UNION ALL
+       |SELECT doc_id, 'image' AS media_type, CAST(nb AS INTEGER) AS n_bytes,
+       |  w AS width, h AS height,
+       |  ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+       |FROM png
+       |UNION ALL
+       |SELECT doc_id, 'image' AS media_type, CAST(nb AS INTEGER) AS n_bytes,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(mr AS DOUBLE) AS mean_r, CAST(mg AS DOUBLE) AS mean_g,
+       |  CAST(mb AS DOUBLE) AS mean_b
+       |FROM jpg""".stripMargin
   }
 
-  /** DuckDB twin of [[multimodalResize]]: the planted dims cross the thumb
-    * grid; the nearest-neighbor source pixel index feeds the arithmetic
-    * raster formula — integer-exact on both engines.
+  /** DuckDB twin of [[multimodalResize]]: the planted dims (PPM and PNG —
+    * both decode back to the arithmetic raster, PPM by direct parse, PNG
+    * by lossless `ImageIO` decode) cross the thumb grid; the
+    * nearest-neighbor source pixel index feeds the arithmetic raster
+    * formula — integer-exact on both engines.
     */
   private val resizeSql: String = {
-    val ppmValues = PpmPlanted.map { case (id, w, h) => s"($id, $w, $h)" }
+    val ppmValues = (PpmPlanted ++ PngPlanted)
+      .map { case (id, w, h) => s"($id, $w, $h)" }
       .mkString(", ")
     s"""WITH ppm AS (SELECT * FROM (VALUES $ppmValues) v(doc_id, w, h)),
        |grid AS (SELECT doc_id, w, h, px, py FROM ppm,

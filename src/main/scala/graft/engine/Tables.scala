@@ -32,10 +32,10 @@ object Tables {
     * as a UTC-instant TimestampType — NTZ inference is disabled
     * engine-wide, see [[graft.GraftSession]]). The LongType guard picks
     * the right normalization per file, so either generation yields the
-    * same UTC instants FOR THIS BATCH LOADER. The streaming surface
-    * ([[graft.streaming.EventStream.eventSchema]]) declares the micros
-    * layout only — a nanos-generation fixture streams would fail fast
-    * there; re-add the long-schema branch if that generation returns.
+    * same UTC instants. The streaming surface sniffs the same physical
+    * layout from the footers before declaring its readStream schema
+    * ([[graft.streaming.EventStream.readEvents]]), so both loaders track
+    * fixture regenerations together.
     *
     * Side effect, by design: `nanosAsLong` is a session-wide SQLConf (no
     * per-read option exists), so after the first events load any other

@@ -35,14 +35,38 @@ object EventStream {
     * default glob selects just the events table out of a fixture dir; a
     * spool-dir caller (the sessionization drain) widens it to pick up
     * files it appends after the initial replay.
+    *
+    * The physical `ts` layout is SNIFFED from the existing files' parquet
+    * footers (a batch schema read — no job) exactly like
+    * [[graft.engine.Tables.events]]: a nanos-generation fixture
+    * (TIMESTAMP(NANOS), read as a nano-epoch long under `nanosAsLong`)
+    * gets the long-schema branch + micros truncation instead of a
+    * runtime decode failure mid-stream. If the footer probe finds no
+    * files yet (an empty spool dir), the current micros generation is
+    * assumed — the drain callers seed the dir before starting the query.
     */
   def readEvents(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): DataFrame =
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsLong = scala.util.Try(
+      spark.read.option("pathGlobFilter", glob).parquet(dir)
+        .schema("ts").dataType == LongType
+    ).getOrElse(false)
     // file-stream sources take a directory; the glob selects the table
-    spark.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
+    if (tsIsLong) {
+      val longSchema = StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f))
+      spark.readStream
+        .schema(longSchema)
+        .option("pathGlobFilter", glob)
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else
+      spark.readStream
+        .schema(eventSchema)
+        .option("pathGlobFilter", glob)
+        .parquet(dir)
+  }
 
   /** Watermarked tumbling-window aggregation: counts + exact decimal sums
     * per (1-hour window, event_type) — the streaming twin of the batch

@@ -97,13 +97,13 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
-  test("resize query: only P6 payloads reach the kernel, grid complete") {
+  test("resize query: only P6/PNG payloads reach the kernel, grid complete") {
+    val nPlanted = Multimodal.PpmPlanted.size + Multimodal.PngPlanted.size
     val out = Multimodal.multimodalResize(spark, sf).cache()
     try {
       // exactly the planted images, each with a full thumb grid
-      assert(out.select("doc_id").distinct().count() ===
-        Multimodal.PpmPlanted.size)
-      assert(out.count() === Multimodal.PpmPlanted.size *
+      assert(out.select("doc_id").distinct().count() === nPlanted)
+      assert(out.count() === nPlanted *
         Multimodal.ThumbW * Multimodal.ThumbH)
       assert(out.filter(col("r") < 0 || col("r") > 255 ||
         col("g") < 0 || col("g") > 255 ||
@@ -113,7 +113,7 @@ class MultimodalStreamingSpec extends SparkSpec {
 
   test("decode query: planted PPMs decode through the real parser") {
     val out = Multimodal.multimodalDecode(spark, sf)
-      .filter(col("doc_id") >= 920000L).collect()
+      .filter(col("doc_id").between(920000L, 929999L)).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out.keySet === Multimodal.PpmPlanted.map(_._1).toSet)
     Multimodal.PpmPlanted.foreach { case (id, w, h) =>
@@ -128,6 +128,41 @@ class MultimodalStreamingSpec extends SparkSpec {
     val stub = Multimodal.multimodalDecode(spark, sf)
       .filter(col("doc_id") < 920000L)
     assert(stub.filter(col("mean_r").isNotNull).count() === 0)
+  }
+
+  test("PNG decode is lossless: ImageIO recovers the arithmetic raster") {
+    Multimodal.PngPlanted.foreach { case (_, w, h) =>
+      val img = Multimodal.decodeImage(Multimodal.pngPayload(w, h))
+      assert(img.width === w && img.height === h)
+      // lossless roundtrip ⇒ channel sums equal the formula's sums exactly
+      def sum(c: Int) =
+        (0 until w * h).map(p => ((3L * p + c) * 7 + 13) % 251).sum
+      assert((img.sumR, img.sumG, img.sumB) === ((sum(0), sum(1), sum(2))),
+        s"${w}x$h PNG channel sums")
+    }
+  }
+
+  test("decode query: planted PNG/JPEG rows decode via real ImageIO") {
+    val out = Multimodal.multimodalDecode(spark, sf)
+      .filter(col("doc_id") >= 930000L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // PNG + JPEG rows present, malformed-JPEG row quarantined away
+    assert(out.keySet ===
+      (Multimodal.PngPlanted ++ Multimodal.JpegPlanted).map(_._1).toSet)
+    (Multimodal.PngPlanted ++ Multimodal.JpegPlanted).foreach {
+      case (id, w, h) =>
+        val r = out(id)
+        assert(r.getInt(3) === w && r.getInt(4) === h, s"dims of doc $id")
+        assert(!r.isNullAt(5) && !r.isNullAt(6) && !r.isNullAt(7),
+          s"real means of doc $id")
+        assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 255)
+    }
+  }
+
+  test("malformed JPEG quarantines to zero rows, not a failed job") {
+    val out = Multimodal.multimodalDecode(spark, sf)
+      .filter(col("doc_id") === Multimodal.MalformedJpegId)
+    assert(out.count() === 0)
   }
 
   test("streaming windowed counts match the batch event-window query") {
