@@ -211,15 +211,16 @@ object Ext {
 
   /** Skew-salted fact⋈dim join driven to the plain-join answer: the
     * [[graft.operators.SkewJoin]] utility as a driver-visible query.
-    * Events salt [[SaltFactor]] ways on the uniform event id, the
-    * customer dim replicates across every salt value, and the join keys
-    * become (user_id, __salt) — one hot user spreads over [[SaltFactor]]
-    * reducers instead of hammering one. Salting is result-invariant by
-    * construction, so the oracle is simply the UNSALTED join — the
-    * correctness gate IS the invariance proof. Money sums follow the
-    * exact-decimal-then-render rule.
+    * The salt fan-out is PROFILE-DRIVEN (round-11): the fact side's
+    * measured per-key frequency sets `fan = ceil(freq / SaltRowCap)` per
+    * key — the [[skewProfile]] statistic wired into the join itself —
+    * so a hot user spreads over exactly enough reducers to bound each at
+    * [[SaltRowCap]] rows while cold users pay nothing. Salting is
+    * result-invariant by construction, so the oracle is simply the
+    * UNSALTED join — the correctness gate IS the invariance proof. Money
+    * sums follow the exact-decimal-then-render rule.
     */
-  val SaltFactor = 8
+  val SaltRowCap = 32L
 
   def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     val fact = Tables.events(spark, dir)
@@ -228,7 +229,7 @@ object Ext {
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     graft.operators.SkewJoin
-      .saltedJoin(fact, dim, "user_id", SaltFactor, Some(col("event_id")))
+      .profiledSaltedJoin(fact, dim, "user_id", SaltRowCap, col("event_id"))
       .groupBy("c_mktsegment", "event_type")
       .agg(
         count(lit(1)).as("n_events"),

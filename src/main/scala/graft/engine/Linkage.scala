@@ -87,7 +87,26 @@ object Linkage {
     * Every node has ≥1 in-edge (symmetrized graph), so no dangling-mass
     * term is needed — documented rather than silently assumed.
     */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankIter(spark, dir, PrIters)
+
+  /** [[pageRank]] generalized to `iters` rounds — the cluster-loop form.
+    *
+    * Two lineage regimes, same arithmetic:
+    *   - `iters ≤ [[PrIters]]`: the loop unrolls LAZILY into one plan;
+    *     the degree-joined edge subtree is identical in every round, so
+    *     the planner's exchange reuse materializes its shuffle once and
+    *     every later round reads the reused exchange (PlanSpec-gated).
+    *   - `iters > [[PrIters]]`: an unrolled plan would grow linearly in
+    *     the round count (planning time, lineage depth, re-execution risk
+    *     on task retry), so the loop switches to the
+    *     [[Dedup.dedupClusters]] shape — the loop-invariant edge list is
+    *     `localCheckpoint`ed ONCE, and each round's ranks eagerly
+    *     `localCheckpoint` to truncate lineage, keeping per-round work
+    *     flat (one broadcast-free join + one aggregation over
+    *     checkpointed inputs) no matter how many rounds run.
+    */
+  def pageRankIter(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val e0 = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir)
@@ -99,17 +118,22 @@ object Linkage {
     val edges = e0.union(
       e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = edges.join(deg, "src")
-    var ranks = deg.select(col("src").as("node"),
-      lit(PrScale).as("pr"))
-    for (_ <- 1 to PrIters) {
-      ranks = eDeg.join(ranks, eDeg("src") === ranks("node"))
+    val eDeg0 = edges.join(deg, "src")
+    val truncate = iters > PrIters
+    val eDeg = if (truncate) eDeg0.localCheckpoint() else eDeg0
+    def round(ranks: DataFrame): DataFrame =
+      eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("pr DIV deg").as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).as("in_sum"))
         .select(col("dst").as("node"),
           expr(s"CAST(${PrScale * 15 / 100} + (85 * in_sum) DIV 100" +
             " AS BIGINT)").as("pr"))
+    var ranks = deg.select(col("src").as("node"),
+      lit(PrScale).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = round(ranks)
+      if (truncate) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("pr"))
   }

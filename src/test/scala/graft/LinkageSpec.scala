@@ -64,6 +64,35 @@ class LinkageSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("pagerank at 10 iterations: checkpointed loop completes and converges") {
+    // iters > PrIters switches to the localCheckpoint-per-round regime
+    // (lineage truncation); the run must complete with the same node set
+    // as the unrolled 3-round query, strictly positive fixed-point ranks,
+    // and byte-identical results across two independent builds — a
+    // nondeterministic checkpoint or a lineage-dependent result would
+    // break the reproducibility join.
+    val r3 = Linkage.pageRank(spark, sf)
+      .withColumnRenamed("pr", "pr3").cache()
+    val r10 = Linkage.pageRankIter(spark, sf, 10).cache()
+    try {
+      assert(r10.count() === r3.count())
+      assert(r10.join(r3, Seq("node"), "full")
+        .filter(col("pr").isNull || col("pr3").isNull).count() === 0,
+        "node sets diverge")
+      // every rank ≥ the damping floor 0.15·scale
+      assert(r10.filter(col("pr") < (Linkage.PrScale * 15) / 100)
+        .count() === 0)
+      // more rounds actually moved the fixed point somewhere
+      assert(r10.join(r3, Seq("node"))
+        .filter(col("pr") =!= col("pr3")).count() > 0,
+        "10 rounds produced exactly the 3-round ranks")
+      val again = Linkage.pageRankIter(spark, sf, 10)
+      assert(r10.join(again.withColumnRenamed("pr", "prb"), Seq("node"))
+        .filter(col("pr") =!= col("prb")).count() === 0,
+        "checkpointed loop is not deterministic")
+    } finally { r3.unpersist(); r10.unpersist() }
+  }
+
   test("snapshot diff: classes partition the id space by the carve rule") {
     val d = Linkage.snapshotDiff(spark, sf).cache()
     try {

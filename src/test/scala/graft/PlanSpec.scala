@@ -232,6 +232,35 @@ class PlanSpec extends SparkSpec {
     } finally { spark.conf.set("spark.sql.adaptive.enabled", prevA) }
   }
 
+  test("pagerank unrolled plan reuses the edge exchange across rounds") {
+    // the degree-joined edge subtree is identical in every unrolled
+    // round, so the planner must materialize its shuffle once and feed
+    // rounds 2..n from a ReusedExchange — re-shuffling the (big) edge
+    // list per round is exactly the scale bug this gate pins out. AQE
+    // off so the reuse is visible in the static physical tree.
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = Linkage.pageRank(spark, sf).queryExecution.executedPlan
+      val reused = p.collect { case r: ReusedExchangeExec => r }
+      assert(reused.nonEmpty, s"no exchange reuse in unrolled plan:\n$p")
+      // with PrIters rounds sharing one edge subtree, the distinct edge
+      // exchanges must not scale with the round count: the shuffles that
+      // remain are the base joins + per-round aggregations, while ≥
+      // (PrIters - 1) edge-side repeats collapse into ReusedExchange
+      assert(reused.size >= Linkage.PrIters - 1,
+        s"expected ≥${Linkage.PrIters - 1} reused exchanges, " +
+          s"got ${reused.size}:\n$p")
+      // what remains per round is 2 RANK-sized shuffles (the rank side
+      // of the join + the contribution aggregation) over the base's ~4
+      // edge-build shuffles — the edge list itself is never re-shuffled
+      val live = p.collect { case e: ShuffleExchangeExec => e }
+      assert(live.size <= 4 + 2 * Linkage.PrIters,
+        s"shuffle count ${live.size} grows beyond 2/round:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("dedup plans never narrow to a single partition") {
     // the portable-hash token ids are pure map-side: no global-window
     // dictionary, so nothing in any dedup plan may gather all rows into
@@ -465,13 +494,18 @@ class PlanSpec extends SparkSpec {
 
   test("salted join: the salt reaches the physical join keys") {
     // the whole point of q_salted_join is that one hot user spreads over
-    // SaltFactor reducers — that only happens if __salt is a JOIN KEY,
-    // not a post-join column
+    // its profiled fan-out of reducers — that only happens if __salt is
+    // a JOIN KEY of the fact⋈dim join, not a post-join column. The
+    // profile (hot-key fan map) joins are broadcast left joins keyed on
+    // user_id alone, so the gate is: both sides of SOME join carry
+    // __salt, and the fan map never shuffles (broadcast only).
     val p = plan(Ext.saltedJoinQuery(spark, sf))
     val keyLines = p.split("\n").filter(l =>
       l.contains("Left keys") || l.contains("Right keys"))
-    assert(keyLines.forall(_.contains("__salt")) && keyLines.nonEmpty,
-      s"salt does not reach the join keys:\n$p")
+    assert(keyLines.count(_.contains("__salt")) >= 2,
+      s"salt does not reach both sides' join keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"profile fan map did not broadcast:\n$p")
   }
 
   test("range join keys on (user, hour bucket), not the user alone") {

@@ -37,6 +37,37 @@ class SkewPipelineSpec extends SparkSpec {
     assert(spread.max <= 3 * (10000 / 16))
   }
 
+  test("profiled salting: hot key splits into exactly ceil(freq/cap) parts") {
+    import spark.implicits._
+    // key 1: 10000 rows (hot, cap 300 → fan ceil(10000/300)=34);
+    // key 2: 301 rows (just over cap → fan 2); key 3: 7 rows (cold → 1)
+    val fact = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 301).map(i => (2L, i.toLong)) ++
+      (1 to 7).map(i => (3L, i.toLong))).toDF("k", "v")
+    val dim = (1 to 3).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val fan = SkewJoin.hotKeyFan(fact, "k", 300L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fan === Map(1L -> 34L, 2L -> 2L), s"fan map $fan")
+    val (sf_, sd) = SkewJoin.profiledSaltParts(fact, dim, "k", 300L,
+      org.apache.spark.sql.functions.col("v"))
+    // the hot key's rows occupy exactly fan distinct salted sub-keys,
+    // the cold key exactly one
+    val salts = sf_.groupBy("k")
+      .agg(countDistinct(col("__salt")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salts === Map(1L -> 34L, 2L -> 2L, 3L -> 1L), s"salts $salts")
+    // dim replication = fan per key (1 for cold): 34 + 2 + 1
+    val rep = sd.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(1L -> 34L, 2L -> 2L, 3L -> 1L), s"dim rep $rep")
+    // and the join is still exactly the plain join
+    val out = SkewJoin.profiledSaltedJoin(fact, dim, "k", 300L, col("v"))
+    val plain = fact.join(dim, Seq("k"))
+    assert(out.count() === 10308)
+    assert(out.except(plain).count() === 0)
+    assert(plain.except(out).count() === 0)
+  }
+
   test("salted count equals plain grouped count") {
     val events = Tables.events(spark, sf)
     val plain = events.groupBy("user_id").count()
