@@ -212,7 +212,18 @@ object Bench {
       "pagerank" -> "pgrank", "text_" -> "tx_", "global" -> "glob",
       "kmeans" -> "km", "audit" -> "aud", "split" -> "spl",
       "multi" -> "mlt", "minhash" -> "mh", "simhash" -> "sh",
-      "bigram" -> "bg", "bloom" -> "blm")
+      "bigram" -> "bg", "bloom" -> "blm",
+      // round-11 block: the 119-query line projects to 2037 chars
+      // without these — over the 2000-char stdout-tail budget. The
+      // renames to already-shipped keys are enumerated in BASELINE.md
+      // "Bench key abbreviations" (the r10 rename-note protocol);
+      // BENCH_LOCAL.json keeps full names either way.
+      "tokenize" -> "tknz", "exact" -> "ex", "decode" -> "dec",
+      "resize" -> "rsz", "domain" -> "dom", "topk" -> "tk",
+      "chunk" -> "chk", "stats" -> "sts", "minmax" -> "mnmx",
+      "frame" -> "frm", "qtile_bins" -> "qbins", "avail" -> "avl",
+      "winsorize" -> "wins", "mljson_rt" -> "mlj_rt",
+      "dates_rec" -> "dat_rec", "upsert" -> "ups")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

@@ -132,6 +132,25 @@ object ScaleBench {
           scala.collection.mutable.Map.empty)(s) = steady
         System.err.println(f"[scalebench] ${s}%2dx $name%-30s $steady%.2f s")
       }
+      // probe-cost isolation (VERDICT r10 #7): the bucketed-index probe
+      // with the delta FROZEN to the 1x copy while the indexed corpus
+      // scales. The index + shingle memos are warm from the query loop
+      // above, so this times exactly the per-batch ingest cost; expect
+      // near-flat absolute seconds (alpha ≈ 0), the delta-sized-probe
+      // claim made by the persisted index.
+      if (names.contains("q_dedup_incremental_bucketed")) {
+        def probeOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.engine.Dedup.probeFixedDelta(spark, dir, 1000000L).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeOnce() // plan/codegen warm-up for the capped variant
+        val steady = probeOnce()
+        times.getOrElseUpdate("probe_fixed_delta",
+          scala.collection.mutable.Map.empty)(s) = steady
+        System.err.println(
+          f"[scalebench] ${s}%2dx probe_fixed_delta               $steady%.2f s")
+      }
       // each scale tears down its memoized shingle tables, models, and
       // persisted indexes so the next starts from the same (cold) state
       SessionMemo.evictSession(spark)
@@ -142,7 +161,10 @@ object ScaleBench {
     val header = "| query | " +
       Scales.map(s => s"${s}x (s)").mkString(" | ") + " | alpha |"
     val sep = "| --- |" + Scales.map(_ => " --- |").mkString + " --- |"
-    val rows = names.map { name =>
+    val reported = names ++
+      (if (times.contains("probe_fixed_delta")) Seq("probe_fixed_delta")
+       else Nil)
+    val rows = reported.map { name =>
       val t = times(name)
       val alpha = math.log(t(Scales.last) / t(Scales.head)) /
         math.log(Scales.last.toDouble / Scales.head)

@@ -357,19 +357,35 @@ object Curation {
     * shuffles once for the range sort and stays fully parallel. Keep
     * decisions are Long comparisons — bit-exact against the oracle.
     */
-  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+  /** Micro-scaled (×1e6, Long) quality score used by the budget
+    * selections; null text ⇒ 0 so adversarial rows sort last, unkept.
+    */
+  private[engine] def qualityMicro: org.apache.spark.sql.Column = {
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isInCollection(TextOps.Stopwords)))
     val q = round(
       least(nTok.cast("double") / 50, lit(1.0)) *
         (lit(1.0) - nStop.cast("double") / nTok), 6)
+    coalesce(round(q * 1000000L).cast("long"), lit(0L))
+  }
+
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val sorted = Tables.documents(spark, dir)
       .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
-        greatest(nTok, lit(0)).cast("long").as("n_tokens"),
-        // null text ⇒ null score; coalesce to 0 so the partition scan's
-        // getLong never hits a null (adversarial rows sort last, unkept)
-        coalesce(round(q * 1000000L).cast("long"), lit(0L)).as("q_micro"))
+        greatest(size(toks), lit(0)).cast("long").as("n_tokens"),
+        qualityMicro.as("q_micro"))
       .orderBy(col("q_micro").desc, col("doc_id"))
+    budgetKeep(sorted, TokenBudget)
+  }
+
+  /** The budget-cutoff prefix-sum shared by [[tokenBudget]] and
+    * [[Bpe.bpeBudget]]: `sorted` must be (doc_id, n_tokens, q_micro)
+    * Longs already range-sorted by the selection order; keeps every row
+    * fully contained in the first `budget` tokens of that stream.
+    */
+  private[engine] def budgetKeep(sorted: DataFrame, budget: Long)
+      : DataFrame = {
+    val spark = sorted.sparkSession
     // localCheckpoint anchors BOTH passes (subtotal collect + final scan)
     // to one materialized layout — same rationale as packSequences
     val rdd = sorted.rdd.localCheckpoint()
@@ -383,10 +399,10 @@ object Curation {
         val n = r.getLong(1)
         val start = cum
         cum += n
-        // kept ⟺ the doc lies entirely inside the first TokenBudget
+        // kept ⟺ the doc lies entirely inside the first `budget`
         // tokens; cum_before is monotone so partitions past the budget
         // emit nothing (map-side filter, no second shuffle)
-        if (start + n <= TokenBudget)
+        if (start + n <= budget)
           Iterator.single(org.apache.spark.sql.Row(
             r.getLong(0), n, r.getLong(2), start))
         else Iterator.empty
@@ -486,10 +502,10 @@ object Curation {
     "q_token_budget" -> tokenBudget _,
     "q_hash_split" -> hashSplit _)
 
-  private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+  private[engine] val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
   private val enList =
     TextOps.LangMarkers.head._2.map(s => s"'$s'").mkString(", ")
-  private val qExpr =
+  private[engine] val qExpr =
     """round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) *
       |    (1.0 - CAST(n_stop AS DOUBLE) / n_tok), 6)""".stripMargin
 

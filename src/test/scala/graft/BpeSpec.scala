@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Bpe
+
+/** BPE trainer/tokenizer invariants: canonical greedy merge semantics,
+  * lossless round-trip of the tokenization, merge-list determinism, and
+  * the budget-selection contract. The cross-engine hash gate lives in
+  * the q_bpe_* oracle rows; these pin the algorithm's laws.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("vocab: ranked merge list, hierarchical merges allowed") {
+    val rules = Bpe.bpeVocab(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rules.map(_._1).toSeq == (1L to Bpe.Merges).toSeq)
+    // merged symbol is the concatenation, counts are positive
+    rules.foreach { case (_, l, r, m, c) =>
+      assert(m == l + r)
+      assert(c > 0)
+    }
+    // merge list is deterministic across a fresh (non-memoized) session:
+    // the memo is keyed by session, so a second SparkSession retrains
+    val rules2 = Bpe.bpeVocab(spark.newSession(), sf).collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(rules2.toSeq == rules.map(t => (t._1, t._4)).toSeq)
+  }
+
+  test("tokenize: BPE stream reconstructs the original text exactly") {
+    // removing intra-token spaces and mapping the end-of-word marker
+    // back to a separator must give back the source text: BPE is a
+    // segmentation, never a rewrite
+    val bad = Bpe.bpeTokenize(spark, sf)
+      .join(graft.engine.Tables.documents(spark, sf), Seq("doc_id"))
+      .select(col("doc_id"),
+        expr("rtrim(replace(replace(bpe_text, ' ', ''), '_', ' '))")
+          .as("rebuilt"),
+        col("text"))
+      .filter(col("rebuilt") =!= col("text"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("tokenize: token counts bounded by chars+words and words") {
+    val rows = Bpe.bpeTokenize(spark, sf)
+      .join(graft.engine.Tables.documents(spark, sf), Seq("doc_id"))
+      .select(col("n_words"), col("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, t, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // each word is at least 1 token and at most chars+1 (marker)
+      assert(t >= w)
+      assert(t <= c + w) // c counts separators too, safe upper bound
+    }
+  }
+
+  test("budget: kept docs lie inside the budget, order is quality-first") {
+    val kept = Bpe.bpeBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.foreach { case (_, n, _, cum) =>
+      assert(cum + n <= Bpe.BpeBudget)
+    }
+    // cum_before respects the (q_micro desc, doc_id) stream order
+    val sorted = kept.sortBy(t => (-t._3, t._1))
+    assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+  }
+
+  test("greedy leftmost fold: run of four merges pairwise, not skipping") {
+    // "a a a a" + (a,a) must give "aa aa" and "a a a" must give "aa a" —
+    // the string-replace shortcut gets the even-run case wrong, the
+    // fold must not
+    import spark.implicits._
+    val st = Seq(("w1", 1L, "a a a a"), ("w2", 1L, "a a a"))
+      .toDF("word", "freq", "syms")
+    val applied = invokeApply(st, "a", "a").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(applied("w1") == "aa aa")
+    assert(applied("w2") == "aa a")
+  }
+
+  // applyMerge is private; replicate its expr contract through the
+  // public training path is impossible on crafted state, so mirror the
+  // exact SQL here (kept in sync by the round-trip + oracle gates)
+  private def invokeApply(df: org.apache.spark.sql.DataFrame,
+      l: String, r: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("syms", expr(
+      s"""aggregate(
+         |  slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1),
+         |  element_at(split(syms, ' '), 1),
+         |  (acc, x) -> CASE
+         |    WHEN x = '$r' AND (acc = '$l'
+         |        OR right(acc, length('$l') + 1) = concat(' ', '$l'))
+         |    THEN concat(left(acc, length(acc) - length('$l')), '$l', '$r')
+         |    ELSE concat(acc, ' ', x) END)""".stripMargin))
+}
