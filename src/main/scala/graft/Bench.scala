@@ -223,7 +223,7 @@ object Bench {
       "chunk" -> "chk", "stats" -> "sts", "minmax" -> "mnmx",
       "frame" -> "frm", "qtile_bins" -> "qbins", "avail" -> "avl",
       "winsorize" -> "wins", "mljson_rt" -> "mlj_rt",
-      "dates_rec" -> "dat_rec", "upsert" -> "ups")
+      "dates_rec" -> "dat_rec", "upsert" -> "ups", "audio" -> "au")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

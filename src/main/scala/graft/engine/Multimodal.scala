@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, plus a
   * decode / feature-extract stage behind `mapPartitions`.
   *
-  * Decode is REAL for three image codecs: PPM P6 (hand-written header
+  * Decode is REAL for three image codecs — PPM P6 (hand-written header
   * parser), PNG and JPEG (pure-JVM `javax.imageio.ImageIO`, headless, no
-  * new dependency). Audio/video have no pure-JVM codec in this container,
-  * so THOSE payloads go through a DETERMINISTIC STUB (clearly marked
-  * below); the surrounding plumbing — binary column construction, schema,
-  * typed Dataset batch shape, partition-wise execution, quarantine of
-  * malformed payloads, metadata extraction — is the production shape a
-  * further codec would drop into.
+  * new dependency) — and for PCM WAV audio (hand-written RIFF chunk
+  * walker, [[decodeWav]]). Video has no pure-JVM codec in this
+  * container, so those payloads go through a DETERMINISTIC STUB (clearly
+  * marked below); the surrounding plumbing — binary column construction,
+  * schema, typed Dataset batch shape, partition-wise execution,
+  * quarantine of malformed payloads, metadata extraction — is the
+  * production shape a further codec would drop into.
   *
   * Scale design: payload bytes ride the same columnar scan as everything
   * else (parquet binary columns are page-compressed and column-pruned away
@@ -451,11 +452,196 @@ object Multimodal {
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame =
     frameSample(spark, dir)
 
+  // ===== audio: real RIFF/WAVE PCM decode =============================
+
+  /** Planted PCM WAV payloads: (doc_id, channels, sample_rate, frames,
+    * extraListChunk). Interleaved sample `i` (frame-major) is
+    * `((i*31 + 7) % 4001) - 2000` — pure int16-range arithmetic, so the
+    * DuckDB oracle derives per-channel sums / sum-of-squares / peaks from
+    * the same formula and the REAL parser below is hash-gated end to end
+    * (the [[PpmPlanted]] pattern, applied to a second modality). The
+    * second payload carries a LIST chunk between fmt and data to prove
+    * the parser skips unknown RIFF chunks instead of mis-seeking.
+    */
+  private[graft] val WavPlanted: Seq[(Long, Int, Int, Int, Boolean)] =
+    Seq((960001L, 1, 8000, 480, false),
+        (960002L, 2, 16000, 256, true),
+        (960003L, 2, 44100, 100, false))
+
+  /** A payload with a valid RIFF magic but garbage body: must QUARANTINE
+    * to zero rows in [[multimodalAudio]] (the [[MalformedJpegId]]
+    * contract for the audio path).
+    */
+  private[graft] val MalformedWavId = 970001L
+  private[graft] def malformedWavPayload: Array[Byte] =
+    "RIFFnot actually a wave file".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def amp(i: Int): Int = ((i * 31 + 7) % 4001) - 2000
+
+  /** Build a standard PCM WAV: RIFF header, fmt chunk (format 1, 16-bit
+    * LE), optional LIST chunk, data chunk with the arithmetic samples.
+    */
+  private[graft] def wavPayload(channels: Int, rate: Int, frames: Int,
+      withList: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(1024 + frames * channels * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit = bb.put(
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)): Unit
+    val dataLen = frames * channels * 2
+    val listBody = "INFOgraft fixture audio"
+    val listLen = if (withList) 8 + listBody.length + (listBody.length % 2)
+      else 0
+    ascii("RIFF"); bb.putInt(4 + 24 + listLen + 8 + dataLen); ascii("WAVE")
+    ascii("fmt "); bb.putInt(16)
+    bb.putShort(1.toShort)                     // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(rate)
+    bb.putInt(rate * channels * 2)             // byte rate
+    bb.putShort((channels * 2).toShort)        // block align
+    bb.putShort(16.toShort)                    // bits per sample
+    if (withList) {
+      ascii("LIST"); bb.putInt(listBody.length); ascii(listBody)
+      if (listBody.length % 2 == 1) bb.put(0.toByte): Unit // RIFF pad
+    }
+    ascii("data"); bb.putInt(dataLen)
+    var i = 0
+    while (i < frames * channels) { bb.putShort(amp(i).toShort); i += 1 }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** One decoded audio channel: exact integer stats (sum, sum of
+    * squares, peak magnitude) — the moments an audio-quality filter
+    * (silence/clipping detection, RMS normalization) consumes; the one
+    * double division (RMS) is left to the consumer so every column here
+    * hash-matches.
+    */
+  case class AudioStats(doc_id: Long, channel: Int, sample_rate: Int,
+    n_samples: Long, duration_ms: Long, sum_amp: Long, sum_sq_amp: Long,
+    peak_amp: Int)
+
+  /** REAL RIFF/WAVE parser (not a stub; pure JVM): validates the RIFF /
+    * WAVE container, walks chunks (honoring the even-byte RIFF padding
+    * rule, skipping unknown chunks like LIST), requires PCM 16-bit, and
+    * folds the interleaved data chunk into per-channel integer stats.
+    * Throws on malformed/truncated input; callers quarantine (same
+    * contract as [[decodePpm]]/[[decodeImage]]).
+    */
+  private[graft] def decodeWav(docId: Long,
+      bytes: Array[Byte]): Seq[AudioStats] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4)
+      bb.get(a)
+      new String(a, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(fourcc() == "RIFF", "not a RIFF payload")
+    bb.getInt // declared RIFF size; tolerated (writers disagree)
+    require(fourcc() == "WAVE", "not a WAVE container")
+    var channels = -1
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (bb.remaining() >= 8 && dataOff < 0) {
+      val id = fourcc()
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len, s"truncated chunk $id")
+      if (id == "fmt ") {
+        require(len >= 16, "short fmt chunk")
+        val p = bb.position()
+        require(bb.getShort == 1, "not PCM")
+        channels = bb.getShort.toInt
+        rate = bb.getInt
+        bb.getInt; bb.getShort // byte rate, block align
+        require(bb.getShort == 16, "not 16-bit")
+        bb.position(p + len + (len % 2))
+      } else if (id == "data") {
+        dataOff = bb.position()
+        dataLen = len
+      } else bb.position(bb.position() + len + (len % 2)) // skip + pad
+    }
+    require(channels > 0 && rate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val frames = dataLen / (channels * 2)
+    require(frames > 0, "empty data chunk")
+    (0 until channels).map { c =>
+      var (sum, sumSq, peak) = (0L, 0L, 0)
+      var f = 0
+      while (f < frames) {
+        val s = bb.getShort(dataOff + 2 * (f * channels + c)).toInt
+        sum += s
+        sumSq += s.toLong * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        f += 1
+      }
+      AudioStats(docId, c, rate, frames.toLong,
+        frames.toLong * 1000 / rate, sum, sumSq, peak)
+    }
+  }
+
+  /** Partition-wise audio decode: only RIFF-magic payloads enter the
+    * kernel (codegen'd raw-byte filter — the corpus's `IMG0` payloads
+    * never reach it), each emitting one row per channel. Malformed RIFF
+    * payloads quarantine to zero rows; the oracle derives every stat of
+    * the planted WAVs from the arithmetic sample formula.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val planted = (WavPlanted.map { case (id, ch, rate, n, lst) =>
+        (id, "audio", wavPayload(ch, rate, n, lst)) }
+      :+ ((MalformedWavId, "audio", malformedWavPayload)))
+      .toDF("doc_id", "media_type", "payload")
+    mediaTable(spark, dir).unionByName(planted)
+      .filter(col("payload").isNotNull &&
+        substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          scala.util.Try(decodeWav(id, bytes)).getOrElse(Seq.empty)
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> multimodalMeta _,
     "q_multimodal_decode" -> multimodalDecode _,
     "q_multimodal_resize" -> multimodalResize _,
+    "q_multimodal_audio" -> multimodalAudio _,
     "q_frame_sample" -> multimodalFrameSample _)
+
+  /** DuckDB twin of [[multimodalAudio]]: per planted (doc_id, channels,
+    * rate, frames), channel `c` reads interleaved indices `f*ch + c` of
+    * the arithmetic sample formula — integer-exact sums / squares /
+    * peaks on both engines. The malformed-RIFF row is ABSENT (engine
+    * quarantine, proven by the row-count gate).
+    */
+  private val audioSql: String = {
+    val wavValues = WavPlanted.map { case (id, ch, rate, n, _) =>
+      s"($id, $ch, $rate, $n)" }.mkString(", ")
+    s"""WITH wav AS (SELECT * FROM (VALUES $wavValues)
+       |  v(doc_id, ch, rate, n)),
+       |chx AS (SELECT doc_id, ch, rate, n,
+       |    unnest(range(0, ch)) AS channel FROM wav),
+       |s AS (SELECT doc_id, channel, rate, n,
+       |    list_transform(range(0, n),
+       |      f -> ((f*ch + channel)*31 + 7) % 4001 - 2000) AS amps
+       |  FROM chx)
+       |SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+       |  CAST(rate AS INTEGER) AS sample_rate,
+       |  CAST(n AS BIGINT) AS n_samples,
+       |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+       |  CAST(list_sum(amps) AS BIGINT) AS sum_amp,
+       |  CAST(list_sum(list_transform(amps, a -> a*a)) AS BIGINT)
+       |    AS sum_sq_amp,
+       |  CAST(list_max(list_transform(amps, a -> abs(a))) AS INTEGER)
+       |    AS peak_amp
+       |FROM s""".stripMargin
+  }
 
   /** DuckDB twin of [[multimodalDecode]]: stub dims from the payload
     * length (payload = 4-byte magic + ASCII text, so n_bytes =
@@ -554,6 +740,7 @@ object Multimodal {
       """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(4 + strlen(text) AS INTEGER) AS n_bytes, 'IMG0' AS magic, sha256('IMG0' || text) AS sha256 FROM documents""",
     "q_multimodal_decode" -> decodeSql,
     "q_multimodal_resize" -> resizeSql,
+    "q_multimodal_audio" -> audioSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 'IMG0' || text AS p FROM documents),
         |o AS (SELECT doc_id, p,

@@ -165,6 +165,54 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("WAV decoder: per-channel stats match a brute-force model") {
+    for ((id, ch, rate, frames, withList) <- Multimodal.WavPlanted) {
+      val got = Multimodal.decodeWav(id,
+        Multimodal.wavPayload(ch, rate, frames, withList))
+      assert(got.length === ch)
+      for (c <- 0 until ch) {
+        val amps = (0 until frames)
+          .map(f => (((f * ch + c) * 31 + 7) % 4001) - 2000)
+        val s = got(c)
+        assert(s.channel === c)
+        assert(s.sample_rate === rate)
+        assert(s.n_samples === frames.toLong)
+        assert(s.duration_ms === frames.toLong * 1000 / rate)
+        assert(s.sum_amp === amps.map(_.toLong).sum)
+        assert(s.sum_sq_amp === amps.map(a => a.toLong * a).sum)
+        assert(s.peak_amp === amps.map(math.abs).max)
+      }
+    }
+  }
+
+  test("WAV decoder: LIST chunk skipped; malformed/truncated throw") {
+    // the LIST-carrying payload decodes identically to a LIST-free one
+    val (id, ch, rate, frames, _) = Multimodal.WavPlanted(1)
+    assert(Multimodal.decodeWav(id,
+        Multimodal.wavPayload(ch, rate, frames, withList = true)) ===
+      Multimodal.decodeWav(id,
+        Multimodal.wavPayload(ch, rate, frames, withList = false)))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(0L, Multimodal.malformedWavPayload)
+    }
+    // truncated data chunk: declared length exceeds remaining bytes
+    val whole = Multimodal.wavPayload(1, 8000, 100, withList = false)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(0L, whole.dropRight(10))
+    }
+  }
+
+  test("audio query: RIFF-only kernel, malformed WAV quarantines") {
+    val out = Multimodal.multimodalAudio(spark, sf).cache()
+    try {
+      // exactly one row per planted channel; no corpus payload leaks in
+      assert(out.count() ===
+        Multimodal.WavPlanted.map(_._2).sum.toLong)
+      assert(out.filter(col("doc_id") === Multimodal.MalformedWavId)
+        .count() === 0)
+    } finally { out.unpersist(): Unit }
+  }
+
   test("streaming windowed counts match the batch event-window query") {
     val q = EventStream.runToMemory(spark, sf, "stream_out")
     try {
