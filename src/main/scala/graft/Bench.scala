@@ -223,7 +223,23 @@ object Bench {
       "chunk" -> "chk", "stats" -> "sts", "minmax" -> "mnmx",
       "frame" -> "frm", "qtile_bins" -> "qbins", "avail" -> "avl",
       "winsorize" -> "wins", "mljson_rt" -> "mlj_rt",
-      "dates_rec" -> "dat_rec", "upsert" -> "ups", "audio" -> "au")
+      "dates_rec" -> "dat_rec", "upsert" -> "ups", "audio" -> "au",
+      "video" -> "vid", "leakage" -> "leak",
+      // round-11 second batch: 124 queries project to 2066 chars
+      // without these (the CoreOpsSpec budget gate fails); every rename
+      // of a shipped key is enumerated in BASELINE.md per the r10
+      // rename-note protocol. These run LAST, over already-shortened
+      // keys, so they are written against the folded forms.
+      "s_ship_prio" -> "sship", "drift_ks" -> "dks", "group_tk" -> "gtk",
+      "token_" -> "tok_", "scan_proj" -> "scanp", "skew_prof" -> "skewp",
+      "snap_diff" -> "snapd", "hash_spl" -> "hspl", "json_ext" -> "jext",
+      "data_shuf" -> "dshuf", "dist_cnt" -> "dcnt", "flt_like" -> "like",
+      "qual_thr" -> "qthr", "ugram_prob" -> "ugprob",
+      "full_pipe" -> "fpipe", "pack_seqs" -> "pkseq", "corp_cur" -> "ccur",
+      "sess_win" -> "sesw", "incr" -> "inc", "st_ev_win" -> "stevw",
+      "rep_spans" -> "rspan", "strat_smp" -> "ssmp", "pivot_dum" -> "pivd",
+      "sal_terms" -> "salt", "salted_jn" -> "sltjn", "null_aud" -> "naud",
+      "st_enrich" -> "stenr", "detknz" -> "dtk")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

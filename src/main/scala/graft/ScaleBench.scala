@@ -57,7 +57,12 @@ object ScaleBench {
     // salted copies share no bigrams, so the common set and per-doc
     // coverage scale by s — the broadcast join-back's linear regime
     "q_bigram_coverage", "q_drift_ks", "q_schema_evolution",
-    "q_winsorize")
+    "q_winsorize",
+    // round-11 additions: the projection is one map-side pass over the
+    // vector corpus (expect flat-to-linear); the leakage gate is the
+    // minhash pipeline plus two broadcast label joins, so its exponent
+    // tracks q_dedup_minhash's
+    "q_embed_project", "q_split_leakage")
 
   private def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

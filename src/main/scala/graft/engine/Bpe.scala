@@ -165,6 +165,27 @@ object Bpe {
           "struct(pos, syms))), s -> s.syms), ' ')").as("bpe_text"))
   }
 
+  /** Tokenizer losslessness gate: reassemble each document from its BPE
+    * token stream and compare against the original text — the round-trip
+    * property a training pipeline must hold before it trusts token
+    * counts (a lossy tokenizer silently corrupts every downstream
+    * sample). Reconstruction is map-side string surgery over
+    * [[bpeTokenize]]'s output: drop the inter-symbol spaces, turn each
+    * end-of-word marker back into a word separator, trim the final
+    * marker's space. `translate`'s positional mapping does both edits in
+    * one pass ('_'→' ', ' '→deleted — safe because fixture words are
+    * alphanumeric, the same invariant the trainer relies on).
+    */
+  def bpeDetokenize(spark: SparkSession, dir: String): DataFrame = {
+    val rebuilt = rtrim(translate(col("bpe_text"), "_ ", " "))
+    bpeTokenize(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        (rebuilt === col("text")).as("round_trip_ok"))
+  }
+
   /** `q_token_budget` re-expressed over MODEL tokens: the same
     * quality-ordered distributed-prefix-sum selection
     * ([[Curation.budgetKeep]]), but each document's cost is its BPE
@@ -230,6 +251,7 @@ object Bpe {
   val queries: Map[String, Q] = Map(
     "q_bpe_vocab" -> bpeVocab _,
     "q_bpe_tokenize" -> bpeTokenize _,
+    "q_bpe_detokenize" -> bpeDetokenize _,
     "q_bpe_budget" -> bpeBudget _)
 
   def oracles: Map[String, String] = {
@@ -250,6 +272,20 @@ object Bpe {
            |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
            |  string_agg(syms, ' ' ORDER BY pos) AS bpe_text
            |FROM j GROUP BY doc_id""".stripMargin,
+      "q_bpe_detokenize" ->
+        s"""WITH $bpeCtes,
+           |$tkCte,
+           |j AS (SELECT t.doc_id, t.pos, s.syms,
+           |    len(string_split(s.syms, ' ')) AS nt
+           |  FROM tk t JOIN s$Merges s ON t.word = s.word),
+           |g AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+           |    string_agg(syms, ' ' ORDER BY pos) AS bpe_text
+           |  FROM j GROUP BY doc_id)
+           |SELECT g.doc_id, g.n_bpe_tokens,
+           |  CAST(strlen(d.text) AS BIGINT) AS n_chars,
+           |  rtrim(replace(replace(g.bpe_text, ' ', ''), '_', ' '))
+           |    = d.text AS round_trip_ok
+           |FROM g JOIN documents d ON g.doc_id = d.doc_id""".stripMargin,
       "q_bpe_budget" ->
         s"""WITH $bpeCtes,
            |$tkCte,

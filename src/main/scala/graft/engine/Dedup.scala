@@ -819,6 +819,41 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Train/eval near-dup leakage gate: the verified MinHash near-dup
+    * pairs ([[dedupMinhash]]), each endpoint labeled with its
+    * [[Curation.hashSplit]] assignment, aggregated per (unordered) split
+    * pair — any row whose two splits differ is contamination ACROSS the
+    * split boundary, the leak that inflates held-out metrics even after
+    * a clean random split (near-duplicates of training documents landing
+    * in test; the reason production pipelines dedup BEFORE splitting).
+    * Composes the two existing gates end to end: content-hash splitting
+    * and LSH near-dup detection share no machinery, so their agreement
+    * here is a genuine cross-check.
+    *
+    * Scale shape: the pair table is dup-sized (≪ corpus) and BROADCASTS
+    * against the corpus-sized split labels — two broadcast joins, no
+    * corpus shuffle; the final aggregate is 6 rows.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextOps.portableFp(col("text"),
+      Curation.FpBase1, Curation.FpMod1) % 100
+    val split = when(bucket < Curation.SplitTrainPct, "train")
+      .when(bucket < Curation.SplitValPct, "validation")
+      .otherwise("test")
+    val splits = dedupDocs(spark, dir).select(col("doc_id"), split.as("split"))
+    val pairs = dedupMinhash(spark, dir)
+    val withA = splits.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("split", "sa")
+      .join(broadcast(pairs), Seq("doc_a"))
+    splits.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("split", "sb")
+      .join(broadcast(withA), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -830,6 +865,7 @@ object Dedup {
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_repeated_spans" -> repeatedSpans _,
+    "q_split_leakage" -> splitLeakage _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
 
   // ---- oracle SQL (generated to mirror the constants above) ----
@@ -1009,6 +1045,24 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
+    "q_split_leakage" ->
+      s"""WITH $minhashCtes,
+         |ver AS (${verifySql(MinhashThreshold)}),
+         |spl AS (SELECT doc_id,
+         |    CASE WHEN b < ${Curation.SplitTrainPct} THEN 'train'
+         |      WHEN b < ${Curation.SplitValPct} THEN 'validation'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      ${TextOps.portableFpSql("text", Curation.FpBase1,
+                  Curation.FpMod1)} % 100 AS b
+         |    FROM docs)),
+         |lab AS (SELECT least(sa.split, sb.split) AS split_a,
+         |    greatest(sa.split, sb.split) AS split_b, v.jaccard
+         |  FROM ver v JOIN spl sa ON sa.doc_id = v.doc_a
+         |  JOIN spl sb ON sb.doc_id = v.doc_b)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(max(jaccard), 6) AS max_jaccard
+         |FROM lab GROUP BY split_a, split_b""".stripMargin,
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_incremental_bucketed" -> incrementalSql,
     "q_dedup_clusters" -> clustersSql,

@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, plus a
   * decode / feature-extract stage behind `mapPartitions`.
   *
-  * Decode is REAL for three image codecs — PPM P6 (hand-written header
-  * parser), PNG and JPEG (pure-JVM `javax.imageio.ImageIO`, headless, no
-  * new dependency) — and for PCM WAV audio (hand-written RIFF chunk
-  * walker, [[decodeWav]]). Video has no pure-JVM codec in this
-  * container, so those payloads go through a DETERMINISTIC STUB (clearly
-  * marked below); the surrounding plumbing — binary column construction,
+  * Decode is REAL for every modality: three image codecs — PPM P6
+  * (hand-written header parser), PNG and JPEG (pure-JVM
+  * `javax.imageio.ImageIO`, headless, no new dependency) — PCM WAV audio
+  * (hand-written RIFF chunk walker, [[decodeWav]]), and uncompressed
+  * YUV4MPEG2 video (hand-written stream parser, [[decodeY4m]]).
+  * Compressed A/V codecs (H.264, MP3, …) have no pure-JVM decoder in
+  * this container; the synthetic corpus payloads still route through the
+  * DETERMINISTIC STUB below, which also marks where such a codec would
+  * drop in — the surrounding plumbing (binary column construction,
   * schema, typed Dataset batch shape, partition-wise execution,
-  * quarantine of malformed payloads, metadata extraction — is the
-  * production shape a further codec would drop into.
+  * quarantine of malformed payloads, metadata extraction) is identical
+  * for real and stubbed paths.
   *
   * Scale design: payload bytes ride the same columnar scan as everything
   * else (parquet binary columns are page-compressed and column-pruned away
@@ -293,8 +296,9 @@ object Multimodal {
 
   /** Magic-dispatched decode kernel: P6 payloads go through the REAL
     * [[decodePpm]], PNG/JPEG magics through the REAL `ImageIO`
-    * [[decodeImage]]; unknown magics through the stub (no codecs in this
-    * container for audio/video). A payload whose magic claims a real
+    * [[decodeImage]]; unknown magics through the stub (audio and video
+    * payloads have their own real kernels — [[multimodalAudio]] /
+    * [[multimodalVideo]]). A payload whose magic claims a real
     * codec but whose body fails to decode returns `None` — the row
     * QUARANTINES instead of failing the job.
     */
@@ -607,11 +611,175 @@ object Multimodal {
       .toDF()
   }
 
+  // ===== video: real YUV4MPEG2 (Y4M) frame decode =====================
+
+  /** Planted Y4M videos: (doc_id, width, height, frames, fpsNum, fpsDen,
+    * extraParams). Plane byte `i` of plane `p` (0=Y, 1=U, 2=V) in frame
+    * `f` is `((i*31 + f*17 + p*7 + 13) % 251)` — pure integer arithmetic,
+    * so the DuckDB oracle derives per-frame per-plane sums and peaks from
+    * the same formula and the REAL container parser below is hash-gated
+    * end to end (the [[PpmPlanted]]/[[WavPlanted]] pattern, applied to
+    * the third modality). The second payload carries extra header
+    * parameters (`Xcolorrange=FULL`) and per-frame FRAME parameters to
+    * prove the parser tolerates them instead of mis-seeking; its
+    * 30000:1001 fps exercises the rational-duration arithmetic.
+    */
+  private[graft] val VideoPlanted: Seq[(Long, Int, Int, Int, Int, Int, Boolean)] =
+    Seq((980001L, 8, 6, 12, 25, 1, false),
+        (980002L, 16, 9, 8, 30000, 1001, true),
+        (980003L, 6, 6, 20, 24, 1, false))
+
+  /** Frame-sampling stride: every 2nd frame enters the stats fold — the
+    * keyframe-ish subsample a vision-training pipeline extracts. The
+    * skipped frames are still byte-walked (the container has no index),
+    * which is exactly the sequential-read cost a real decoder pays.
+    */
+  private[graft] val VideoFrameStride = 2
+
+  /** A payload with a valid YUV4MPEG2 magic but a truncated frame body:
+    * must QUARANTINE to zero rows in [[multimodalVideo]] (the
+    * [[MalformedWavId]] contract for the video path).
+    */
+  private[graft] val MalformedY4mId = 990001L
+  private[graft] def malformedY4mPayload: Array[Byte] =
+    "YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C444\nFRAME\ntoo few bytes".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def planeByte(p: Int, f: Int, i: Int): Int =
+    (i * 31 + f * 17 + p * 7 + 13) % 251
+
+  /** Build a planted Y4M payload: standard stream header, then per frame
+    * a FRAME marker followed by three raw C444 planes of the arithmetic
+    * samples.
+    */
+  private[graft] def y4mPayload(w: Int, h: Int, frames: Int, fpsNum: Int,
+      fpsDen: Int, extras: Boolean): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val xh = if (extras) " Xcolorrange=FULL" else ""
+    val out = new java.io.ByteArrayOutputStream(64 + frames * (6 + w * h * 3))
+    out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C444$xh\n"
+      .getBytes(ascii))
+    for (f <- 0 until frames) {
+      val xf = if (extras) " Xtimecode=" + f else ""
+      out.write(s"FRAME$xf\n".getBytes(ascii))
+      for (p <- 0 until 3; i <- 0 until w * h)
+        out.write(planeByte(p, f, i))
+    }
+    out.toByteArray
+  }
+
+  /** One sampled frame's integer stats: per-plane sums plus the luma
+    * peak — the inputs a curation pass derives brightness / chroma-cast /
+    * black-frame signals from; divisions are left to the consumer so
+    * every column hash-matches.
+    */
+  case class FrameStats(doc_id: Long, frame_idx: Int, width: Int,
+    height: Int, n_frames: Int, duration_ms: Long, sum_y: Long,
+    sum_u: Long, sum_v: Long, peak_y: Int)
+
+  /** REAL YUV4MPEG2 parser (not a stub; pure JVM): validates the stream
+    * magic, tokenizes the header parameters (W/H/F required, C must be
+    * 444, unknown X params skipped), then walks FRAME sections —
+    * tolerating per-frame parameters — and folds every
+    * [[VideoFrameStride]]-th frame's three planes into integer stats.
+    * Throws on malformed/truncated input; callers quarantine (same
+    * contract as [[decodePpm]]/[[decodeWav]]).
+    */
+  private[graft] def decodeY4m(docId: Long,
+      bytes: Array[Byte]): Seq[FrameStats] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var off = 0
+    def line(): String = {
+      val start = off
+      while (off < bytes.length && bytes(off) != '\n') off += 1
+      require(off < bytes.length, "unterminated header line")
+      off += 1
+      new String(bytes, start, off - 1 - start, ascii)
+    }
+    val header = line().split(" ")
+    require(header.headOption.contains("YUV4MPEG2"), "not a Y4M stream")
+    var (w, h, fpsNum, fpsDen) = (-1, -1, -1, -1)
+    var colorspace = "420" // Y4M default when C is absent
+    header.drop(1).foreach { tok =>
+      require(tok.nonEmpty, "empty header token")
+      (tok.head, tok.tail) match {
+        case ('W', v) => w = v.toInt
+        case ('H', v) => h = v.toInt
+        case ('F', v) =>
+          val Array(n, d) = v.split(":", 2); fpsNum = n.toInt; fpsDen = d.toInt
+        case ('C', v) => colorspace = v
+        case _ => // I (interlace), A (aspect), X (extension): skipped
+      }
+    }
+    require(w > 0 && h > 0, "missing W/H header params")
+    require(fpsNum > 0 && fpsDen > 0, "missing F header param")
+    require(colorspace == "444", s"unsupported colorspace C$colorspace")
+    val planeLen = w * h
+    val stats = Seq.newBuilder[FrameStats]
+    var f = 0
+    while (off < bytes.length) {
+      require(line().startsWith("FRAME"), "missing FRAME marker")
+      require(bytes.length - off >= 3 * planeLen, s"truncated frame $f")
+      if (f % VideoFrameStride == 0) {
+        val sums = new Array[Long](3)
+        var peakY = 0
+        var p = 0
+        while (p < 3) {
+          var i = 0
+          while (i < planeLen) {
+            val v = bytes(off + p * planeLen + i) & 0xFF
+            sums(p) += v
+            if (p == 0 && v > peakY) peakY = v
+            i += 1
+          }
+          p += 1
+        }
+        stats += FrameStats(docId, f, w, h, -1, -1L,
+          sums(0), sums(1), sums(2), peakY)
+      }
+      off += 3 * planeLen
+      f += 1
+    }
+    require(f > 0, "empty stream")
+    // frame count and duration are stream-level facts known only after
+    // the walk; rational fps keeps duration exact-integer
+    val durMs = f.toLong * 1000L * fpsDen / fpsNum
+    stats.result().map(s => s.copy(n_frames = f, duration_ms = durMs))
+  }
+
+  /** Partition-wise video decode: only YUV4MPEG2-magic payloads enter the
+    * kernel (codegen'd raw-byte filter — the corpus's `IMG0` payloads
+    * never reach it), each emitting one row per SAMPLED frame (the
+    * explode-to-frames pattern of [[frameSample]], now over a real
+    * container). Malformed streams quarantine to zero rows; the oracle
+    * derives every stat of the planted videos from the plane formula.
+    */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val planted = (VideoPlanted.map { case (id, w, h, n, fn, fd, x) =>
+        (id, "video", y4mPayload(w, h, n, fn, fd, x)) }
+      :+ ((MalformedY4mId, "video", malformedY4mPayload)))
+      .toDF("doc_id", "media_type", "payload")
+    mediaTable(spark, dir).unionByName(planted)
+      .filter(col("payload").isNotNull &&
+        substring(col("payload"), 1, 4) === lit("YUV4".getBytes(ascii)))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          scala.util.Try(decodeY4m(id, bytes)).getOrElse(Seq.empty)
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> multimodalMeta _,
     "q_multimodal_decode" -> multimodalDecode _,
     "q_multimodal_resize" -> multimodalResize _,
     "q_multimodal_audio" -> multimodalAudio _,
+    "q_multimodal_video" -> multimodalVideo _,
     "q_frame_sample" -> multimodalFrameSample _)
 
   /** DuckDB twin of [[multimodalAudio]]: per planted (doc_id, channels,
@@ -735,12 +903,40 @@ object Multimodal {
        |FROM src""".stripMargin
   }
 
+  /** DuckDB twin of [[multimodalVideo]]: per planted (doc_id, w, h,
+    * frames, fps), every stride-2 frame derives its plane sums and luma
+    * peak from the arithmetic plane formula — integer-exact on both
+    * engines, rational fps duration via integer division. The
+    * malformed-Y4M row is ABSENT (engine quarantine, proven by the
+    * row-count gate).
+    */
+  private val videoSql: String = {
+    val vidValues = VideoPlanted.map { case (id, w, h, n, fn, fd, _) =>
+      s"($id, $w, $h, $n, $fn, $fd)" }.mkString(", ")
+    def plane(p: Int) =
+      s"list_transform(range(0, w*h), i -> (i*31 + f*17 + $p*7 + 13) % 251)"
+    s"""WITH vid AS (SELECT * FROM (VALUES $vidValues)
+       |  v(doc_id, w, h, n, fnum, fden)),
+       |fr AS (SELECT doc_id, w, h, n, fnum, fden,
+       |    unnest(range(0, n, $VideoFrameStride)) AS f FROM vid)
+       |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(n AS INTEGER) AS n_frames,
+       |  CAST(n * 1000 * fden // fnum AS BIGINT) AS duration_ms,
+       |  CAST(list_sum(${plane(0)}) AS BIGINT) AS sum_y,
+       |  CAST(list_sum(${plane(1)}) AS BIGINT) AS sum_u,
+       |  CAST(list_sum(${plane(2)}) AS BIGINT) AS sum_v,
+       |  CAST(list_max(${plane(0)}) AS INTEGER) AS peak_y
+       |FROM fr""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(4 + strlen(text) AS INTEGER) AS n_bytes, 'IMG0' AS magic, sha256('IMG0' || text) AS sha256 FROM documents""",
     "q_multimodal_decode" -> decodeSql,
     "q_multimodal_resize" -> resizeSql,
     "q_multimodal_audio" -> audioSql,
+    "q_multimodal_video" -> videoSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 'IMG0' || text AS p FROM documents),
         |o AS (SELECT doc_id, p,

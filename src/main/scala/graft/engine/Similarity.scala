@@ -639,6 +639,54 @@ object Similarity {
         round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
   }
 
+  /** Sparse sign random projection (the Achlioptas s=3 family, √s scale
+    * dropped — downstream distance comparisons are scale-invariant) of
+    * the int8-quantized corpus down to [[ProjDims]] components: the
+    * Johnson–Lindenstrauss dimensionality cut that makes a brute-force
+    * prefilter 4× narrower than even the int8 codes, feeding exact
+    * rerank the same way PQ's dot tables do. The "matrix" is never
+    * materialized: entry (i, j) is a hash of the index pair —
+    * `(i·31 + j·17 + 5) mod 6` → {+1, −1, 0, 0, 0, 0} — so both engines
+    * derive identical ±1 signs and the projection over INTEGER codes is
+    * exact-integer end to end (a float JL transform could never
+    * hash-match across engines; the integer one is also the
+    * production answer to cross-run index drift).
+    *
+    * Scale shape: ONE dimension-sized aggregate builds the min/max
+    * codebook, collapsed to a single array row and broadcast back
+    * (a plan literal, same as the PQ dot tables); quantization and all
+    * [[ProjDims]] component folds are then per-row higher-order
+    * `transform`/`aggregate` — the corpus is NEVER exploded to
+    * (vec, dim) rows and the output rides the scan's partitioning with
+    * no shuffle at all.
+    */
+  val ProjDims = 16
+
+  def embedProject(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("pos"), col("col").cast("double").as("v"))
+    val codebook = dims.groupBy("pos")
+      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+      .agg(expr("array_sort(collect_list(struct(pos, dmin, dmax)))").as("cb"))
+    val codes = // same IEEE expression tree as [[embedQuantize]]'s codes
+      s"""transform(sequence(0, size(embedding) - 1), i ->
+         |  CASE WHEN cb[i].dmax = cb[i].dmin THEN 0L
+         |    ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - cb[i].dmin)
+         |      / (cb[i].dmax - cb[i].dmin) * $QuantLevels + 0.5) AS BIGINT)
+         |      - 127L END)""".stripMargin
+    val proj =
+      s"""transform(sequence(0, ${ProjDims - 1}), j ->
+         |  aggregate(sequence(0, size(codes) - 1), 0L, (acc, i) ->
+         |    acc + CASE (i * 31 + j * 17 + 5) % 6
+         |      WHEN 0 THEN codes[i] WHEN 1 THEN -codes[i]
+         |      ELSE 0L END))""".stripMargin
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(codebook))
+      .withColumn("codes", expr(codes))
+      .select(col("vec_id"), posexplode(expr(proj)).as(Seq("out_dim", "proj")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_topk" -> simCosineTopk _,
     "q_ann_lsh" -> annLsh _,
@@ -649,7 +697,8 @@ object Similarity {
     "q_kmeans_refine" -> kmeansRefine _,
     "q_embed_near_dup" -> embedNearDup _,
     "q_embed_centroid" -> embedCentroid _,
-    "q_embed_quantize" -> embedQuantize _)
+    "q_embed_quantize" -> embedQuantize _,
+    "q_embed_project" -> embedProject _)
 
   /** Shared cosine SQL fragment: same fused accumulation order as the
     * Catalyst expression (independent accumulators, index order).
@@ -744,6 +793,24 @@ object Similarity {
          |  round(max(abs(v - deq)), 6) AS max_abs_err,
          |  round(sqrt(avg((v - deq) * (v - deq))), 6) AS rmse
          |FROM r GROUP BY vec_id""".stripMargin,
+    "q_embed_project" ->
+      s"""WITH dims AS (SELECT vec_id, i - 1 AS pos, CAST(x AS DOUBLE) AS v
+         |  FROM embeddings, LATERAL (SELECT
+         |    generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding) AS x)),
+         |stats AS (SELECT pos, min(v) AS dmin, max(v) AS dmax
+         |  FROM dims GROUP BY pos),
+         |q AS (SELECT vec_id, pos,
+         |    CASE WHEN dmax = dmin THEN 0
+         |      ELSE CAST(floor((v - dmin) / (dmax - dmin) * $QuantLevels
+         |        + 0.5) AS BIGINT) - 127 END AS code
+         |  FROM dims JOIN stats USING (pos))
+         |SELECT vec_id, CAST(j AS INTEGER) AS out_dim,
+         |  CAST(sum(CASE (pos * 31 + j * 17 + 5) % 6
+         |    WHEN 0 THEN code WHEN 1 THEN -code ELSE 0 END) AS BIGINT)
+         |    AS proj
+         |FROM q, (SELECT unnest(range(0, $ProjDims)) AS j)
+         |GROUP BY vec_id, j""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $lshSql
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank

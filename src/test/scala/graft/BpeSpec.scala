@@ -43,6 +43,17 @@ class BpeSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("detokenize query: round trip holds on every document") {
+    val d = Bpe.bpeDetokenize(spark, sf).cache()
+    try {
+      assert(d.count() === 500)
+      assert(d.filter(!col("round_trip_ok")).count() === 0)
+      // token counts and char lengths carried through unchanged
+      assert(d.filter(col("n_bpe_tokens") <= 0 || col("n_chars") <= 0)
+        .count() === 0)
+    } finally { d.unpersist(): Unit }
+  }
+
   test("tokenize: token counts bounded by chars+words and words") {
     val rows = Bpe.bpeTokenize(spark, sf)
       .join(graft.engine.Tables.documents(spark, sf), Seq("doc_id"))

@@ -213,6 +213,61 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally { out.unpersist(): Unit }
   }
 
+  test("Y4M decoder: frame stats match a brute-force model") {
+    for ((id, w, h, frames, fn, fd, extras) <- Multimodal.VideoPlanted) {
+      val got = Multimodal.decodeY4m(id,
+        Multimodal.y4mPayload(w, h, frames, fn, fd, extras))
+      val sampled = 0 until frames by Multimodal.VideoFrameStride
+      assert(got.map(_.frame_idx) === sampled.toSeq)
+      for (s <- got) {
+        def plane(p: Int) = (0 until w * h)
+          .map(i => (i * 31 + s.frame_idx * 17 + p * 7 + 13) % 251)
+        assert(s.width === w && s.height === h)
+        assert(s.n_frames === frames)
+        assert(s.duration_ms === frames.toLong * 1000 * fd / fn)
+        assert(s.sum_y === plane(0).map(_.toLong).sum)
+        assert(s.sum_u === plane(1).map(_.toLong).sum)
+        assert(s.sum_v === plane(2).map(_.toLong).sum)
+        assert(s.peak_y === plane(0).max)
+      }
+    }
+  }
+
+  test("Y4M decoder: extra params tolerated; malformed/truncated throw") {
+    // X header/frame params must not shift the byte walk
+    val (id, w, h, frames, fn, fd, _) = Multimodal.VideoPlanted(1)
+    assert(Multimodal.decodeY4m(id,
+        Multimodal.y4mPayload(w, h, frames, fn, fd, extras = true)) ===
+      Multimodal.decodeY4m(id,
+        Multimodal.y4mPayload(w, h, frames, fn, fd, extras = false)))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(0L, Multimodal.malformedY4mPayload)
+    }
+    // truncated mid-frame: the last frame loses its plane tail
+    val whole = Multimodal.y4mPayload(4, 4, 3, 25, 1, extras = false)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(0L, whole.dropRight(5))
+    }
+    // 4:2:0 subsampling is not implemented: fail loudly, never mis-walk
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(0L,
+        "YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n".getBytes("US-ASCII")
+          ++ Array.fill[Byte](24)(0))
+    }
+  }
+
+  test("video query: YUV4-only kernel, malformed stream quarantines") {
+    val out = Multimodal.multimodalVideo(spark, sf).cache()
+    try {
+      val expected = Multimodal.VideoPlanted.map { case (_, _, _, n, _, _, _) =>
+        (n + Multimodal.VideoFrameStride - 1) / Multimodal.VideoFrameStride
+      }.sum.toLong
+      assert(out.count() === expected)
+      assert(out.filter(col("doc_id") === Multimodal.MalformedY4mId)
+        .count() === 0)
+    } finally { out.unpersist(): Unit }
+  }
+
   test("streaming windowed counts match the batch event-window query") {
     val q = EventStream.runToMemory(spark, sf, "stream_out")
     try {

@@ -390,6 +390,31 @@ class PlanSpec extends SparkSpec {
       s"weighted sampling must plan zero exchanges:\n$ps")
   }
 
+  test("random projection: corpus path shuffle-free, codebook a broadcast") {
+    // the only exchanges allowed are inside the 1-row codebook build
+    // (dimension aggregate + its collapse); the corpus side must be
+    // scan → broadcast-join → map-side HOF folds → generate, with NO
+    // join machinery heavier than the 1-row broadcast nested loop
+    val p = plan(Similarity.embedProject(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"codebook must reach the corpus as a 1-row broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffleHashJoin"),
+      s"corpus-sized join in the projection:\n$p")
+    val exchanges = p.split("\n").count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2,
+      s"projection corpus path must not shuffle (got $exchanges):\n$p")
+  }
+
+  test("split leakage: pair table broadcasts against both endpoint labels") {
+    // near-dup pairs are dup-sized (<< corpus): both label joins must
+    // broadcast the pair side, never shuffle the corpus labels
+    val p = plan(Dedup.splitLeakage(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffleHashJoin"),
+      s"corpus-sized shuffle join in the leakage gate:\n$p")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both endpoint joins must broadcast the pair side:\n$p")
+  }
+
   test("inverted index builds in one exchange; snapshot diff shuffles " +
     "fingerprints, not text") {
     // the in-row array_distinct must keep (doc,term) dedup map-side: a
@@ -428,10 +453,12 @@ class PlanSpec extends SparkSpec {
     // per-query lookup tables — the PQ analog of cosine top-k's probe set
     // q_bm25, q_unigram_prob, and q_drift_ks carry the same 1-row
     // corpus-totals broadcast as q_salient_terms
+    // q_embed_project joins its 1-row array codebook the same way (the
+    // dimension-sized min/max table collapsed to one broadcast row)
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
       "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob",
-      "q_drift_ks")
+      "q_drift_ks", "q_embed_project")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))

@@ -226,6 +226,44 @@ class SimilaritySpec extends SparkSpec {
     } finally q.unpersist()
   }
 
+  test("random projection: complete, deterministic, and JL-faithful") {
+    val pr = Similarity.embedProject(spark, sf).cache()
+    try {
+      // every vector gets exactly ProjDims integer components
+      val n = Tables.embeddings(spark, sf).count()
+      assert(pr.count() === n * Similarity.ProjDims)
+      assert(pr.groupBy("vec_id").count()
+        .filter(col("count") =!= Similarity.ProjDims).count() === 0)
+      // the sign matrix is index-hashed: a fresh session reproduces
+      // every component bit-for-bit (no rand(), no partition order dep)
+      val again = Similarity.embedProject(spark.newSession(), sf)
+      assert(pr.except(again).count() === 0 &&
+        again.except(pr).count() === 0)
+      // JL sanity: projected L2 distance must broadly preserve neighbor
+      // order — the exact top-1 of each brute-force query should rank in
+      // the nearest third of the corpus under projected distance for
+      // most queries (a scale-free floor; exact preservation is not the
+      // JL promise at 16 dims)
+      val comps = pr.collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.sortBy(_.getInt(1)).map(_.getLong(2))
+        }
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val top1 = Similarity.simCosineTopk(spark, sf)
+        .filter(col("rank") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val good = top1.count { case (q, nb) =>
+        val dq = d2(comps(q), comps(nb))
+        val better = comps.count { case (o, v) => o != q && d2(comps(q), v) < dq }
+        better <= comps.size / 3
+      }
+      assert(good * 2 >= top1.length,
+        s"only $good/${top1.length} exact top-1s near under projection")
+    } finally pr.unpersist()
+  }
+
   test("chunk-grid near-dup emits each pair exactly once at any grid size") {
     val e = Tables.embeddings(spark, sf)
     val base = Similarity.nearDupPairsGrid(e, 1).collect()

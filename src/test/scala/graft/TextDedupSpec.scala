@@ -154,6 +154,19 @@ class TextDedupSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") >= 0.9)
   }
 
+  test("split leakage: accounts for every pair, flags cross-split dups") {
+    val pairs = Dedup.dedupMinhash(spark, sf)
+    val leak = Dedup.splitLeakage(spark, sf).collect()
+    // the gate is a pure re-labeling: pair mass is conserved
+    assert(leak.map(_.getLong(2)).sum === pairs.count())
+    // unordered labels: (a, b) always lexicographic, so no mirrored rows
+    assert(leak.forall(r => r.getString(0) <= r.getString(1)))
+    // the fixture corpus demonstrably leaks: at least one near-dup pair
+    // crosses the split boundary (the signal the gate exists to raise)
+    assert(leak.exists(r => r.getString(0) != r.getString(1)),
+      "fixture shows no cross-split leakage; gate untestable")
+  }
+
   test("simhash: identical token sets get identical signatures") {
     val sig = Dedup.dedupSimhash(spark, sf)
     // one signature per doc, planted multilingual rows included
