@@ -239,7 +239,8 @@ object Bench {
       "sess_win" -> "sesw", "incr" -> "inc", "st_ev_win" -> "stevw",
       "rep_spans" -> "rspan", "strat_smp" -> "ssmp", "pivot_dum" -> "pivd",
       "sal_terms" -> "salt", "salted_jn" -> "sltjn", "null_aud" -> "naud",
-      "st_enrich" -> "stenr", "detknz" -> "dtk")
+      "st_enrich" -> "stenr", "detknz" -> "dtk",
+      "watermark_aud" -> "wmaud")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

@@ -48,7 +48,7 @@ object ScaleBench {
     // not depth); the upsert's per-batch merge scales with batch size
     "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
     "q_compact", "q_stream_upsert", "q_event_sequences",
-    "q_robust_outliers",
+    "q_robust_outliers", "q_watermark_audit",
     // linkage/index family: salted copies share no first-token blocks
     // and no vocabulary across copies, so blocked fuzzy matching, the
     // bounded-postings index build, and the fingerprint diff should all

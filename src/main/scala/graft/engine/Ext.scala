@@ -553,7 +553,83 @@ object Ext {
         round(col("col._1"), 2).as("o_totalprice"))
   }
 
+  // ===== watermark-lateness audit =====================================
+
+  /** Microbatch size for the lateness replay: arrival order is the
+    * ingest sequence (`event_id` — the fixture's generation order), and
+    * the watermark available to batch `b` is the max event time over
+    * batches `< b` minus the candidate delay — exactly Structured
+    * Streaming's semantics (the watermark a batch sees was computed at
+    * the END of the previous batch).
+    */
+  val WatermarkBatch = 1000L
+
+  /** Candidate watermark delays (minutes) the audit prices. */
+  val WatermarkDelaysMin = Seq(5, 15, 60)
+
+  /** Planted late arrivals: (event_id, user_id, minutes_late). The
+    * fixture stream arrives perfectly event-time-ordered (0 inversions —
+    * measured), so genuine lateness is planted through the same
+    * planted-row pattern as the multimodal/dedup fixtures: arrival ids
+    * far past the corpus (they land in the final microbatches, where the
+    * watermark is the corpus max) with event times `minutes_late` behind
+    * that max — a row is then late under delay D iff minutes_late > D,
+    * giving every audited delay a distinct count.
+    */
+  private[graft] val LatePlanted: Seq[(Long, Long, Int)] =
+    Seq((100000001L, 1L, 2), (100000002L, 2L, 8), (100000003L, 3L, 20),
+        (100000004L, 4L, 90), (100000005L, 1L, 400))
+
+  /** Watermark-delay audit — the batch replay that SIZES a streaming
+    * watermark before deployment: for each candidate delay, how many
+    * events (and distinct users) the stream would DROP as too late.
+    * Production streams tune `withWatermark` by exactly this offline
+    * replay; picking the delay blind either drops data (too tight) or
+    * bloats every stateful operator's store (too loose).
+    *
+    * Scale shape: one exchange groups arrivals into microbatches; the
+    * prior-batch running max runs on the BATCH table (one row per
+    * microbatch — aggregate-bounded, the sanctioned single-partition
+    * window shape) and joins back by batch id; the delay explode is
+    * map-side (|delays| small) into one final aggregate of |delays|
+    * rows. No corpus self-join, no driver state.
+    */
+  def watermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val minuteUs = 60L * 1000000L
+    val corpus = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"))
+    val maxRow = corpus.agg(max(col("tsu")).as("corpus_max"))
+    val planted = LatePlanted.toDF("event_id", "user_id", "late_min")
+      .crossJoin(broadcast(maxRow))
+      .select(col("event_id"), col("user_id"),
+        (col("corpus_max") - col("late_min") * minuteUs).as("tsu"))
+    val arrivals = corpus.unionByName(planted)
+      .withColumn("batch", expr(s"event_id DIV $WatermarkBatch"))
+    val wmByBatch = arrivals.groupBy("batch")
+      .agg(max(col("tsu")).as("bmax"))
+      .withColumn("wbase", max(col("bmax")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("batch", "wbase")
+    val delays = explode(array(WatermarkDelaysMin.map(lit): _*))
+    arrivals.join(wmByBatch, Seq("batch"))
+      .withColumn("delay_min", delays)
+      .withColumn("late",
+        col("wbase").isNotNull &&
+          col("tsu") < col("wbase") - col("delay_min").cast("long") * minuteUs)
+      .groupBy("delay_min")
+      .agg(
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        countDistinct(when(col("late"), col("user_id"))).as("n_late_users"),
+        count(lit(1)).cast("long").as("n_events"),
+        round(sum(when(col("late"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("pct_late"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_watermark_audit" -> watermarkAudit _,
     "q_group_topk" -> groupTopK _,
     "q_robust_outliers" -> robustOutliers _,
     "q_event_sequences" -> eventSequences _,
@@ -579,6 +655,36 @@ object Ext {
     "q_set_ops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
+    "q_watermark_audit" -> {
+      val planted = LatePlanted.map { case (id, u, m) => s"($id, $u, $m)" }
+        .mkString(", ")
+      val delays = WatermarkDelaysMin.mkString(", ")
+      s"""WITH corpus AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+         |  FROM events),
+         |arr AS (SELECT event_id, user_id, tsu FROM corpus
+         |  UNION ALL
+         |  SELECT p.event_id, p.user_id,
+         |    (SELECT max(tsu) FROM corpus) - CAST(p.late_min AS BIGINT)
+         |      * 60000000 AS tsu
+         |  FROM (VALUES $planted) p(event_id, user_id, late_min)),
+         |b AS (SELECT *, event_id // $WatermarkBatch AS batch FROM arr),
+         |wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wbase
+         |  FROM (SELECT batch, max(tsu) AS bmax FROM b GROUP BY batch)),
+         |x AS (SELECT delay_min, user_id,
+         |    CASE WHEN wbase IS NOT NULL AND tsu < wbase
+         |      - CAST(delay_min AS BIGINT) * 60000000
+         |      THEN 1 ELSE 0 END AS late
+         |  FROM b JOIN wm USING (batch),
+         |    (SELECT unnest([$delays]) AS delay_min))
+         |SELECT CAST(delay_min AS INTEGER) AS delay_min,
+         |  CAST(sum(late) AS BIGINT) AS n_late,
+         |  CAST(count(DISTINCT CASE WHEN late = 1 THEN user_id END)
+         |    AS BIGINT) AS n_late_users,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  round(CAST(sum(late) AS DOUBLE) / count(*), 6) AS pct_late
+         |FROM x GROUP BY delay_min""".stripMargin
+    },
     "q_group_topk" ->
       s"""SELECT o_custkey, CAST(rn AS INTEGER) AS rank, o_orderkey,
          |  round(o_totalprice, 2) AS o_totalprice

@@ -455,10 +455,12 @@ class PlanSpec extends SparkSpec {
     // corpus-totals broadcast as q_salient_terms
     // q_embed_project joins its 1-row array codebook the same way (the
     // dimension-sized min/max table collapsed to one broadcast row)
+    // q_watermark_audit anchors its planted late rows to the 1-row
+    // corpus-max broadcast (same collect-scalar-kept-in-plan shape)
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
       "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob",
-      "q_drift_ks", "q_embed_project")
+      "q_drift_ks", "q_embed_project", "q_watermark_audit")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))

@@ -111,6 +111,24 @@ class SkewPipelineSpec extends SparkSpec {
       col("follow_value").isNotNull).count() === 0)
   }
 
+  test("watermark audit: late counts follow the planted L > D rule") {
+    val rows = Ext.watermarkAudit(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === Ext.WatermarkDelaysMin.toSet)
+    for (d <- Ext.WatermarkDelaysMin) {
+      // the corpus arrives event-time-ordered (zero genuine lateness),
+      // so late rows are exactly the planted ones with minutes_late > D
+      val expected = Ext.LatePlanted.count(_._3 > d).toLong
+      assert(rows(d)._1 === expected, s"delay $d")
+    }
+    // wider delay never drops more than a tighter one
+    val byDelay = Ext.WatermarkDelaysMin.map(rows(_)._1)
+    assert(byDelay === byDelay.sorted.reverse)
+    // every audited delay sees the same universe of arrivals
+    assert(rows.values.map(_._2).toSet.size === 1)
+  }
+
   test("GraftSession factory config registers SQL functions") {
     val s = GraftSession.getOrCreate(4)
     val v = s.sql("SELECT cosine_sim(array(CAST(3.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
