@@ -240,7 +240,8 @@ object Bench {
       "rep_spans" -> "rspan", "strat_smp" -> "ssmp", "pivot_dum" -> "pivd",
       "sal_terms" -> "salt", "salted_jn" -> "sltjn", "null_aud" -> "naud",
       "st_enrich" -> "stenr", "detknz" -> "dtk",
-      "watermark_aud" -> "wmaud")
+      "watermark_aud" -> "wmaud", "recall" -> "rcl",
+      "weights" -> "wts")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

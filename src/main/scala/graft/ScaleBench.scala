@@ -40,7 +40,8 @@ object ScaleBench {
   val QueryNames = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
     "q_dedup_simhash", "q_dedup_clusters", "q_decontaminate_bloom",
-    "q_dedup_incremental_bucketed", "q_sim_cosine_topk", "q_ann_lsh",
+    "q_dedup_incremental_bucketed", "q_dedup_weights",
+    "q_sim_cosine_topk", "q_ann_lsh",
     "q_ann_ivf", "q_ann_incremental", "q_embed_quantize",
     "q_weighted_sample", "q_pack_sequences", "q_repeated_spans",
     // event/ingest family (reads the synthesized events table): window

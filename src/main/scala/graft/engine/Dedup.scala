@@ -854,6 +854,37 @@ object Dedup {
         round(max(col("jaccard")), 6).as("max_jaccard"))
   }
 
+  /** Count-preserving dedup weights (the "soft dedup" form): one row per
+    * SURVIVING document with the multiplicity its near-dup component had
+    * in the raw corpus — keepers carry their component size, documents
+    * with no near-dup carry 1, dropped duplicates are absent. Hard dedup
+    * erases the corpus frequency signal (a document repeated 10 000
+    * times usually MATTERS more, and some recipes upweight or
+    * temperature-sample by multiplicity); this emits the weight column
+    * that keeps that choice open downstream while still training on
+    * each text once. Total weight provably equals raw corpus size (the
+    * count-preservation invariant, asserted in tests).
+    *
+    * Scale shape: the component table is dup-sized (only docs with at
+    * least one near-dup), so its size aggregate and both join-backs
+    * broadcast; the corpus side is touched once, map-side, for the
+    * weight-1 anti-join.
+    */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir)
+    val sizes = cl.groupBy("component_root")
+      .agg(count(lit(1)).as("weight"))
+    val keepers = cl.filter(col("keep"))
+      .join(broadcast(sizes), Seq("component_root"))
+      .select(col("doc_id"), col("weight"))
+    dedupDocs(spark, dir).select("doc_id")
+      .join(broadcast(cl.select(col("doc_id"), col("keep"))),
+        Seq("doc_id"), "left")
+      .filter(col("keep").isNull)
+      .select(col("doc_id"), lit(1L).as("weight"))
+      .unionByName(keepers)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -866,6 +897,7 @@ object Dedup {
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_repeated_spans" -> repeatedSpans _,
     "q_split_leakage" -> splitLeakage _,
+    "q_dedup_weights" -> dedupWeights _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
 
   // ---- oracle SQL (generated to mirror the constants above) ----
@@ -997,6 +1029,29 @@ object Dedup {
        |  a = least(a, min(b)) AS keep
        |FROM reach GROUP BY a""".stripMargin
 
+  /** DuckDB twin of [[dedupWeights]]: the clusters closure re-labeled as
+    * component sizes, keepers joined to their size, the no-dup remainder
+    * anti-joined to weight 1.
+    */
+  private val dedupWeightsSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (${verifySql(MinhashThreshold)}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b <> r.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS root
+       |  FROM reach GROUP BY a),
+       |sizes AS (SELECT root, CAST(count(*) AS BIGINT) AS weight
+       |  FROM comp GROUP BY root)
+       |SELECT c.doc_id, s.weight FROM comp c
+       |JOIN sizes s ON c.root = s.root WHERE c.doc_id = c.root
+       |UNION ALL
+       |SELECT d.doc_id, CAST(1 AS BIGINT) AS weight FROM docs d
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |WHERE c.doc_id IS NULL""".stripMargin
+
   private val ngramJaccardSql: String =
     s"""WITH $shingleSql,
        |rare AS (SELECT sid FROM ds GROUP BY sid
@@ -1066,6 +1121,7 @@ object Dedup {
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_incremental_bucketed" -> incrementalSql,
     "q_dedup_clusters" -> clustersSql,
+    "q_dedup_weights" -> dedupWeightsSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_simhash" -> simhashSql,
     "q_decontaminate" -> decontaminateSql,

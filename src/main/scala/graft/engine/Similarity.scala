@@ -687,6 +687,29 @@ object Similarity {
       .select(col("vec_id"), posexplode(expr(proj)).as(Seq("out_dim", "proj")))
   }
 
+  /** ANN index recall canary — the monitor a production vector-search
+    * deployment runs continuously: per sampled query, the fraction of
+    * the TRUE cosine top-k (brute force over the sample) that the LSH
+    * index actually returned. Recall decay is how index staleness,
+    * bad re-bucketing, or a drifting embedding distribution surfaces
+    * FIRST; deploying an ANN index without this gauge means silently
+    * degraded retrieval. The brute-force side is priced per-QUERY
+    * (the [[NQueryVecs]] sample), not per-corpus — the standard
+    * sampled-canary cost model, identical at any corpus size.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = simCosineTopk(spark, dir).select("query_id", "neighbor_id")
+    val approx = annLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        round(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)), 6).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_topk" -> simCosineTopk _,
     "q_ann_lsh" -> annLsh _,
@@ -698,7 +721,8 @@ object Similarity {
     "q_embed_near_dup" -> embedNearDup _,
     "q_embed_centroid" -> embedCentroid _,
     "q_embed_quantize" -> embedQuantize _,
-    "q_embed_project" -> embedProject _)
+    "q_embed_project" -> embedProject _,
+    "q_ann_recall" -> annRecall _)
 
   /** Shared cosine SQL fragment: same fused accumulation order as the
     * Catalyst expression (independent accumulators, index order).
@@ -815,6 +839,27 @@ object Similarity {
       s"""WITH $lshSql
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH $lshSql,
+         |lsh AS (SELECT query_id, neighbor_id FROM ranked
+         |  WHERE rank <= $TopK),
+         |bqv AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < $NQueryVecs),
+         |bpairs AS (SELECT query_id, vec_id AS neighbor_id,
+         |    round(${cosSql("qe", "embedding")}, 6) AS cos_sim
+         |  FROM embeddings CROSS JOIN bqv WHERE vec_id <> query_id),
+         |branked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bpairs),
+         |truth AS (SELECT query_id, neighbor_id FROM branked
+         |  WHERE rank <= $TopK)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN lsh l
+         |  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
     "q_sim_cosine_topk" ->
       s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NQueryVecs),
          |pairs AS (SELECT query_id, vec_id AS neighbor_id,

@@ -457,10 +457,13 @@ class PlanSpec extends SparkSpec {
     // dimension-sized min/max table collapsed to one broadcast row)
     // q_watermark_audit anchors its planted late rows to the 1-row
     // corpus-max broadcast (same collect-scalar-kept-in-plan shape)
+    // q_ann_recall embeds q_sim_cosine_topk as its truth side, so it
+    // inherits that query's sanctioned broadcast probe join
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
       "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob",
-      "q_drift_ks", "q_embed_project", "q_watermark_audit")
+      "q_drift_ks", "q_embed_project", "q_watermark_audit",
+      "q_ann_recall")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))

@@ -264,6 +264,28 @@ class SimilaritySpec extends SparkSpec {
     } finally pr.unpersist()
   }
 
+  test("recall canary: one row per query, hits bounded, ratio consistent") {
+    val r = Similarity.annRecall(spark, sf).collect()
+    assert(r.length === Similarity.NQueryVecs)
+    for (row <- r) {
+      val (nTrue, nHit, rec) =
+        (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(nTrue === Similarity.TopK.toLong)
+      assert(nHit >= 0L && nHit <= nTrue)
+      assert(math.abs(rec - nHit.toDouble / nTrue) < 1e-6)
+    }
+    // the canary must agree with a direct recount of the two queries
+    val truth = Similarity.simCosineTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Similarity.annLsh(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val hits = r.map(row => row.getLong(0) -> row.getLong(2)).toMap
+    for ((q, h) <- hits)
+      assert(h === truth.filter(_._1 == q).count(lsh.contains).toLong)
+  }
+
   test("chunk-grid near-dup emits each pair exactly once at any grid size") {
     val e = Tables.embeddings(spark, sf)
     val base = Similarity.nearDupPairsGrid(e, 1).collect()

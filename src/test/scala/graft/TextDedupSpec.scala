@@ -167,6 +167,27 @@ class TextDedupSpec extends SparkSpec {
       "fixture shows no cross-split leakage; gate untestable")
   }
 
+  test("dedup weights: count-preserving, keepers carry component size") {
+    val w = Dedup.dedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // total weight = raw corpus size (nothing lost, nothing invented)
+    assert(w.map(_._2).sum === Dedup.dedupDocs(spark, sf).count())
+    assert(w.map(_._1).distinct.length === w.length)
+    val cl = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // exactly the cluster keepers plus the untouched remainder survive
+    val keepers = cl.filter(_._3).map(_._1).toSet
+    val members = cl.map(_._1).toSet
+    assert(w.map(_._1).toSet ===
+      keepers ++ (Dedup.dedupDocs(spark, sf).select("doc_id").collect()
+        .map(_.getLong(0)).toSet -- members))
+    // a keeper's weight is its component's cardinality; others carry 1
+    val sizes = cl.groupBy(_._2).map { case (root, rs) => root -> rs.length }
+    for ((id, weight) <- w)
+      assert(weight ===
+        (if (keepers(id)) sizes(id).toLong else 1L), s"doc $id")
+  }
+
   test("simhash: identical token sets get identical signatures") {
     val sig = Dedup.dedupSimhash(spark, sf)
     // one signature per doc, planted multilingual rows included
