@@ -136,6 +136,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Y4M decoder law on generated streams: stats match brute force") {
+    val cfgGen: Gen[(Int, Int, Int, Int, Int, Boolean)] = for {
+      w <- Gen.chooseNum(1, 12)
+      h <- Gen.chooseNum(1, 12)
+      frames <- Gen.chooseNum(1, 9)
+      fn <- Gen.chooseNum(1, 60000)
+      fd <- Gen.chooseNum(1, 1001)
+      extras <- Gen.oneOf(true, false)
+    } yield (w, h, frames, fn, fd, extras)
+    for ((w, h, frames, fn, fd, extras) <- samples(cfgGen, 60)) {
+      val got = Multimodal.decodeY4m(7L,
+        Multimodal.y4mPayload(w, h, frames, fn, fd, extras))
+      val sampled = 0 until frames by Multimodal.VideoFrameStride
+      assert(got.map(_.frame_idx) === sampled.toSeq, s"($w,$h,$frames)")
+      for (s <- got) {
+        def plane(p: Int) = (0 until w * h)
+          .map(i => (i * 31 + s.frame_idx * 17 + p * 7 + 13) % 251)
+        assert(s.n_frames === frames)
+        assert(s.duration_ms === frames.toLong * 1000 * fd / fn)
+        assert(s.sum_y === plane(0).map(_.toLong).sum)
+        assert(s.sum_u === plane(1).map(_.toLong).sum)
+        assert(s.sum_v === plane(2).map(_.toLong).sum)
+        assert(s.peak_y === plane(0).max)
+      }
+      // any strict prefix truncation inside the frame data must throw,
+      // never mis-decode: the quarantine contract on arbitrary streams
+      val whole = Multimodal.y4mPayload(w, h, frames, fn, fd, extras)
+      intercept[IllegalArgumentException] {
+        Multimodal.decodeY4m(7L, whole.dropRight(1))
+      }
+    }
+  }
+
   test("recodeBooleans domain law on generated inputs (Spark batch)") {
     import spark.implicits._
     val strGen = Gen.oneOf(Gen.const("True"), Gen.const("False"),
