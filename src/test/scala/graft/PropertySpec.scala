@@ -169,6 +169,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WAV decoder law on generated layouts: stats match brute force") {
+    val cfgGen: Gen[(Int, Int, Int, Boolean)] = for {
+      ch <- Gen.chooseNum(1, 4)
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+      frames <- Gen.chooseNum(1, 300)
+      withList <- Gen.oneOf(true, false)
+    } yield (ch, rate, frames, withList)
+    for ((ch, rate, frames, withList) <- samples(cfgGen, 60)) {
+      val got = Multimodal.decodeWav(3L,
+        Multimodal.wavPayload(ch, rate, frames, withList))
+      assert(got.length === ch, s"($ch,$rate,$frames)")
+      for (c <- 0 until ch) {
+        val amps = (0 until frames)
+          .map(f => (((f * ch + c) * 31 + 7) % 4001) - 2000)
+        val s = got(c)
+        assert(s.n_samples === frames.toLong)
+        assert(s.duration_ms === frames.toLong * 1000 / rate)
+        assert(s.sum_amp === amps.map(_.toLong).sum)
+        assert(s.sum_sq_amp === amps.map(a => a.toLong * a).sum)
+        assert(s.peak_amp === amps.map(math.abs).max)
+      }
+      // truncating into the data chunk must throw, never mis-decode
+      intercept[IllegalArgumentException] {
+        Multimodal.decodeWav(3L,
+          Multimodal.wavPayload(ch, rate, frames, withList).dropRight(1))
+      }
+    }
+  }
+
   test("recodeBooleans domain law on generated inputs (Spark batch)") {
     import spark.implicits._
     val strGen = Gen.oneOf(Gen.const("True"), Gen.const("False"),
