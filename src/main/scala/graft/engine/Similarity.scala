@@ -614,12 +614,25 @@ object Similarity {
     */
   val QuantLevels = 254
 
+  /** Per-dimension min/max codebook, memoized per (session, dir): both
+    * [[embedQuantize]] and [[embedProject]] derive their codes from it,
+    * so one corpus pass serves both queries in a sweep (64 cached rows).
+    */
+  private def dimStats(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"sim.dimStats:$dir") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("pos"), col("col").cast("double").as("v"))
+        .groupBy("pos")
+        .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+        .cache()
+    }
+
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
-    val stats = dims.groupBy("pos")
-      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+    val stats = dimStats(spark, dir)
     val range = col("dmax") - col("dmin")
     val code = when(col("dmax") === col("dmin"), lit(0L))
       .otherwise(
@@ -663,11 +676,7 @@ object Similarity {
   val ProjDims = 16
 
   def embedProject(spark: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("pos"), col("col").cast("double").as("v"))
-    val codebook = dims.groupBy("pos")
-      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+    val codebook = dimStats(spark, dir)
       .agg(expr("array_sort(collect_list(struct(pos, dmin, dmax)))").as("cb"))
     val codes = // same IEEE expression tree as [[embedQuantize]]'s codes
       s"""transform(sequence(0, size(embedding) - 1), i ->

@@ -400,9 +400,14 @@ class PlanSpec extends SparkSpec {
       s"codebook must reach the corpus as a 1-row broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffleHashJoin"),
       s"corpus-sized join in the projection:\n$p")
-    val exchanges = p.split("\n").count(_.matches("""\(\d+\) Exchange\s*"""))
-    assert(exchanges <= 2,
-      s"projection corpus path must not shuffle (got $exchanges):\n$p")
+    // the corpus scan must feed the broadcast join DIRECTLY — any
+    // Exchange between them would mean the map-side HOF folds regressed
+    // into a shuffle (exchanges inside the memoized codebook build's
+    // cached sub-plan are expected and excluded by this shape check)
+    val lines = p.split("\n")
+    val bnlj = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj >= 0 && lines(bnlj + 1).contains(":- Scan parquet"),
+      s"corpus scan is not the join's direct child:\n$p")
   }
 
   test("split leakage: pair table broadcasts against both endpoint labels") {
