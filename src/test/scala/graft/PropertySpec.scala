@@ -198,6 +198,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PNG decode law on generated dims: lossless raster recovery") {
+    val dimGen: Gen[(Int, Int)] = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+    } yield (w, h)
+    for ((w, h) <- samples(dimGen, 40)) {
+      val img = Multimodal.decodeImage(Multimodal.pngPayload(w, h))
+      def sum(c: Int) = (0 until w * h)
+        .map(p => ((3 * p + c) * 7 + 13) % 251).map(_.toLong).sum
+      assert(img.width === w && img.height === h, s"($w,$h)")
+      // PNG is lossless: channel sums equal the arithmetic raster's
+      assert(img.sumR === sum(0), s"($w,$h) R")
+      assert(img.sumG === sum(1), s"($w,$h) G")
+      assert(img.sumB === sum(2), s"($w,$h) B")
+    }
+    // JPEG is lossy — only dims survive exactly, but decode must be
+    // deterministic within a JVM (the oracle-pinning assumption)
+    for ((w, h) <- samples(dimGen, 10)) {
+      val a = Multimodal.decodeImage(Multimodal.jpegPayload(w, h))
+      val b = Multimodal.decodeImage(Multimodal.jpegPayload(w, h))
+      assert(a.width === w && a.height === h, s"($w,$h)")
+      assert(a === b, s"($w,$h) JPEG decode not deterministic")
+    }
+  }
+
   test("recodeBooleans domain law on generated inputs (Spark batch)") {
     import spark.implicits._
     val strGen = Gen.oneOf(Gen.const("True"), Gen.const("False"),
