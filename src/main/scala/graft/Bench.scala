@@ -241,7 +241,25 @@ object Bench {
       "sal_terms" -> "salt", "salted_jn" -> "sltjn", "null_aud" -> "naud",
       "st_enrich" -> "stenr", "detknz" -> "dtk",
       "watermark_aud" -> "wmaud", "recall" -> "rcl",
-      "weights" -> "wts")
+      "weights" -> "wts",
+      // round-11 third batch: the 130-query line projects to ~2046 chars
+      // without these. Same rename-note protocol (BASELINE.md "Bench key
+      // abbreviations"); rules run over already-folded forms.
+      "dd_inc_bkt" -> "ddibk", "mv_refresh" -> "mvrfr",
+      "semi_anti" -> "seman", "bpe_vocab" -> "bpevc",
+      "dd_ng_jac" -> "ddnjac", "ref_integ" -> "refint",
+      "s_pri_sum" -> "spsum", "str_clean" -> "strcln",
+      "agg_glob" -> "aglob", "agg_mnmx" -> "amnmx",
+      "agg_2kre" -> "a2kre", "dctm_blm" -> "dctblm",
+      "expl_map" -> "exmap", "jn_inner" -> "jninn",
+      "part_exp" -> "pexp", "range_jn" -> "rngjn",
+      "rcd_fold" -> "rcfold", "rcd_when" -> "rcwhen",
+      "spl_leak" -> "spleak", "tx_scrub" -> "txscrb",
+      "win_rank" -> "wrank",
+      // round-11 fourth batch (chunk-dedup + dup-transitivity keys):
+      "dup_transitivity" -> "dptr", "chk_dd" -> "cdd",
+      "jsonl_rt" -> "jslrt", "doc_fp" -> "dfp", "bt_star" -> "btstr",
+      "asof_jn" -> "asfjn")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

@@ -26,7 +26,8 @@ object SparkEntry {
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ MlSuite.queries ++ SqlEntry.queries ++
       Curation.queries ++ SourceQueries.queries ++ Linkage.queries ++
-      Bpe.queries ++ graft.streaming.StreamingQueries.queries
+      Bpe.queries ++ JoinOps.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ MlSuite.oracles ++ SqlEntry.oracles ++
       Curation.oracles ++ SourceQueries.oracles ++ Linkage.oracles ++
-      Bpe.oracles ++ graft.streaming.StreamingQueries.oracles
+      Bpe.oracles ++ JoinOps.oracles ++
+      graft.streaming.StreamingQueries.oracles
 }

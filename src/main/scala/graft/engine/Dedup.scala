@@ -885,7 +885,94 @@ object Dedup {
       .unionByName(keepers)
   }
 
+  /** Chunk (paragraph) granularity for [[chunkDedup]]: non-overlapping
+    * [[ChunkWords]]-token windows. Sized to the fixture's small
+    * vocabulary so genuine cross-document repeats exist; a web corpus
+    * dedupes real paragraphs (newline-split) or 50–100-token windows
+    * with the same plan shape.
+    */
+  val ChunkWords = 4
+
+  /** Chunk-level exact dedup with a keep-first policy — the APPLY step to
+    * [[repeatedSpans]]'s boilerplate detection and the sub-document
+    * sibling of [[dedupExact]]: C4/RefinedWeb-style pipelines drop every
+    * repeated paragraph after its first occurrence (both across documents
+    * and within one), not just whole-document copies. "First" is the
+    * global (doc_id, position) order — a total, data-defined rule both
+    * engines replay exactly.
+    *
+    * Scale shape: chunks never travel as text — the md5 fingerprint is
+    * computed scan-side and only (doc_id, pos, fp) rows shuffle. Exactly
+    * two exchanges: one on fp for the keep-first window (row_number over
+    * a total order — each fingerprint's group is occurrence-sized), one
+    * on doc_id for the per-doc rollup. No dictionary, no self-join; the
+    * pair space never materializes (the win over pairwise exact-substring
+    * comparison at 100 TB).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")), lit(ChunkWords))).as("p"),
+        col("t"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("t"), col("p"), lit(ChunkWords))))
+          .as("fp"))
+    val w = Window.partitionBy("fp").orderBy("doc_id", "p")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        (col("n_chunks") - col("n_kept")).as("n_dup"))
+  }
+
+  /** Transitivity diagnostic over the verified near-dup pair graph:
+    * nodes/edges/wedges/triangles and the transitivity ratio
+    * 3·triangles/wedges in integer ppm. This is the measurement that
+    * justifies (or indicts) cluster-based dedup: [[dedupClusters]] keeps
+    * ONE doc per CONNECTED component, which over-merges exactly when
+    * near-dup edges are not transitive — a low ratio here says "audit the
+    * clusters before deleting", a high one says component-collapse is
+    * safe. Standard graph practice (triangle/wedge closure as cluster
+    * quality evidence).
+    *
+    * Scale shape: the input is [[dedupMinhash]]'s OUTPUT — dup-pair-sized,
+    * not corpus-sized — so the triangle join runs on the small derived
+    * graph (every edge a<b; wedge rows (a<b<c) check closure via a
+    * LEFT SEMI join, so each triangle counts exactly once and no
+    * wedge-row duplication survives the join). Degree/wedge counts are
+    * one map-side-combined aggregation. On a giant dup graph the same
+    * query applies after degree-ordering edge orientation (each edge
+    * oriented low-degree→high-degree bounds wedge fan-out by √m) — the
+    * a<b id orientation here is that pattern with ids standing in for
+    * degree rank. Integer arithmetic end-to-end (ppm by BIGINT division)
+    * keeps both engines bit-identical.
+    */
+  def dupTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = dedupMinhash(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val nw = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val tr = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nw.crossJoin(broadcast(ne)).crossJoin(broadcast(tr))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("CAST(3 * n_triangles * 1000000 DIV NULLIF(n_wedges, 0)" +
+          " AS BIGINT)").as("transitivity_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_chunk_dedup" -> chunkDedup _,
+    "q_dup_transitivity" -> dupTransitivity _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -1097,6 +1184,42 @@ object Dedup {
        |HAVING count(DISTINCT CASE WHEN hit THEN sid END) >= 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |ch AS (SELECT doc_id, p,
+         |    md5(array_to_string(w[p : p + ${ChunkWords - 1}], ' ')) AS fp
+         |  FROM t, LATERAL (SELECT
+         |    unnest(range(1, len(w) + 1, $ChunkWords)) AS p)),
+         |r AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn
+         |  FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup
+         |FROM r GROUP BY doc_id""".stripMargin,
+    "q_dup_transitivity" ->
+      s"""WITH $minhashCtes,
+         |ver AS (${verifySql(MinhashThreshold)}),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM ver),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+         |  GROUP BY v),
+         |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |  SELECT e1.a, e1.b, e2.c FROM e e1
+         |  JOIN (SELECT a AS b, b AS c FROM e) e2 USING (b)
+         |  WHERE EXISTS (SELECT 1 FROM e e3
+         |    WHERE e3.a = e1.a AND e3.b = e2.c)))
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CAST(3 * n_triangles * 1000000 // NULLIF(n_wedges, 0)
+         |    AS BIGINT) AS transitivity_ppm
+         |FROM nw CROSS JOIN ne CROSS JOIN tr""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,

@@ -1,0 +1,251 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-reduction and view-maintenance operators — the relational
+  * infrastructure passes that keep 100 TB joins and refreshes from paying
+  * corpus-sized work: Bloom semi-join reduction (ship an 8 KiB bitmap
+  * instead of a billion-key build side), explicit semi/anti join coverage
+  * (the EXISTS / NOT EXISTS audit shapes), and incremental
+  * materialized-view maintenance (merge delta partials into persisted
+  * grain-sized state instead of re-scanning the fact table).
+  *
+  * All three are oracle-checked: the Bloom filter and the persisted MV are
+  * pure physical optimizations whose OUTPUT is defined by plain relational
+  * semantics, so DuckDB replays the semantic query and the hash gate
+  * proves the optimized path changes nothing.
+  */
+object JoinOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bloom bitmap size in bits (2^16 ⇒ 1024 longs ≈ 8 KiB broadcast).
+    * With the fixture's ~3k urgent orders and [[BloomHashes]] probes the
+    * false-positive rate is (1−e^(−2n/m))² ≈ 0.8%; a production build
+    * sizes m from the build-side count the same way.
+    */
+  val BloomBits = 65536
+  /** Independent hash probes per key (seeded xxhash64). */
+  val BloomHashes = 2
+
+  private def bloomPos(key: Column, seed: Int): Column =
+    pmod(xxhash64(key, lit(seed)), lit(BloomBits.toLong))
+
+  /** One Bloom membership test: bit `posCol % 64` of bitmap word
+    * `posCol DIV 64` (map-column `bm`). `try_element_at` + coalesce: a
+    * missing word means no build key ever set a bit there ⇒ definitely
+    * absent (and stays null-safe under ANSI mode).
+    */
+  private def bloomHit(posCol: String): Column =
+    expr(s"coalesce(try_element_at(bm, CAST($posCol DIV 64 AS INT)), 0L)" +
+      s" & shiftleft(1L, CAST($posCol % 64 AS INT))") =!= 0L
+
+  /** Fold bit positions into the broadcastable bitmap: ≤[[BloomBits]]/64
+    * (word, bits) rows via map-side-combined `bit_or`, then ONE map
+    * column — every aggregation buffer is bounded by the bitmap size,
+    * never by build-side cardinality.
+    */
+  private def bloomBitmap(positions: DataFrame): DataFrame =
+    positions
+      .groupBy(expr("CAST(pos DIV 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("bm"))
+
+  /** Attach [[BloomHashes]] position columns for `key` and filter rows
+    * whose every probed bit is set in `bm`.
+    */
+  private def bloomFilterRows(df: DataFrame, key: Column): DataFrame = {
+    val withPos = (0 until BloomHashes).foldLeft(df) { (d, s) =>
+      d.withColumn(s"bpos$s", bloomPos(key, s))
+    }
+    val seeds = 0 until BloomHashes
+    withPos
+      .filter(seeds.map(s => bloomHit(s"bpos$s")).reduce(_ && _))
+      .drop("bm" +: seeds.map(s => s"bpos$s"): _*)
+  }
+
+  /** Bloom semi-join reduction: urgent-order revenue per priority, with
+    * the fact side pre-filtered by a Bloom bitmap of the build side's join
+    * keys before the exact join.
+    *
+    * Why this exists at 100 TB: when the build side is too big to
+    * broadcast AS KEYS (10⁹ order keys ≈ 8 GB) the shuffle join ships the
+    * FULL probe side; a Bloom bitmap is constant-sized (8 KiB here — m
+    * scales with build count, not probe count), broadcasts for free, and
+    * drops ~(1−σ) of probe rows BEFORE the exchange, so the shuffle pays
+    * selectivity-sized I/O. False positives survive the filter but the
+    * exact join removes them — the bitmap is invisible in the answer,
+    * which is exactly what the oracle (a plain join) checks. Spark's own
+    * runtime row-level filters apply the same idea planner-side; this
+    * operator is the explicit, tunable form a pipeline pins down when it
+    * cannot rely on the planner firing.
+    *
+    * Build shape (scale-correct, no key-count-sized state anywhere): keys
+    * → bit positions (map-side), positions → ≤1024 (word, bits) rows via
+    * map-side-combined `bit_or`, words → ONE map column. Every
+    * aggregation buffer is bounded by the bitmap size, never by the
+    * build-side cardinality.
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val positions = urgent.select(explode(array(
+      (0 until BloomHashes).map(s => bloomPos(col("o_orderkey"), s)): _*))
+      .as("pos"))
+    val bitmap = bloomBitmap(positions)
+    val probed = bloomFilterRows(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .crossJoin(broadcast(bitmap)),
+      col("l_orderkey"))
+    probed.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("double"), 2).as("sum_price"))
+  }
+
+  /** Bloom-filtered probe row count vs the exact match count — exposed for
+    * the spec's reduction/soundness gate (bloom passes ⊇ true matches,
+    * and well under the full probe side).
+    */
+  private[graft] def bloomProbeCounts(spark: SparkSession, dir: String)
+      : (Long, Long, Long) = {
+    val li = Tables.lineitem(spark, dir)
+    val urgentKeys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bitmap = bloomBitmap(urgentKeys.select(explode(array(
+      (0 until BloomHashes).map(s => bloomPos(col("o_orderkey"), s)): _*))
+      .as("pos")))
+    val passed = bloomFilterRows(li.crossJoin(broadcast(bitmap)),
+      col("l_orderkey")).count()
+    val exact = li.join(urgentKeys,
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    (li.count(), passed, exact)
+  }
+
+  /** Explicit semi/anti join coverage: per nation, customers WITH at least
+    * one order (left_semi) and customers WITHOUT (left_anti) — the
+    * EXISTS / NOT EXISTS audit pair every referential pipeline runs.
+    * Semi/anti are the scale-honest shapes for existence checks: they
+    * shuffle only join keys, never duplicate probe rows on multi-match
+    * (an inner-join + distinct would), and the anti side is the orphan
+    * audit that a plain join cannot express without a null-padded outer
+    * join. The nation dim broadcasts; the semi/anti key exchange is
+    * shared by AQE (same key, same side).
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val active = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy("n_name").agg(count(lit(1)).as("n_active"))
+    val inactive = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy("n_name").agg(count(lit(1)).as("n_inactive"))
+    active.join(inactive, Seq("n_name"), "full_outer")
+      .select(col("n_name"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+  }
+
+  /** The MV's base/delta carve: rows with `l_orderkey % MvDeltaMod == 0`
+    * are "the batch that just arrived"; the rest are the already-folded
+    * corpus whose partials live in the persisted state.
+    */
+  val MvDeltaMod = 10
+
+  private def mvPartials(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sq"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("sp"))
+
+  /** Persisted grain-sized MV state (parquet, memoized per session+dir,
+    * deleted on memo eviction / JVM exit) — the artifact a production
+    * refresh keeps between batches, exactly like the dedup band index
+    * ([[Dedup]] `corpusBandIndex`).
+    */
+  private def mvBasePath(spark: SparkSession, dir: String): String =
+    SessionMemo.getOrComputeCleanup(spark, s"joinops.mvBase:$dir") {
+      val path = TempArtifacts.tempDir(
+        s"graft_mv_base_${math.abs(dir.hashCode.toLong)}")
+      mvPartials(Tables.lineitem(spark, dir)
+          .filter(col("l_orderkey") % MvDeltaMod =!= 0))
+        .write.mode("overwrite").parquet(path)
+      path
+    } { p => TempArtifacts.delete(p) }
+
+  /** Incremental materialized-view maintenance: refresh a per-(returnflag,
+    * linestatus) aggregate by merging the DELTA batch's partials into the
+    * persisted base partials — count/sum are algebraic, so the merged
+    * state is exact and AVG derives as sum/count at read time (never
+    * stored, never averaged-of-averages).
+    *
+    * Why this is the 100 TB shape: a naive refresh re-scans the fact
+    * table every batch (corpus-sized); this refresh reads grain-sized
+    * persisted state (a few hundred rows regardless of corpus size) plus
+    * the delta only, so refresh cost is O(delta) — the same
+    * delta-not-corpus contract as the incremental dedup/ANN probes. The
+    * oracle recomputes the full aggregate from scratch; the hash gate
+    * proves merge-of-partials ≡ recompute. Decimal partial sums keep the
+    * merge exact across engines (and across merge ORDER — double partials
+    * would drift by reduction order at scale). Deletes/updates would need
+    * retractable partials (count/sum subtract cleanly; MIN/MAX do not) —
+    * inserts-only here, as in the append-only ingest this models.
+    */
+  def mvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(mvBasePath(spark, dir))
+    val delta = mvPartials(Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % MvDeltaMod === 0))
+    base.union(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"),
+        sum(col("sp")).as("sp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("n").cast("long").as("n"),
+        round(col("sq").cast("double"), 2).as("sum_qty"),
+        round(col("sp").cast("double") / col("n"), 4).as("avg_price"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bloom_join" -> bloomJoin _,
+    "q_semi_anti" -> semiAnti _,
+    "q_mv_refresh" -> mvRefresh _)
+
+  val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE),
+        |    2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_semi_anti" ->
+      """WITH ok AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT n_name,
+        |  CAST(sum(CASE WHEN ok.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN ok.o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_inactive
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN ok ON c_custkey = ok.o_custkey
+        |GROUP BY n_name""".stripMargin,
+    "q_mv_refresh" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    / count(*), 4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{JoinOps, Tables}
+
+/** Join-reduction and view-maintenance invariants: the Bloom pre-filter is
+  * sound (superset of true matches) and actually reduces the probe side;
+  * the optimized paths are answer-invariant (bloom ≡ plain join, merged
+  * MV partials ≡ full recompute); semi+anti partition the customer dim.
+  */
+class JoinOpsSpec extends SparkSpec {
+
+  test("bloom pre-filter is sound and reduces the probe side") {
+    val (total, passed, exact) = JoinOps.bloomProbeCounts(spark, sf)
+    assert(exact <= passed, "bloom must never drop a true match")
+    assert(passed <= total)
+    // urgent orders are ~1/5 of the fixture; 2-hash/64Kbit bloom fp rate
+    // is <1%, so the pass set must be well under half the probe side
+    assert(passed < total / 2,
+      s"bloom kept $passed of $total rows — no reduction happened")
+  }
+
+  test("bloom join result is bitmap-invariant (equals the plain join)") {
+    val got = JoinOps.bloomJoin(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val want = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("double"), 2).as("sum_price"))
+      .collect()
+    assert(got.map(_.toSeq).toSet == want.map(_.toSeq).toSet)
+  }
+
+  test("mv refresh merge-of-partials equals full recompute") {
+    val got = JoinOps.mvRefresh(spark, sf).collect()
+    val want = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("double") / count(lit(1)), 4).as("avg_price"))
+      .collect()
+    assert(got.map(_.toSeq).toSet == want.map(_.toSeq).toSet)
+    // second refresh reads the memoized persisted state — same answer
+    val again = JoinOps.mvRefresh(spark, sf).collect()
+    assert(again.map(_.toSeq).toSet == want.map(_.toSeq).toSet)
+  }
+
+  test("semi and anti counts partition each nation's customers") {
+    val perNation = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+    val got = JoinOps.semiAnti(spark, sf)
+      .join(perNation, "n_name")
+      .filter(col("n_active") + col("n_inactive") =!= col("n_customers"))
+    assert(got.count() == 0,
+      "semi + anti must partition the customer set per nation")
+    assert(JoinOps.semiAnti(spark, sf).agg(sum(col("n_active")))
+      .head.getLong(0) > 0)
+  }
+}

@@ -500,4 +500,50 @@ class TextDedupSpec extends SparkSpec {
       .filter(col("contamination") === 1.0).select("doc_id")
     assert(copies.except(flagged).count() === 0)
   }
+
+  test("chunk dedup: counts partition, and each fingerprint keeps one") {
+    val cd = Dedup.chunkDedup(spark, sf)
+    assert(cd.filter(col("n_kept") + col("n_dup") =!= col("n_chunks"))
+      .count() === 0)
+    // a doc that is an exact copy of an earlier doc keeps ZERO chunks
+    // (every chunk already seen) — so the bound is 0..n_chunks
+    assert(cd.filter(col("n_kept") < 0 ||
+      col("n_kept") > col("n_chunks")).count() === 0)
+    // global keep-first: kept chunks across the corpus = distinct
+    // fingerprints; total chunks = independent per-doc replay
+    val chunks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")),
+          lit(Dedup.ChunkWords))).as("p"), col("t"))
+      .select(md5(concat_ws(" ",
+        slice(col("t"), col("p"), lit(Dedup.ChunkWords)))).as("fp"))
+    val (total, distinctFp) =
+      (chunks.count(), chunks.distinct().count())
+    val agg = cd.agg(sum("n_chunks"), sum("n_kept")).head
+    assert(agg.getLong(0) === total)
+    assert(agg.getLong(1) === distinctFp)
+  }
+
+  test("dup transitivity: exact in-memory graph replay") {
+    val row = Dedup.dupTransitivity(spark, sf).head
+    val edges = Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.toSeq.map(v =>
+      edges.count(e => e._1 == v || e._2 == v).toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b
+      if edges.contains((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(row.getLong(0) === nodes.size.toLong)
+    assert(row.getLong(1) === edges.size.toLong)
+    assert(row.getLong(2) === wedges)
+    assert(row.getLong(3) === tris)
+    assert(3 * tris <= wedges, "each triangle closes 3 distinct wedges")
+    if (wedges > 0)
+      assert(row.getLong(4) === 3 * tris * 1000000L / wedges)
+  }
 }
