@@ -125,8 +125,10 @@ object Bench {
     // The harness retains only the LAST ~2000 chars of stdout, and the
     // artifact is whatever of the final JSON line survives in that tail —
     // round 9's line overflowed and lost its head (total + 7 entries +
-    // the calib series). Four levers keep the query line inside the
-    // budget at 95 queries (~1850 chars, ~150 headroom):
+    // the calib series). From round 11 the line carries per-query times
+    // for the frozen [[AnchorKeys]] set only (see below) — the rename
+    // batches stopped scaling past ~130 queries. Four levers keep the
+    // line inside the budget:
     //   1. per-query keys go through [[shortKey]] (rule table mirrored in
     //      BASELINE.md "Bench key abbreviations");
     //   2. seconds are 2-decimal with a trailing zero trimmed;
@@ -141,9 +143,22 @@ object Bench {
       val s = f"$v%.2f"
       if (s.endsWith("0")) s.dropRight(1) else s
     }
-    val qs = results.zip(shortKeys)
+    // Structural fix (BASELINE.md "Bench key abbreviations", round 11):
+    // the query inventory outgrew the ~2000-char stdout tail, so the
+    // stdout line carries per-query entries ONLY for the round-1 ANCHOR
+    // set (the 59 keys every round since r1 has measured — the judge's
+    // cross-round comparison set, stable keys, ~1000 chars) plus an
+    // "extra" summary {n, fails, sum} of all remaining queries. The
+    // committed BENCH_LOCAL.json remains the per-query artifact of
+    // record for EVERY query (full names, 3-decimal seconds).
+    val (anchor, extra) = results.zip(shortKeys)
+      .partition { case ((name, _), _) => AnchorKeys(name) }
+    val qs = anchor
       .map { case ((_, v), sk) => "\"" + sk + "\":" + f2(v) }
       .mkString("{", ",", "}")
+    val extraJson = "{\"n\":" + extra.size +
+      ",\"fails\":" + extra.count(_._1._2 < 0) +
+      ",\"sum\":" + f2(extra.map(_._1._2).filter(_ >= 0).sum) + "}"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // stop (and silence) Spark BEFORE printing so shutdown warnings cannot
     // land after the JSON line and push it out of a bounded output tail
@@ -156,7 +171,7 @@ object Bench {
       s"""{"metric":"calib_ms","series":${msSeries(probes.toSeq)},""" +
         s""""io_ms":${msSeries(ioProbes.toSeq)},"sf":"$sfName"}"""
     val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfName"}"""
+      s""""queries":$qs,"extra":$extraJson,"sf":"$sfName"}"""
     if (line.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
         "is near the 2000-char stdout-tail budget; shorten keys in shortKey")
@@ -164,6 +179,31 @@ object Bench {
     println(calibLine)
     println(line)
   }
+
+  /** The round-1 anchor set: the 59 queries BENCH_r01.json measured on
+    * this host — every later round re-measures them under the same keys,
+    * so they are the cross-round comparison series (BASELINE.md's 72.0 s
+    * anchor total). FROZEN: keys are never added or removed; new queries
+    * report through BENCH_LOCAL.json and the stdout "extra" summary.
+    */
+  private[graft] val AnchorKeys: Set[String] = Set(
+    "ml_train_eval", "q_agg_global", "q_agg_minmax", "q_agg_multi",
+    "q_agg_two_key_reagg", "q_ann_lsh", "q_approx_stats", "q_asof_join",
+    "q_basetable_star", "q_data_shuffle", "q_dates_recency",
+    "q_dedup_clusters", "q_dedup_exact", "q_dedup_minhash",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_distinct_count",
+    "q_doc_chunk", "q_doc_fingerprint", "q_dropdup", "q_embed_centroid",
+    "q_embed_near_dup", "q_event_window", "q_explode_map",
+    "q_filter_like", "q_full_pipeline", "q_hours_availability",
+    "q_join_inner", "q_join_left", "q_json_extract", "q_lang_id",
+    "q_multimodal_decode", "q_multimodal_meta", "q_null_audit",
+    "q_percentile", "q_pivot_dummies", "q_range_join", "q_recode_fold",
+    "q_recode_when", "q_repetition", "q_rollup", "q_scan_project",
+    "q_session_window", "q_sessionize", "q_set_ops", "q_sim_cosine_topk",
+    "q_skew_profile", "q_sliding_window", "q_sql_pricing_summary",
+    "q_sql_shipping_priority", "q_stratified_sample", "q_string_clean",
+    "q_text_quality", "q_text_scrub", "q_token_count", "q_topk",
+    "q_upsert", "q_window_rank", "q_window_running")
 
   /** Stdout-artifact key for a query: a deterministic abbreviation that
     * keeps ~92 entries inside the harness's 2000-char stdout tail. The
@@ -259,7 +299,10 @@ object Bench {
       // round-11 fourth batch (chunk-dedup + dup-transitivity keys):
       "dup_transitivity" -> "dptr", "chk_dd" -> "cdd",
       "jsonl_rt" -> "jslrt", "doc_fp" -> "dfp", "bt_star" -> "btstr",
-      "asof_jn" -> "asfjn")
+      "asof_jn" -> "asfjn",
+      // round-11 fifth batch (new analytics/feature keys only):
+      "histogram" -> "hist", "correlation" -> "corr",
+      "target_encode" -> "tgtenc")
       .foldLeft(prefixed) { case (s, (a, b)) => s.replace(a, b) }
   }
 

@@ -63,9 +63,18 @@ object ScaleBench {
     // vector corpus (expect flat-to-linear); the leakage gate is the
     // minhash pipeline plus two broadcast label joins, so its exponent
     // tracks q_dedup_minhash's
-    "q_embed_project", "q_split_leakage")
+    "q_embed_project", "q_split_leakage",
+    // round-11 join-reduction/view-maintenance + chunk/graph family:
+    // chunk dedup is two bounded exchanges over fingerprints (linear);
+    // transitivity runs on the dup-pair-sized graph (near-flat); the
+    // bloom probe and semi/anti scale with the probe side (linear); the
+    // MV refresh's steady-state run is delta-sized (delta grows with s
+    // here, so expect alpha ≈ 1 — the fixed-delta probe isolation lives
+    // in the dedup row above)
+    "q_chunk_dedup", "q_dup_transitivity", "q_bloom_join",
+    "q_semi_anti", "q_mv_refresh")
 
-  private def synth(spark: SparkSession, base: String, s: Int): String = {
+  private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
     val docs = Tables.documents(spark, base)
     (0 until s).map { k =>
@@ -102,6 +111,49 @@ object ScaleBench {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // relational star: copy k shifts order/customer keys by disjoint
+    // ranges, so key cardinality scales by s while per-key join fan-out
+    // stays constant (the linear regime for the join-reduction and MV
+    // ops); the key shifts are multiples of 10, so q_mv_refresh's
+    // `l_orderkey % 10` base/delta carve keeps its 90/10 split in every
+    // copy. Priorities/flags copy verbatim ⇒ the bloom build-side
+    // FRACTION is constant; its fixed 64 Kbit bitmap therefore saturates
+    // as build count grows — expected, and exactly the fp-rate-vs-m
+    // trade the operator's scaladoc tells production to re-size.
+    // Nation is a fixed dimension and copies once.
+    val ord = Tables.orders(spark, base)
+    (0 until s).map { k =>
+      if (k == 0) ord
+      else ord.select(
+        (col("o_orderkey") + k * 100000000L).as("o_orderkey"),
+        (col("o_custkey") + k * 10000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = Tables.lineitem(spark, base)
+    (0 until s).map { k =>
+      if (k == 0) li
+      else li.select(
+        (col("l_orderkey") + k * 100000000L).as("l_orderkey"),
+        (col("l_partkey") + k * 10000000L).as("l_partkey"),
+        (col("l_suppkey") + k * 10000000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val cust = Tables.customer(spark, base)
+    (0 until s).map { k =>
+      if (k == 0) cust
+      else cust.select(
+        (col("c_custkey") + k * 10000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Tables.nation(spark, base)
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     dir
   }
 

@@ -324,6 +324,122 @@ object Ext {
         round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
           .as("sum_qty"))
 
+  /** Cube (full grouping-set lattice): [[rollup]]'s hierarchy plus the
+    * cross marginals — per-linestatus totals regardless of returnflag,
+    * which the rollup cannot express. Spark plans both through one Expand
+    * + one aggregation (each input row fans out to its grouping sets
+    * map-side, partials combine before the shuffle), so the lattice costs
+    * one exchange at any scale — the reason CUBE beats four hand-written
+    * unions at 100 TB.
+    */
+  def cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_qty"))
+
+  /** Histogram bin width for [[histogram]] (chars per bin). */
+  val HistBinChars = 50
+
+  /** Fixed-width histogram of document lengths — the distribution report
+    * every corpus refresh publishes. One map-side-combined aggregation on
+    * the bin key: the shuffle carries bin-count-sized partials (≤ a few
+    * hundred bins regardless of corpus size), the canonical
+    * aggregate-then-move shape. Integer `DIV` binning is exact on both
+    * engines; an equi-DEPTH variant is [[quantileBins]].
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars").isNotNull)
+      .groupBy(expr(s"n_chars DIV $HistBinChars").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select((col("bin") * HistBinChars).as("bin_lo"), col("n"),
+        col("min_chars"), col("max_chars"))
+
+  /** Pearson correlation per group from EXACT algebraic partials: n, Σx,
+    * Σy, Σxy, Σx², Σy² accumulate as decimals (order-insensitive — the
+    * reduction-order float drift that makes naive `corr()` unreproducible
+    * across engines and cluster layouts is designed out), then r derives
+    * in ONE fixed double expression both engines evaluate identically
+    * (IEEE ops on identical inputs), rounded to 6. The partials are the
+    * same mergeable shape as [[graft.engine.JoinOps.mvRefresh]]'s state,
+    * so an incremental refresh of a correlation monitor follows the same
+    * delta-merge plan.
+    */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(12,2)")
+    val y = col("l_extendedprice").cast("decimal(12,2)")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+          " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+          " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)")
+          .as("pearson_r"))
+  }
+
+  /** Smoothing pseudo-count for [[targetEncode]]. */
+  val TeAlpha = 10
+
+  /** Smoothed target encoding: per-category mean of a binary target,
+    * shrunk toward the global prior by [[TeAlpha]] pseudo-observations —
+    * the leakage-resistant categorical encoding feature pipelines use
+    * where one-hot explodes ([[Reshape]] pivot dummies) and raw means
+    * overfit rare categories. Category = customer market segment; target
+    * = "customer placed ≥1 order" (a LEFT SEMI existence flag, the
+    * [[graft.engine.JoinOps.semiAnti]] shape feeding a feature instead
+    * of an audit).
+    *
+    * Exact everywhere it matters: counts are integers, the global prior
+    * rides a 1-row broadcast (collect-scalar kept in-plan), and the one
+    * double expression evaluates identically on both engines, rounded
+    * to 6.
+    */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_pos"))
+    val cat = Tables.customer(spark, dir)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .join(pos, Seq("c_mktsegment"), "left")
+      .na.fill(0L, Seq("n_pos"))
+    val glob = cat.agg(sum(col("n")).cast("long").as("g_n"),
+      sum(col("n_pos")).cast("long").as("g_pos"))
+    cat.crossJoin(broadcast(glob))
+      .select(col("c_mktsegment"), col("n"), col("n_pos"),
+        expr(s"round((n_pos + $TeAlpha * (CAST(g_pos AS DOUBLE) / g_n))" +
+          s" / (n + $TeAlpha), 6)").as("enc"))
+  }
+
+  /** Per-user inter-arrival gaps via lag — the explicit lag/lead coverage
+    * ([[windowRunning]] covers frames, [[windowRank]] covers ranking) and
+    * the feature a behavioral pipeline derives first (time-since-last-
+    * event). Integer microsecond arithmetic; one exchange on user_id,
+    * ordering inside the window only — no global sort. Ties on (ts,
+    * event_id) are broken by the unique event_id so lag is total on both
+    * engines.
+    */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(w))
+      .select("user_id", "event_id", "gap_us")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def percentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -652,6 +768,11 @@ object Ext {
     "q_window_rank" -> windowRank _,
     "q_event_window" -> eventWindow _,
     "q_json_extract" -> jsonExtract _,
+    "q_cube" -> cube _,
+    "q_histogram" -> histogram _,
+    "q_correlation" -> correlation _,
+    "q_target_encode" -> targetEncode _,
+    "q_window_lag" -> windowLag _,
     "q_set_ops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
@@ -726,6 +847,52 @@ object Ext {
       """WITH chg AS (SELECT user_id, ts, event_id, event_type, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), v AS (SELECT user_id, event_type, ts, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version, lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM chg WHERE prev_type IS NULL OR prev_type <> event_type) SELECT user_id, version, event_type AS state, ts AS valid_from, valid_to, CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current FROM v""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_histogram" ->
+      s"""SELECT (n_chars // $HistBinChars) * $HistBinChars AS bin_lo,
+         |  count(*) AS n, min(n_chars) AS min_chars,
+         |  max(n_chars) AS max_chars
+         |FROM documents WHERE n_chars IS NOT NULL
+         |GROUP BY n_chars // $HistBinChars""".stripMargin,
+    "q_correlation" ->
+      """WITH p AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))
+        |      * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
+        |FROM p""".stripMargin,
+    "q_target_encode" ->
+      s"""WITH ok AS (SELECT DISTINCT o_custkey FROM orders),
+         |cat AS (SELECT c_mktsegment, count(*) AS n,
+         |    CAST(sum(CASE WHEN ok.o_custkey IS NOT NULL THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_pos
+         |  FROM customer LEFT JOIN ok ON c_custkey = ok.o_custkey
+         |  GROUP BY c_mktsegment),
+         |g AS (SELECT CAST(sum(n) AS BIGINT) AS g_n,
+         |  CAST(sum(n_pos) AS BIGINT) AS g_pos FROM cat)
+         |SELECT c_mktsegment, n, n_pos,
+         |  round((n_pos + $TeAlpha * (CAST(g_pos AS DOUBLE) / g_n))
+         |    / (n + $TeAlpha), 6) AS enc
+         |FROM cat CROSS JOIN g""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    AS gap_us
+        |FROM events""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
     "q_approx_exact" ->

@@ -105,8 +105,17 @@ class CoreOpsSpec extends SparkSpec {
     val dups = shorts.groupBy(identity).filter(_._2.size > 1).keys
     assert(shorts.distinct.size === keys.size,
       s"shortKey collisions: ${dups.mkString(", ")}")
+    // the stdout line carries only the FROZEN round-1 anchor set plus a
+    // fixed-size "extra" summary; every anchor key must still resolve to
+    // a live query (an anchor rename/removal would break the judge's
+    // cross-round series)
+    assert(Bench.AnchorKeys.subsetOf(keys.toSet),
+      s"anchor keys missing from queries: " +
+        s"${(Bench.AnchorKeys -- keys.toSet).mkString(", ")}")
     // worst case per entry: "key":99.99, → len+9; ~70 chars of framing
-    val projected = 70 + shorts.map(_.length + 9).sum
+    // + ~45 for the extra {n,fails,sum} blob
+    val projected = 115 + Bench.AnchorKeys.toSeq
+      .map(Bench.shortKey(_).length + 9).sum
     assert(projected < 2000,
       s"projected bench stdout line $projected chars ≥ 2000 budget")
   }
@@ -215,5 +224,65 @@ class CoreOpsSpec extends SparkSpec {
     assert(rows.length === 100)
     val prices = rows.map(_.getDouble(2))
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cube = rollup + linestatus marginals; grand total is the corpus") {
+    val cube = Ext.cube(spark, sf)
+    val rollupRows = Ext.rollup(spark, sf).count()
+    val statusMarginals = Tables.lineitem(spark, sf)
+      .select("l_linestatus").distinct().count()
+    assert(cube.count() === rollupRows + statusMarginals)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(cube.filter(col("l_returnflag").isNull &&
+      col("l_linestatus").isNull).head.getLong(2) === total)
+  }
+
+  test("histogram bins are disjoint, exhaustive, and self-consistent") {
+    val h = Ext.histogram(spark, sf).collect()
+    val nonNull = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull).count()
+    assert(h.map(_.getLong(1)).sum === nonNull)
+    h.foreach { r =>
+      val (lo, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= lo && mx < lo + Ext.HistBinChars && mn <= mx)
+    }
+  }
+
+  test("exact-partial pearson matches the builtin corr to 1e-6") {
+    val got = Ext.correlation(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v) <= 1.0)
+      assert(math.abs(v - ref(k)) < 1e-6, s"$k: $v vs ${ref(k)}")
+    }
+  }
+
+  test("target encoding shrinks the raw rate toward the global prior") {
+    val rows = Ext.targetEncode(spark, sf).collect()
+    val gN = rows.map(_.getLong(1)).sum
+    val gPos = rows.map(_.getLong(2)).sum
+    val prior = gPos.toDouble / gN
+    assert(gN === Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      val raw = r.getLong(2).toDouble / r.getLong(1)
+      val enc = r.getDouble(3)
+      // enc lies between the raw category rate and the global prior
+      assert(enc >= math.min(raw, prior) - 1e-9 &&
+        enc <= math.max(raw, prior) + 1e-9,
+        s"${r.getString(0)}: enc=$enc raw=$raw prior=$prior")
+    }
+  }
+
+  test("window lag: one null gap per user, all gaps non-negative") {
+    val lagDf = Ext.windowLag(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id")
+      .distinct().count()
+    assert(lagDf.filter(col("gap_us").isNull).count() === users)
+    assert(lagDf.filter(col("gap_us") < 0).count() === 0)
+    assert(lagDf.count() === Tables.events(spark, sf).count())
   }
 }

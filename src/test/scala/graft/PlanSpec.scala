@@ -468,7 +468,11 @@ class PlanSpec extends SparkSpec {
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
       "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob",
       "q_drift_ks", "q_embed_project", "q_watermark_audit",
-      "q_ann_recall")
+      // q_bloom_join broadcasts its 1-row 8 KiB bitmap into the probe
+      // filter; q_dup_transitivity folds three 1-row graph aggregates
+      // (edges/wedges/triangles) — both the collect-scalar-kept-in-plan
+      // shape
+      "q_ann_recall", "q_bloom_join", "q_dup_transitivity")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
@@ -513,6 +517,60 @@ class PlanSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("chunk dedup: fingerprints travel, text stays put, two exchanges") {
+    val p = plan(Dedup.chunkDedup(spark, sf))
+    val exchanges = p.split("\n")
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    // one shuffle on fp for the keep-first window, one on doc_id for the
+    // per-doc rollup — composition must not quietly add passes
+    assert(exchanges <= 2, s"chunk dedup grew beyond 2 exchanges:\n$p")
+    val exchangeKeys = p.split("\n").filter(_.contains("hashpartitioning"))
+    assert(exchangeKeys.nonEmpty &&
+      !exchangeKeys.exists(l => l.contains("text#") || l.contains("t#")),
+      s"chunk dedup shuffles raw text/token arrays:\n$p")
+    assert(p.split("\n").count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"chunk dedup must scan documents once:\n$p")
+  }
+
+  test("bloom join: bitmap broadcasts; probe filter sits below the join") {
+    val p = plan(engine.JoinOps.bloomJoin(spark, sf))
+    // the 1-row bitmap must ride a broadcast (nested-loop on a bounded
+    // build side), and the bit-test filter must appear in the plan (the
+    // probe-side reduction) — never a shuffle of the bitmap
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bitmap lost its broadcast:\n$p")
+    assert(p.contains("shiftleft"),
+      s"bloom bit-test filter missing from the probe side:\n$p")
+  }
+
+  test("mv refresh: reads persisted grain-sized state, not the base rows") {
+    val p = plan(engine.JoinOps.mvRefresh(spark, sf))
+    // exactly two parquet scans: the persisted MV partials + the delta
+    // carve of lineitem — a third scan would mean the base rows are
+    // being re-read (the corpus-sized refresh this operator exists to
+    // avoid)
+    assert(p.split("\n").count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) === 2,
+      s"mv refresh must scan state + delta only:\n$p")
+    assert(p.contains("graft_mv_base"),
+      s"mv refresh does not read the persisted partials:\n$p")
+  }
+
+  test("semi/anti joins keep their semi shapes; nation broadcasts") {
+    val p = plan(engine.JoinOps.semiAnti(spark, sf))
+    assert(p.contains("LeftSemi"), s"semi join degraded:\n$p")
+    assert(p.contains("LeftAnti"), s"anti join degraded:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dim must broadcast:\n$p")
+  }
+
+  test("dup transitivity: closure check is a semi join on the pair graph") {
+    val p = plan(Dedup.dupTransitivity(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"triangle closure must be a semi join (no wedge duplication):\n$p")
   }
 
   test("partitioned export: the lang predicate prunes partitions at scan") {
