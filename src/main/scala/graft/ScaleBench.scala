@@ -72,7 +72,14 @@ object ScaleBench {
     // here, so expect alpha ≈ 1 — the fixed-delta probe isolation lives
     // in the dedup row above)
     "q_chunk_dedup", "q_dup_transitivity", "q_bloom_join",
-    "q_semi_anti", "q_mv_refresh")
+    "q_semi_anti", "q_mv_refresh",
+    // analytics/feature family: cube fans each row out over its grouping
+    // sets map-side (linear); the histogram and correlation collapse to
+    // bin-/group-sized partials (linear scan cost); target encoding is
+    // two key-joins over the scaled star; window lag partitions by user
+    // (history count scales, per-history depth constant)
+    "q_cube", "q_histogram", "q_correlation", "q_target_encode",
+    "q_window_lag")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

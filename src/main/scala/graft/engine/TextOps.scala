@@ -283,7 +283,48 @@ object TextOps {
           .as("cov_ppm"))
   }
 
+  /** Per-document word-shape statistics via ARRAY higher-order functions
+    * (`transform`/`filter`/`aggregate`) — the no-explode form of token
+    * analytics. An explode would multiply every document into
+    * token-count rows through the pipeline; HOFs fold inside the row in
+    * whole-stage codegen, so the pass is pure map-side (zero exchanges —
+    * the plan is Project over Scan) and output stays document-sized.
+    * This is the scalar sibling of the vector ops in
+    * [[graft.functions.VectorExpressions]]: same fused-loop execution,
+    * builtin HOFs instead of a custom expression because the semantics
+    * fit. All-integer outputs hash-match DuckDB's list lambdas exactly.
+    */
+  def arrayStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        expr("CAST(aggregate(transform(t, w -> length(w)), 0," +
+          " (acc, x) -> acc + x) AS BIGINT)").as("sum_len"),
+        expr("CAST(aggregate(transform(t, w -> length(w)), 0," +
+          " (acc, x) -> IF(x > acc, x, acc)) AS BIGINT)").as("max_len"),
+        expr("CAST(size(filter(t, w -> length(w) >= 6)) AS BIGINT)")
+          .as("n_long"))
+
+  /** Regex extraction: per-doc count and first match of a token pattern
+    * (`^s`-initial words) — the regexp_extract/regexp-count surface a
+    * scrubbing or tagging pipeline leans on where fixed delimiters
+    * ([[Curation]] split/translate) don't reach. Map-side only; the
+    * pattern is anchored ASCII so Java and RE2-family engines agree
+    * (cross-engine regex flavor drift is the real production risk —
+    * documented, and avoided in the oracle by the same anchored class).
+    */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), w -> w rlike '^s[a-z]+$'))"
+          + " AS BIGINT)").as("n_s_words"),
+        expr("try_element_at(filter(split(text, ' ')," +
+          " w -> w rlike '^s[a-z]+$'), 1)").as("first_s_word"))
+
   val queries: Map[String, Q] = Map(
+    "q_array_stats" -> arrayStats _,
+    "q_regex_extract" -> regexExtract _,
     "q_text_quality" -> textQuality _,
     "q_lang_id" -> langId _,
     "q_token_count" -> tokenCount _,
@@ -298,6 +339,23 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_array_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |    x -> len(x)), 'sum') AS BIGINT) AS sum_len,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |    x -> len(x)), 'max') AS BIGINT) AS max_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> len(x) >= 6)) AS BIGINT) AS n_long
+        |FROM documents""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> regexp_matches(w, '^s[a-z]+$'))) AS BIGINT) AS n_s_words,
+        |  list_filter(string_split(text, ' '),
+        |    w -> regexp_matches(w, '^s[a-z]+$'))[1] AS first_s_word
+        |FROM documents""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS distinct_ratio, round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / len(string_split(text, ' '))), 6) AS quality_score FROM documents""",
     "q_lang_id" -> {

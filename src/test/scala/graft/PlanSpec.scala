@@ -472,7 +472,10 @@ class PlanSpec extends SparkSpec {
       // filter; q_dup_transitivity folds three 1-row graph aggregates
       // (edges/wedges/triangles) — both the collect-scalar-kept-in-plan
       // shape
-      "q_ann_recall", "q_bloom_join", "q_dup_transitivity")
+      // q_target_encode joins its 1-row global-prior aggregate the same
+      // way (collect-scalar kept in-plan)
+      "q_ann_recall", "q_bloom_join", "q_dup_transitivity",
+      "q_target_encode")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
@@ -571,6 +574,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(Dedup.dupTransitivity(spark, sf))
     assert(p.contains("LeftSemi"),
       s"triangle closure must be a semi join (no wedge duplication):\n$p")
+  }
+
+  test("array stats fold inside the row: a zero-exchange map-side plan") {
+    val p = plan(TextOps.arrayStats(spark, sf))
+    assert(p.split("\n").count(_.matches("""\(\d+\) Exchange\s*""")) === 0,
+      s"HOF token stats must not shuffle (explode regression?):\n$p")
+    assert(p.split("\n").count(
+      _.matches("""\(\d+\) Generate\s*""")) === 0,
+      s"HOF token stats must not explode:\n$p")
   }
 
   test("partitioned export: the lang predicate prunes partitions at scan") {

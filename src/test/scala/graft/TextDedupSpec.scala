@@ -525,6 +525,32 @@ class TextDedupSpec extends SparkSpec {
     assert(agg.getLong(1) === distinctFp)
   }
 
+  test("array stats: word-sum + separators reconstruct n_chars exactly") {
+    // text is words joined by single spaces, so sum(word lengths) +
+    // (n_words − 1) separators must equal the stored n_chars — a
+    // cross-column identity that catches any HOF off-by-one
+    val joined = TextOps.arrayStats(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "n_chars"),
+        "doc_id")
+    assert(joined.filter(
+      col("sum_len") + col("n_words") - 1 =!= col("n_chars"))
+      .count() === 0)
+    assert(joined.filter(col("max_len") > col("sum_len") ||
+      col("n_long") > col("n_words")).count() === 0)
+  }
+
+  test("regex extract: count and first match are consistent") {
+    val re = TextOps.regexExtract(spark, sf)
+    assert(re.filter(col("n_s_words") === 0 &&
+      col("first_s_word").isNotNull).count() === 0)
+    assert(re.filter(col("n_s_words") > 0 &&
+      col("first_s_word").isNull).count() === 0)
+    assert(re.filter(col("first_s_word").isNotNull &&
+      !col("first_s_word").rlike("^s[a-z]+$")).count() === 0)
+    assert(re.filter(col("n_s_words") > 0).count() > 0,
+      "fixture should contain s-initial words")
+  }
+
   test("dup transitivity: exact in-memory graph replay") {
     val row = Dedup.dupTransitivity(spark, sf).head
     val edges = Dedup.dedupMinhash(spark, sf)
