@@ -28,7 +28,7 @@ object JoinOps {
   /** Independent hash probes per key (seeded xxhash64). */
   val BloomHashes = 2
 
-  private def bloomPos(key: Column, seed: Int): Column =
+  private[graft] def bloomPos(key: Column, seed: Int): Column =
     pmod(xxhash64(key, lit(seed)), lit(BloomBits.toLong))
 
   /** One Bloom membership test: bit `posCol % 64` of bitmap word
@@ -36,7 +36,7 @@ object JoinOps {
     * missing word means no build key ever set a bit there ⇒ definitely
     * absent (and stays null-safe under ANSI mode).
     */
-  private def bloomHit(posCol: String): Column =
+  private[graft] def bloomHit(posCol: String): Column =
     expr(s"coalesce(try_element_at(bm, CAST($posCol DIV 64 AS INT)), 0L)" +
       s" & shiftleft(1L, CAST($posCol % 64 AS INT))") =!= 0L
 
@@ -45,7 +45,7 @@ object JoinOps {
     * column — every aggregation buffer is bounded by the bitmap size,
     * never by build-side cardinality.
     */
-  private def bloomBitmap(positions: DataFrame): DataFrame =
+  private[graft] def bloomBitmap(positions: DataFrame): DataFrame =
     positions
       .groupBy(expr("CAST(pos DIV 64 AS INT)").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
@@ -55,7 +55,7 @@ object JoinOps {
   /** Attach [[BloomHashes]] position columns for `key` and filter rows
     * whose every probed bit is set in `bm`.
     */
-  private def bloomFilterRows(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def bloomFilterRows(df: DataFrame, key: Column): DataFrame = {
     val withPos = (0 until BloomHashes).foldLeft(df) { (d, s) =>
       d.withColumn(s"bpos$s", bloomPos(key, s))
     }

@@ -240,4 +240,70 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bloom filter law on generated key sets: zero false negatives") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val keysGen = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L)))
+    samples(keysGen, 6).foreach { keys =>
+      val build = keys.toDF("k")
+      val bitmap = graft.engine.JoinOps.bloomBitmap(
+        build.select(explode(array(
+          (0 until graft.engine.JoinOps.BloomHashes)
+            .map(s => graft.engine.JoinOps.bloomPos(col("k"), s)): _*))
+          .as("pos")))
+      // probe = every build key + 500 disjoint non-keys
+      val probe = (keys ++ (1 to 500).map(i => 2000000L + i * 7L))
+        .toDF("k")
+      val passed = graft.engine.JoinOps.bloomFilterRows(
+        probe.crossJoin(broadcast(bitmap)), col("k"))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(keys.toSet.subsetOf(passed),
+        s"bloom dropped build keys: ${(keys.toSet -- passed).take(5)}")
+      // sanity on the other direction: with ≤200 keys in 64 Kbit the fp
+      // rate is well under 10%, so most non-keys must be rejected
+      val fp = passed -- keys.toSet
+      assert(fp.size < 50, s"false-positive rate degenerate: ${fp.size}/500")
+    }
+  }
+
+  test("chunk dedup law on generated corpora: exact in-memory replay") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(1, 30)
+      .flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 4).foreach { texts =>
+      val dir = graft.engine.TempArtifacts.tempDir("prop_chunk")
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.engine.Dedup.chunkDedup(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      val cw = graft.engine.Dedup.ChunkWords
+      val chunks = texts.zipWithIndex.flatMap { case (t, i) =>
+        val w = t.split(" ")
+        (0 until w.length by cw)
+          .map(p => (i.toLong, p, w.slice(p, p + cw).mkString(" ")))
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val kept = scala.collection.mutable.Map
+        .empty[Long, Long].withDefaultValue(0L)
+      val tot = scala.collection.mutable.Map
+        .empty[Long, Long].withDefaultValue(0L)
+      chunks.sortBy(c => (c._1, c._2)).foreach { case (d, _, ch) =>
+        tot(d) += 1
+        if (!seen(ch)) { seen += ch; kept(d) += 1 }
+      }
+      texts.indices.foreach { i =>
+        val (n, k, dup) = got(i.toLong)
+        assert(n == tot(i.toLong) && k == kept(i.toLong) && dup == n - k,
+          s"doc $i: got ($n,$k,$dup) want (${tot(i.toLong)},${kept(i.toLong)})")
+      }
+    }
+  }
 }
