@@ -79,7 +79,9 @@ object ScaleBench {
     // two key-joins over the scaled star; window lag partitions by user
     // (history count scales, per-history depth constant)
     "q_cube", "q_histogram", "q_correlation", "q_target_encode",
-    "q_window_lag")
+    "q_window_lag",
+    // funnel: three pushed-filter event passes + user-sized step joins
+    "q_funnel")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -440,6 +440,57 @@ object Ext {
       .select("user_id", "event_id", "gap_us")
   }
 
+  /** Conversion window for [[funnel]] (micros): the purchase must land
+    * within this span of the first view for the journey to count. 72 h
+    * against the fixture's 30-day event log (per-user first-view →
+    * purchase spans run 4–229 h, so the window genuinely splits the
+    * population instead of passing or failing everyone).
+    */
+  val FunnelWindowUs: Long = 72L * 3600 * 1000000
+
+  /** Ordered-funnel analysis (view → click → purchase) with a conversion
+    * window — the behavioral query every event pipeline runs: how far
+    * does each user get, and how many convert within the window of
+    * first touch? Semantics are first-touch greedy (first view, then first
+    * click after it, then first purchase after that), a total
+    * data-defined rule both engines replay exactly on integer micros.
+    *
+    * Shape: three filtered per-user `min` aggregations, each conditioned
+    * on the previous step's timestamp — funnel-as-relational-algebra
+    * instead of a per-user UDF state machine, so every step is a
+    * map-side-combined aggregate and the step tables (user-sized, tiny
+    * vs the event log) broadcast back. At 100 TB the event scan happens
+    * THREE times but each pass prunes to one event type at the scan
+    * (pushed filter) — cheaper than shuffling whole per-user event
+    * arrays into one task per user, and AQE shares the user_id
+    * partitioning across the step joins.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tsu")).as("v_us"))
+    val c = e.join(broadcast(v), "user_id")
+      .filter(col("event_type") === "click" && col("tsu") > col("v_us"))
+      .groupBy("user_id").agg(min(col("tsu")).as("c_us"))
+    val p = e.join(broadcast(c), "user_id")
+      .filter(col("event_type") === "purchase" && col("tsu") > col("c_us"))
+      .groupBy("user_id").agg(min(col("tsu")).as("p_us"))
+    val users = e.select("user_id").distinct()
+    users.join(broadcast(v), Seq("user_id"), "left")
+      .join(broadcast(c), Seq("user_id"), "left")
+      .join(broadcast(p), Seq("user_id"), "left")
+      .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+        (when(col("p_us").isNotNull, 3)
+          .when(col("c_us").isNotNull, 2)
+          .when(col("v_us").isNotNull, 1)
+          .otherwise(0)).cast("int").as("step"),
+        when(col("p_us").isNotNull &&
+            col("p_us") - col("v_us") <= FunnelWindowUs, 1)
+          .otherwise(0).cast("int").as("converted"))
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def percentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -769,6 +820,7 @@ object Ext {
     "q_event_window" -> eventWindow _,
     "q_json_extract" -> jsonExtract _,
     "q_cube" -> cube _,
+    "q_funnel" -> funnel _,
     "q_histogram" -> histogram _,
     "q_correlation" -> correlation _,
     "q_target_encode" -> targetEncode _,
@@ -849,6 +901,29 @@ object Ext {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+         |  FROM events),
+         |v AS (SELECT user_id, min(tsu) AS v_us FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(tsu) AS c_us
+         |  FROM e JOIN v USING (user_id)
+         |  WHERE event_type = 'click' AND tsu > v_us GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(tsu) AS p_us
+         |  FROM e JOIN c USING (user_id)
+         |  WHERE event_type = 'purchase' AND tsu > c_us
+         |  GROUP BY e.user_id)
+         |SELECT u.user_id, v_us, c_us, p_us,
+         |  CAST(CASE WHEN p_us IS NOT NULL THEN 3
+         |    WHEN c_us IS NOT NULL THEN 2
+         |    WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS step,
+         |  CAST(CASE WHEN p_us IS NOT NULL
+         |      AND p_us - v_us <= $FunnelWindowUs THEN 1 ELSE 0 END
+         |    AS INTEGER) AS converted
+         |FROM (SELECT DISTINCT user_id FROM e) u
+         |LEFT JOIN v USING (user_id)
+         |LEFT JOIN c USING (user_id)
+         |LEFT JOIN p USING (user_id)""".stripMargin,
     "q_histogram" ->
       s"""SELECT (n_chars // $HistBinChars) * $HistBinChars AS bin_lo,
          |  count(*) AS n, min(n_chars) AS min_chars,

@@ -277,6 +277,25 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: step timestamps strictly ordered, flags consistent") {
+    val f = Ext.funnel(spark, sf)
+    assert(f.count() === Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+    // strict ordering wherever the next step exists
+    assert(f.filter(col("c_us").isNotNull &&
+      col("c_us") <= col("v_us")).count() === 0)
+    assert(f.filter(col("p_us").isNotNull &&
+      col("p_us") <= col("c_us")).count() === 0)
+    // step must mirror null structure; conversion implies step 3 inside
+    // the window
+    assert(f.filter(col("step") === 3 && col("p_us").isNull).count() === 0)
+    assert(f.filter(col("step") < 3 && col("p_us").isNotNull)
+      .count() === 0)
+    assert(f.filter(col("converted") === 1 &&
+      (col("step") =!= 3 ||
+        col("p_us") - col("v_us") > Ext.FunnelWindowUs)).count() === 0)
+  }
+
   test("window lag: one null gap per user, all gaps non-negative") {
     val lagDf = Ext.windowLag(spark, sf)
     val users = Tables.events(spark, sf).select("user_id")
