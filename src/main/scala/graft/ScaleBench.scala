@@ -80,8 +80,13 @@ object ScaleBench {
     // (history count scales, per-history depth constant)
     "q_cube", "q_histogram", "q_correlation", "q_target_encode",
     "q_window_lag",
-    // funnel: three pushed-filter event passes + user-sized step joins
-    "q_funnel")
+    // funnel: three pushed-filter event passes + user-sized step joins;
+    // the HOF stats and regex extraction are zero-exchange map passes
+    "q_funnel", "q_array_stats", "q_regex_extract",
+    // wave 4: the pit join is one user_id exchange over events+history
+    // (linear); negative sampling is anchors×k probe rows + one hash
+    // join (linear); containment shares ngram-jaccard's candidate bound
+    "q_pit_join", "q_negative_sample", "q_dedup_containment")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

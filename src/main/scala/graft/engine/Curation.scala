@@ -487,7 +487,53 @@ object Curation {
           =!= col("n_chars"), 1L).otherwise(0L).as("was_clipped"))
   }
 
+  /** Negatives drawn per anchor by [[negativeSample]]. */
+  val NegK = 4
+  /** Anchor selection: every [[NegAnchorMod]]-th doc anchors a
+    * contrastive example.
+    */
+  val NegAnchorMod = 20
+
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each anchor document draws [[NegK]] pseudo-random negatives by
+    * HASH-ADDRESSING into the corpus id space — negative j of anchor a
+    * is the doc with id `h(a, j) mod N` (self-hits remapped to the next
+    * id). This is the scale-honest shape: k equi-joins against the
+    * corpus (each anchor row fans out to exactly k probe rows — work is
+    * |anchors|·k), where the naive "rank all candidates per anchor"
+    * formulation materializes |anchors|·|corpus| pairs before its top-k.
+    * No rand() anywhere: the draw is a pure integer function of
+    * (anchor, slot), so reruns, retries, and both engines produce the
+    * same pairs bit-for-bit.
+    *
+    * Contract: ids are DENSE 0..N−1 (fixture ids are; at production
+    * scale the pipeline keys negatives off the dense surrogate id a
+    * corpus snapshot assigns anyway — the same snapshot dedup/packing
+    * use). The mix products stay in 64-bit range for ids < 2^33. The
+    * closing equi-join validates existence against the id snapshot and
+    * is the realistic physical shape (hash join on neg_id).
+    */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val probes = docs.filter(col("doc_id") % NegAnchorMod === 0)
+      .select(col("doc_id").as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("n_docs"),
+        explode(sequence(lit(0), lit(NegK - 1))).as("slot"))
+      .withColumn("raw",
+        expr("((anchor_id * 1103515245 + slot * 2654435761 + 12345)" +
+          " % 2147483647) % n_docs"))
+      .withColumn("neg_id",
+        expr("CASE WHEN raw = anchor_id THEN (raw + 1) % n_docs" +
+          " ELSE raw END"))
+    probes
+      .join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"))
+      .select(col("anchor_id"), col("slot"), col("neg_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_negative_sample" -> negativeSample _,
     "q_winsorize" -> winsorize _,
     "q_text_scrub" -> textScrub _,
     "q_doc_chunk" -> docChunk _,
@@ -541,6 +587,22 @@ object Curation {
        |FROM flagged GROUP BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_negative_sample" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+         |pr AS (SELECT anchor_id, slot, n_docs,
+         |    ((anchor_id * 1103515245 + slot * 2654435761 + 12345)
+         |      % 2147483647) % n_docs AS raw
+         |  FROM (SELECT doc_id AS anchor_id FROM d
+         |    WHERE doc_id % $NegAnchorMod = 0)
+         |  CROSS JOIN n,
+         |  (SELECT unnest(range(0, $NegK)) AS slot)),
+         |x AS (SELECT anchor_id, CAST(slot AS INTEGER) AS slot,
+         |    CASE WHEN raw = anchor_id THEN (raw + 1) % n_docs
+         |      ELSE raw END AS neg_id
+         |  FROM pr)
+         |SELECT anchor_id, slot, neg_id
+         |FROM x JOIN d ON x.neg_id = d.doc_id""".stripMargin,
     "q_winsorize" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents
          |  WHERE n_chars IS NOT NULL),

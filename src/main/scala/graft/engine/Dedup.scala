@@ -558,6 +558,57 @@ object Dedup {
     verifyPairs(cand, idSets(ds), JaccardThreshold)
   }
 
+  /** Containment threshold for [[dedupContainment]]: flag a pair when the
+    * SMALLER doc's shingles sit ≥ this fraction inside the larger.
+    */
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric-containment near-dup detection: C(A,B) = |A∩B| / |A| —
+    * the subset/quotation case Jaccard structurally misses (a 100-shingle
+    * doc fully quoted inside a 2000-shingle doc has Jaccard ≈ 0.05 but
+    * containment 1.0). Web corpora are full of these: syndicated
+    * articles inside aggregator pages, READMEs inside vendored trees,
+    * quoted posts inside threads.
+    *
+    * Candidate generation REUSES the rare-shingle blocking (not the
+    * minhash bands) deliberately: a contained doc SHARES its rare
+    * shingles with its container, so blocking keys survive arbitrary
+    * size ratios — whereas minhash band keys hash the whole set and
+    * diverge as the container grows (the known containment blind spot of
+    * plain minhash LSH; production containment pipelines use exactly
+    * this kind of rare-feature blocking or an ensemble over size
+    * strata). Candidate volume stays bounded by the rare-frequency cap
+    * ([[RareShingleMaxFreq]]²/2 pairs per rare shingle). The gate is on
+    * containment-of-the-smaller (`|A∩B| / min(|A|,|B|)`), both
+    * directions reported.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(spark, dir)
+    val rare = ds.groupBy("sid").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= RareShingleMaxFreq)
+      .select("sid")
+    val rds = ds.join(broadcast(rare), Seq("sid"))
+    val cand = rds.as("x").join(rds.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = idSets(ds)
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sids").as("sa"),
+      col("n").as("na"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sids").as("sb"),
+      col("n").as("nb"))
+    val ni = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("ni", ni)
+      .filter(col("ni").cast("double") / least(col("na"), col("nb")) >=
+        ContainmentThreshold)
+      .select(col("doc_a"), col("doc_b"), col("ni").as("n_common"),
+        round(col("ni").cast("double") / col("na"), 6)
+          .as("containment_a"),
+        round(col("ni").cast("double") / col("nb"), 6)
+          .as("containment_b"))
+  }
+
   /** 16-bit SimHash over distinct unigram tokens: per bit j, sum +-1 votes
     * (vote = parity of hash_j(token id)); bit set iff the vote sum is
     * positive. One aggregation pass computes all 16 bit-sums; token ids via
@@ -979,6 +1030,7 @@ object Dedup {
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "q_dedup_containment" -> dedupContainment _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
@@ -1246,6 +1298,24 @@ object Dedup {
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_weights" -> dedupWeightsSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_containment" ->
+      s"""WITH $shingleSql,
+         |rare AS (SELECT sid FROM ds GROUP BY sid
+         |  HAVING count(*) <= $RareShingleMaxFreq),
+         |rds AS (SELECT doc_id, sid FROM ds JOIN rare USING (sid)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM rds x JOIN rds y ON x.sid = y.sid AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sids, sb.sids)) AS BIGINT)
+         |    AS n_common,
+         |  round(CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE)
+         |    / sa.n, 6) AS containment_a,
+         |  round(CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE)
+         |    / sb.n, 6) AS containment_b
+         |FROM cand JOIN sets sa ON sa.doc_id = doc_a
+         |JOIN sets sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE)
+         |  / least(sa.n, sb.n) >= $ContainmentThreshold""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql,

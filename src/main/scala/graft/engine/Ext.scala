@@ -596,6 +596,52 @@ object Ext {
           .as("is_current"))
   }
 
+  /** Point-in-time (temporal) join: each purchase event looked up against
+    * the [[scd2]] state history AS OF its own timestamp — the
+    * lookahead-proof feature join every ML pipeline needs (training rows
+    * must see the dimension as it WAS, not as it is; a plain dim join
+    * silently leaks the future). Interval semantics are
+    * `[valid_from, valid_to)`: a state change at the purchase's exact
+    * timestamp IS visible (its interval opens there), and zero-length
+    * intervals (two changes at one timestamp) are skipped in favor of
+    * the surviving version — both engines replay this totally.
+    *
+    * Scale shape: the [[asofJoin]] union-sort rewrite applied to
+    * interval lookup — history rows and purchases merge into ONE
+    * per-user ordered stream and `last(state, ignoreNulls)` carries the
+    * current interval forward, so the query is one exchange on user_id
+    * and linear in |events| + |history|. The interval-join formulation
+    * the oracle uses would materialize every (purchase × candidate
+    * interval) pair per user first — quadratic on power users, the same
+    * failure the as-of rewrite eliminates.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val st = struct(col("version").as("v"), col("state").as("s"),
+      unix_micros(col("valid_from")).as("since_us"))
+    val h = scd2(spark, dir)
+      .select(col("user_id"), unix_micros(col("valid_from")).as("tsu"),
+        lit(0).as("kind"), col("version"),
+        lit(null).cast("long").as("purchase_id"), st.as("st"))
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        lit(1).as("kind"), lit(null).cast("int").as("version"),
+        col("event_id").as("purchase_id"),
+        lit(null).cast(
+          "struct<v:int,s:string,since_us:bigint>").as("st"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("kind"), col("version"), col("purchase_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(p)
+      .withColumn("cur", last(col("st"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_us"),
+        col("cur.s").as("state"),
+        col("cur.v").as("state_version"),
+        col("cur.since_us").as("state_since_us"))
+  }
+
   /** Per-user journey cap for [[eventSequences]] — training pipelines cap
     * behavioral context windows, and the cap is what bounds the aggregation
     * buffer: a bot account with 10⁹ events costs the same 64-slot state as
@@ -802,6 +848,7 @@ object Ext {
     "q_event_sequences" -> eventSequences _,
     "q_rollup" -> rollup _,
     "q_scd2" -> scd2 _,
+    "q_pit_join" -> pitJoin _,
     "q_percentile" -> percentile _,
     "q_quantile_bins" -> quantileBins _,
     "q_window_running" -> windowRunning _,
@@ -897,6 +944,25 @@ object Ext {
          |GROUP BY user_id, n_events""".stripMargin,
     "q_scd2" ->
       """WITH chg AS (SELECT user_id, ts, event_id, event_type, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), v AS (SELECT user_id, event_type, ts, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version, lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM chg WHERE prev_type IS NULL OR prev_type <> event_type) SELECT user_id, version, event_type AS state, ts AS valid_from, valid_to, CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current FROM v""",
+    "q_pit_join" ->
+      """WITH chg AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type FROM events),
+        |v AS (SELECT user_id, event_type, ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS INTEGER) AS version,
+        |    lead(ts, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM chg WHERE prev_type IS NULL OR prev_type <> event_type),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  v.event_type AS state, v.version AS state_version,
+        |  epoch_us(v.ts) AS state_since_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.ts >= v.ts
+        |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_cube" ->

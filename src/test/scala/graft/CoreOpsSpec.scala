@@ -296,6 +296,39 @@ class CoreOpsSpec extends SparkSpec {
         col("p_us") - col("v_us") > Ext.FunnelWindowUs)).count() === 0)
   }
 
+  test("pit join: every purchase resolves, and never to a future state") {
+    val pj = Ext.pitJoin(spark, sf)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(pj.count() === purchases)
+    assert(pj.filter(col("state").isNull).count() === 0)
+    // the no-lookahead law: the joined state must have opened at or
+    // before the purchase
+    assert(pj.filter(col("state_since_us") > col("purchase_us"))
+      .count() === 0)
+    // and it must be the interval CONTAINING the purchase: joining back
+    // to the scd2 history on (user, version) and checking valid_to
+    val h = Ext.scd2(spark, sf).select(col("user_id"),
+      col("version").as("state_version"),
+      unix_micros(col("valid_to")).as("valid_to_us"))
+    assert(pj.join(h, Seq("user_id", "state_version"))
+      .filter(col("valid_to_us").isNotNull &&
+        col("purchase_us") >= col("valid_to_us")).count() === 0)
+  }
+
+  test("negative sampling: k per anchor, never self, always in range") {
+    val ns = Curation.negativeSample(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    val anchors = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Curation.NegAnchorMod === 0).count()
+    assert(ns.count() === anchors * Curation.NegK)
+    assert(ns.filter(col("neg_id") === col("anchor_id")).count() === 0)
+    assert(ns.filter(col("neg_id") < 0 || col("neg_id") >= nDocs)
+      .count() === 0)
+    // deterministic: a second evaluation is bit-identical
+    assert(ns.exceptAll(Curation.negativeSample(spark, sf)).count() === 0)
+  }
+
   test("window lag: one null gap per user, all gaps non-negative") {
     val lagDf = Ext.windowLag(spark, sf)
     val users = Tables.events(spark, sf).select("user_id")

@@ -473,9 +473,10 @@ class PlanSpec extends SparkSpec {
       // (edges/wedges/triangles) — both the collect-scalar-kept-in-plan
       // shape
       // q_target_encode joins its 1-row global-prior aggregate the same
-      // way (collect-scalar kept in-plan)
+      // way (collect-scalar kept in-plan); q_negative_sample fans its
+      // anchors out over a 1-row corpus-count broadcast
       "q_ann_recall", "q_bloom_join", "q_dup_transitivity",
-      "q_target_encode")
+      "q_target_encode", "q_negative_sample")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
@@ -574,6 +575,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(Dedup.dupTransitivity(spark, sf))
     assert(p.contains("LeftSemi"),
       s"triangle closure must be a semi join (no wedge duplication):\n$p")
+  }
+
+  test("pit join is join-free: one union-sort pass, no pair explosion") {
+    val p = plan(Ext.pitJoin(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"point-in-time lookup must be the union-sort rewrite, not an " +
+        s"interval join:\n$p")
+    // two user_id exchanges: one under the scd2 history's own windows,
+    // one for the merged stream's carry-forward window (Union does not
+    // propagate its children's partitioning) — anything more means a
+    // join or extra pass crept in
+    val exchanges = p.split("\n")
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2,
+      s"pit join grew beyond the history + merged-stream exchanges:\n$p")
   }
 
   test("array stats fold inside the row: a zero-exchange map-side plan") {

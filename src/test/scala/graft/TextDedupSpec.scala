@@ -551,6 +551,20 @@ class TextDedupSpec extends SparkSpec {
       "fixture should contain s-initial words")
   }
 
+  test("containment: gate on the smaller side holds; pairs ordered") {
+    val cp = Dedup.dedupContainment(spark, sf)
+    assert(cp.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(cp.filter(col("containment_a") > 1.0 ||
+      col("containment_b") > 1.0 || col("containment_a") <= 0.0 ||
+      col("containment_b") <= 0.0).count() === 0)
+    // max(c_a, c_b) IS containment-of-the-smaller — the gate
+    assert(cp.filter(greatest(col("containment_a"),
+      col("containment_b")) < Dedup.ContainmentThreshold - 1e-6)
+      .count() === 0)
+    // the fixture's planted near-dups must produce containment pairs
+    assert(cp.count() > 0, "no containment pairs found on the fixture")
+  }
+
   test("dup transitivity: exact in-memory graph replay") {
     val row = Dedup.dupTransitivity(spark, sf).head
     val edges = Dedup.dedupMinhash(spark, sf)
