@@ -86,7 +86,11 @@ object ScaleBench {
     // wave 4: the pit join is one user_id exchange over events+history
     // (linear); negative sampling is anchors×k probe rows + one hash
     // join (linear); containment shares ngram-jaccard's candidate bound
-    "q_pit_join", "q_negative_sample", "q_dedup_containment")
+    "q_pit_join", "q_negative_sample", "q_dedup_containment",
+    // wave 5: simhash pairs are banded+capped (linear candidates); the
+    // range window is one user exchange; the coverage report collapses
+    // to group-count rows
+    "q_simhash_pairs", "q_rolling_range", "q_coverage_report")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -532,7 +532,41 @@ object Curation {
       .select(col("anchor_id"), col("slot"), col("neg_id"))
   }
 
+  /** Corpus composition report: per (lang, source) document/token mass
+    * with global and cumulative shares — the dataset card every corpus
+    * release publishes (and the input to [[domainMix]]-style reweighting
+    * decisions). Shares are integer ppm against a 1-row broadcast total;
+    * the cumulative walk rides the sanctioned post-aggregate
+    * SinglePartition window (the frame is group-count-sized — tens of
+    * rows — never corpus rows), ordered totally by (n_docs desc, lang,
+    * source) so the running share is engine-independent.
+    */
+  def coverageReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_docs")).cast("long").as("t_docs"),
+      sum(col("n_tokens")).cast("long").as("t_tokens"))
+    val w = Window.orderBy(col("n_docs").desc, col("lang"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // window BEFORE the totals join: the SinglePartition exchange then
+    // sits directly above the group aggregate (group-count-sized rows
+    // into the one task), and the 1-row broadcast joins after
+    g.withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_docs * 1000000 DIV t_docs AS BIGINT)")
+          .as("doc_share_ppm"),
+        expr("CAST(n_tokens * 1000000 DIV t_tokens AS BIGINT)")
+          .as("token_share_ppm"),
+        expr("CAST(cum_docs * 1000000 DIV t_docs AS BIGINT)")
+          .as("cum_doc_share_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_coverage_report" -> coverageReport _,
     "q_negative_sample" -> negativeSample _,
     "q_winsorize" -> winsorize _,
     "q_text_scrub" -> textScrub _,
@@ -587,6 +621,20 @@ object Curation {
        |FROM flagged GROUP BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_coverage_report" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM g)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  CAST(n_docs * 1000000 // t_docs AS BIGINT) AS doc_share_ppm,
+        |  CAST(n_tokens * 1000000 // t_tokens AS BIGINT)
+        |    AS token_share_ppm,
+        |  CAST(sum(n_docs) OVER (ORDER BY n_docs DESC, lang, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000 // t_docs AS BIGINT) AS cum_doc_share_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
     "q_negative_sample" ->
       s"""WITH d AS (SELECT doc_id FROM documents),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),

@@ -633,6 +633,78 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("simhash16")))
   }
 
+  /** Signature width for [[simhashPairs]] — 60 bits (the sign bit and
+    * bits 60–63 stay clear, keeping every shift/xor in non-negative
+    * BIGINT range on both engines), split into [[SimPairsBands]] 15-bit
+    * bands.
+    */
+  val SimPairsBits = 60
+  val SimPairsBands = 4
+  val SimPairsBandBits = 15
+  /** Pairs with hamming distance ≤ this are near-dups. Pigeonhole: a
+    * pair within [[SimPairsMaxHamming]] = bands−1 bit flips must agree
+    * on at least one whole band, so banded blocking has PERFECT recall
+    * at the threshold (unlike minhash LSH's probabilistic recall).
+    */
+  val SimPairsMaxHamming = 3
+
+  /** SimHash near-dup PAIRS: the second production near-dup path beside
+    * minhash ([[dedupMinhash]]) — 60-bit signatures, 15-bit-band
+    * blocking, exact hamming (`bit_count(xor)`) verification. Where
+    * [[dedupSimhash]] reports signatures and same-sig counts, this
+    * completes the pipeline to verified pairs.
+    *
+    * Scale shape mirrors the minhash guard: the pairwise join runs only
+    * inside sub-cap band buckets (bounded cap²/2 work per bucket), and
+    * identical-FULL-signature groups star-link to their min doc instead
+    * (O(k) pairs, hamming 0 by construction) — so an exact-dup block of
+    * 10⁶ copies costs linear candidates, never 10¹². 2^15 buckets per
+    * band keep expected bucket size |corpus|/32768; production widens
+    * to 64-bit signatures/16-bit bands with the same plan. All
+    * arithmetic is the portable integer hash family — both engines
+    * derive identical signatures bit-for-bit.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = dedupDocs(spark, dir).select(
+      col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dt = toks.select(col("doc_id"), portableIdUtf8(col("tok")).as("tid"))
+    val bitSums = (0 until SimPairsBits).map { j =>
+      val bit = ((col("tid") * HashA(j % HashA.size) + HashB(j % HashB.size)
+        + j) % P) % 2
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val sigExpr = (0 until SimPairsBits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(SimPairsBands - 1))).as("band"))
+      .withColumn("bkey", expr(
+        s"shiftright(sig, CAST(band * $SimPairsBandBits AS INT))" +
+          s" % ${1 << SimPairsBandBits}"))
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+    val gb = bands.filter(col("bsize") <= LshBucketCap)
+    val pairwise = gb.as("x").join(gb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val star = sigs
+      .withColumn("hub", min(col("doc_id")).over(Window.partitionBy("sig")))
+      .filter(col("hub") < col("doc_id"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    pairwise.union(star).distinct()
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+      .filter(col("hamming") <= SimPairsMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Near-dup CLUSTERING: the step after pair generation — group the pair
     * graph into connected components and elect one keeper (min doc_id) per
     * component.
@@ -1032,6 +1104,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_containment" -> dedupContainment _,
     "q_dedup_simhash" -> dedupSimhash _,
+    "q_simhash_pairs" -> simhashPairs _,
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_repeated_spans" -> repeatedSpans _,
@@ -1220,6 +1293,49 @@ object Dedup {
        |  count(*) OVER (PARTITION BY simhash16) AS n_same_sig FROM sigs""".stripMargin
   }
 
+  /** DuckDB twin of [[simhashPairs]] (generated from the same
+    * constants): 60 bit-sums → signature → 15-bit-band blocking with the
+    * cap guard and same-signature star → xor/bit_count verification.
+    */
+  private val simhashPairsSql: String = {
+    val bitSums = (0 until SimPairsBits).map { j =>
+      val a = HashA(j % HashA.size)
+      val b = HashB(j % HashB.size)
+      s"sum(((tid * $a + $b + $j) % $P) % 2 * 2 - 1) AS s$j"
+    }.mkString(", ")
+    val sig = (0 until SimPairsBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docsCte,
+       |toks AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM docs),
+       |dt AS (SELECT doc_id, ${idUtf8Sql("tok")} AS tid FROM toks),
+       |sums AS (SELECT doc_id, $bitSums FROM dt GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM sums),
+       |b AS (SELECT doc_id, sig, band,
+       |    (sig >> (band * $SimPairsBandBits)) % ${1 << SimPairsBandBits}
+       |      AS bkey
+       |  FROM sigs, (SELECT unnest(range(0, $SimPairsBands)) AS band)),
+       |sized AS (SELECT doc_id, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM b),
+       |gb AS (SELECT doc_id, band, bkey FROM sized
+       |  WHERE bsize <= $LshBucketCap),
+       |star AS (SELECT hub AS doc_a, doc_id AS doc_b FROM (
+       |  SELECT min(doc_id) OVER (PARTITION BY sig) AS hub, doc_id
+       |  FROM sigs) WHERE hub < doc_id),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM gb x JOIN gb y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id
+       |  UNION ALL SELECT doc_a, doc_b FROM star))
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+       |FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+       |JOIN sigs sb ON sb.doc_id = doc_b
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= $SimPairsMaxHamming""".stripMargin
+  }
+
   private val decontaminateSql: String =
     s"""WITH $shingleSql,
        |bench AS (SELECT DISTINCT sid FROM ds
@@ -1317,6 +1433,7 @@ object Dedup {
          |WHERE CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE)
          |  / least(sa.n, sb.n) >= $ContainmentThreshold""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql,
     "q_repeated_spans" ->

@@ -596,6 +596,29 @@ object Ext {
           .as("is_current"))
   }
 
+  /** Trailing time-RANGE window: per event, count and sum of the user's
+    * activity in the preceding hour — the rolling-feature shape
+    * ([[windowRunning]] covers ROWS frames; time-based features need
+    * RANGE, where the frame is "everything within Δt", not "the last k
+    * rows"). The frame orders by the single numeric micros column, so
+    * ties are included wholesale and the result is tie-order-independent
+    * — deterministic on both engines by construction, where a ROWS frame
+    * over tied timestamps would not be. One exchange on user_id; the
+    * decimal sum keeps the money math exact inside the frame.
+    */
+  def rollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-hourUs, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .select(col("user_id"), col("event_id"), col("tsu"),
+        count(lit(1)).over(w).cast("long").as("n_1h"),
+        round(sum(col("value").cast("decimal(12,2)")).over(w)
+          .cast("double"), 2).as("sum_1h"))
+  }
+
   /** Point-in-time (temporal) join: each purchase event looked up against
     * the [[scd2]] state history AS OF its own timestamp — the
     * lookahead-proof feature join every ML pipeline needs (training rows
@@ -849,6 +872,7 @@ object Ext {
     "q_rollup" -> rollup _,
     "q_scd2" -> scd2 _,
     "q_pit_join" -> pitJoin _,
+    "q_rolling_range" -> rollingRange _,
     "q_percentile" -> percentile _,
     "q_quantile_bins" -> quantileBins _,
     "q_window_running" -> windowRunning _,
@@ -944,6 +968,14 @@ object Ext {
          |GROUP BY user_id, n_events""".stripMargin,
     "q_scd2" ->
       """WITH chg AS (SELECT user_id, ts, event_id, event_type, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), v AS (SELECT user_id, event_type, ts, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version, lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM chg WHERE prev_type IS NULL OR prev_type <> event_type) SELECT user_id, version, event_type AS state, ts AS valid_from, valid_to, CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current FROM v""",
+    "q_rolling_range" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE),
+        |    2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_pit_join" ->
       """WITH chg AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type, 1) OVER (PARTITION BY user_id

@@ -296,6 +296,39 @@ class CoreOpsSpec extends SparkSpec {
         col("p_us") - col("v_us") > Ext.FunnelWindowUs)).count() === 0)
   }
 
+  test("rolling range: exact in-memory trailing-window replay") {
+    val got = Ext.rollingRange(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val hourUs = 3600L * 1000000L
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      rows.foreach { case (u, id, t, _) =>
+        val in = rows.filter(e => e._3 >= t - hourUs && e._3 <= t)
+        val sum = in.map(e => BigDecimal(e._4).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        val (n, s) = got((u, id))
+        assert(n === in.size.toLong, s"count at ($u,$id)")
+        assert(math.abs(s - sum.toDouble) < 1e-6, s"sum at ($u,$id)")
+      }
+    }
+  }
+
+  test("coverage report: shares sum to ~1e6 and cumulate to the total") {
+    val rows = Curation.coverageReport(spark, sf).collect()
+    val nGroups = rows.length
+    val docShare = rows.map(_.getLong(4)).sum
+    assert(docShare <= 1000000L && docShare > 1000000L - nGroups,
+      s"doc shares sum to $docShare over $nGroups groups")
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.documents(spark, sf).count())
+    val maxCum = rows.map(_.getLong(6)).max
+    assert(maxCum > 1000000L - nGroups && maxCum <= 1000000L)
+  }
+
   test("pit join: every purchase resolves, and never to a future state") {
     val pj = Ext.pitJoin(spark, sf)
     val purchases = Tables.events(spark, sf)

@@ -476,7 +476,9 @@ class PlanSpec extends SparkSpec {
       // way (collect-scalar kept in-plan); q_negative_sample fans its
       // anchors out over a 1-row corpus-count broadcast
       "q_ann_recall", "q_bloom_join", "q_dup_transitivity",
-      "q_target_encode", "q_negative_sample")
+      "q_target_encode", "q_negative_sample",
+      // q_coverage_report's 1-row corpus-totals broadcast (same shape)
+      "q_coverage_report")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
@@ -591,6 +593,12 @@ class PlanSpec extends SparkSpec {
       .count(_.matches("""\(\d+\) Exchange\s*"""))
     assert(exchanges <= 2,
       s"pit join grew beyond the history + merged-stream exchanges:\n$p")
+  }
+
+  test("rolling range window rides one user_id exchange") {
+    val p = plan(Ext.rollingRange(spark, sf))
+    assert(p.split("\n").count(_.matches("""\(\d+\) Exchange\s*""")) === 1,
+      s"trailing-range window must be one user_id exchange:\n$p")
   }
 
   test("array stats fold inside the row: a zero-exchange map-side plan") {

@@ -565,6 +565,19 @@ class TextDedupSpec extends SparkSpec {
     assert(cp.count() > 0, "no containment pairs found on the fixture")
   }
 
+  test("simhash pairs: bounded hamming, ordered, hamming-0 core present") {
+    val sp = Dedup.simhashPairs(spark, sf)
+    assert(sp.filter(col("hamming") < 0 ||
+      col("hamming") > Dedup.SimPairsMaxHamming).count() === 0)
+    assert(sp.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(sp.count() > 0, "fixture near-dups must produce pairs")
+    // identical signatures (exact copies among the planted dup rows)
+    // must surface as hamming-0 pairs via the signature star
+    assert(sp.filter(col("hamming") === 0).count() > 0)
+    // deterministic across evaluations
+    assert(sp.exceptAll(Dedup.simhashPairs(spark, sf)).count() === 0)
+  }
+
   test("dup transitivity: exact in-memory graph replay") {
     val row = Dedup.dupTransitivity(spark, sf).head
     val edges = Dedup.dedupMinhash(spark, sf)
