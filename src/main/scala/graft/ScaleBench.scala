@@ -90,7 +90,9 @@ object ScaleBench {
     // wave 5: simhash pairs are banded+capped (linear candidates); the
     // range window is one user exchange; the coverage report collapses
     // to group-count rows
-    "q_simhash_pairs", "q_rolling_range", "q_coverage_report")
+    "q_simhash_pairs", "q_rolling_range", "q_coverage_report",
+    // NFC normalization: one mapPartitions pass, zero exchanges
+    "q_text_normalize")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -322,7 +322,50 @@ object TextOps {
         expr("try_element_at(filter(split(text, ' ')," +
           " w -> w rlike '^s[a-z]+$'), 1)").as("first_s_word"))
 
+  /** Planted rows for [[textNormalize]]: the fixture corpus is ASCII (NFC
+    * is the identity there), so the normalization contract is gated on
+    * DECOMPOSED (NFD) sequences planted alongside their precomposed
+    * twins — same pattern as [[Dedup.MultilingualDedupRows]]. 920001
+    * carries combining acute/diaeresis marks that NFC must fold into
+    * precomposed code points; 920002 is already NFC; 920003 is ASCII.
+    */
+  private[graft] val NormPlantedRows: Seq[(Long, String)] = Seq(
+    // 920001 is DECOMPOSED on purpose: combining acute (U+0301),
+    // diaeresis (U+0308), grave (U+0300) written as escapes so no
+    // editor/tool silently precomposes them
+    (920001L, "cafe\u0301 nai\u0308ve re\u0301sume\u0301" +
+      " zu\u0308rich de\u0301ja\u0300 vu"),
+    (920002L, "caf\u00e9 na\u00efve r\u00e9sum\u00e9" +
+      " z\u00fcrich d\u00e9j\u00e0 vu"),
+    (920003L, "plain ascii stays byte identical"))
+
+  /** Unicode NFC normalization — the text-hygiene pass a multilingual
+    * corpus runs before ANY hashing: the same visible string in composed
+    * vs decomposed form ("é" vs "e"+U+0301) hashes differently, so
+    * un-normalized corpora leak duplicates past exact AND near-dup
+    * passes. Spark has no normalize expression, so this is the JVM-
+    * library boundary ([[Multimodal]]'s rule): `java.text.Normalizer`
+    * (JDK-builtin, no dependency) inside one `mapPartitions` — pure
+    * map-side, zero exchanges, still whole-partition batched. DuckDB's
+    * `nfc_normalize` implements the same Unicode standard, so the
+    * normalized strings hash-match cross-engine. `changed` counts
+    * re-encoded rows (the planted NFD row), `n_cp` is in CODEPOINTS
+    * (`codePointCount`, matching DuckDB `length` — not UTF-16 units).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = NormPlantedRows.toDF("doc_id", "text")
+    val ds = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(planted).as[(Long, String)]
+    ds.mapPartitions(_.map { case (id, t) =>
+      val n = java.text.Normalizer
+        .normalize(t, java.text.Normalizer.Form.NFC)
+      (id, n, if (n != t) 1 else 0, n.codePointCount(0, n.length).toLong)
+    }).toDF("doc_id", "norm_text", "changed", "n_cp")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_normalize" -> textNormalize _,
     "q_array_stats" -> arrayStats _,
     "q_regex_extract" -> regexExtract _,
     "q_text_quality" -> textQuality _,
@@ -339,6 +382,17 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_text_normalize" -> {
+      val values = NormPlantedRows.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""SELECT doc_id, nfc_normalize(text) AS norm_text,
+         |  CAST(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END
+         |    AS INTEGER) AS changed,
+         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_cp
+         |FROM (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))""".stripMargin
+    },
     "q_array_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -565,6 +565,21 @@ class TextDedupSpec extends SparkSpec {
     assert(cp.count() > 0, "no containment pairs found on the fixture")
   }
 
+  test("nfc normalization folds the planted NFD row onto its NFC twin") {
+    val tn = TextOps.textNormalize(spark, sf)
+    // exactly the planted decomposed row changes; ASCII is untouched
+    assert(tn.filter(col("changed") === 1).count() === 1)
+    assert(tn.filter(col("changed") === 1).head.getLong(0) === 920001L)
+    val norm = tn.filter(col("doc_id").isin(920001L, 920002L))
+      .select("norm_text").distinct()
+    assert(norm.count() === 1,
+      "NFD and NFC spellings must normalize to the same string")
+    // codepoint counts equal after normalization (marks folded away)
+    val cps = tn.filter(col("doc_id").isin(920001L, 920002L))
+      .select("n_cp").distinct()
+    assert(cps.count() === 1)
+  }
+
   test("simhash pairs: bounded hamming, ordered, hamming-0 core present") {
     val sp = Dedup.simhashPairs(spark, sf)
     assert(sp.filter(col("hamming") < 0 ||
