@@ -358,9 +358,16 @@ object TextOps {
     val ds = Tables.documents(spark, dir).select("doc_id", "text")
       .unionByName(planted).as[(Long, String)]
     ds.mapPartitions(_.map { case (id, t) =>
-      val n = java.text.Normalizer
-        .normalize(t, java.text.Normalizer.Form.NFC)
-      (id, n, if (n != t) 1 else 0, n.codePointCount(0, n.length).toLong)
+      // null text passes through with the oracle's null semantics:
+      // nfc_normalize(NULL) is NULL, the <> test falls to ELSE 0,
+      // length(NULL) is NULL
+      if (t == null) (id, null: String, 0, None: Option[Long])
+      else {
+        val n = java.text.Normalizer
+          .normalize(t, java.text.Normalizer.Form.NFC)
+        (id, n, if (n != t) 1 else 0,
+          Some(n.codePointCount(0, n.length).toLong))
+      }
     }).toDF("doc_id", "norm_text", "changed", "n_cp")
   }
 
