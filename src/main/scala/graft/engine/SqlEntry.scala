@@ -72,9 +72,32 @@ object SqlEntry {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  /** Q4 shape (order-priority checking): per priority, orders with at
+    * least one LATE line (shipped >30 days after the order date) via a
+    * correlated EXISTS — the semi-join planner path through the SQL
+    * front door (Spark rewrites the subquery to a left-semi hash join on
+    * l_orderkey; same aggregate-bounded output as
+    * [[graft.engine.JoinOps.semiAnti]]'s DataFrame form). The interval
+    * literal is the ANSI `INTERVAL '30' DAY`, which both engines parse
+    * identically.
+    */
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL '30' DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
   def sqlQ1(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q1Sql)
+  }
+
+  def sqlQ4(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q4Sql)
   }
 
   def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
@@ -84,12 +107,14 @@ object SqlEntry {
 
   val queries: Map[String, Q] = Map(
     "q_sql_pricing_summary" -> sqlQ1 _,
-    "q_sql_shipping_priority" -> sqlQ3 _)
+    "q_sql_shipping_priority" -> sqlQ3 _,
+    "q_sql_late_orders" -> sqlQ4 _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
     * TIMESTAMP literals and decimal semantics line up).
     */
   val oracles: Map[String, String] = Map(
     "q_sql_pricing_summary" -> q1Sql.replace("\n", " "),
-    "q_sql_shipping_priority" -> q3Sql.replace("\n", " "))
+    "q_sql_shipping_priority" -> q3Sql.replace("\n", " "),
+    "q_sql_late_orders" -> q4Sql.replace("\n", " "))
 }

@@ -595,6 +595,12 @@ class PlanSpec extends SparkSpec {
       s"pit join grew beyond the history + merged-stream exchanges:\n$p")
   }
 
+  test("SQL EXISTS rewrites to a semi join (no subquery re-execution)") {
+    val p = plan(SqlEntry.sqlQ4(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"correlated EXISTS must plan as a left-semi join:\n$p")
+  }
+
   test("rolling range window rides one user_id exchange") {
     val p = plan(Ext.rollingRange(spark, sf))
     assert(p.split("\n").count(_.matches("""\(\d+\) Exchange\s*""")) === 1,
