@@ -371,7 +371,103 @@ object TextOps {
     }).toDF("doc_id", "norm_text", "changed", "n_cp")
   }
 
+  /** Planted rows for [[htmlExtract]]: the fixture corpus is plain text
+    * (extraction is the identity there modulo whitespace collapse), so the
+    * markup contract is gated on planted HTML — a full page with
+    * head/style/script/comment blocks, uppercase tag variants, an
+    * entity-only fragment (markup-free but entity-bearing), a multiline
+    * fragment, a double-encoded entity (one decode level exactly), and a
+    * NULL row for null propagation. Entities are chosen so one-level
+    * decode never forms a new `<...>` span (see the idempotence law in
+    * PropertySpec: decoded `&lt;` IS legitimate output text, the law holds
+    * because no matching `>` follows).
+    */
+  private[graft] val HtmlPlantedRows: Seq[(Long, String)] = Seq(
+    (930001L, "<!DOCTYPE html><html><head><title>Widget specs</title>" +
+      "<style type=\"text/css\">body { color: red; }</style>" +
+      "<script>var x = 1 < 2 && y > 0;</script></head>" +
+      "<body><h1>Widget&nbsp;specs</h1>" +
+      "<p class=\"intro\">Tom &amp; Jerry &lt;3 data " +
+      "&#39;quoted&#39; &quot;double&quot;</p>" +
+      "<!-- hidden comment --><ul><li>alpha</li><li>beta</li></ul>" +
+      "</body></html>"),
+    (930002L, "<SCRIPT SRC=\"app.js\">var hidden = true;</SCRIPT>" +
+      "<P>Upper case tags</P><STYLE>h1 { margin: 0 }</STYLE> done"),
+    (930003L, "fish &amp; chips cost &lt;5 and &apos;more&apos;"),
+    (930004L, "no markup at all here"),
+    (930005L, "<div>\n  line one\n  <br/>\n  line two\n</div>"),
+    (930006L, "double encoded: &amp;lt;tag&amp;gt; stays text"),
+    (930007L, null))
+
+  /** HTML entity decode table, applied AFTER tag stripping (decoding
+    * first would turn entity-encoded text into strippable markup — the
+    * classic extractor bug). `&amp;` is decoded LAST so double-encoded
+    * entities (`&amp;lt;`) decode exactly one level, per the HTML
+    * standard. Every search string is regex-metacharacter-free, so
+    * Spark's (global) `regexp_replace` and DuckDB's `replace` agree.
+    */
+  private val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** Tag-span pattern (also counts comments/doctype — any `<...>` span
+    * without an embedded `>`). `[^>]` matches newlines, so no dotall flag
+    * is needed; no backreferences anywhere, so Java regex (Spark) and RE2
+    * (DuckDB) agree on every pattern in this pipeline.
+    */
+  private[graft] val HtmlTagPattern = "<[^>]*>"
+  private val HtmlScriptPattern = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  private val HtmlStylePattern = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  private val HtmlCommentPattern = "(?s)<!--.*?-->"
+
+  /** The full markup→text chain over one string column — shared by the
+    * query and by PropertySpec's idempotence law. Order matters and is
+    * the production order: script/style blocks (content AND tags) →
+    * comments → remaining tags → entity decode (one level) → whitespace
+    * collapse + trim. Pure codegen'd `regexp_replace`/`trim` — map-side,
+    * zero exchanges, null-propagating.
+    */
+  private[graft] def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(c, HtmlScriptPattern, " "), HtmlStylePattern, " ")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, HtmlCommentPattern, " "), HtmlTagPattern, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (acc, (ent, ch)) => regexp_replace(acc, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** HTML/markup → text extraction — the FIRST operator a web-scale
+    * corpus runs (upstream of quality scoring, dedup, everything): strip
+    * script/style/comment blocks, strip tags, decode entities one level,
+    * collapse whitespace. Runs over `documents` (identity there: the
+    * fixture is markup-free) unioned with [[HtmlPlantedRows]]. `n_tags`
+    * counts tag-like spans in the RAW text (the markup-density signal a
+    * boilerplate classifier consumes); `had_markup` flags rows the
+    * extractor actually changed structurally. 100 TB shape: one narrow
+    * projection, no UDFs, no shuffles, no driver round-trips.
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = HtmlPlantedRows.toDF("doc_id", "text")
+    val nTags = size(regexp_extract_all(col("text"),
+      lit(HtmlTagPattern), lit(0)))
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(planted)
+      .select(
+        col("doc_id"),
+        htmlToText(col("text")).as("clean_text"),
+        // size() returns -1 for null arrays (legacy Spark convention);
+        // the when() restores SQL null propagation to match the oracle
+        when(col("text").isNotNull, nTags.cast("long")).as("n_tags"),
+        when(col("text").isNotNull, nTags > 0).as("had_markup"))
+      .withColumn("n_chars_out", length(col("clean_text")).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_html_extract" -> htmlExtract _,
     "q_text_normalize" -> textNormalize _,
     "q_array_stats" -> arrayStats _,
     "q_regex_extract" -> regexExtract _,
@@ -389,6 +485,36 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_html_extract" -> {
+      def sqlLit(t: String): String =
+        if (t == null) "CAST(NULL AS VARCHAR)"
+        else s"'${t.replace("'", "''")}'"
+      val values = HtmlPlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      // identical pattern constants as the Spark side; RE2 needs the 'g'
+      // option where Java regexp_replace is global by default, and
+      // DuckDB's plain replace() mirrors Spark's literal regexp_replace
+      // for the (metacharacter-free) entity table
+      val stripped = Seq(HtmlScriptPattern, HtmlStylePattern,
+        HtmlCommentPattern, HtmlTagPattern)
+        .foldLeft("text")((acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+      val decoded = HtmlEntities.foldLeft(stripped) { case (acc, (ent, ch)) =>
+        s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
+      }
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |c AS (SELECT doc_id, text,
+         |  trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS clean_text
+         |  FROM src)
+         |SELECT doc_id, clean_text,
+         |  CAST(length(clean_text) AS BIGINT) AS n_chars_out,
+         |  CAST(len(regexp_extract_all(text, '$HtmlTagPattern'))
+         |    AS BIGINT) AS n_tags,
+         |  len(regexp_extract_all(text, '$HtmlTagPattern')) > 0
+         |    AS had_markup
+         |FROM c""".stripMargin
+    },
     "q_text_normalize" -> {
       val values = NormPlantedRows.map { case (id, t) =>
         s"($id, '${t.replace("'", "''")}')"

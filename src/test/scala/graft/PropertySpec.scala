@@ -306,4 +306,63 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("html extraction law: no residual tags, idempotent on its output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // generated markup: nested tags, blocks, entities, whitespace runs —
+    // plus the planted fixture rows and the real (markup-free) corpus
+    val word = Gen.oneOf("alpha", "beta", "gamma", "x1")
+    val entity = Gen.oneOf("&amp;", "&lt;3", "&#39;q&#39;", "&nbsp;",
+      "&amp;lt;kept&amp;gt;")
+    val piece: Gen[String] = Gen.frequency(
+      4 -> word,
+      2 -> entity,
+      2 -> word.map(w => s"<b>$w</b>"),
+      1 -> word.map(w => s"<script>var $w = 1 < 2;</script>"),
+      1 -> word.map(w => s"<style>.$w { x: 1 }</style>"),
+      1 -> word.map(w => s"<!-- $w -->"),
+      1 -> Gen.oneOf(" ", "\n", "\t ", "  "))
+    val docGen = Gen.chooseNum(1, 15)
+      .flatMap(n => Gen.listOfN(n, piece)).map(_.mkString(" "))
+    val generated = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (940000L + i, t) }
+    val planted = graft.engine.TextOps.HtmlPlantedRows
+    val rows = (generated ++ planted).toDF("doc_id", "text")
+      .withColumn("clean", graft.engine.TextOps.htmlToText(col("text")))
+      .withColumn("again", graft.engine.TextOps.htmlToText(col("clean")))
+      .collect()
+    val tagRe = graft.engine.TextOps.HtmlTagPattern.r
+    // one-level entity decode is the HTML standard, so the full chain is
+    // idempotent exactly on outputs with no remaining entity reference
+    // (a double-encoded input's correct output "&lt;x&gt;" decodes again
+    // by design); tag stripping + whitespace collapse are idempotent
+    // unconditionally — "no residual tag span" is that law
+    val entRe = "&(lt|gt|quot|apos|nbsp|amp|#39);".r
+    rows.foreach { r =>
+      val (id, clean, again) =
+        (r.getLong(0), r.getString(2), r.getString(3))
+      if (clean != null) {
+        assert(tagRe.findFirstIn(clean).isEmpty,
+          s"doc $id: residual tag span in '$clean'")
+        if (entRe.findFirstIn(clean).isEmpty) {
+          assert(again == clean, s"doc $id: not idempotent" +
+            s" ('$clean' -> '$again')")
+        }
+      }
+    }
+    // pin the semantics the planted rows encode: block content dropped,
+    // entities decoded exactly one level, null propagates
+    val byId = rows.map(r => r.getLong(0) ->
+      Option(r.getString(2))).toMap
+    val full = byId(930001L).get
+    assert(!full.contains("color: red") && !full.contains("var x"),
+      s"block content must be dropped: '$full'")
+    assert(full.contains("Tom & Jerry <3 data 'quoted' \"double\""), full)
+    assert(byId(930002L).get == "Upper case tags done", byId(930002L).get)
+    assert(byId(930006L).get ==
+      "double encoded: &lt;tag&gt; stays text", byId(930006L).get)
+    assert(byId(930005L).get == "line one line two", byId(930005L).get)
+    assert(byId(930007L).isEmpty, "null text must stay null")
+  }
 }
