@@ -12,20 +12,52 @@ class BpeSpec extends SparkSpec {
 
   test("vocab: ranked merge list, hierarchical merges allowed") {
     val rules = Bpe.bpeVocab(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
       .sortBy(_._1)
+    // the fixture corpus fills every round: 64 merges in 8 rounds of 8
     assert(rules.map(_._1).toSeq == (1L to Bpe.Merges).toSeq)
+    assert(rules.map(_._2).distinct.toSeq == (1L to Bpe.Rounds).toSeq)
     // merged symbol is the concatenation, counts are positive
-    rules.foreach { case (_, l, r, m, c) =>
+    rules.foreach { case (_, _, l, r, m, c) =>
       assert(m == l + r)
       assert(c > 0)
+    }
+    // batching law: rules within one round are pairwise symbol-disjoint
+    // (the property that makes within-round application order-free) — a
+    // symbol appears in exactly one rule per round (twice iff self-pair)
+    rules.groupBy(_._2).foreach { case (round, rs) =>
+      assert(rs.size <= Bpe.BatchSize, s"round $round oversize")
+      val counts = rs.flatMap(t => Seq(t._3, t._4))
+        .groupBy(identity).map { case (s, o) => s -> o.size }
+      rs.foreach { case (_, _, l, r, _, _) =>
+        val want = if (l == r) 2 else 1
+        assert(counts(l) == want && counts(r) == want,
+          s"round $round: ($l,$r) shares a symbol")
+      }
     }
     // merge list is deterministic across a fresh (non-memoized) session:
     // the memo is keyed by session, so a second SparkSession retrains
     val rules2 = Bpe.bpeVocab(spark.newSession(), sf).collect()
-      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
-    assert(rules2.toSeq == rules.map(t => (t._1, t._4)).toSeq)
+      .map(r => (r.getLong(0), r.getString(4))).sortBy(_._1)
+    assert(rules2.toSeq == rules.map(t => (t._1, t._5)).toSeq)
+  }
+
+  test("selectBatch: used-set greedy disjointness on crafted windows") {
+    // rank 1 always selected; overlap with a KEPT pair skips; overlap
+    // with a merely REJECTED pair does not; batch caps at BatchSize
+    val cand = Seq(
+      ("a", "b", 10L), // selected (rank 1)
+      ("b", "c", 9L),  // rejected: b kept at rank 1
+      ("c", "d", 8L),  // selected: c only appeared in a REJECTED pair
+      ("e", "e", 7L),  // selected: self-pair
+      ("d", "e", 6L),  // rejected: both symbols kept
+      ("f", "g", 5L))  // selected
+    assert(Bpe.selectBatch(cand) == Seq(
+      ("a", "b", 10L), ("c", "d", 8L), ("e", "e", 7L), ("f", "g", 5L)))
+    val big = (0 until 26).map(i => (s"x$i", s"y$i", (100 - i).toLong))
+    assert(Bpe.selectBatch(big) == big.take(Bpe.BatchSize))
+    assert(Bpe.selectBatch(Nil).isEmpty)
   }
 
   test("tokenize: BPE stream reconstructs the original text exactly") {
