@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneSignatures}
+import graft.functions.{CosineSimilarity, HyperplaneSignatures, NfcNormalize}
 import graft.engine.Similarity
 
 /** SparkSessionExtensions entry point: injects the engine's native
@@ -34,6 +34,11 @@ object GraftExtensions {
       Similarity.PlanesPerTable)
   }
 
+  private def nfcBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "nfc_normalize(s) takes one string arg")
+    NfcNormalize(args.head)
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       ("cosine_sim",
@@ -42,7 +47,10 @@ object GraftExtensions {
       ("lsh_signatures",
         new ExpressionInfo(classOf[HyperplaneSignatures].getName,
           "lsh_signatures"),
-        lshBuilder _))
+        lshBuilder _),
+      ("nfc_normalize",
+        new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+        nfcBuilder _))
 
   /** Imperative registration into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

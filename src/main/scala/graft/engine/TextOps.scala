@@ -343,32 +343,29 @@ object TextOps {
     * corpus runs before ANY hashing: the same visible string in composed
     * vs decomposed form ("é" vs "e"+U+0301) hashes differently, so
     * un-normalized corpora leak duplicates past exact AND near-dup
-    * passes. Spark has no normalize expression, so this is the JVM-
-    * library boundary ([[Multimodal]]'s rule): `java.text.Normalizer`
-    * (JDK-builtin, no dependency) inside one `mapPartitions` — pure
-    * map-side, zero exchanges, still whole-partition batched. DuckDB's
-    * `nfc_normalize` implements the same Unicode standard, so the
-    * normalized strings hash-match cross-engine. `changed` counts
-    * re-encoded rows (the planted NFD row), `n_cp` is in CODEPOINTS
-    * (`codePointCount`, matching DuckDB `length` — not UTF-16 units).
+    * passes. Spark has no normalize builtin, so the op is the native
+    * [[graft.functions.NfcNormalize]] Catalyst expression (codegen'd,
+    * ASCII fast path, SQL-callable as `nfc_normalize` via
+    * GraftExtensions) — the whole query is one narrow projection inside
+    * WholeStageCodegen, no SerializeFromObject/mapPartitions round-trip
+    * (PlanSpec gates this). DuckDB's `nfc_normalize` implements the same
+    * Unicode standard, so the normalized strings hash-match
+    * cross-engine. `changed` counts re-encoded rows (the planted NFD
+    * row; null text falls to 0 like the oracle's CASE), `n_cp` is in
+    * CODEPOINTS (Spark `length` = UTF-8 character count, matching DuckDB
+    * `length` — not UTF-16 units).
     */
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val planted = NormPlantedRows.toDF("doc_id", "text")
-    val ds = Tables.documents(spark, dir).select("doc_id", "text")
-      .unionByName(planted).as[(Long, String)]
-    ds.mapPartitions(_.map { case (id, t) =>
-      // null text passes through with the oracle's null semantics:
-      // nfc_normalize(NULL) is NULL, the <> test falls to ELSE 0,
-      // length(NULL) is NULL
-      if (t == null) (id, null: String, 0, None: Option[Long])
-      else {
-        val n = java.text.Normalizer
-          .normalize(t, java.text.Normalizer.Form.NFC)
-        (id, n, if (n != t) 1 else 0,
-          Some(n.codePointCount(0, n.length).toLong))
-      }
-    }).toDF("doc_id", "norm_text", "changed", "n_cp")
+    val norm = graft.functions.StringFunctions.nfc_normalize(col("text"))
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(planted)
+      .select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        when(norm =!= col("text"), lit(1)).otherwise(lit(0)).as("changed"),
+        length(norm).cast("long").as("n_cp"))
   }
 
   /** Planted rows for [[htmlExtract]]: the fixture corpus is plain text

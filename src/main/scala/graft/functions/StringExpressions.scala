@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.glue
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for Unicode NFC normalization — the
+  * text-hygiene pass a multilingual corpus runs before ANY hashing (the
+  * same visible string in composed vs decomposed form hashes
+  * differently, leaking duplicates past exact AND near-dup passes).
+  *
+  * Spark has no normalize builtin; the round-11 implementation was a
+  * `mapPartitions` over `java.text.Normalizer`, which is correct but
+  * breaks whole-stage codegen with a SerializeFromObject /
+  * DeserializeToObject round-trip and keeps the op off the SQL surface.
+  * This expression stays inside the codegen'd stage (the normalizer call
+  * itself rides along as a reference object, the
+  * [[HyperplaneSignatures]] pattern) and registers as SQL
+  * `nfc_normalize` via [[graft.GraftExtensions]] — the same name DuckDB
+  * gives its implementation of the same Unicode standard, so oracle SQL
+  * and engine SQL read identically.
+  *
+  * Two allocation-free fast paths matter at corpus scale: pure-ASCII
+  * strings (the overwhelming majority of a web corpus) are detected with
+  * one signed-byte scan and returned AS-IS — NFC is the identity on
+  * ASCII — and already-normalized non-ASCII strings return the original
+  * buffer after `Normalizer.isNormalized` (a scan, no rewrite). Only
+  * genuinely decomposed rows pay the String materialization.
+  *
+  * Null in, null out (standard unary null propagation).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  /** Codegen/eval entry point (public so generated code can call it). */
+  def normalize(u: UTF8String): UTF8String = {
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) {
+      if (u.getByte(i) < 0) {
+        // non-ASCII byte: fall through to the Normalizer
+        val s = u.toString
+        return if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) u
+        else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    u // pure ASCII: NFC is the identity
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    normalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nfcExpr", this,
+      classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.normalize($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
+object StringFunctions {
+  /** Column-API entry point for [[NfcNormalize]]. */
+  def nfc_normalize(c: Column): Column =
+    glue.column(NfcNormalize(glue.expression(c)))
+}

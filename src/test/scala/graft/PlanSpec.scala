@@ -668,6 +668,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"asofJoin should shuffle once on user_id:\n$p")
   }
 
+  test("nfc normalize: native expression, no object round-trip, SQL-callable") {
+    // round-11 carried this op as mapPartitions; the NfcNormalize
+    // Catalyst expression must keep the whole query inside codegen —
+    // no SerializeFromObject/DeserializeToObject/MapPartitions nodes
+    val p = plan(TextOps.textNormalize(spark, sf))
+    Seq("SerializeFromObject", "DeserializeToObject", "MapPartitions")
+      .foreach(node => assert(!p.contains(node), s"$node in plan:\n$p"))
+    // formatted mode marks codegen'd operators with a leading '*'; the
+    // corpus-side projection must carry it
+    assert(p.contains("* Project"), s"projection not codegen'd:\n$p")
+    // SQL front door: the registered function normalizes a decomposed
+    // literal to its precomposed twin (and is the identity on ASCII)
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT nfc_normalize('café') AS c, nfc_normalize('x') AS x," +
+        " nfc_normalize(CAST(NULL AS STRING)) AS n").head()
+    assert(row.getString(0) == "caf\u00e9")
+    assert(row.getString(1) == "x")
+    assert(row.isNullAt(2))
+  }
+
   test("drained streaming sessions EQUAL the batch sessionizer's set") {
     val q = graft.streaming.SessionState.runToMemory(spark, sf, "sess_out")
     try {
