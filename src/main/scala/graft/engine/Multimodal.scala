@@ -227,7 +227,8 @@ object Multimodal {
     * for a fixed JVM: driver (oracle literals) and executors (decode) run
     * the same codec classes.
     */
-  private def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+  private def encodeImage(w: Int, h: Int, fmt: String,
+      ma: Int = 7, ab: Int = 13, mm: Int = 251): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var p = 0
@@ -235,9 +236,9 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((3 * p) * 7 + 13) % 251
-        val g = ((3 * p + 1) * 7 + 13) % 251
-        val b = ((3 * p + 2) * 7 + 13) % 251
+        val r = ((3 * p) * ma + ab) % mm
+        val g = ((3 * p + 1) * ma + ab) % mm
+        val b = ((3 * p + 2) * ma + ab) % mm
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         p += 1; x += 1
       }
@@ -247,6 +248,22 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, fmt, out)
     out.toByteArray
   }
+
+  /** Parametric arithmetic-raster builders (byte i of the raster is
+    * `(i·ma + ab) % mm`): the SAME formula emitted as P6 or PNG yields
+    * pixel-identical payloads (PNG is lossless), which is exactly the
+    * re-encoded-duplicate scenario [[imageDedup]] exists to catch — and
+    * what lets the DuckDB oracle derive both encodings' dHashes from one
+    * VALUES row.
+    */
+  private[graft] def ppmPayloadF(w: Int, h: Int, ma: Int, ab: Int,
+      mm: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    header ++ Array.tabulate(w * h * 3)(i => ((i * ma + ab) % mm).toByte)
+  }
+  private[graft] def pngPayloadF(w: Int, h: Int, ma: Int, ab: Int,
+      mm: Int): Array[Byte] = encodeImage(w, h, "png", ma, ab, mm)
 
   private[graft] def pngPayload(w: Int, h: Int): Array[Byte] =
     encodeImage(w, h, "png")
@@ -448,6 +465,155 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  // ===== perceptual image dedup (dHash) ===============================
+
+  /** dHash grid: an 11×6 nearest-neighbor luma thumbnail gives
+    * (11−1)×6 = 60 horizontal-gradient bits — the same 60-bit/15-bit-band
+    * geometry as [[Dedup.simhashPairs]] (sign bit and bits 60–63 stay
+    * clear, so every shift/xor stays in non-negative BIGINT range on both
+    * engines), with the same pigeonhole guarantee: ≤ [[DHashMaxHamming]]
+    * bit flips must leave one whole band intact.
+    */
+  val DHashGridW = 11
+  val DHashGridH = 6
+  val DHashBits: Int = (DHashGridW - 1) * DHashGridH
+  val DHashBands = 4
+  val DHashBandBits = 15
+  val DHashMaxHamming = 3
+
+  /** Planted rasters for [[imageDedup]]: (doc_id, w, h, ma, ab, mm,
+    * isPng). 960001/960002 are the SAME 24×18 raster as P6 and PNG — the
+    * re-encoded duplicate (identical pixels, identical dHash); 960003
+    * shifts brightness (+6 per byte, two sawtooth wraps flip exactly 2
+    * gradient bits — hamming 2, inside the threshold): the near-dup;
+    * 960004/960005 are a structurally different raster (hamming 23 from
+    * the first cluster): a distinct image pair that must form its OWN
+    * cluster. Expected clusters: {960001, 960002, 960003} rooted at
+    * 960001 and {960004, 960005} rooted at 960004.
+    */
+  private[graft] val ImageDedupPlanted: Seq[(Long, Int, Int, Int, Int, Int, Boolean)] =
+    Seq(
+      (960001L, 24, 18, 7, 13, 251, false),
+      (960002L, 24, 18, 7, 13, 251, true),
+      (960003L, 24, 18, 7, 19, 251, false),
+      (960004L, 20, 12, 53, 101, 239, false),
+      (960005L, 20, 12, 53, 101, 239, true))
+
+  /** Pack the 60 gradient bits from a luma lookup: bit gy·10+gx is set
+    * iff luma(gx+1, gy) > luma(gx, gy). `lum` reads the nearest-neighbor
+    * source pixel for a grid cell as milli-luma (299r + 587g + 114b —
+    * integer BT.601 weights, no division, so both engines compare
+    * identical values).
+    */
+  private def packDhash(lum: (Int, Int) => Long): Long = {
+    var sig = 0L
+    var gy = 0
+    while (gy < DHashGridH) {
+      var gx = 0
+      while (gx < DHashGridW - 1) {
+        if (lum(gx + 1, gy) > lum(gx, gy))
+          sig |= 1L << (gy * (DHashGridW - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
+  private[graft] def dhashPpm(bytes: Array[Byte]): Long = {
+    val (w, h, pos) = parsePpmHeader(bytes)
+    packDhash { (gx, gy) =>
+      val p = pos + 3 *
+        (((gy * h) / DHashGridH) * w + (gx * w) / DHashGridW)
+      299L * (bytes(p) & 0xff) + 587L * (bytes(p + 1) & 0xff) +
+        114L * (bytes(p + 2) & 0xff)
+    }
+  }
+
+  private[graft] def dhashImage(bytes: Array[Byte]): Long = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    packDhash { (gx, gy) =>
+      val rgb = img.getRGB((gx * w) / DHashGridW, (gy * h) / DHashGridH)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+    }
+  }
+
+  /** CONTENT-level image dedup — the gap text/embedding near-dup passes
+    * cannot cover: a re-encoded copy of the same picture (PNG of a PPM,
+    * recompressed upload) has different BYTES, so exact/byte-hash dedup
+    * sails past it, but the same PIXELS, so the perceptual difference
+    * hash collides. Pipeline: magic-filtered decode (P6 + PNG; lossy
+    * JPEG stays out for the same oracle reason as [[multimodalResize]])
+    * → 60-bit dHash per image (map-side kernel over the already-real
+    * decoders) → [[DHashBands]]×[[DHashBandBits]]-bit banded candidate
+    * join with the [[Dedup.LshBucketCap]] oversize guard and an
+    * identical-signature star (the [[Dedup.simhashPairs]] plan, reused
+    * bit for bit) → exact `bit_count(xor)` hamming verify ≤
+    * [[DHashMaxHamming]] → connected components + keeper election via
+    * [[Dedup.clusterPairs]] (pointer-halving, O(log n) rounds). Output:
+    * one row per decoded image with its hash, cluster root, and keeper
+    * flag. Scale shape: decode is partition-wise, candidates are
+    * band-bucketed (never all-pairs), the pair graph is dup-sized.
+    */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val planted = ImageDedupPlanted.map { case (id, w, h, ma, ab, mm, png) =>
+      (id, "image",
+        if (png) pngPayloadF(w, h, ma, ab, mm) else ppmPayloadF(w, h, ma, ab, mm))
+    }.toDF("doc_id", "media_type", "payload")
+    val sigs = mediaTableFull(spark, dir).unionByName(planted)
+      .filter(col("payload").isNotNull &&
+        (substring(col("payload"), 1, 2) === lit("P6".getBytes(ascii)) ||
+         substring(col("payload"), 1, 4) ===
+           lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // malformed magic-prefixed payloads quarantine to zero rows
+        it.flatMap { case (id, bytes) =>
+          scala.util.Try(
+            if (bytes(0) == 'P') dhashPpm(bytes) else dhashImage(bytes)
+          ).toOption.map(sig => (id, sig))
+        }
+      }
+      .toDF("doc_id", "dhash")
+    val bands = sigs.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(DHashBands - 1))).as("band"))
+      .withColumn("bkey", expr(
+        s"shiftright(dhash, CAST(band * $DHashBandBits AS INT))" +
+          s" % ${1 << DHashBandBits}"))
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+    val gb = bands.filter(col("bsize") <= Dedup.LshBucketCap)
+    val pairwise = gb.as("x").join(gb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val star = sigs
+      .withColumn("hub", min(col("doc_id")).over(Window.partitionBy("dhash")))
+      .filter(col("hub") < col("doc_id"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("dhash").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("dhash").as("sig_b"))
+    val pairs = pairwise.union(star).distinct()
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(expr("CAST(bit_count(sig_a ^ sig_b) AS INT)")
+        <= DHashMaxHamming)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.clusterPairs(pairs)._1
+    sigs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"),
+        coalesce(col("component_root"), col("doc_id")).as("cluster_root"),
+        coalesce(col("keep"), lit(true)).as("is_keeper"))
   }
 
   /** Frame/stride sampling registered as a driver query: one row per
@@ -780,7 +946,74 @@ object Multimodal {
     "q_multimodal_resize" -> multimodalResize _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_multimodal_video" -> multimodalVideo _,
+    "q_image_dedup" -> imageDedup _,
     "q_frame_sample" -> multimodalFrameSample _)
+
+  /** DuckDB twin of [[imageDedup]]: every P6/PNG image in the query is a
+    * planted arithmetic raster, so one VALUES row (doc_id, w, h, ma, ab,
+    * mm) per image derives the exact luma grid, the 60-bit dHash, the
+    * banded candidate generation + star, the hamming verify, and the
+    * component closure (the recursive-CTE pattern of `clustersSql`) —
+    * fully independently of the engine's ImageIO/P6 decoders, which is
+    * the point: the hash gate proves REAL decoded pixels equal the
+    * formula.
+    */
+  private val imageDedupSql: String = {
+    val values = (
+      (PpmPlanted ++ PngPlanted).map { case (id, w, h) =>
+        s"($id, $w, $h, 7, 13, 251)" } ++
+      ImageDedupPlanted.map { case (id, w, h, ma, ab, mm, _) =>
+        s"($id, $w, $h, $ma, $ab, $mm)" }).mkString(", ")
+    s"""WITH RECURSIVE imgs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    w, h, ma, ab, mm
+       |  FROM (VALUES $values) v(doc_id, w, h, ma, ab, mm)),
+       |cell AS (SELECT doc_id, gx, gy,
+       |    3 * (((gy * h) // $DHashGridH) * w + (gx * w) // $DHashGridW)
+       |      AS i0, ma, ab, mm
+       |  FROM imgs, (SELECT unnest(range(0, $DHashGridW)) AS gx),
+       |       (SELECT unnest(range(0, $DHashGridH)) AS gy)),
+       |luma AS (SELECT doc_id, gx, gy,
+       |    299 * ((i0 * ma + ab) % mm) + 587 * (((i0 + 1) * ma + ab) % mm)
+       |      + 114 * (((i0 + 2) * ma + ab) % mm) AS lm FROM cell),
+       |bit AS (SELECT a.doc_id, a.gy * ${DHashGridW - 1} + a.gx AS k
+       |  FROM luma a JOIN luma b ON a.doc_id = b.doc_id AND a.gy = b.gy
+       |    AND b.gx = a.gx + 1
+       |  WHERE b.lm > a.lm),
+       |sigs AS (SELECT i.doc_id,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS sig
+       |  FROM imgs i LEFT JOIN bit ON i.doc_id = bit.doc_id
+       |  GROUP BY i.doc_id),
+       |bnd AS (SELECT doc_id, sig, band,
+       |    (sig >> (band * $DHashBandBits)) % ${1 << DHashBandBits} AS bkey
+       |  FROM sigs, (SELECT unnest(range(0, $DHashBands)) AS band)),
+       |sized AS (SELECT doc_id, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bnd),
+       |gb AS (SELECT doc_id, band, bkey FROM sized
+       |  WHERE bsize <= ${Dedup.LshBucketCap}),
+       |star AS (SELECT hub AS doc_a, doc_id AS doc_b FROM (
+       |  SELECT min(doc_id) OVER (PARTITION BY sig) AS hub, doc_id
+       |  FROM sigs) WHERE hub < doc_id),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM gb x JOIN gb y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id
+       |  UNION ALL SELECT doc_a, doc_b FROM star)),
+       |pairs AS (SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b
+       |  WHERE bit_count(xor(sa.sig, sb.sig)) <= $DHashMaxHamming),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b <> r.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS root
+       |  FROM reach GROUP BY a)
+       |SELECT s.doc_id, s.sig AS dhash,
+       |  coalesce(c.root, s.doc_id) AS cluster_root,
+       |  coalesce(s.doc_id = c.root, TRUE) AS is_keeper
+       |FROM sigs s LEFT JOIN comp c ON s.doc_id = c.doc_id""".stripMargin
+  }
 
   /** DuckDB twin of [[multimodalAudio]]: per planted (doc_id, channels,
     * rate, frames), channel `c` reads interleaved indices `f*ch + c` of
@@ -937,6 +1170,7 @@ object Multimodal {
     "q_multimodal_resize" -> resizeSql,
     "q_multimodal_audio" -> audioSql,
     "q_multimodal_video" -> videoSql,
+    "q_image_dedup" -> imageDedupSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 'IMG0' || text AS p FROM documents),
         |o AS (SELECT doc_id, p,
