@@ -740,10 +740,29 @@ object Ext {
     * swaps for `approx_percentile` in the same plan; the fixture keeps
     * the exact form because the oracle gate demands bit equality.
     */
+  /** Exactness bound for [[robustOutliers]]' cent quantization: the
+    * whole pipeline is integer arithmetic AFTER `round(value·100)`, but
+    * that round happens in DOUBLE, which represents integers exactly
+    * only below 2^53 — beyond it Spark and an oracle engine can
+    * legitimately round the same value to different cents and the
+    * cross-engine hash silently diverges. Guarded at 2^52 for headroom;
+    * a larger value domain must rescale or move to DECIMAL, and the
+    * in-plan assert makes that a loud job failure instead of a silent
+    * wrong answer.
+    */
+  val RobustOutliersMaxCents: Long = 1L << 52
+
   def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      // assert_true(null) throws, so null values (no cents to quantize)
+      // are passed through explicitly
+      .filter(expr(
+        s"""assert_true(c IS NULL OR abs(c) <= $RobustOutliersMaxCents,
+           |  'robustOutliers: |value|*100 exceeds 2^52 — double rounding
+           |  is no longer exact; rescale or widen to DECIMAL') IS NULL"""
+          .stripMargin))
     val med = ev.groupBy("event_type")
       .agg(expr("CAST(2 * percentile(c, 0.5) AS BIGINT)").as("med2"))
     val dev = ev.join(broadcast(med), "event_type")

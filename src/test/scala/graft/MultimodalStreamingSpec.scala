@@ -418,4 +418,50 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(rows(id)._2 == id && rows(id)._3, s"$id not a singleton")
     }
   }
+
+  test("stream reader absorbs a nanos-generation events fixture") {
+    // fixture regenerations have flipped events.ts between
+    // TIMESTAMP(MICROS) and TIMESTAMP(NANOS) before; under
+    // nanosAsLong the latter reads as a nano-epoch long. The stream
+    // reader must sniff the footer like Tables.events and decode to the
+    // same UTC-instant micros — not fail mid-stream with a type error.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nanos-events").toString
+    val microsOfFixture = graft.engine.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    // emulate the nanos generation: ts written as a raw nano-epoch long
+    // (what TIMESTAMP(NANOS) parquet looks like under nanosAsLong). The
+    // fixture layout is a single FILE named events.parquet (the stream
+    // glob matches leaf file names), so relocate the one part file
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-nanos-stage").toString
+    microsOfFixture
+      .select(col("event_id"), (col("us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .filter(f => f.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val streamed = graft.streaming.EventStream.readEvents(spark, dir)
+    assert(streamed.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "nanos fixture must surface as a timestamp column")
+    val q = streamed
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .writeStream.format("memory").queryName("nanos_events")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("nanos_events")
+      val want = microsOfFixture.select("event_id", "us")
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0,
+        "streamed instants diverge from the batch loader's")
+    } finally q.stop()
+  }
 }

@@ -107,4 +107,31 @@ class RobustnessSpec extends SparkSpec {
     val results = Await.result(Future.sequence(futures), 120.seconds)
     results.foreach { case (n, c) => assert(c > 0, s"$n empty") }
   }
+
+  test("robust outliers: over-2^52 cent values fail loudly, not wrongly") {
+    import org.apache.spark.sql.functions._
+    // a value domain beyond 2^52 cents makes double rounding inexact —
+    // the guard must abort the job with its message instead of letting
+    // the engine and the oracle round differently and hash-diverge
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bigvals").toString
+    def writeEvents(v: Double): Unit =
+      Tables.events(spark, sf).limit(5)
+        .withColumn("value", lit(v))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // just inside the bound: runs clean
+    writeEvents(((1L << 52) / 100L).toDouble - 1e6)
+    assert(graft.engine.Ext.robustOutliers(spark, dir).collect()
+      .nonEmpty)
+    // beyond the bound: loud failure carrying the guard's message
+    writeEvents(((1L << 52) / 100L).toDouble * 4)
+    val ex = intercept[Exception] {
+      graft.engine.Ext.robustOutliers(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exceeds 2^52")),
+      s"guard message absent: ${messages(ex)}")
+  }
 }
