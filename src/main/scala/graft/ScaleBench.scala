@@ -35,7 +35,16 @@ import graft.engine.{SessionMemo, Tables, TempArtifacts}
   * BELOW 1 for linear operators at these sizes.
   */
 object ScaleBench {
-  val Scales = Seq(1, 2, 5, 10)
+  /** Default scale ladder; override with SPARK_GRAFT_SCALES="1,2,5,10,20"
+    * for targeted deeper ladders (e.g. the 20x exponent-drift check on
+    * the bounded-block exact-verify dedup paths — their candidate volume
+    * is the one surface whose alpha could creep toward 1 as blocks
+    * saturate, so it gets re-measured at a deeper point than the
+    * full-table default).
+    */
+  val Scales: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALES")
+    .map(_.split(",").toSeq.map(_.trim.toInt))
+    .getOrElse(Seq(1, 2, 5, 10))
 
   val QueryNames = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",

@@ -484,22 +484,24 @@ object Multimodal {
   val DHashMaxHamming = 3
 
   /** Planted rasters for [[imageDedup]]: (doc_id, w, h, ma, ab, mm,
-    * isPng). 960001/960002 are the SAME 24×18 raster as P6 and PNG — the
-    * re-encoded duplicate (identical pixels, identical dHash); 960003
+    * isPng). 925001/925002 are the SAME 24×18 raster as P6 and PNG — the
+    * re-encoded duplicate (identical pixels, identical dHash); 925003
     * shifts brightness (+6 per byte, two sawtooth wraps flip exactly 2
     * gradient bits — hamming 2, inside the threshold): the near-dup;
-    * 960004/960005 are a structurally different raster (hamming 23 from
+    * 925004/925005 are a structurally different raster (hamming 23 from
     * the first cluster): a distinct image pair that must form its OWN
-    * cluster. Expected clusters: {960001, 960002, 960003} rooted at
-    * 960001 and {960004, 960005} rooted at 960004.
+    * cluster. Expected clusters: {925001, 925002, 925003} rooted at
+    * 925001 and {925004, 925005} rooted at 925004. Ids live in the
+    * image-family 92xxxx range (the 96xxxx range belongs to the WAV
+    * rows).
     */
   private[graft] val ImageDedupPlanted: Seq[(Long, Int, Int, Int, Int, Int, Boolean)] =
     Seq(
-      (960001L, 24, 18, 7, 13, 251, false),
-      (960002L, 24, 18, 7, 13, 251, true),
-      (960003L, 24, 18, 7, 19, 251, false),
-      (960004L, 20, 12, 53, 101, 239, false),
-      (960005L, 20, 12, 53, 101, 239, true))
+      (925001L, 24, 18, 7, 13, 251, false),
+      (925002L, 24, 18, 7, 13, 251, true),
+      (925003L, 24, 18, 7, 19, 251, false),
+      (925004L, 20, 12, 53, 101, 239, false),
+      (925005L, 20, 12, 53, 101, 239, true))
 
   /** Pack the 60 gradient bits from a luma lookup: bit gy·10+gx is set
     * iff luma(gx+1, gy) > luma(gx, gy). `lum` reads the nearest-neighbor

@@ -394,25 +394,25 @@ class MultimodalStreamingSpec extends SparkSpec {
         r.getBoolean(3)))).toMap
     // the PNG re-encode of the same raster has the IDENTICAL dHash:
     // lossless codec, same pixels, same perceptual hash
-    assert(rows(960001L)._1 == rows(960002L)._1,
+    assert(rows(925001L)._1 == rows(925002L)._1,
       "PNG twin must hash identically to its PPM source")
     // cluster A: source + re-encoded twin + brightness-shifted near-dup
-    assert(rows(960002L)._2 == 960001L, s"twin not clustered: $rows")
-    assert(rows(960003L)._2 == 960001L, s"near-dup not clustered: $rows")
-    assert(rows(960001L)._3 && !rows(960002L)._3 && !rows(960003L)._3,
+    assert(rows(925002L)._2 == 925001L, s"twin not clustered: $rows")
+    assert(rows(925003L)._2 == 925001L, s"near-dup not clustered: $rows")
+    assert(rows(925001L)._3 && !rows(925002L)._3 && !rows(925003L)._3,
       "keeper must be the min doc_id of the cluster, and only it")
     // the near-dup is close but NOT identical (a genuine near-dup, not
     // an exact one): hamming in (0, threshold]
-    val ham = java.lang.Long.bitCount(rows(960001L)._1 ^ rows(960003L)._1)
+    val ham = java.lang.Long.bitCount(rows(925001L)._1 ^ rows(925003L)._1)
     assert(ham > 0 && ham <= Multimodal.DHashMaxHamming, s"hamming $ham")
     // cluster B: the structurally different raster pair stays separate
-    assert(rows(960004L)._2 == 960004L && rows(960005L)._2 == 960004L)
+    assert(rows(925004L)._2 == 925004L && rows(925005L)._2 == 925004L)
     assert(java.lang.Long.bitCount(
-      rows(960001L)._1 ^ rows(960004L)._1) > Multimodal.DHashMaxHamming,
+      rows(925001L)._1 ^ rows(925004L)._1) > Multimodal.DHashMaxHamming,
       "distinct images must not sit within the near-dup threshold")
     // every other decoded image is a singleton keeper
-    val others = rows.keySet -- Set(960001L, 960002L, 960003L, 960004L,
-      960005L)
+    val others = rows.keySet -- Set(925001L, 925002L, 925003L, 925004L,
+      925005L)
     assert(others.nonEmpty)
     others.foreach { id =>
       assert(rows(id)._2 == id && rows(id)._3, s"$id not a singleton")
