@@ -726,6 +726,92 @@ object Dedup {
     * Returns (labels, rounds): one row per node with its component root
     * (= component min) and a keeper flag, plus the converged round count.
     */
+  /** Shared hash-signature clustering: banded candidate generation with
+    * the [[LshBucketCap]] oversize guard + identical-signature star →
+    * exact `bit_count(xor)` hamming verify ≤ `maxHamming` → connected
+    * components + keeper election via [[clusterPairs]]. `sigs` is
+    * (doc_id, sig) with sig a non-negative BIGINT of `bands × bandBits`
+    * meaningful bits (keep bands×bandBits ≤ 60 so shifts/xors never
+    * touch the sign bit on either engine). This is the
+    * [[simhashPairs]] candidate plan generalized to any perceptual/
+    * content signature — text simhash, image dHash
+    * ([[Multimodal.imageDedup]]), audio energy-contour hash
+    * ([[Multimodal.audioDedup]]) all reuse it, so the scale contract is
+    * proven once: candidates are band-bucketed (never all-pairs), the
+    * pair graph is dup-sized, the component loop is O(log n).
+    *
+    * Returns one row per input doc: (doc_id, sig, cluster_root,
+    * is_keeper) — singletons root at themselves and keep.
+    */
+  private[graft] def bandedHammingClusters(sigs: DataFrame, bands: Int,
+      bandBits: Int, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey", expr(
+        s"shiftright(sig, CAST(band * $bandBits AS INT)) % ${1 << bandBits}"))
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+    val gb = banded.filter(col("bsize") <= LshBucketCap)
+    val pairwise = gb.as("x").join(gb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val star = sigs
+      .withColumn("hub", min(col("doc_id")).over(Window.partitionBy("sig")))
+      .filter(col("hub") < col("doc_id"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val pairs = pairwise.union(star).distinct()
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(expr("CAST(bit_count(sig_a ^ sig_b) AS INT)") <= maxHamming)
+      .select("doc_a", "doc_b")
+    val labels = clusterPairs(pairs)._1
+    sigs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sig"),
+        coalesce(col("component_root"), col("doc_id")).as("cluster_root"),
+        coalesce(col("keep"), lit(true)).as("is_keeper"))
+  }
+
+  /** DuckDB twin of [[bandedHammingClusters]]' tail: the CTE text from
+    * banding through the recursive component closure and the final
+    * per-doc select, over a preceding CTE named `sigs(doc_id, sig)`.
+    * `sigCol` names the output signature column (dhash / ahash / …).
+    * Callers must open their statement with `WITH RECURSIVE`.
+    */
+  private[graft] def bandedClusterSqlTail(bands: Int, bandBits: Int,
+      maxHamming: Int, sigCol: String): String =
+    s"""bnd AS (SELECT doc_id, sig, band,
+       |    (sig >> (band * $bandBits)) % ${1 << bandBits} AS bkey
+       |  FROM sigs, (SELECT unnest(range(0, $bands)) AS band)),
+       |sized AS (SELECT doc_id, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bnd),
+       |gb AS (SELECT doc_id, band, bkey FROM sized
+       |  WHERE bsize <= $LshBucketCap),
+       |star AS (SELECT hub AS doc_a, doc_id AS doc_b FROM (
+       |  SELECT min(doc_id) OVER (PARTITION BY sig) AS hub, doc_id
+       |  FROM sigs) WHERE hub < doc_id),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM gb x JOIN gb y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id
+       |  UNION ALL SELECT doc_a, doc_b FROM star)),
+       |pairs AS (SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b
+       |  WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxHamming),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b <> r.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS root
+       |  FROM reach GROUP BY a)
+       |SELECT s.doc_id, s.sig AS $sigCol,
+       |  coalesce(c.root, s.doc_id) AS cluster_root,
+       |  coalesce(s.doc_id = c.root, TRUE) AS is_keeper
+       |FROM sigs s LEFT JOIN comp c ON s.doc_id = c.doc_id""".stripMargin
+
   private[graft] def clusterPairs(pairs: DataFrame): (DataFrame, Int) = {
     // localCheckpoint (not cache): iterative algorithms must TRUNCATE the
     // logical plan each round — with cache alone every round's plan embeds

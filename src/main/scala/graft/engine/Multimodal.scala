@@ -566,7 +566,6 @@ object Multimodal {
     */
   def imageDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     val planted = ImageDedupPlanted.map { case (id, w, h, ma, ab, mm, png) =>
       (id, "image",
@@ -587,35 +586,107 @@ object Multimodal {
           ).toOption.map(sig => (id, sig))
         }
       }
-      .toDF("doc_id", "dhash")
-    val bands = sigs.select(col("doc_id"), col("dhash"),
-        explode(sequence(lit(0), lit(DHashBands - 1))).as("band"))
-      .withColumn("bkey", expr(
-        s"shiftright(dhash, CAST(band * $DHashBandBits AS INT))" +
-          s" % ${1 << DHashBandBits}"))
-      .withColumn("bsize",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-    val gb = bands.filter(col("bsize") <= Dedup.LshBucketCap)
-    val pairwise = gb.as("x").join(gb.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val star = sigs
-      .withColumn("hub", min(col("doc_id")).over(Window.partitionBy("dhash")))
-      .filter(col("hub") < col("doc_id"))
-      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("dhash").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("dhash").as("sig_b"))
-    val pairs = pairwise.union(star).distinct()
-      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .filter(expr("CAST(bit_count(sig_a ^ sig_b) AS INT)")
-        <= DHashMaxHamming)
-      .select("doc_a", "doc_b")
-    val labels = Dedup.clusterPairs(pairs)._1
-    sigs.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dhash"),
-        coalesce(col("component_root"), col("doc_id")).as("cluster_root"),
-        coalesce(col("keep"), lit(true)).as("is_keeper"))
+      .toDF("doc_id", "sig")
+    Dedup.bandedHammingClusters(sigs, DHashBands, DHashBandBits,
+        DHashMaxHamming)
+      .withColumnRenamed("sig", "dhash")
+  }
+
+  // ===== perceptual audio dedup (energy-contour hash) =================
+
+  /** Audio hash geometry: the interleaved sample stream splits into
+    * [[AHashBlocks]] equal blocks; bit k is set iff block k+1's
+    * absolute-amplitude energy exceeds block k's — 60 gradient bits, the
+    * same band geometry as the image dHash. The hash is invariant under
+    * any positive GAIN (scaling every sample scales every block energy
+    * by the same factor, so no comparison flips) — a volume-changed
+    * re-encode of the same audio collides exactly, the audio analog of
+    * the PNG-of-a-PPM scenario.
+    */
+  val AHashBlocks = 61
+  val AHashBands = 4
+  val AHashBandBits = 15
+  val AHashMaxHamming = 3
+
+  /** Planted mono 8 kHz WAVs for [[audioDedup]]: (doc_id, frames, sc,
+    * ma, ab) of the [[wavPayloadF]] formula. 965001/965002 are the same
+    * content at gain 1 and gain 2 — identical hash by the invariance
+    * law; 965003 shifts the formula phase (+120 on `ab`, flipping 2
+    * energy-gradient bits — a genuine near-dup inside the threshold);
+    * 965004/965005 are different content at gains 1 and 3 — their own
+    * cluster, hamming 27 from the first. The three [[WavPlanted]] rows
+    * also flow through (hamming ≥ 22 from both clusters — singletons).
+    */
+  private[graft] val AudioDedupPlanted: Seq[(Long, Int, Int, Int, Int)] =
+    Seq(
+      (965001L, 600, 1, 31, 7),
+      (965002L, 600, 2, 31, 7),
+      (965003L, 600, 1, 31, 127),
+      (965004L, 512, 1, 57, 101),
+      (965005L, 512, 3, 57, 101))
+
+  /** 60-bit energy-contour hash over a PCM WAV payload (channel-agnostic:
+    * the interleaved stream is the content). Throws on malformed input;
+    * callers quarantine.
+    */
+  private[graft] def dhashWav(bytes: Array[Byte]): Long = {
+    val (bb, _, _, dataOff, dataLen) = wavLayout(bytes)
+    val n = dataLen / 2
+    require(n > 0, "empty data chunk")
+    val e = new Array[Long](AHashBlocks)
+    var b = 0
+    while (b < AHashBlocks) {
+      var i = b * n / AHashBlocks
+      val hi = (b + 1) * n / AHashBlocks
+      var acc = 0L
+      while (i < hi) {
+        acc += math.abs(bb.getShort(dataOff + 2 * i).toInt)
+        i += 1
+      }
+      e(b) = acc
+      b += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < AHashBlocks - 1) {
+      if (e(k + 1) > e(k)) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  /** CONTENT-level audio dedup — [[imageDedup]]'s plan applied to the
+    * second modality: RIFF-magic-filtered decode through the real WAV
+    * chunk walker → amplitude-invariant energy-contour hash → the shared
+    * [[Dedup.bandedHammingClusters]] (banded candidates, oversize guard,
+    * identical-signature star, exact hamming verify, pointer-halving
+    * components). Catches what byte-level dedup cannot: the same
+    * recording re-encoded at a different volume has different bytes,
+    * different stats, but the identical energy contour.
+    */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val planted = (WavPlanted.map { case (id, ch, rate, n, lst) =>
+        (id, "audio", wavPayload(ch, rate, n, lst)) }
+      ++ AudioDedupPlanted.map { case (id, n, sc, ma, ab) =>
+        (id, "audio", wavPayloadF(1, 8000, n, withList = false, sc, ma, ab)) }
+      :+ ((MalformedWavId, "audio", malformedWavPayload)))
+      .toDF("doc_id", "media_type", "payload")
+    val sigs = mediaTable(spark, dir).unionByName(planted)
+      .filter(col("payload").isNotNull &&
+        substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          scala.util.Try(dhashWav(bytes)).toOption.map(sig => (id, sig))
+        }
+      }
+      .toDF("doc_id", "sig")
+    Dedup.bandedHammingClusters(sigs, AHashBands, AHashBandBits,
+        AHashMaxHamming)
+      .withColumnRenamed("sig", "ahash")
   }
 
   /** Frame/stride sampling registered as a driver query: one row per
@@ -649,13 +720,23 @@ object Multimodal {
     "RIFFnot actually a wave file".getBytes(
       java.nio.charset.StandardCharsets.US_ASCII)
 
-  private def amp(i: Int): Int = ((i * 31 + 7) % 4001) - 2000
-
   /** Build a standard PCM WAV: RIFF header, fmt chunk (format 1, 16-bit
     * LE), optional LIST chunk, data chunk with the arithmetic samples.
     */
   private[graft] def wavPayload(channels: Int, rate: Int, frames: Int,
-      withList: Boolean): Array[Byte] = {
+      withList: Boolean): Array[Byte] =
+    wavPayloadF(channels, rate, frames, withList, 1, 31, 7)
+
+  /** Parametric WAV builder: interleaved sample i is
+    * `sc · (((i·ma + ab) % 4001) − 2000)` — the audio analog of the
+    * parametric rasters. `sc` is the VOLUME: the same content at a
+    * different gain, the re-encode scenario [[audioDedup]]'s
+    * amplitude-invariant hash must collapse (|sc| ≤ 16 keeps every
+    * sample in int16 range).
+    */
+  private[graft] def wavPayloadF(channels: Int, rate: Int, frames: Int,
+      withList: Boolean, sc: Int, ma: Int, ab: Int): Array[Byte] = {
+    def ampF(i: Int): Int = sc * (((i * ma + ab) % 4001) - 2000)
     val bb = java.nio.ByteBuffer
       .allocate(1024 + frames * channels * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -679,7 +760,7 @@ object Multimodal {
     }
     ascii("data"); bb.putInt(dataLen)
     var i = 0
-    while (i < frames * channels) { bb.putShort(amp(i).toShort); i += 1 }
+    while (i < frames * channels) { bb.putShort(ampF(i).toShort); i += 1 }
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
@@ -700,8 +781,12 @@ object Multimodal {
     * Throws on malformed/truncated input; callers quarantine (same
     * contract as [[decodePpm]]/[[decodeImage]]).
     */
-  private[graft] def decodeWav(docId: Long,
-      bytes: Array[Byte]): Seq[AudioStats] = {
+  /** Parsed RIFF/WAVE layout: the validated container walk shared by the
+    * stats decoder and the audio content hash — (buffer, channels, rate,
+    * data chunk offset, data chunk byte length).
+    */
+  private[graft] def wavLayout(bytes: Array[Byte])
+      : (java.nio.ByteBuffer, Int, Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -736,6 +821,12 @@ object Multimodal {
     }
     require(channels > 0 && rate > 0, "missing fmt chunk")
     require(dataOff >= 0, "missing data chunk")
+    (bb, channels, rate, dataOff, dataLen)
+  }
+
+  private[graft] def decodeWav(docId: Long,
+      bytes: Array[Byte]): Seq[AudioStats] = {
+    val (bb, channels, rate, dataOff, dataLen) = wavLayout(bytes)
     val frames = dataLen / (channels * 2)
     require(frames > 0, "empty data chunk")
     (0 until channels).map { c =>
@@ -949,7 +1040,38 @@ object Multimodal {
     "q_multimodal_audio" -> multimodalAudio _,
     "q_multimodal_video" -> multimodalVideo _,
     "q_image_dedup" -> imageDedup _,
+    "q_audio_dedup" -> audioDedup _,
     "q_frame_sample" -> multimodalFrameSample _)
+
+  /** DuckDB twin of [[audioDedup]]: one VALUES row (doc_id, n, sc, ma,
+    * ab) per planted WAV derives block absolute energies, the 60
+    * gradient bits, and the shared banding/closure tail — independent of
+    * the engine's RIFF walker, so the hash gate proves the real parser's
+    * samples equal the formula.
+    */
+  private val audioDedupSql: String = {
+    val values = (
+      WavPlanted.map { case (id, ch, _, frames, _) =>
+        s"($id, ${ch * frames}, 1, 31, 7)" } ++
+      AudioDedupPlanted.map { case (id, n, sc, ma, ab) =>
+        s"($id, $n, $sc, $ma, $ab)" }).mkString(", ")
+    s"""WITH RECURSIVE aud AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    n, sc, ma, ab
+       |  FROM (VALUES $values) v(doc_id, n, sc, ma, ab)),
+       |blk AS (SELECT doc_id, b,
+       |    coalesce(list_sum(list_transform(
+       |      range((b * n) // $AHashBlocks, ((b + 1) * n) // $AHashBlocks),
+       |      i -> abs(sc * (((i * ma + ab) % 4001) - 2000)))), 0) AS e
+       |  FROM aud, (SELECT unnest(range(0, $AHashBlocks)) AS b)),
+       |bit AS (SELECT a.doc_id, a.b AS k FROM blk a JOIN blk c
+       |  ON a.doc_id = c.doc_id AND c.b = a.b + 1 WHERE c.e > a.e),
+       |sigs AS (SELECT a.doc_id,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS sig
+       |  FROM aud a LEFT JOIN bit ON a.doc_id = bit.doc_id
+       |  GROUP BY a.doc_id),
+       |${Dedup.bandedClusterSqlTail(AHashBands, AHashBandBits,
+            AHashMaxHamming, "ahash")}""".stripMargin
+  }
 
   /** DuckDB twin of [[imageDedup]]: every P6/PNG image in the query is a
     * planted arithmetic raster, so one VALUES row (doc_id, w, h, ma, ab,
@@ -985,36 +1107,8 @@ object Multimodal {
        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS sig
        |  FROM imgs i LEFT JOIN bit ON i.doc_id = bit.doc_id
        |  GROUP BY i.doc_id),
-       |bnd AS (SELECT doc_id, sig, band,
-       |    (sig >> (band * $DHashBandBits)) % ${1 << DHashBandBits} AS bkey
-       |  FROM sigs, (SELECT unnest(range(0, $DHashBands)) AS band)),
-       |sized AS (SELECT doc_id, band, bkey,
-       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bnd),
-       |gb AS (SELECT doc_id, band, bkey FROM sized
-       |  WHERE bsize <= ${Dedup.LshBucketCap}),
-       |star AS (SELECT hub AS doc_a, doc_id AS doc_b FROM (
-       |  SELECT min(doc_id) OVER (PARTITION BY sig) AS hub, doc_id
-       |  FROM sigs) WHERE hub < doc_id),
-       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
-       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM gb x JOIN gb y ON x.band = y.band AND x.bkey = y.bkey
-       |    AND x.doc_id < y.doc_id
-       |  UNION ALL SELECT doc_a, doc_b FROM star)),
-       |pairs AS (SELECT doc_a, doc_b FROM cand
-       |  JOIN sigs sa ON sa.doc_id = doc_a
-       |  JOIN sigs sb ON sb.doc_id = doc_b
-       |  WHERE bit_count(xor(sa.sig, sb.sig)) <= $DHashMaxHamming),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(a, b) AS (SELECT a, b FROM edges
-       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-       |    WHERE e.b <> r.a),
-       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS root
-       |  FROM reach GROUP BY a)
-       |SELECT s.doc_id, s.sig AS dhash,
-       |  coalesce(c.root, s.doc_id) AS cluster_root,
-       |  coalesce(s.doc_id = c.root, TRUE) AS is_keeper
-       |FROM sigs s LEFT JOIN comp c ON s.doc_id = c.doc_id""".stripMargin
+       |${Dedup.bandedClusterSqlTail(DHashBands, DHashBandBits,
+            DHashMaxHamming, "dhash")}""".stripMargin
   }
 
   /** DuckDB twin of [[multimodalAudio]]: per planted (doc_id, channels,
@@ -1173,6 +1267,7 @@ object Multimodal {
     "q_multimodal_audio" -> audioSql,
     "q_multimodal_video" -> videoSql,
     "q_image_dedup" -> imageDedupSql,
+    "q_audio_dedup" -> audioDedupSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 'IMG0' || text AS p FROM documents),
         |o AS (SELECT doc_id, p,

@@ -464,4 +464,32 @@ class MultimodalStreamingSpec extends SparkSpec {
         "streamed instants diverge from the batch loader's")
     } finally q.stop()
   }
+
+  test("audio dedup: gain-changed twin clusters, distinct content splits") {
+    val rows = Multimodal.audioDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // gain invariance: the same samples at 2x volume have different
+    // bytes and different stats but the IDENTICAL energy contour
+    assert(rows(965001L)._1 == rows(965002L)._1,
+      "volume-doubled twin must hash identically")
+    assert(rows(965002L)._2 == 965001L && !rows(965002L)._3)
+    // phase-shifted near-dup joins the cluster within the threshold
+    assert(rows(965003L)._2 == 965001L && !rows(965003L)._3)
+    val ham = java.lang.Long.bitCount(rows(965001L)._1 ^ rows(965003L)._1)
+    assert(ham > 0 && ham <= Multimodal.AHashMaxHamming, s"hamming $ham")
+    assert(rows(965001L)._3, "cluster min must keep")
+    // different content (at any gain) forms its own cluster
+    assert(rows(965004L)._1 == rows(965005L)._1,
+      "gain-tripled twin of the second recording must hash identically")
+    assert(rows(965004L)._2 == 965004L && rows(965005L)._2 == 965004L)
+    assert(java.lang.Long.bitCount(
+      rows(965001L)._1 ^ rows(965004L)._1) > Multimodal.AHashMaxHamming)
+    // the three planted stats WAVs are singletons; malformed RIFF absent
+    Seq(960001L, 960002L, 960003L).foreach { id =>
+      assert(rows(id)._2 == id && rows(id)._3, s"$id not a singleton")
+    }
+    assert(!rows.contains(Multimodal.MalformedWavId))
+    assert(rows.size === 8)
+  }
 }
