@@ -565,7 +565,89 @@ object Curation {
           .as("cum_doc_share_ppm"))
   }
 
+  /** Planted URLs for [[urlCanonical]]'s edge cases the synthesized
+    * corpus URLs don't reach: http with its default :80, a hostless
+    * path-free URL, a query of ONLY tracking params (canonical form must
+    * drop the '?' entirely), and two raw-distinct URLs that canonicalize
+    * identically. Percent-encoding normalization is documented
+    * out-of-scope (neither engine's builtin decodes it; a production
+    * pass adds it at this same seam).
+    */
+  private[graft] val UrlPlantedRows: Seq[(Long, String)] = Seq(
+    (915001L, "HTTP://Sub.Example.COM:80/A/B?z=9&a=1#top"),
+    (915002L, "http://sub.example.com/A/B?a=1&z=9"),
+    (915003L, "https://tracker.example.com/page?utm_source=x&utm_medium=y&fbclid=abc"),
+    (915004L, "https://bare.example.com"),
+    (915005L, "https://WWW.bare.example.com:443/?utm_campaign=z"))
+
+  /** Tracking-parameter prefixes stripped during canonicalization (the
+    * standard utm/click-id hygiene list).
+    */
+  private val TrackingParamRe = "^(utm_[a-z]+|ref|fbclid|gclid)="
+
+  /** URL canonicalization + duplicate grouping — the FIRST dedup key a
+    * web corpus has (before any content hash): the same page is crawled
+    * as `HTTPS://WWW.Host:443/p?utm_source=…&b=2&a=1#frag` and
+    * `https://host/p?a=1&b=2`, and byte-level URL dedup misses it.
+    * Canonical form: lowercase scheme+host, strip `www.`, strip the
+    * scheme's default port, root path for empty path, drop the
+    * fragment, drop tracking params, SORT the surviving query params
+    * (param order is transport noise), drop an emptied query. The
+    * corpus URL is synthesized deterministically from (source, doc_id)
+    * with exactly that noise injected — so canonical groups form ACROSS
+    * the corpus and both engines derive identical inputs — and
+    * [[UrlPlantedRows]] pin the edge cases. The
+    * synth moduli (path %3, id %5) are chosen against the fixture's
+    * source = doc_id %20 layout so canonical groups of ~8 docs form
+    * within every source — the operator visibly deduplicates the
+    * corpus, not just the planted pair. One regex parse (capture
+    * groups, RE2-safe, no backreferences) + array HOFs; single window
+    * exchange on the canonical key for group stats.
+    */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synth = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":443"))
+          .when(col("doc_id") % 4 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/docs/"), col("doc_id") % 3,
+        lit("?utm_source=feed&id="), col("doc_id") % 5,
+        when(col("doc_id") % 2 === 0, lit("&ref=tw")).otherwise(lit("")),
+        lit("&b=2&a=1"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("#sec"), col("doc_id") % 3)).otherwise(lit("")))
+        .as("url"))
+    val all = synth.unionByName(UrlPlantedRows.toDF("doc_id", "url"))
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(\\?[^#]*)?"
+    val scheme = lower(regexp_extract(col("url"), re, 1))
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), re, 2)), "^www\\.", "")
+    val port = regexp_extract(col("url"), re, 3)
+    val path = regexp_extract(col("url"), re, 4)
+    val rawQ = regexp_extract(col("url"), re, 5)
+    val keptParams = array_sort(filter(
+      split(regexp_replace(rawQ, "^\\?", ""), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val canon = concat(
+      scheme, lit("://"), host,
+      when((port === ":443" && scheme === "https") ||
+           (port === ":80" && scheme === "http"), lit(""))
+        .otherwise(port),
+      when(path === "", lit("/")).otherwise(path),
+      when(size(keptParams) === 0, lit(""))
+        .otherwise(concat(lit("?"), array_join(keptParams, "&"))))
+    val w = Window.partitionBy(col("canonical_url"))
+    all.select(col("doc_id"), col("url"), canon.as("canonical_url"))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_url_canonical" -> urlCanonical _,
     "q_coverage_report" -> coverageReport _,
     "q_negative_sample" -> negativeSample _,
     "q_winsorize" -> winsorize _,
@@ -620,7 +702,56 @@ object Curation {
        |    AS tokens_kept
        |FROM flagged GROUP BY source""".stripMargin
 
+  private val urlCanonicalSql: String = {
+    val values = UrlPlantedRows.map { case (id, u) => s"($id, '$u')" }
+      .mkString(", ")
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(\\?[^#]*)?"
+    s"""WITH u AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END)
+       |    || '://'
+       |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+       |    || source || '.Example.COM'
+       |    || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+       |        WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+       |    || '/docs/' || (doc_id % 3)
+       |    || '?utm_source=feed&id=' || (doc_id % 5)
+       |    || (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw' ELSE '' END)
+       |    || '&b=2&a=1'
+       |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' || (doc_id % 3)
+       |        ELSE '' END) AS url
+       |  FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, url)),
+       |p AS (SELECT doc_id, url,
+       |    lower(regexp_extract(url, '$re', 1)) AS scheme,
+       |    regexp_replace(lower(regexp_extract(url, '$re', 2)),
+       |      '^www\\.', '') AS host,
+       |    regexp_extract(url, '$re', 3) AS port,
+       |    regexp_extract(url, '$re', 4) AS path,
+       |    regexp_extract(url, '$re', 5) AS rawq
+       |  FROM u),
+       |k AS (SELECT *, list_sort(list_filter(
+       |    string_split(regexp_replace(rawq, '^\\?', ''), '&'),
+       |    q -> q <> '' AND NOT regexp_matches(q,
+       |      '$TrackingParamRe'))) AS kept FROM p),
+       |c AS (SELECT doc_id, url,
+       |    scheme || '://' || host
+       |    || (CASE WHEN (port = ':443' AND scheme = 'https')
+       |          OR (port = ':80' AND scheme = 'http')
+       |        THEN '' ELSE port END)
+       |    || (CASE WHEN path = '' THEN '/' ELSE path END)
+       |    || (CASE WHEN len(kept) = 0 THEN ''
+       |        ELSE '?' || array_to_string(kept, '&') END) AS canonical_url
+       |  FROM k)
+       |SELECT doc_id, url, canonical_url,
+       |  CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+       |    AS n_dups,
+       |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+       |    AS is_keeper
+       |FROM c""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_url_canonical" -> urlCanonicalSql,
     "q_coverage_report" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

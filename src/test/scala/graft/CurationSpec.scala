@@ -261,4 +261,28 @@ class CurationSpec extends SparkSpec {
         .filter(col("b") =!= col("b2")).count() === 0)
     } finally s.unpersist()
   }
+
+  test("url canonicalization: scheme/host/port/params normalize, groups form") {
+    val rows = Curation.urlCanonical(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    // mixed-case scheme+host, default :80, fragment, param order: the
+    // two planted spellings canonicalize to the SAME string
+    assert(rows(915001L)._2 == rows(915002L)._2)
+    assert(rows(915001L)._2 == "http://sub.example.com/A/B?a=1&z=9")
+    assert(rows(915001L)._3 == 2L && rows(915001L)._4 && !rows(915002L)._4)
+    // a query of only tracking params drops entirely (no dangling '?')
+    assert(rows(915003L)._2 == "https://tracker.example.com/page")
+    // empty path roots; www + default https port strip
+    assert(rows(915004L)._2 == "https://bare.example.com/")
+    assert(rows(915005L)._2 == rows(915004L)._2)
+    // the synthesized corpus forms real dup groups (crawl-noise variants
+    // of the same page), not 1:1 identities
+    val corpus = rows.filter(_._1 < 915001L).values
+    assert(corpus.exists(_._3 >= 3L), "no corpus-level canonical groups")
+    // keeper election: exactly one keeper per canonical group
+    rows.values.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.count(_._4) == 1, s"$c keepers != 1")
+    }
+  }
 }
