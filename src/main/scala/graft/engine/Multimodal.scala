@@ -689,6 +689,128 @@ object Multimodal {
       .withColumnRenamed("sig", "ahash")
   }
 
+  // ===== perceptual video dedup (luma-stream energy hash) =============
+
+  /** Planted Y4M streams for [[videoDedup]]: (doc_id, w, h, frames, sc,
+    * ma, fa, ab, mm, altFrame, altAb) of the [[y4mPayloadF]] formula
+    * (mm = 80 so contrast gains up to 3 stay in byte range). 985001/
+    * 985002 are the same content at contrast 1 and 2 — identical hash
+    * (multiplicative luma scaling preserves every energy comparison
+    * exactly, the video analog of audio gain); 985003 alters ONE frame
+    * (frame 5's formula phase — the changed-title-card re-encode,
+    * hamming 2); 985004/985005 are different content at contrasts 1 and
+    * 3 — their own cluster (hamming 37 from the first). The three
+    * [[VideoPlanted]] stats streams also flow through (hamming ≥ 23
+    * from both clusters — singletons).
+    */
+  private[graft] val VideoDedupPlanted
+      : Seq[(Long, Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)] =
+    Seq(
+      (985001L, 12, 8, 10, 1, 31, 17, 13, 80, -1, 0),
+      (985002L, 12, 8, 10, 2, 31, 17, 13, 80, -1, 0),
+      (985003L, 12, 8, 10, 1, 31, 17, 13, 80, 5, 20),
+      (985004L, 10, 6, 12, 1, 53, 29, 5, 80, -1, 0),
+      (985005L, 10, 6, 12, 3, 53, 29, 5, 80, -1, 0))
+
+  /** 60-bit energy-contour hash over a Y4M stream's CONCATENATED luma
+    * (Y) planes — the audio hash's 61-block geometry applied to the
+    * video's temporal-spatial luma signal (chroma planes are skipped:
+    * content identity lives in luma, and chroma subsampling varies
+    * across re-encodes). Bytes are non-negative, so the hash is exactly
+    * invariant under any positive contrast gain. Throws on malformed
+    * input; callers quarantine.
+    */
+  private[graft] def dhashY4m(bytes: Array[Byte]): Long = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var off = 0
+    def line(): String = {
+      val start = off
+      while (off < bytes.length && bytes(off) != '\n') off += 1
+      require(off < bytes.length, "unterminated header line")
+      off += 1
+      new String(bytes, start, off - 1 - start, ascii)
+    }
+    val header = line().split(" ")
+    require(header.headOption.contains("YUV4MPEG2"), "not a Y4M stream")
+    var (w, h) = (-1, -1)
+    var colorspace = "420"
+    header.drop(1).foreach { tok =>
+      require(tok.nonEmpty, "empty header token")
+      (tok.head, tok.tail) match {
+        case ('W', v) => w = v.toInt
+        case ('H', v) => h = v.toInt
+        case ('C', v) => colorspace = v
+        case _ => ()
+      }
+    }
+    require(w > 0 && h > 0, "missing W/H header params")
+    require(colorspace == "444", s"unsupported colorspace C$colorspace")
+    val planeLen = w * h
+    val ys = new java.io.ByteArrayOutputStream(planeLen * 8)
+    while (off < bytes.length) {
+      require(line().startsWith("FRAME"), "missing FRAME marker")
+      require(bytes.length - off >= 3 * planeLen, "truncated frame")
+      ys.write(bytes, off, planeLen) // Y plane only
+      off += 3 * planeLen
+    }
+    val y = ys.toByteArray
+    val n = y.length
+    require(n > 0, "empty stream")
+    val e = new Array[Long](AHashBlocks)
+    var b = 0
+    while (b < AHashBlocks) {
+      var i = b * n / AHashBlocks
+      val hi = (b + 1) * n / AHashBlocks
+      var acc = 0L
+      while (i < hi) { acc += (y(i) & 0xff); i += 1 }
+      e(b) = acc
+      b += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < AHashBlocks - 1) {
+      if (e(k + 1) > e(k)) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  /** CONTENT-level video dedup — the third modality on the shared
+    * [[Dedup.bandedHammingClusters]] plan: Y4M-magic-filtered decode →
+    * contrast-invariant luma energy hash → banded candidates, exact
+    * hamming verify, components. A re-encoded copy at different
+    * contrast/brightness processing has different bytes but the
+    * identical luma contour; a one-frame edit lands within the
+    * threshold as a near-dup.
+    */
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val planted = (VideoPlanted.map { case (id, w, h, n, fn, fd, x) =>
+        (id, "video", y4mPayload(w, h, n, fn, fd, x)) }
+      ++ VideoDedupPlanted.map {
+        case (id, w, h, n, sc, ma, fa, ab, mm, altF, altA) =>
+          (id, "video",
+            y4mPayloadF(w, h, n, 25, 1, extras = false, sc, ma, fa, ab, mm,
+              altF, altA)) }
+      :+ ((MalformedY4mId, "video", malformedY4mPayload)))
+      .toDF("doc_id", "media_type", "payload")
+    val sigs = mediaTable(spark, dir).unionByName(planted)
+      .filter(col("payload").isNotNull &&
+        substring(col("payload"), 1, 9) === lit("YUV4MPEG2".getBytes(ascii)))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          scala.util.Try(dhashY4m(bytes)).toOption.map(sig => (id, sig))
+        }
+      }
+      .toDF("doc_id", "sig")
+    Dedup.bandedHammingClusters(sigs, AHashBands, AHashBandBits,
+        AHashMaxHamming)
+      .withColumnRenamed("sig", "vhash")
+  }
+
   /** Frame/stride sampling registered as a driver query: one row per
     * 64-byte frame offset with its 4-char magic window.
     */
@@ -912,7 +1034,20 @@ object Multimodal {
     * samples.
     */
   private[graft] def y4mPayload(w: Int, h: Int, frames: Int, fpsNum: Int,
-      fpsDen: Int, extras: Boolean): Array[Byte] = {
+      fpsDen: Int, extras: Boolean): Array[Byte] =
+    y4mPayloadF(w, h, frames, fpsNum, fpsDen, extras, 1, 31, 17, 13, 251)
+
+  /** Parametric Y4M builder: plane byte is
+    * `sc · ((i·ma + f·fa + p·7 + a) % mm)` with `a = altAb` on frame
+    * `altFrame` (−1 = never) and `ab` elsewhere. `sc` is CONTRAST: the
+    * same content at a different luma gain (sc·mm ≤ 256 keeps bytes in
+    * range) — the video re-encode scenario [[videoDedup]]'s
+    * scale-invariant hash must collapse; the single-frame override is
+    * the changed-title-card near-dup.
+    */
+  private[graft] def y4mPayloadF(w: Int, h: Int, frames: Int, fpsNum: Int,
+      fpsDen: Int, extras: Boolean, sc: Int, ma: Int, fa: Int, ab: Int,
+      mm: Int, altFrame: Int = -1, altAb: Int = 0): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     val xh = if (extras) " Xcolorrange=FULL" else ""
     val out = new java.io.ByteArrayOutputStream(64 + frames * (6 + w * h * 3))
@@ -921,8 +1056,9 @@ object Multimodal {
     for (f <- 0 until frames) {
       val xf = if (extras) " Xtimecode=" + f else ""
       out.write(s"FRAME$xf\n".getBytes(ascii))
+      val a = if (f == altFrame) altAb else ab
       for (p <- 0 until 3; i <- 0 until w * h)
-        out.write(planeByte(p, f, i))
+        out.write(sc * ((i * ma + f * fa + p * 7 + a) % mm))
     }
     out.toByteArray
   }
@@ -1041,7 +1177,44 @@ object Multimodal {
     "q_multimodal_video" -> multimodalVideo _,
     "q_image_dedup" -> imageDedup _,
     "q_audio_dedup" -> audioDedup _,
+    "q_video_dedup" -> videoDedup _,
     "q_frame_sample" -> multimodalFrameSample _)
+
+  /** DuckDB twin of [[videoDedup]]: one VALUES row per planted stream
+    * derives the concatenated-Y-plane byte formula (frame f, pixel i,
+    * one-frame phase override), block energies, gradient bits, and the
+    * shared banding/closure tail — independent of the engine's Y4M
+    * walker.
+    */
+  private val videoDedupSql: String = {
+    val values = (
+      VideoPlanted.map { case (id, w, h, n, _, _, _) =>
+        s"($id, $w, $h, $n, 1, 31, 17, 13, 251, -1, 0)" } ++
+      VideoDedupPlanted.map {
+        case (id, w, h, n, sc, ma, fa, ab, mm, altf, alta) =>
+          s"($id, $w, $h, $n, $sc, $ma, $fa, $ab, $mm, $altf, $alta)" })
+      .mkString(", ")
+    s"""WITH RECURSIVE vid AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    w, h, frames, sc, ma, fa, ab, mm, altf, alta,
+       |    frames * w * h AS n
+       |  FROM (VALUES $values)
+       |    v(doc_id, w, h, frames, sc, ma, fa, ab, mm, altf, alta)),
+       |blk AS (SELECT doc_id, b,
+       |    coalesce(list_sum(list_transform(
+       |      range((b * n) // $AHashBlocks, ((b + 1) * n) // $AHashBlocks),
+       |      j -> sc * (((j % (w * h)) * ma + (j // (w * h)) * fa +
+       |        (CASE WHEN (j // (w * h)) = altf THEN alta ELSE ab END))
+       |        % mm))), 0) AS e
+       |  FROM vid, (SELECT unnest(range(0, $AHashBlocks)) AS b)),
+       |bit AS (SELECT a.doc_id, a.b AS k FROM blk a JOIN blk c
+       |  ON a.doc_id = c.doc_id AND c.b = a.b + 1 WHERE c.e > a.e),
+       |sigs AS (SELECT a.doc_id,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS sig
+       |  FROM vid a LEFT JOIN bit ON a.doc_id = bit.doc_id
+       |  GROUP BY a.doc_id),
+       |${Dedup.bandedClusterSqlTail(AHashBands, AHashBandBits,
+            AHashMaxHamming, "vhash")}""".stripMargin
+  }
 
   /** DuckDB twin of [[audioDedup]]: one VALUES row (doc_id, n, sc, ma,
     * ab) per planted WAV derives block absolute energies, the 60
@@ -1268,6 +1441,7 @@ object Multimodal {
     "q_multimodal_video" -> videoSql,
     "q_image_dedup" -> imageDedupSql,
     "q_audio_dedup" -> audioDedupSql,
+    "q_video_dedup" -> videoDedupSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 'IMG0' || text AS p FROM documents),
         |o AS (SELECT doc_id, p,

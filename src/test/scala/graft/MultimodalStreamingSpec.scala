@@ -492,4 +492,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(!rows.contains(Multimodal.MalformedWavId))
     assert(rows.size === 8)
   }
+
+  test("video dedup: contrast-changed twin clusters, one-frame edit joins") {
+    val rows = Multimodal.videoDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // contrast invariance: doubled luma gain, identical energy contour
+    assert(rows(985001L)._1 == rows(985002L)._1,
+      "contrast-doubled twin must hash identically")
+    assert(rows(985002L)._2 == 985001L && !rows(985002L)._3)
+    // a single altered frame is a near-dup inside the threshold
+    assert(rows(985003L)._2 == 985001L && !rows(985003L)._3)
+    val ham = java.lang.Long.bitCount(rows(985001L)._1 ^ rows(985003L)._1)
+    assert(ham > 0 && ham <= Multimodal.AHashMaxHamming, s"hamming $ham")
+    assert(rows(985001L)._3)
+    // different content at any contrast forms its own cluster
+    assert(rows(985004L)._1 == rows(985005L)._1)
+    assert(rows(985004L)._2 == 985004L && rows(985005L)._2 == 985004L)
+    assert(java.lang.Long.bitCount(
+      rows(985001L)._1 ^ rows(985004L)._1) > Multimodal.AHashMaxHamming)
+    // stats streams are singletons; malformed Y4M quarantined
+    Seq(980001L, 980002L, 980003L).foreach { id =>
+      assert(rows(id)._2 == id && rows(id)._3, s"$id not a singleton")
+    }
+    assert(!rows.contains(Multimodal.MalformedY4mId))
+    assert(rows.size === 8)
+  }
 }
