@@ -100,8 +100,16 @@ object ScaleBench {
     // range window is one user exchange; the coverage report collapses
     // to group-count rows
     "q_simhash_pairs", "q_rolling_range", "q_coverage_report",
-    // NFC normalization: one mapPartitions pass, zero exchanges
-    "q_text_normalize")
+    // NFC normalization: now a native codegen'd expression, zero
+    // exchanges
+    "q_text_normalize",
+    // round-12 corpus-wide additions: HTML extraction is a map-side
+    // regexp chain (expect flat-to-linear); URL canonicalization is one
+    // map pass + one window exchange on the canonical key (group count
+    // scales with s, group size is fixture-fixed). The modality dedups
+    // are NOT here: their corpus rows are magic-filtered out before
+    // decode, so their cost is planted-set-sized by construction.
+    "q_html_extract", "q_url_canonical")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")
