@@ -812,7 +812,54 @@ object Dedup {
        |  coalesce(s.doc_id = c.root, TRUE) AS is_keeper
        |FROM sigs s LEFT JOIN comp c ON s.doc_id = c.doc_id""".stripMargin
 
-  private[graft] def clusterPairs(pairs: DataFrame): (DataFrame, Int) = {
+  /** Edge-count threshold below which [[clusterPairs]] solves components
+    * with one bounded collect + driver union-find instead of the
+    * distributed loop: 1M directed edges ≈ 16 MB of longs — inside the
+    * bounded-collect contract, and the measured edge count (already
+    * taken for partition sizing) makes the dispatch free. The win is the
+    * job count: on a dup-sized graph the distributed loop's cost is
+    * per-round JOB LATENCY, not compute (~4–8 jobs of near-empty tasks);
+    * the driver path is one job. The distributed loop remains the
+    * production path the moment the pair graph is genuinely large.
+    */
+  val SmallGraphMaxEdges = 1000000L
+
+  /** Driver-side components for a small (≤ [[SmallGraphMaxEdges]])
+    * checkpointed edge list: classic union-find with path compression +
+    * union-by-min, then per-component min labeling — bit-identical to
+    * the distributed loop's (node, component_root = component min,
+    * keep = node is min) output, in ONE collect job.
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keys.toSeq.sorted.map { n =>
+      val r = find(n)
+      (n, r, n == r)
+    }
+    labels.toDF("doc_id", "component_root", "keep")
+  }
+
+  private[graft] def clusterPairs(pairs: DataFrame,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): (DataFrame, Int) = {
     // localCheckpoint (not cache): iterative algorithms must TRUNCATE the
     // logical plan each round — with cache alone every round's plan embeds
     // the whole previous round plus the LSH subtree, and Catalyst
@@ -821,6 +868,9 @@ object Dedup {
     val edges0 = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
+    val nEdges = edges0.count()
+    if (nEdges <= smallGraphMaxEdges)
+      return (unionFindLocal(edges0), 0)
     // Size the loop's partitioning to the MEASURED edge count (the
     // checkpoint is eager, so the count is a cached-scan): the pair graph
     // is dup-sized, orders of magnitude smaller than the corpus, yet the
@@ -828,7 +878,7 @@ object Dedup {
     // shuffle-partition-wide stages of near-empty tasks — per-round wall
     // time is task latency, not compute. 1M edges/partition keeps the
     // count growing linearly when the graph is genuinely large.
-    val parts = math.max(1, math.ceil(edges0.count() / 1e6).toInt)
+    val parts = math.max(1, math.ceil(nEdges / 1e6).toInt)
     val edges = edges0.repartition(parts, col("doc_b")).localCheckpoint()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("root", col("node"))

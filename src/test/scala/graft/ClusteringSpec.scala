@@ -14,7 +14,9 @@ class ClusteringSpec extends SparkSpec {
   test("1000-node path graph converges in O(log n) rounds to one root") {
     val pairs = spark.range(999)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val (labels, rounds) = Dedup.clusterPairs(pairs)
+    // threshold 0 forces the DISTRIBUTED loop (the small-graph driver
+    // path would solve this in one collect)
+    val (labels, rounds) = Dedup.clusterPairs(pairs, 0L)
     // o(k) = 2*o(k-1) + 2 → offset 2^(k+1)-2 covers 999 hops at k=9;
     // allow slack for the final no-change confirmation round
     assert(rounds <= 12, s"path graph took $rounds rounds (need O(log n))")
@@ -48,7 +50,7 @@ class ClusteringSpec extends SparkSpec {
     try {
       val pairs = spark.range(255)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-      val (labels, rounds) = Dedup.clusterPairs(pairs)
+      val (labels, rounds) = Dedup.clusterPairs(pairs, 0L)
       assert(labels.count() === 256)
       assert(rounds >= 2, s"want a multi-round run, got $rounds")
       // the listener bus is async — give queued job-start events a
@@ -66,6 +68,7 @@ class ClusteringSpec extends SparkSpec {
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     val b = spark.range(500, 599)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    // default threshold: this run exercises the driver union-find path
     val (labels, _) = Dedup.clusterPairs(a.union(b))
     val roots = labels.select("component_root").distinct().collect()
       .map(_.getLong(0)).toSet
@@ -74,5 +77,24 @@ class ClusteringSpec extends SparkSpec {
     // every node labels to its component's minimum
     assert(labels.filter(col("doc_id") < 500 &&
       col("component_root") =!= 0L).count() === 0)
+  }
+
+  test("driver union-find equals the distributed loop on random graphs") {
+    // the size dispatch must be invisible: same (node, component min,
+    // keeper) labels from both paths on arbitrary edge sets
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      import spark.implicits._
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val fast = Dedup.clusterPairs(pairs)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      val dist = Dedup.clusterPairs(pairs, 0L)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      assert(fast.toSeq === dist.toSeq, s"trial $trial diverged")
+    }
   }
 }
