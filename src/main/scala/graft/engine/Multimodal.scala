@@ -564,14 +564,18 @@ object Multimodal {
     * flag. Scale shape: decode is partition-wise, candidates are
     * band-bucketed (never all-pairs), the pair graph is dup-sized.
     */
-  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig) dHash table over the image-decodable slice of the
+    * media table plus `extra` planted (id, payload) rows: magic-filtered
+    * P6/PNG decode, malformed payloads quarantined — the shared front
+    * half of [[imageDedup]] and [[imageDecontaminate]].
+    */
+  private def imageSigTable(spark: SparkSession, dir: String,
+      extra: Seq[(Long, Array[Byte])]): DataFrame = {
     import spark.implicits._
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val planted = ImageDedupPlanted.map { case (id, w, h, ma, ab, mm, png) =>
-      (id, "image",
-        if (png) pngPayloadF(w, h, ma, ab, mm) else ppmPayloadF(w, h, ma, ab, mm))
-    }.toDF("doc_id", "media_type", "payload")
-    val sigs = mediaTableFull(spark, dir).unionByName(planted)
+    val planted = extra.map { case (id, p) => (id, "image", p) }
+      .toDF("doc_id", "media_type", "payload")
+    mediaTableFull(spark, dir).unionByName(planted)
       .filter(col("payload").isNotNull &&
         (substring(col("payload"), 1, 2) === lit("P6".getBytes(ascii)) ||
          substring(col("payload"), 1, 4) ===
@@ -587,9 +591,80 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "sig")
-    Dedup.bandedHammingClusters(sigs, DHashBands, DHashBandBits,
-        DHashMaxHamming)
+  }
+
+  private def imageDedupPayloads: Seq[(Long, Array[Byte])] =
+    ImageDedupPlanted.map { case (id, w, h, ma, ab, mm, png) =>
+      (id,
+        if (png) pngPayloadF(w, h, ma, ab, mm)
+        else ppmPayloadF(w, h, ma, ab, mm))
+    }
+
+  def imageDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandedHammingClusters(
+        imageSigTable(spark, dir, imageDedupPayloads),
+        DHashBands, DHashBandBits, DHashMaxHamming)
       .withColumnRenamed("sig", "dhash")
+
+  /** Planted LEAKED images for [[imageDecontaminate]]: 926001 is a PNG
+    * re-encode of benchmark image 920002 (identical pixels — the exact
+    * leak byte-level decontamination misses), 926002 brightness-shifts
+    * benchmark 920003 (hamming 2 — the near leak). Every other corpus
+    * image sits > [[DHashMaxHamming]] from the whole benchmark set.
+    */
+  private[graft] val ImageLeakPlanted: Seq[(Long, Int, Int, Int, Int, Int, Boolean)] =
+    Seq(
+      (926001L, 8, 5, 7, 13, 251, true),
+      (926002L, 16, 16, 7, 19, 251, false))
+
+  private def imageLeakPayloads: Seq[(Long, Array[Byte])] =
+    ImageLeakPlanted.map { case (id, w, h, ma, ab, mm, png) =>
+      (id,
+        if (png) pngPayloadF(w, h, ma, ab, mm)
+        else ppmPayloadF(w, h, ma, ab, mm))
+    }
+
+  /** IMAGE decontamination — the modality analog of `q_decontaminate`:
+    * training images whose perceptual hash sits within
+    * [[DHashMaxHamming]] of any held-out BENCHMARK image (here the
+    * [[PpmPlanted]] trio plays the eval suite) must be flagged before
+    * training, and byte-level checks cannot do it (a re-encoded or
+    * brightness-shifted copy of an eval image has entirely different
+    * bytes). Plan: one dHash pass over benchmark ∪ corpus, benchmark
+    * bands BROADCAST (the eval suite is thousands of images, never
+    * corpus-sized) against band-bucketed corpus candidates under the
+    * [[Dedup.LshBucketCap]] guard, exact hamming verify — pigeonhole
+    * recall is perfect at the threshold, and the corpus never
+    * self-joins. Output: one row per (leaked image, benchmark hit).
+    */
+  def imageDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchIds = PpmPlanted.map(_._1)
+    val sigs = imageSigTable(spark, dir,
+      imageDedupPayloads ++ imageLeakPayloads)
+    val bench = sigs.filter(col("doc_id").isInCollection(benchIds))
+    val corpus = sigs.filter(!col("doc_id").isInCollection(benchIds))
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(DHashBands - 1))).as("band"))
+        .withColumn("bkey", expr(
+          s"shiftright(sig, CAST(band * $DHashBandBits AS INT))" +
+            s" % ${1 << DHashBandBits}"))
+    val cb = banded(corpus)
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsize") <= Dedup.LshBucketCap)
+    val cand = cb.as("c")
+      .join(broadcast(banded(bench).as("b")),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+      .select(col("c.doc_id").as("doc_id"), col("c.sig").as("sig_c"),
+        col("b.doc_id").as("bench_id"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("CAST(bit_count(sig_c ^ sig_b) AS INT)"))
+      .filter(col("hamming") <= DHashMaxHamming)
+      .select(col("doc_id"), col("bench_id"), col("hamming"))
   }
 
   // ===== perceptual audio dedup (energy-contour hash) =================
@@ -1176,6 +1251,7 @@ object Multimodal {
     "q_multimodal_audio" -> multimodalAudio _,
     "q_multimodal_video" -> multimodalVideo _,
     "q_image_dedup" -> imageDedup _,
+    "q_image_decontaminate" -> imageDecontaminate _,
     "q_audio_dedup" -> audioDedup _,
     "q_video_dedup" -> videoDedup _,
     "q_frame_sample" -> multimodalFrameSample _)
@@ -1255,13 +1331,21 @@ object Multimodal {
     * the point: the hash gate proves REAL decoded pixels equal the
     * formula.
     */
-  private val imageDedupSql: String = {
-    val values = (
-      (PpmPlanted ++ PngPlanted).map { case (id, w, h) =>
-        s"($id, $w, $h, 7, 13, 251)" } ++
-      ImageDedupPlanted.map { case (id, w, h, ma, ab, mm, _) =>
+  /** The (id, w, h, ma, ab, mm) VALUES rows shared by the image-family
+    * oracles: every P6/PNG image reaching a given query.
+    */
+  private def imageSigValues(extra: Seq[(Long, Int, Int, Int, Int, Int, Boolean)])
+      : String =
+    ((PpmPlanted ++ PngPlanted).map { case (id, w, h) =>
+      s"($id, $w, $h, 7, 13, 251)" } ++
+      extra.map { case (id, w, h, ma, ab, mm, _) =>
         s"($id, $w, $h, $ma, $ab, $mm)" }).mkString(", ")
-    s"""WITH RECURSIVE imgs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+
+  /** The formula-derived dHash CTE chain (imgs → luma grid → gradient
+    * bits → sigs) shared by the image-family oracles.
+    */
+  private def imageSigSqlCtes(values: String): String =
+    s"""imgs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |    w, h, ma, ab, mm
        |  FROM (VALUES $values) v(doc_id, w, h, ma, ab, mm)),
        |cell AS (SELECT doc_id, gx, gy,
@@ -1279,9 +1363,28 @@ object Multimodal {
        |sigs AS (SELECT i.doc_id,
        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS sig
        |  FROM imgs i LEFT JOIN bit ON i.doc_id = bit.doc_id
-       |  GROUP BY i.doc_id),
+       |  GROUP BY i.doc_id)""".stripMargin
+
+  private val imageDedupSql: String =
+    s"""WITH RECURSIVE ${imageSigSqlCtes(imageSigValues(ImageDedupPlanted))},
        |${Dedup.bandedClusterSqlTail(DHashBands, DHashBandBits,
             DHashMaxHamming, "dhash")}""".stripMargin
+
+  /** DuckDB twin of [[imageDecontaminate]]: formula-derived dHashes for
+    * benchmark ∪ corpus, then a brute-force benchmark×corpus hamming
+    * test — equivalent to the engine's banded path at the threshold by
+    * the pigeonhole guarantee (and the cap never binds at planted
+    * scale).
+    */
+  private val imageDecontaminateSql: String = {
+    val benchList = PpmPlanted.map(_._1).mkString(", ")
+    s"""WITH ${imageSigSqlCtes(
+           imageSigValues(ImageDedupPlanted ++ ImageLeakPlanted))}
+       |SELECT c.doc_id, b.doc_id AS bench_id,
+       |  CAST(bit_count(xor(c.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sigs c JOIN sigs b ON b.doc_id IN ($benchList)
+       |  AND c.doc_id NOT IN ($benchList)
+       |WHERE bit_count(xor(c.sig, b.sig)) <= $DHashMaxHamming""".stripMargin
   }
 
   /** DuckDB twin of [[multimodalAudio]]: per planted (doc_id, channels,
@@ -1440,6 +1543,7 @@ object Multimodal {
     "q_multimodal_audio" -> audioSql,
     "q_multimodal_video" -> videoSql,
     "q_image_dedup" -> imageDedupSql,
+    "q_image_decontaminate" -> imageDecontaminateSql,
     "q_audio_dedup" -> audioDedupSql,
     "q_video_dedup" -> videoDedupSql,
     "q_frame_sample" ->
