@@ -773,6 +773,52 @@ object Dedup {
         coalesce(col("keep"), lit(true)).as("is_keeper"))
   }
 
+  /** Shared cross-side probe: corpus signatures tested against a
+    * BENCHMARK signature set (the decontamination shape — the benchmark
+    * is eval-suite-sized, never corpus-sized, so its bands broadcast).
+    * Corpus candidates come band-bucketed under the [[LshBucketCap]]
+    * guard; exact `bit_count(xor)` verify ≤ `maxHamming` — pigeonhole
+    * recall is perfect at the threshold and the corpus never
+    * self-joins. Both inputs are (doc_id, sig); returns one row per
+    * (leaked corpus doc, benchmark hit): (doc_id, bench_id, hamming).
+    */
+  private[graft] def bandedCrossProbe(corpus: DataFrame, bench: DataFrame,
+      bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bkey", expr(
+          s"shiftright(sig, CAST(band * $bandBits AS INT)) % ${1 << bandBits}"))
+    val cb = banded(corpus)
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsize") <= LshBucketCap)
+    cb.as("c")
+      .join(broadcast(banded(bench).as("b")),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+      .select(col("c.doc_id").as("doc_id"), col("c.sig").as("sig_c"),
+        col("b.doc_id").as("bench_id"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sig_c ^ sig_b) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("bench_id"), col("hamming"))
+  }
+
+  /** DuckDB twin of [[bandedCrossProbe]]'s final select over a
+    * preceding `sigs(doc_id, sig)` CTE: brute-force benchmark×corpus at
+    * the threshold (equivalent to the banded path by pigeonhole; the
+    * cap never binds at planted scale).
+    */
+  private[graft] def crossProbeSqlTail(benchIds: Seq[Long],
+      maxHamming: Int): String = {
+    val benchList = benchIds.mkString(", ")
+    s"""SELECT c.doc_id, b.doc_id AS bench_id,
+       |  CAST(bit_count(xor(c.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sigs c JOIN sigs b ON b.doc_id IN ($benchList)
+       |  AND c.doc_id NOT IN ($benchList)
+       |WHERE bit_count(xor(c.sig, b.sig)) <= $maxHamming""".stripMargin
+  }
+
   /** DuckDB twin of [[bandedHammingClusters]]' tail: the CTE text from
     * banding through the recursive component closure and the final
     * per-doc select, over a preceding CTE named `sigs(doc_id, sig)`.

@@ -638,33 +638,13 @@ object Multimodal {
     * self-joins. Output: one row per (leaked image, benchmark hit).
     */
   def imageDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val benchIds = PpmPlanted.map(_._1)
     val sigs = imageSigTable(spark, dir,
       imageDedupPayloads ++ imageLeakPayloads)
-    val bench = sigs.filter(col("doc_id").isInCollection(benchIds))
-    val corpus = sigs.filter(!col("doc_id").isInCollection(benchIds))
-    def banded(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(DHashBands - 1))).as("band"))
-        .withColumn("bkey", expr(
-          s"shiftright(sig, CAST(band * $DHashBandBits AS INT))" +
-            s" % ${1 << DHashBandBits}"))
-    val cb = banded(corpus)
-      .withColumn("bsize",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("bsize") <= Dedup.LshBucketCap)
-    val cand = cb.as("c")
-      .join(broadcast(banded(bench).as("b")),
-        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
-      .select(col("c.doc_id").as("doc_id"), col("c.sig").as("sig_c"),
-        col("b.doc_id").as("bench_id"), col("b.sig").as("sig_b"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        expr("CAST(bit_count(sig_c ^ sig_b) AS INT)"))
-      .filter(col("hamming") <= DHashMaxHamming)
-      .select(col("doc_id"), col("bench_id"), col("hamming"))
+    Dedup.bandedCrossProbe(
+      sigs.filter(!col("doc_id").isInCollection(benchIds)),
+      sigs.filter(col("doc_id").isInCollection(benchIds)),
+      DHashBands, DHashBandBits, DHashMaxHamming)
   }
 
   // ===== perceptual audio dedup (energy-contour hash) =================
@@ -739,16 +719,20 @@ object Multimodal {
     * recording re-encoded at a different volume has different bytes,
     * different stats, but the identical energy contour.
     */
-  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig) energy-hash table over the RIFF-decodable slice of
+    * the media table plus `extra` planted (id, payload) rows — the
+    * shared front half of [[audioDedup]] and [[audioDecontaminate]].
+    */
+  private def audioSigTable(spark: SparkSession, dir: String,
+      extra: Seq[(Long, Array[Byte])]): DataFrame = {
     import spark.implicits._
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val planted = (WavPlanted.map { case (id, ch, rate, n, lst) =>
-        (id, "audio", wavPayload(ch, rate, n, lst)) }
-      ++ AudioDedupPlanted.map { case (id, n, sc, ma, ab) =>
-        (id, "audio", wavPayloadF(1, 8000, n, withList = false, sc, ma, ab)) }
-      :+ ((MalformedWavId, "audio", malformedWavPayload)))
+    val planted = ((WavPlanted.map { case (id, ch, rate, n, lst) =>
+        (id, wavPayload(ch, rate, n, lst)) }
+      ++ extra :+ ((MalformedWavId, malformedWavPayload)))
+      .map { case (id, p) => (id, "audio", p) })
       .toDF("doc_id", "media_type", "payload")
-    val sigs = mediaTable(spark, dir).unionByName(planted)
+    mediaTable(spark, dir).unionByName(planted)
       .filter(col("payload").isNotNull &&
         substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)))
       .select(col("doc_id"), col("payload"))
@@ -759,9 +743,48 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "sig")
-    Dedup.bandedHammingClusters(sigs, AHashBands, AHashBandBits,
-        AHashMaxHamming)
+  }
+
+  private def audioDedupPayloads: Seq[(Long, Array[Byte])] =
+    AudioDedupPlanted.map { case (id, n, sc, ma, ab) =>
+      (id, wavPayloadF(1, 8000, n, withList = false, sc, ma, ab))
+    }
+
+  def audioDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandedHammingClusters(
+        audioSigTable(spark, dir, audioDedupPayloads),
+        AHashBands, AHashBandBits, AHashMaxHamming)
       .withColumnRenamed("sig", "ahash")
+
+  /** Planted LEAKED recordings for [[audioDecontaminate]]: 966001 is
+    * benchmark WAV 960001's content at gain 3 (identical energy
+    * contour — the re-mastered leak), 966002 phase-shifts its formula
+    * (hamming 2 — the near leak). The [[AudioDedupPlanted]] rows sit
+    * ≥ 22 bits from the whole benchmark set.
+    */
+  private[graft] val AudioLeakPlanted: Seq[(Long, Int, Int, Int, Int)] =
+    Seq(
+      (966001L, 480, 3, 31, 7),
+      (966002L, 480, 1, 31, 63))
+
+  /** AUDIO decontamination: training recordings within
+    * [[AHashMaxHamming]] of any held-out benchmark recording (the
+    * [[WavPlanted]] trio plays the eval suite) — same
+    * [[Dedup.bandedCrossProbe]] plan as the image variant; a
+    * volume-changed re-master of an eval recording has different bytes
+    * and different stats but the identical contour.
+    */
+  def audioDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val benchIds = WavPlanted.map(_._1)
+    val sigs = audioSigTable(spark, dir,
+      audioDedupPayloads ++ AudioLeakPlanted.map {
+        case (id, n, sc, ma, ab) =>
+          (id, wavPayloadF(1, 8000, n, withList = false, sc, ma, ab))
+      })
+    Dedup.bandedCrossProbe(
+      sigs.filter(!col("doc_id").isInCollection(benchIds)),
+      sigs.filter(col("doc_id").isInCollection(benchIds)),
+      AHashBands, AHashBandBits, AHashMaxHamming)
   }
 
   // ===== perceptual video dedup (luma-stream energy hash) =============
@@ -858,19 +881,20 @@ object Multimodal {
     * identical luma contour; a one-frame edit lands within the
     * threshold as a near-dup.
     */
-  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig) luma-hash table over the Y4M-decodable slice of the
+    * media table plus `extra` planted (id, payload) rows — the shared
+    * front half of [[videoDedup]] and [[videoDecontaminate]].
+    */
+  private def videoSigTable(spark: SparkSession, dir: String,
+      extra: Seq[(Long, Array[Byte])]): DataFrame = {
     import spark.implicits._
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val planted = (VideoPlanted.map { case (id, w, h, n, fn, fd, x) =>
-        (id, "video", y4mPayload(w, h, n, fn, fd, x)) }
-      ++ VideoDedupPlanted.map {
-        case (id, w, h, n, sc, ma, fa, ab, mm, altF, altA) =>
-          (id, "video",
-            y4mPayloadF(w, h, n, 25, 1, extras = false, sc, ma, fa, ab, mm,
-              altF, altA)) }
-      :+ ((MalformedY4mId, "video", malformedY4mPayload)))
+    val planted = ((VideoPlanted.map { case (id, w, h, n, fn, fd, x) =>
+        (id, y4mPayload(w, h, n, fn, fd, x)) }
+      ++ extra :+ ((MalformedY4mId, malformedY4mPayload)))
+      .map { case (id, p) => (id, "video", p) })
       .toDF("doc_id", "media_type", "payload")
-    val sigs = mediaTable(spark, dir).unionByName(planted)
+    mediaTable(spark, dir).unionByName(planted)
       .filter(col("payload").isNotNull &&
         substring(col("payload"), 1, 9) === lit("YUV4MPEG2".getBytes(ascii)))
       .select(col("doc_id"), col("payload"))
@@ -881,9 +905,47 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "sig")
-    Dedup.bandedHammingClusters(sigs, AHashBands, AHashBandBits,
-        AHashMaxHamming)
+  }
+
+  private def videoDedupPayloads: Seq[(Long, Array[Byte])] =
+    VideoDedupPlanted.map {
+      case (id, w, h, n, sc, ma, fa, ab, mm, altF, altA) =>
+        (id, y4mPayloadF(w, h, n, 25, 1, extras = false, sc, ma, fa, ab, mm,
+          altF, altA))
+    }
+
+  def videoDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandedHammingClusters(
+        videoSigTable(spark, dir, videoDedupPayloads),
+        AHashBands, AHashBandBits, AHashMaxHamming)
       .withColumnRenamed("sig", "vhash")
+
+  /** Planted LEAKED streams for [[videoDecontaminate]]: 986001
+    * re-serializes benchmark stream 980001 with extra container
+    * headers (Xcolorrange/Xtimecode — different BYTES, identical
+    * pixels, hamming 0: the re-muxed leak), 986002 edits one frame of
+    * it (hamming 2 — the near leak). The [[VideoDedupPlanted]] rows
+    * sit ≥ 23 bits from the whole benchmark set.
+    */
+  private[graft] def videoLeakPayloads: Seq[(Long, Array[Byte])] = Seq(
+    (986001L, y4mPayload(8, 6, 12, 25, 1, extras = true)),
+    (986002L, y4mPayloadF(8, 6, 12, 25, 1, extras = false, 1, 31, 17, 13,
+      251, altFrame = 7, altAb = 20)))
+
+  /** VIDEO decontamination: training streams within [[AHashMaxHamming]]
+    * of any held-out benchmark stream (the [[VideoPlanted]] trio plays
+    * the eval suite) — the third modality on [[Dedup.bandedCrossProbe]];
+    * a re-muxed copy of an eval stream has different container bytes
+    * but the identical luma contour.
+    */
+  def videoDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val benchIds = VideoPlanted.map(_._1)
+    val sigs = videoSigTable(spark, dir,
+      videoDedupPayloads ++ videoLeakPayloads)
+    Dedup.bandedCrossProbe(
+      sigs.filter(!col("doc_id").isInCollection(benchIds)),
+      sigs.filter(col("doc_id").isInCollection(benchIds)),
+      AHashBands, AHashBandBits, AHashMaxHamming)
   }
 
   /** Frame/stride sampling registered as a driver query: one row per
@@ -1254,6 +1316,8 @@ object Multimodal {
     "q_image_decontaminate" -> imageDecontaminate _,
     "q_audio_dedup" -> audioDedup _,
     "q_video_dedup" -> videoDedup _,
+    "q_audio_decontaminate" -> audioDecontaminate _,
+    "q_video_decontaminate" -> videoDecontaminate _,
     "q_frame_sample" -> multimodalFrameSample _)
 
   /** DuckDB twin of [[videoDedup]]: one VALUES row per planted stream
@@ -1262,15 +1326,12 @@ object Multimodal {
     * shared banding/closure tail — independent of the engine's Y4M
     * walker.
     */
-  private val videoDedupSql: String = {
-    val values = (
-      VideoPlanted.map { case (id, w, h, n, _, _, _) =>
-        s"($id, $w, $h, $n, 1, 31, 17, 13, 251, -1, 0)" } ++
-      VideoDedupPlanted.map {
-        case (id, w, h, n, sc, ma, fa, ab, mm, altf, alta) =>
-          s"($id, $w, $h, $n, $sc, $ma, $fa, $ab, $mm, $altf, $alta)" })
-      .mkString(", ")
-    s"""WITH RECURSIVE vid AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  /** The formula-derived luma-hash CTE chain for Y4M rows, shared by
+    * the video-family oracles. `values` rows are (doc_id, w, h, frames,
+    * sc, ma, fa, ab, mm, altf, alta).
+    */
+  private def videoSigSqlCtes(values: String): String =
+    s"""vid AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |    w, h, frames, sc, ma, fa, ab, mm, altf, alta,
        |    frames * w * h AS n
        |  FROM (VALUES $values)
@@ -1287,10 +1348,39 @@ object Multimodal {
        |sigs AS (SELECT a.doc_id,
        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS sig
        |  FROM vid a LEFT JOIN bit ON a.doc_id = bit.doc_id
-       |  GROUP BY a.doc_id),
+       |  GROUP BY a.doc_id)""".stripMargin
+
+  private def videoSigValues(
+      extra: Seq[(Long, Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)])
+      : String =
+    (VideoPlanted.map { case (id, w, h, n, _, _, _) =>
+      s"($id, $w, $h, $n, 1, 31, 17, 13, 251, -1, 0)" } ++
+      extra.map {
+        case (id, w, h, n, sc, ma, fa, ab, mm, altf, alta) =>
+          s"($id, $w, $h, $n, $sc, $ma, $fa, $ab, $mm, $altf, $alta)" })
+      .mkString(", ")
+
+  private val videoDedupSql: String =
+    s"""WITH RECURSIVE ${videoSigSqlCtes(videoSigValues(VideoDedupPlanted))},
        |${Dedup.bandedClusterSqlTail(AHashBands, AHashBandBits,
             AHashMaxHamming, "vhash")}""".stripMargin
-  }
+
+  /** Leak rows for the video decontamination ORACLE: 986001 shares
+    * benchmark 980001's plane formula exactly (the extras headers the
+    * engine payload adds change bytes, not planes); 986002 is the
+    * one-frame edit.
+    */
+  private val VideoLeakOracleRows
+      : Seq[(Long, Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)] = Seq(
+    (986001L, 8, 6, 12, 1, 31, 17, 13, 251, -1, 0),
+    (986002L, 8, 6, 12, 1, 31, 17, 13, 251, 7, 20))
+
+  /** DuckDB twin of [[videoDecontaminate]]. */
+  private val videoDecontaminateSql: String =
+    s"""WITH ${videoSigSqlCtes(
+           videoSigValues(VideoDedupPlanted ++ VideoLeakOracleRows))}
+       |${Dedup.crossProbeSqlTail(VideoPlanted.map(_._1), AHashMaxHamming)}"""
+      .stripMargin
 
   /** DuckDB twin of [[audioDedup]]: one VALUES row (doc_id, n, sc, ma,
     * ab) per planted WAV derives block absolute energies, the 60
@@ -1298,13 +1388,12 @@ object Multimodal {
     * the engine's RIFF walker, so the hash gate proves the real parser's
     * samples equal the formula.
     */
-  private val audioDedupSql: String = {
-    val values = (
-      WavPlanted.map { case (id, ch, _, frames, _) =>
-        s"($id, ${ch * frames}, 1, 31, 7)" } ++
-      AudioDedupPlanted.map { case (id, n, sc, ma, ab) =>
-        s"($id, $n, $sc, $ma, $ab)" }).mkString(", ")
-    s"""WITH RECURSIVE aud AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  /** The formula-derived energy-hash CTE chain for WAV rows, shared by
+    * the audio-family oracles. `values` rows are (doc_id, n, sc, ma,
+    * ab).
+    */
+  private def audioSigSqlCtes(values: String): String =
+    s"""aud AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |    n, sc, ma, ab
        |  FROM (VALUES $values) v(doc_id, n, sc, ma, ab)),
        |blk AS (SELECT doc_id, b,
@@ -1317,10 +1406,27 @@ object Multimodal {
        |sigs AS (SELECT a.doc_id,
        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS sig
        |  FROM aud a LEFT JOIN bit ON a.doc_id = bit.doc_id
-       |  GROUP BY a.doc_id),
+       |  GROUP BY a.doc_id)""".stripMargin
+
+  private def audioSigValues(extra: Seq[(Long, Int, Int, Int, Int)]): String =
+    (WavPlanted.map { case (id, ch, _, frames, _) =>
+      s"($id, ${ch * frames}, 1, 31, 7)" } ++
+      extra.map { case (id, n, sc, ma, ab) =>
+        s"($id, $n, $sc, $ma, $ab)" }).mkString(", ")
+
+  private val audioDedupSql: String =
+    s"""WITH RECURSIVE ${audioSigSqlCtes(audioSigValues(AudioDedupPlanted))},
        |${Dedup.bandedClusterSqlTail(AHashBands, AHashBandBits,
             AHashMaxHamming, "ahash")}""".stripMargin
-  }
+
+  /** DuckDB twin of [[audioDecontaminate]] (brute-force benchmark ×
+    * corpus at the threshold; see [[Dedup.crossProbeSqlTail]]).
+    */
+  private val audioDecontaminateSql: String =
+    s"""WITH ${audioSigSqlCtes(
+           audioSigValues(AudioDedupPlanted ++ AudioLeakPlanted))}
+       |${Dedup.crossProbeSqlTail(WavPlanted.map(_._1), AHashMaxHamming)}"""
+      .stripMargin
 
   /** DuckDB twin of [[imageDedup]]: every P6/PNG image in the query is a
     * planted arithmetic raster, so one VALUES row (doc_id, w, h, ma, ab,
@@ -1546,6 +1652,8 @@ object Multimodal {
     "q_image_decontaminate" -> imageDecontaminateSql,
     "q_audio_dedup" -> audioDedupSql,
     "q_video_dedup" -> videoDedupSql,
+    "q_audio_decontaminate" -> audioDecontaminateSql,
+    "q_video_decontaminate" -> videoDecontaminateSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 'IMG0' || text AS p FROM documents),
         |o AS (SELECT doc_id, p,

@@ -518,4 +518,19 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(!rows.contains(Multimodal.MalformedY4mId))
     assert(rows.size === 8)
   }
+
+  test("decontamination across modalities: re-encoded eval leaks flagged") {
+    // exactly the planted leaks, nothing else: the re-encoded copy at
+    // hamming 0 and the perturbed near-copy at hamming 2, each matched
+    // to the right benchmark item
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(Multimodal.imageDecontaminate(spark, sf)) ===
+      Set((926001L, 920002L, 0), (926002L, 920003L, 2)))
+    assert(pairs(Multimodal.audioDecontaminate(spark, sf)) ===
+      Set((966001L, 960001L, 0), (966002L, 960001L, 2)))
+    assert(pairs(Multimodal.videoDecontaminate(spark, sf)) ===
+      Set((986001L, 980001L, 0), (986002L, 980001L, 2)))
+  }
 }
