@@ -243,6 +243,41 @@ object Curation {
         "expected_tokens")
   }
 
+  /** Mixing temperature exponent: sampling weight ∝ tokens^Alpha. 0.3 is
+    * the classic multilingual/multi-domain smoothing (α = 1 reproduces
+    * raw proportions; α → 0 approaches uniform) — small domains get
+    * UPSAMPLED relative to their raw share, the standard fix for a
+    * head-heavy corpus drowning its tails.
+    */
+  val MixAlpha = 0.3
+
+  /** Temperature-weighted dataset mixing — the curriculum companion to
+    * [[domainMix]]'s budget allocator: per-source raw token share
+    * (integer ppm), the temperature-smoothed sampling weight
+    * `tokens^α / Σ tokens^α`, and the resulting over/under-sampling
+    * factor vs raw. Exactly two tiny aggregates broadcast back over the
+    * source dimension (one corpus exchange total); `pow` is the one
+    * double op per column, routed through the house `round(…, 6)`.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("n_tokens"))
+    val totals = perSrc.select(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(pow(col("n_tokens"), MixAlpha)).as("tot_w"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_tokens * 1000000 DIV tot_tokens AS BIGINT)")
+          .as("share_ppm"),
+        round(pow(col("n_tokens"), MixAlpha) / col("tot_w"), 6)
+          .as("temp_weight"),
+        round(pow(col("n_tokens"), MixAlpha) / col("tot_w") /
+          (col("n_tokens").cast("double") / col("tot_tokens")), 6)
+          .as("boost"))
+  }
+
   /** Sequence packing (concat-and-chunk): lay the shuffled corpus out as
     * one token stream and cut it into fixed-length training sequences of
     * [[PackLen]] tokens — the step that turns curated documents into the
@@ -648,6 +683,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "q_url_canonical" -> urlCanonical _,
+    "q_mix_temperature" -> mixTemperature _,
     "q_coverage_report" -> coverageReport _,
     "q_negative_sample" -> negativeSample _,
     "q_winsorize" -> winsorize _,
@@ -750,7 +786,21 @@ object Curation {
        |FROM c""".stripMargin
   }
 
+  private val mixTemperatureSql: String =
+    s"""WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    sum(pow(n_tokens, $MixAlpha)) AS tot_w FROM src)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS share_ppm,
+       |  round(pow(n_tokens, $MixAlpha) / tot_w, 6) AS temp_weight,
+       |  round(pow(n_tokens, $MixAlpha) / tot_w /
+       |    (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS boost
+       |FROM src CROSS JOIN tot""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_mix_temperature" -> mixTemperatureSql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_coverage_report" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,

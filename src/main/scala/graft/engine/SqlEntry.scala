@@ -90,9 +90,65 @@ object SqlEntry {
       |      AND l_shipdate > o_orderdate + INTERVAL '30' DAY)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Q5 shape (local supplier volume): the classic SIX-table star join
+    * — region → nation → (customer, supplier) → orders → lineitem with
+    * the customer-nation = supplier-nation equality — through the SQL
+    * front door. The planner exercise is join ORDERING + broadcast
+    * selection across four dimension tables and two facts; exact
+    * decimal money per the rendering rule above. Dates cover the
+    * fixture's o_orderdate span.
+    */
+  private val q5Sql =
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+      |    AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC""".stripMargin
+
+  /** Q14 shape (promotion effect): the conditional-aggregate ratio —
+    * CASE inside one sum divided by another over the same join. Both
+    * sums are exact decimal; the ONE division happens in double with
+    * the house round(…, 6).
+    */
+  private val q14Sql =
+    """SELECT round(100.0 *
+      |    CAST(sum(CASE WHEN p_type = 'ECONOMY'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+      |    AS promo_revenue_pct,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
   def sqlQ1(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q1Sql)
+  }
+
+  def sqlQ5(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q5Sql)
+  }
+
+  def sqlQ14(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q14Sql)
   }
 
   def sqlQ4(spark: SparkSession, dir: String): DataFrame = {
@@ -108,7 +164,9 @@ object SqlEntry {
   val queries: Map[String, Q] = Map(
     "q_sql_pricing_summary" -> sqlQ1 _,
     "q_sql_shipping_priority" -> sqlQ3 _,
-    "q_sql_late_orders" -> sqlQ4 _)
+    "q_sql_late_orders" -> sqlQ4 _,
+    "q_sql_local_volume" -> sqlQ5 _,
+    "q_sql_promo_effect" -> sqlQ14 _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
     * TIMESTAMP literals and decimal semantics line up).
@@ -116,5 +174,7 @@ object SqlEntry {
   val oracles: Map[String, String] = Map(
     "q_sql_pricing_summary" -> q1Sql.replace("\n", " "),
     "q_sql_shipping_priority" -> q3Sql.replace("\n", " "),
-    "q_sql_late_orders" -> q4Sql.replace("\n", " "))
+    "q_sql_late_orders" -> q4Sql.replace("\n", " "),
+    "q_sql_local_volume" -> q5Sql.replace("\n", " "),
+    "q_sql_promo_effect" -> q14Sql.replace("\n", " "))
 }

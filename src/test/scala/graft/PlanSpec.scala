@@ -668,6 +668,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"asofJoin should shuffle once on user_id:\n$p")
   }
 
+  test("sql front door Q5: six-table star broadcasts every dimension") {
+    val p = plan(SqlEntry.sqlQ5(spark, sf))
+    // supplier/nation/region (and customer at fixture scale) must come
+    // in as broadcasts around the two facts — a shuffled join against a
+    // dimension table here would shuffle the fact star needlessly
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the date filter pushes to the orders scan
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("nfc normalize: native expression, no object round-trip, SQL-callable") {
     // round-11 carried this op as mapPartitions; the NfcNormalize
     // Catalyst expression must keep the whole query inside codegen —
