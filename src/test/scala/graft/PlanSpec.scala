@@ -478,7 +478,9 @@ class PlanSpec extends SparkSpec {
       "q_ann_recall", "q_bloom_join", "q_dup_transitivity",
       "q_target_encode", "q_negative_sample",
       // q_coverage_report's 1-row corpus-totals broadcast (same shape)
-      "q_coverage_report")
+      // q_mix_temperature folds per-source token sums against its 1-row
+      // corpus-totals broadcast (sum tokens + sum tokens^T) — same shape
+      "q_coverage_report", "q_mix_temperature")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
