@@ -109,7 +109,12 @@ object ScaleBench {
     // scales with s, group size is fixture-fixed). The modality dedups
     // are NOT here: their corpus rows are magic-filtered out before
     // decode, so their cost is planted-set-sized by construction.
-    "q_html_extract", "q_url_canonical")
+    "q_html_extract", "q_url_canonical",
+    // boilerplate removal: three linear exchanges (line df, anti join,
+    // reassembly); salted copies share no lines, so the df floor and the
+    // boilerplate set scale by s. Corpus overlap rides the memoized
+    // (doc_id, sid) stream into one sid exchange — both expect alpha ≈ 1
+    "q_boilerplate_lines", "q_corpus_overlap")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -1275,7 +1275,43 @@ object Dedup {
           " AS BIGINT)").as("transitivity_ppm"))
   }
 
+  /** Exact cross-snapshot shingle overlap — dataset versioning's first
+    * question ("how much of snapshot B is already in snapshot A?"),
+    * answered EXACTLY rather than by sketch. Snapshots are the
+    * deterministic doc_id-parity halves of the dedup corpus (the
+    * stand-in for two crawl versions sharing most of their content).
+    * Reports distinct-shingle set sizes per side, the exact
+    * intersection/union, and integer-ppm Jaccard + per-side containment
+    * (the asymmetric "B-inside-A" number a curation run actually acts
+    * on).
+    *
+    * 100 TB shape: side membership is a map-side bit on the memoized
+    * (doc_id, sid) stream; ONE exchange on sid folds each shingle to a
+    * 2-bit presence row with map-side partial max, and the final
+    * single-row agg is the usual partial-combine funnel. No join of the
+    * two sides, no broadcast of either set (which grow with the corpus)
+    * — the sid-hash partition IS the set intersection.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame =
+    shingleIds(spark, dir)
+      .select(col("sid"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("a"),
+        when(col("doc_id") % 2 === 1, 1L).otherwise(0L).as("b"))
+      .groupBy("sid")
+      .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b"))
+      .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_inter"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        expr("CAST(n_inter * 1000000 DIV n_union AS BIGINT)")
+          .as("jaccard_ppm"),
+        expr("CAST(n_inter * 1000000 DIV NULLIF(n_a, 0) AS BIGINT)")
+          .as("containment_a_ppm"),
+        expr("CAST(n_inter * 1000000 DIV NULLIF(n_b, 0) AS BIGINT)")
+          .as("containment_b_ppm"))
+
   val queries: Map[String, Q] = Map(
+    "q_corpus_overlap" -> corpusOverlap _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_dup_transitivity" -> dupTransitivity _,
     "q_dedup_exact" -> dedupExact _,
@@ -1638,5 +1674,22 @@ object Dedup {
       s"""SELECT doc_id, ${idUtf8Sql("text")} AS utf8_fp FROM (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT * FROM (VALUES $values) t(doc_id, text))""".stripMargin
-    })
+    },
+    "q_corpus_overlap" ->
+      s"""WITH $shingleSql,
+         |pres AS (SELECT sid,
+         |    max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+         |  FROM ds GROUP BY sid),
+         |tot AS (SELECT sum(in_a) AS n_a, sum(in_b) AS n_b,
+         |    sum(in_a * in_b) AS n_inter, count(*) AS n_union FROM pres)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(n_union AS BIGINT) AS n_union,
+         |  CAST(n_inter * 1000000 // n_union AS BIGINT) AS jaccard_ppm,
+         |  CAST(n_inter * 1000000 // NULLIF(n_a, 0) AS BIGINT)
+         |    AS containment_a_ppm,
+         |  CAST(n_inter * 1000000 // NULLIF(n_b, 0) AS BIGINT)
+         |    AS containment_b_ppm
+         |FROM tot""".stripMargin)
 }

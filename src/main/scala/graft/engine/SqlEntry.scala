@@ -136,6 +136,62 @@ object SqlEntry {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
 
+  /** Q18 shape (large-volume orders): HAVING on an aggregate subquery
+    * with an IN join-back — the planner path Spark rewrites to a
+    * left-semi join against the pre-aggregated order list (the
+    * complement of Q4's EXISTS semi). The 300-unit floor selects the
+    * same top fraction the TPC-H spec's 300 does. o_totalprice is
+    * grouped on its raw parquet double (identical bits both engines)
+    * and only RENDERED through the scale-2 round.
+    */
+  private val q18Sql =
+    """SELECT c_name, o_orderkey, o_orderdate,
+      |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+      |    AS total_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |    AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice""".stripMargin
+
+  /** Q22 shape (idle high-balance accounts): scalar aggregate subquery
+    * gating an anti join — customers above the positive-balance average
+    * with no order since 1999, rolled up per nation. The average is
+    * compared EXACTLY as `bal · n > Σbal` (multiply-through instead of
+    * a double division: a last-ulp disagreement on avg(double) between
+    * engines would otherwise flip boundary customers in or out). The
+    * NOT EXISTS plans as a left-anti hash join on o_custkey; the two
+    * scalar subqueries are one-row broadcasts, not row-space joins.
+    */
+  private val q22Sql =
+    """SELECT n_name, count(*) AS n_idle,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS idle_balance
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      |    (SELECT count(*) FROM customer WHERE c_acctbal > 0) >
+      |  (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+      |    WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY n_name""".stripMargin
+
+  def sqlQ18(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q18Sql)
+  }
+
+  def sqlQ22(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q22Sql)
+  }
+
   def sqlQ1(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q1Sql)
@@ -166,7 +222,9 @@ object SqlEntry {
     "q_sql_shipping_priority" -> sqlQ3 _,
     "q_sql_late_orders" -> sqlQ4 _,
     "q_sql_local_volume" -> sqlQ5 _,
-    "q_sql_promo_effect" -> sqlQ14 _)
+    "q_sql_promo_effect" -> sqlQ14 _,
+    "q_sql_big_orders" -> sqlQ18 _,
+    "q_sql_idle_balance" -> sqlQ22 _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
     * TIMESTAMP literals and decimal semantics line up).
@@ -176,5 +234,7 @@ object SqlEntry {
     "q_sql_shipping_priority" -> q3Sql.replace("\n", " "),
     "q_sql_late_orders" -> q4Sql.replace("\n", " "),
     "q_sql_local_volume" -> q5Sql.replace("\n", " "),
-    "q_sql_promo_effect" -> q14Sql.replace("\n", " "))
+    "q_sql_promo_effect" -> q14Sql.replace("\n", " "),
+    "q_sql_big_orders" -> q18Sql.replace("\n", " "),
+    "q_sql_idle_balance" -> q22Sql.replace("\n", " "))
 }

@@ -463,7 +463,93 @@ object TextOps {
       .withColumn("n_chars_out", length(col("clean_text")).cast("long"))
   }
 
+  /** Cross-document boilerplate lines planted into [[boilerplateLines]]:
+    * two nav/footer lines shared by ≥3 docs (one with asymmetric
+    * whitespace padding — removal keys on the TRIMMED line), unique
+    * content lines that must survive, one doc that is pure boilerplate
+    * (empties out), and a null row. The fixture corpus contributes its
+    * single-line docs: only texts repeated verbatim in ≥3 docs (the
+    * planted exact-dup groups) cross the document-frequency floor there.
+    */
+  private[graft] val BoilerplatePlantedRows: Seq[(Long, String)] = Seq(
+    (950001L, "subscribe to our newsletter\ncookie policy applies\n" +
+      "unique fact one about storage engines"),
+    (950002L, "subscribe to our newsletter\n" +
+      "unique fact two about shuffle hashing\ncookie policy applies"),
+    (950003L, "cookie policy applies\nsubscribe to our newsletter\n" +
+      "unique fact three about join orders"),
+    (950004L, "subscribe to our newsletter\ncookie policy applies"),
+    (950005L, "  subscribe to our newsletter  \n" +
+      "unique fact four with padded boilerplate"),
+    (950006L, null))
+
+  /** A line is boilerplate when its trimmed form appears in at least
+    * this many distinct documents (the C4-style document-frequency
+    * floor). */
+  private[graft] val BoilerplateMinDocs = 3
+
+  /** Cross-document boilerplate-line removal — the C4/CCNet pass that
+    * drops nav bars, cookie banners, and footers BEFORE dedup ever sees
+    * them: lines whose trimmed form appears in ≥ [[BoilerplateMinDocs]]
+    * distinct documents are removed from every document, and the
+    * survivors are reassembled in original order (kept lines keep their
+    * original, untrimmed form). Empty/whitespace lines never count
+    * toward document frequency and always survive. A document whose
+    * every line is boilerplate comes back as the empty string — the
+    * honest signal ("this page was pure chrome"), distinct from null-in
+    * → null-out.
+    *
+    * 100 TB shape: three linear exchanges, none avoidable — line
+    * document-frequency (group by trimmed line), the anti join of lines
+    * against the over-threshold set (hash-partitioned equi-join; the
+    * boilerplate set GROWS with the corpus, so it is deliberately NOT
+    * broadcast), and per-doc reassembly (group by doc_id). Map-side
+    * partial aggregation carries the df count; nothing collects.
+    */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    boilerplateOver(Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(BoilerplatePlantedRows.toDF("doc_id", "text")))
+  }
+
+  /** [[boilerplateLines]] over an arbitrary (doc_id, text) corpus —
+    * the composable core (PropertySpec drives generated corpora through
+    * it; the idempotence law holds because cleaning can only LOWER a
+    * line's document frequency, never raise it past the floor).
+    */
+  private[graft] def boilerplateOver(src: DataFrame): DataFrame = {
+    val lines = src
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .toDF("doc_id", "pos", "line")
+    val boiler = lines
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(trim(col("line")).as("lkey"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= lit(BoilerplateMinDocs))
+      .select("lkey")
+    val kept = lines.join(boiler,
+      trim(lines("line")) === boiler("lkey"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    src
+      .withColumn("n_lines", when(col("text").isNotNull,
+        size(split(col("text"), "\n")).cast("long")))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("text").isNotNull, coalesce(col("kept_text"), lit("")))
+          .as("clean_text"),
+        col("n_lines"),
+        when(col("text").isNotNull,
+          col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate_lines" -> boilerplateLines _,
     "q_html_extract" -> htmlExtract _,
     "q_text_normalize" -> textNormalize _,
     "q_array_stats" -> arrayStats _,
@@ -482,6 +568,38 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate_lines" -> {
+      def sqlLit(t: String): String =
+        if (t == null) "CAST(NULL AS VARCHAR)"
+        else s"'${t.replace("'", "''").replace("\n", "' || chr(10) || '")}'"
+      val values = BoilerplatePlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |l AS (SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+         |  FROM src WHERE text IS NOT NULL),
+         |b AS (SELECT trim(line) AS lkey FROM l
+         |  WHERE length(trim(line)) > 0
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $BoilerplateMinDocs),
+         |k AS (SELECT doc_id, pos, line FROM l
+         |  WHERE trim(line) NOT IN (SELECT lkey FROM b)),
+         |r AS (SELECT doc_id,
+         |    string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+         |    count(*) AS n_kept FROM k GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |  CASE WHEN s.text IS NULL THEN NULL
+         |    ELSE coalesce(r.kept_text, '') END AS clean_text,
+         |  CASE WHEN s.text IS NULL THEN NULL
+         |    ELSE CAST(len(string_split(s.text, chr(10))) AS BIGINT)
+         |    END AS n_lines,
+         |  CASE WHEN s.text IS NULL THEN NULL
+         |    ELSE CAST(len(string_split(s.text, chr(10)))
+         |      - coalesce(r.n_kept, 0) AS BIGINT) END AS n_removed
+         |FROM src s LEFT JOIN r ON s.doc_id = r.doc_id""".stripMargin
+    },
     "q_html_extract" -> {
       def sqlLit(t: String): String =
         if (t == null) "CAST(NULL AS VARCHAR)"

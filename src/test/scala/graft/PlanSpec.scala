@@ -603,6 +603,24 @@ class PlanSpec extends SparkSpec {
       s"correlated EXISTS must plan as a left-semi join:\n$p")
   }
 
+  test("SQL IN-subquery (Q18) rewrites to a semi join on the agg list") {
+    val p = plan(SqlEntry.sqlQ18(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"IN (SELECT … HAVING) must plan as a left-semi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("SQL NOT EXISTS (Q22) plans anti join; avg gate is scalar subqueries") {
+    val p = plan(SqlEntry.sqlQ22(spark, sf))
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must plan as a left-anti join:\n$p")
+    // the balance-average gate must ride scalar subqueries (1-row
+    // broadcasts), never a row-space nested-loop join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rolling range window rides one user_id exchange") {
     val p = plan(Ext.rollingRange(spark, sf))
     assert(p.split("\n").count(_.matches("""\(\d+\) Exchange\s*""")) === 1,

@@ -365,4 +365,47 @@ class PropertySpec extends SparkSpec {
     assert(byId(930005L).get == "line one line two", byId(930005L).get)
     assert(byId(930007L).isEmpty, "null text must stay null")
   }
+
+  test("boilerplate removal law: exact df replay, then idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // generated corpora: shared chrome lines (with padding variants that
+    // trim onto the same key), unique content lines, and empty lines
+    val chrome = Gen.oneOf("cookie banner", " cookie banner ",
+      "subscribe now", "footer links", "\tsubscribe now")
+    val lineGen: Gen[String] = Gen.frequency(
+      3 -> chrome,
+      1 -> Gen.const(""),
+      2 -> Gen.chooseNum(0, 9999).map(i => s"unique content $i"))
+    val docGen = Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.listOfN(n, lineGen)).map(_.mkString("\n"))
+    val corpus = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (960000L + i, t) }
+    val out = graft.engine.TextOps
+      .boilerplateOver(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver-side exact replay of the df floor
+    val df = corpus
+      .flatMap { case (id, t) =>
+        t.split("\n", -1).map(_.trim).filter(_.nonEmpty).distinct
+          .map(_ -> id)
+      }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    val want = corpus.map { case (id, t) =>
+      id -> t.split("\n", -1)
+        .filter(l => l.trim.isEmpty || df(l.trim) < 3).mkString("\n")
+    }.toMap
+    corpus.foreach { case (id, _) =>
+      assert(out(id) == want(id),
+        s"doc $id: got '${out(id)}' want '${want(id)}'")
+    }
+    // second pass over the cleaned corpus removes nothing: cleaning only
+    // lowers a key's document frequency
+    val again = graft.engine.TextOps
+      .boilerplateOver(out.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.foreach { case (id, _) =>
+      assert(again(id) == out(id), s"doc $id: not idempotent")
+    }
+  }
 }

@@ -614,4 +614,35 @@ class TextDedupSpec extends SparkSpec {
     if (wedges > 0)
       assert(row.getLong(4) === 3 * tris * 1000000L / wedges)
   }
+
+  test("boilerplate lines: planted semantics — removal, padding, empty-out") {
+    val byId = TextOps.boilerplateLines(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // shared nav/footer lines stripped, unique content survives in order
+    assert(byId(950001L).getString(1) ===
+      "unique fact one about storage engines")
+    assert(byId(950001L).getLong(3) === 2L, "two boilerplate lines removed")
+    // padded variant: removal keys on the TRIMMED line
+    assert(byId(950005L).getString(1) ===
+      "unique fact four with padded boilerplate")
+    // pure-boilerplate doc empties to '' (not null)
+    assert(byId(950004L).getString(1) === "")
+    assert(byId(950004L).getLong(2) === byId(950004L).getLong(3))
+    // null text propagates null everywhere
+    assert(byId(950006L).isNullAt(1) && byId(950006L).isNullAt(2))
+  }
+
+  test("corpus overlap: exact set identities hold and sides are nonempty") {
+    val r = Dedup.corpusOverlap(spark, sf).head
+    val (nA, nB, inter, union) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nA > 0 && nB > 0)
+    assert(inter <= math.min(nA, nB))
+    assert(union === nA + nB - inter, "inclusion-exclusion")
+    assert(r.getLong(4) === inter * 1000000L / union)
+    assert(r.getLong(5) === inter * 1000000L / nA)
+    assert(r.getLong(6) === inter * 1000000L / nB)
+    // parity halves of one fixture share vocabulary: overlap is real
+    assert(inter > 0, "parity snapshots must share shingles")
+  }
 }
