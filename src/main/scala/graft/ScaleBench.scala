@@ -114,7 +114,11 @@ object ScaleBench {
     // reassembly); salted copies share no lines, so the df floor and the
     // boilerplate set scale by s. Corpus overlap rides the memoized
     // (doc_id, sid) stream into one sid exchange — both expect alpha ≈ 1
-    "q_boilerplate_lines", "q_corpus_overlap")
+    "q_boilerplate_lines", "q_corpus_overlap",
+    // vocab drift is one term exchange + a 1-row totals fold (salted
+    // copies multiply the vocabulary by s — the linear regime); the PII
+    // audit is a zero-exchange regexp scan pass
+    "q_vocab_drift", "q_pii_audit")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

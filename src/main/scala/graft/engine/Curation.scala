@@ -40,6 +40,66 @@ object Curation {
           emailRe, "<EMAIL>").as("scrubbed"))
   }
 
+  /** Typed-PII patterns shared by [[piiAudit]] and its oracle — the
+    * RE2/Java common subset (no lookaround, no backreferences; `\b` and
+    * bounded group repetition are in both). Order matters for redaction:
+    * email → card → phone → IPv4; every placeholder is digit-free and
+    * @-free, so later patterns can never match inside an earlier
+    * replacement.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("card", "\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b", "<CARD>"),
+    ("phone", "\\+\\d{1,3}([ -]?\\d{2,4}){2,4}", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII rows planted into [[piiAudit]] (fixture text is clean): each
+    * type alone, a clean row, a mixed row exercising every pattern plus
+    * separator variants (the +44-20… phone shape needs the 2–4-digit
+    * group repetition), and a null row.
+    */
+  private[graft] val PiiPlantedRows: Seq[(Long, String)] = Seq(
+    (970001L, "contact alice at alice.smith+spam@example.com or " +
+      "+1 415 555 0173 today"),
+    (970002L, "server at 10.0.0.1 and 192.168.1.254 responded"),
+    (970003L, "card 4111 1111 1111 1111 on file, backup " +
+      "5500-0000-0000-0004"),
+    (970004L, "no sensitive content in this row at all"),
+    (970005L, "mixed bob@corp.io from 172.16.254.3 using " +
+      "+44-20-7946-0958 and card 4012 8888 8888 1881"),
+    (970006L, null))
+
+  /** Typed-PII audit + redaction — the release gate a training corpus
+    * runs before anything leaves the pipeline: per-type match counts
+    * (each counted INDEPENDENTLY on the raw text) and a redacted text
+    * with typed placeholders, over the corpus unioned with
+    * [[PiiPlantedRows]]. A single map-side projection of codegen'd
+    * regexp ops — no shuffle, no UDF; at 100 TB this is a pure scan
+    * pass whose cost is the regex automata, which is why the patterns
+    * stay in the RE2 subset (linear-time scan, no backtracking blowup
+    * on adversarial corpus bytes).
+    */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(PiiPlantedRows.toDF("doc_id", "text"))
+    val countExprs = PiiPatterns.map { case (_, re, _) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (acc, (_, re, ph)) => regexp_replace(acc, re, ph)
+    }
+    src.select(
+      col("doc_id") +:
+        PiiPatterns.zip(countExprs).map { case ((name, _, _), e) =>
+          when(col("text").isNotNull, e).as(s"n_$name")
+        } :+
+        redacted.as("redacted") :+
+        when(col("text").isNotNull,
+          countExprs.reduceLeft(_ + _) > 0).as("has_pii"): _*)
+  }
+
   /** Fixed-size chunking with overlap (size 32, stride 24): the
     * document-to-training-sample explosion. Chunk starts stride across the
     * token array; each row is one chunk with its token count and text.
@@ -688,6 +748,7 @@ object Curation {
     "q_negative_sample" -> negativeSample _,
     "q_winsorize" -> winsorize _,
     "q_text_scrub" -> textScrub _,
+    "q_pii_audit" -> piiAudit _,
     "q_doc_chunk" -> docChunk _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_weighted_sample" -> weightedSample _,
@@ -853,6 +914,28 @@ object Curation {
          |FROM d JOIN b ON d.source = b.source""".stripMargin,
     "q_text_scrub" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS BIGINT) AS n_urls, regexp_replace(regexp_replace(raw, 'https?://[^ ]+', '<URL>', 'g'), '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g') AS scrubbed FROM (SELECT doc_id, text || ' contact user' || doc_id || '@example.com via http://site' || doc_id || '.com' AS raw FROM documents)""",
+    "q_pii_audit" -> {
+      def sqlLit(t: String): String =
+        if (t == null) "CAST(NULL AS VARCHAR)"
+        else s"'${t.replace("'", "''")}'"
+      val values = PiiPlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      val countCols = PiiPatterns.map { case (name, re, _) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+      }.mkString(", ")
+      val red = PiiPatterns.foldLeft("text") { case (acc, (_, re, ph)) =>
+        s"regexp_replace($acc, '$re', '$ph', 'g')"
+      }
+      val total = PiiPatterns.map { case (_, re, _) =>
+        s"len(regexp_extract_all(text, '$re'))"
+      }.mkString(" + ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))
+         |SELECT doc_id, $countCols, $red AS redacted,
+         |  ($total) > 0 AS has_pii
+         |FROM src""".stripMargin
+    },
     "q_doc_chunk" ->
       s"""SELECT doc_id, CAST(start / $ChunkStride AS INTEGER) AS chunk_idx, CAST(len(t[start + 1 : least(start + $ChunkSize, len(t))]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[start + 1 : least(start + $ChunkSize, len(t))], ' ') AS chunk_text FROM (SELECT doc_id, string_split(text, ' ') AS t, unnest(range(0, greatest(len(string_split(text, ' ')), 1), $ChunkStride)) AS start FROM documents) WHERE len(t[start + 1 : least(start + $ChunkSize, len(t))]) > 0""",
     "q_weighted_sample" ->

@@ -548,7 +548,52 @@ object TextOps {
           .as("n_removed"))
   }
 
+  /** Exact unigram-distribution drift between the doc_id-parity corpus
+    * snapshots — the dataset-versioning companion to
+    * [[Dedup.corpusOverlap]]: overlap asks "same CONTENT?", this asks
+    * "same LANGUAGE?" (a crawl whose vocabulary distribution moved is a
+    * different training distribution even when few documents are
+    * shared). The statistic is total-variation distance, computed
+    * EXACTLY in integers per term — |c_a·N_b − c_b·N_a| over a
+    * DECIMAL(38,0) product (token-count × corpus-total overflows int64
+    * at real corpus sizes) — and divided ONCE as a double with the
+    * house round(6). No `ln` anywhere (the cross-engine float rule), so
+    * TVD stands in for KL the same way bigram coverage stands in for
+    * perplexity.
+    *
+    * 100 TB shape: one exchange on term (map-side partial sums carry
+    * both sides' counts), a 1-row totals broadcast folded back in-plan
+    * (the sanctioned collect-scalar shape), and a single-row final agg.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("is_a"),
+        explode(tokens).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.agg(sum(col("c_a")).as("n_a"),
+      sum(col("c_b")).as("n_b"))
+    val big: Column => Column = _.cast("decimal(38,0)")
+    counts.crossJoin(broadcast(totals))
+      .agg(
+        sum(when(col("c_a") > 0, 1L).otherwise(0L)).as("n_terms_a"),
+        sum(when(col("c_b") > 0, 1L).otherwise(0L)).as("n_terms_b"),
+        sum(when(col("c_a") > 0 && col("c_b") > 0, 1L).otherwise(0L))
+          .as("n_terms_shared"),
+        count(lit(1)).as("n_terms_union"),
+        sum(abs(big(col("c_a")) * col("n_b")
+          - big(col("c_b")) * col("n_a"))).as("sum_abs"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select(col("n_terms_a"), col("n_terms_b"), col("n_terms_shared"),
+        col("n_terms_union"), col("n_a"), col("n_b"),
+        round(col("sum_abs").cast("double")
+          / (lit(2).cast("decimal(38,0)") * big(col("n_a"))
+            * big(col("n_b"))).cast("double"), 6).as("tvd"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_vocab_drift" -> vocabDrift _,
     "q_boilerplate_lines" -> boilerplateLines _,
     "q_html_extract" -> htmlExtract _,
     "q_text_normalize" -> textNormalize _,
@@ -568,6 +613,28 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_drift" ->
+      """WITH t AS (SELECT doc_id % 2 = 0 AS is_a,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS c_a,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS c_b
+        |  FROM t GROUP BY term),
+        |tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM c)
+        |SELECT
+        |  CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_terms_a,
+        |  CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_terms_b,
+        |  CAST(sum(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_terms_shared,
+        |  CAST(count(*) AS BIGINT) AS n_terms_union,
+        |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+        |  round(CAST(sum(abs(CAST(c_a AS DECIMAL(38,0)) * n_b
+        |      - CAST(c_b AS DECIMAL(38,0)) * n_a)) AS DOUBLE)
+        |    / CAST(2 * CAST(max(n_a) AS DECIMAL(38,0))
+        |      * CAST(max(n_b) AS DECIMAL(38,0)) AS DOUBLE), 6) AS tvd
+        |FROM c, tot""".stripMargin,
     "q_boilerplate_lines" -> {
       def sqlLit(t: String): String =
         if (t == null) "CAST(NULL AS VARCHAR)"

@@ -285,4 +285,29 @@ class CurationSpec extends SparkSpec {
       assert(g.count(_._4) == 1, s"$c keepers != 1")
     }
   }
+
+  test("pii audit: typed counts, ordered redaction, clean corpus, null row") {
+    val byId = Curation.piiAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // (n_email, n_card, n_phone, n_ipv4) per planted row
+    def counts(id: Long) = (1 to 4).map(byId(id).getLong).toList
+    assert(counts(970001L) === List(1L, 0L, 1L, 0L))
+    assert(counts(970002L) === List(0L, 0L, 0L, 2L))
+    assert(counts(970003L) === List(0L, 2L, 0L, 0L))
+    assert(counts(970004L) === List(0L, 0L, 0L, 0L))
+    assert(counts(970005L) === List(1L, 1L, 1L, 1L))
+    val mixed = byId(970005L).getString(5)
+    assert(mixed === "mixed <EMAIL> from <IP> using <PHONE> and card <CARD>",
+      mixed)
+    assert(byId(970001L).getString(5) ===
+      "contact alice at <EMAIL> or <PHONE> today")
+    assert(byId(970004L).getBoolean(6) === false)
+    assert(byId(970005L).getBoolean(6) === true)
+    // null propagates through counts, redaction, and the flag
+    assert((1 to 6).forall(byId(970006L).isNullAt))
+    // the fixture corpus is PII-clean: redaction is identity there
+    val corpus = byId.view.filterKeys(_ < 970001L)
+    assert(corpus.values.forall(r => !r.getBoolean(6)),
+      "fixture corpus must carry no PII")
+  }
 }

@@ -645,4 +645,34 @@ class TextDedupSpec extends SparkSpec {
     // parity halves of one fixture share vocabulary: overlap is real
     assert(inter > 0, "parity snapshots must share shingles")
   }
+
+  test("vocab drift: exact driver replay of the TVD identity") {
+    val r = TextOps.vocabDrift(spark, sf).head
+    val counts = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .foreach { row =>
+        val a = row.getLong(0) % 2 == 0
+        row.getString(1).split(" ", -1).foreach { t =>
+          val (ca, cb) = counts(t)
+          counts(t) = if (a) (ca + 1, cb) else (ca, cb + 1)
+        }
+      }
+    val nA = counts.values.map(_._1).sum
+    val nB = counts.values.map(_._2).sum
+    assert(r.getLong(0) === counts.values.count(_._1 > 0).toLong)
+    assert(r.getLong(1) === counts.values.count(_._2 > 0).toLong)
+    assert(r.getLong(2) ===
+      counts.values.count(v => v._1 > 0 && v._2 > 0).toLong)
+    assert(r.getLong(3) === counts.size.toLong)
+    assert(r.getLong(4) === nA && r.getLong(5) === nB)
+    val sumAbs = counts.values
+      .map(v => (BigInt(v._1) * nB - BigInt(v._2) * nA).abs)
+      .sum
+    val tvd = BigDecimal(
+      sumAbs.toDouble / (2.0 * nA.toDouble * nB.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) === tvd)
+    assert(tvd >= 0.0 && tvd <= 1.0, s"TVD out of range: $tvd")
+  }
 }
