@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSimilarity, HyperplaneSignatures, NfcNormalize}
+import graft.functions.{CosineSimilarity, HyperplaneSignatures, NfcNormalize, Utf8PolyId}
 import graft.engine.Similarity
 
 /** SparkSessionExtensions entry point: injects the engine's native
@@ -39,6 +40,20 @@ object GraftExtensions {
     NfcNormalize(args.head)
   }
 
+  private def utf8PolyBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      "utf8_poly_id(s, m) takes a string arg and an integer literal modulus")
+    val m = args(1) match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"utf8_poly_id modulus must be an integer literal, got $other")
+    }
+    require(m > 0 && m <= Int.MaxValue.toLong + 1,
+      s"utf8_poly_id modulus out of the overflow-safe range: $m")
+    Utf8PolyId(args(0), m)
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       ("cosine_sim",
@@ -50,7 +65,10 @@ object GraftExtensions {
         lshBuilder _),
       ("nfc_normalize",
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-        nfcBuilder _))
+        nfcBuilder _),
+      ("utf8_poly_id",
+        new ExpressionInfo(classOf[Utf8PolyId].getName, "utf8_poly_id"),
+        utf8PolyBuilder _))
 
   /** Imperative registration into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

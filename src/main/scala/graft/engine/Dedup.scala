@@ -93,6 +93,17 @@ object Dedup {
     * both engines.
     */
   private[graft] def portableIdUtf8(s: Column): Column =
+    graft.functions.StringFunctions.utf8_poly_id(s, IdMod)
+
+  /** The composed-builtin form [[portableIdUtf8]] replaced (kept as the
+    * cross-implementation reference: PropertySpec pins the native
+    * expression equal to this fold on arbitrary Unicode input). It
+    * materializes one two-char string per input byte and radix-parses
+    * each — tens of allocations per shingle on the hottest path the
+    * engine has; the native [[graft.functions.Utf8PolyId]] walks the
+    * UTF8String bytes in place inside whole-stage codegen.
+    */
+  private[graft] def portableIdUtf8Reference(s: Column): Column =
     aggregate(
       transform(
         regexp_extract_all(hex(encode(s, "UTF-8")), lit("(..)"), lit(1)),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.glue
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for Unicode NFC normalization — the
@@ -69,8 +69,63 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       newChild: Expression): NfcNormalize = copy(child = newChild)
 }
 
+/** Native Catalyst expression for the engine-portable polynomial string
+  * id: fold the string's UTF-8 bytes (unsigned) through
+  * `acc = (acc·31 + byte) mod m`, the id every dedup/decontamination
+  * operator keys shingles and tokens on (`Dedup.portableIdUtf8`;
+  * DuckDB twin `Dedup.idUtf8Sql` derives the same bytes arithmetically
+  * from codepoints).
+  *
+  * The composed-builtin form (`hex` → `regexp_extract_all` per byte
+  * pair → `conv` → `aggregate` HOF) materializes a STRING ARRAY with
+  * one two-char element per input byte and re-parses each through a
+  * radix conversion — tens of allocations per shingle on the hottest
+  * path the engine has. This expression walks the UTF8String's bytes
+  * in place: zero allocation, one multiply-add-mod per byte, and it
+  * stays inside whole-stage codegen. `mod` is a literal parameter so
+  * the fold is usable for any of the house moduli.
+  *
+  * Intermediate bound: acc < m ≤ 2^31, so acc·31 + 255 < 2^36 — no
+  * int64 overflow for any house modulus.
+  */
+case class Utf8PolyId(child: Expression, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "utf8_poly_id"
+
+  /** Codegen/eval entry point (public so generated code can call it). */
+  def fold(u: UTF8String): Long = {
+    val n = u.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * 31 + (u.getByte(i) & 0xff)) % mod
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    fold(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("utf8PolyExpr", this,
+      classOf[Utf8PolyId].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.fold($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Utf8PolyId = copy(child = newChild)
+}
+
 object StringFunctions {
   /** Column-API entry point for [[NfcNormalize]]. */
   def nfc_normalize(c: Column): Column =
     glue.column(NfcNormalize(glue.expression(c)))
+
+  /** Column-API entry point for [[Utf8PolyId]]. */
+  def utf8_poly_id(c: Column, mod: Long): Column =
+    glue.column(Utf8PolyId(glue.expression(c), mod))
 }

@@ -366,6 +366,46 @@ class PropertySpec extends SparkSpec {
     assert(byId(930007L).isEmpty, "null text must stay null")
   }
 
+  test("utf8 poly id: native expression == composed-builtin fold, any input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // arbitrary Unicode: ASCII, 2-byte accents, 3-byte CJK, 4-byte astral
+    // (surrogate-pair) emoji, mixed — every UTF-8 width class
+    val charGen = Gen.frequency(
+      4 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ü", "ñ", "ß"),
+      2 -> Gen.oneOf("日", "語", "текст", "中"),
+      1 -> Gen.oneOf("🚀", "😀", "𝄞"),
+      1 -> Gen.oneOf(" ", ".", ","))
+    val strGen = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    val rows = samples(strGen, 60).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) } :+ (999L, null: String)
+    val got = rows.toDF("id", "s")
+      .select(col("id"),
+        graft.engine.Dedup.portableIdUtf8(col("s")).as("native"),
+        graft.engine.Dedup.portableIdUtf8Reference(col("s")).as("ref"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) && r.isNullAt(2), s"null mismatch at ${r.get(0)}")
+      else assert(r.getLong(1) === r.getLong(2),
+        s"id ${r.get(0)}: native ${r.getLong(1)} != reference ${r.getLong(2)}")
+    }
+    // and the SQL registration computes the same fold
+    graft.GraftExtensions.register(spark)
+    rows.toDF("id", "s").createOrReplaceTempView("poly_probe")
+    val viaSql = spark.sql(
+      s"SELECT id, utf8_poly_id(s, ${graft.engine.Dedup.IdMod}) AS v " +
+        "FROM poly_probe").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    got.foreach { r =>
+      val want = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(viaSql(r.getLong(0)) === want)
+    }
+  }
+
   test("boilerplate removal law: exact df replay, then idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
