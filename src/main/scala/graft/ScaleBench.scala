@@ -118,7 +118,10 @@ object ScaleBench {
     // vocab drift is one term exchange + a 1-row totals fold (salted
     // copies multiply the vocabulary by s — the linear regime); the PII
     // audit is a zero-exchange regexp scan pass
-    "q_vocab_drift", "q_pii_audit")
+    "q_vocab_drift", "q_pii_audit",
+    // domain filter: suffix-chain explode (rows×labels, labels bounded)
+    // + broadcast blocklist join on top of the canonical-url window
+    "q_domain_filter")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

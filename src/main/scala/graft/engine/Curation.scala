@@ -741,7 +741,64 @@ object Curation {
       .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(w))
   }
 
+  /** Blocklist rules for [[domainFilter]] — registrable-domain entries
+    * that must also catch every subdomain (label-aligned, so
+    * `spam.example.com` blocks `a.b.spam.example.com` but NOT
+    * `notspam.example.com`). `src3.example.com` blocks one whole
+    * synthesized crawl domain; `tracker.example.com` crosses with the
+    * URL fixture's planted tracker row.
+    */
+  private[graft] val DomainBlocklist: Seq[String] = Seq(
+    "spam.example.com", "ads.example.net", "tracker.example.com",
+    "src3.example.com")
+
+  /** Deep-subdomain / boundary cases planted into [[domainFilter]]. */
+  private[graft] val DomainPlantedRows: Seq[(Long, String)] = Seq(
+    (980001L, "https://a.b.spam.example.com/page?x=1"),
+    (980002L, "https://notspam.example.com/ok"),
+    (980003L, "http://ads.example.net/banner"),
+    (980004L, "https://WWW.Tracker.Example.COM:443/t"),
+    (980005L, "https://clean.example.org/fine"))
+
+  /** Domain-blocklist filtering — the crawl-curation gate that runs ON
+    * TOP of [[urlCanonical]]'s output (canonicalize first, then judge
+    * the host): a document is blocked when its host, or ANY parent
+    * domain of it, is a blocklist entry. Matching is label-aligned via
+    * the suffix-chain explode — host `a.b.spam.example.com` emits
+    * suffixes `[a.b.spam.example.com, b.spam.example.com,
+    * spam.example.com, example.com, com]` and the chain equi-joins the
+    * broadcast blocklist — so `notspam.example.com` can never match a
+    * `spam.example.com` rule, and NO `LIKE '%.rule'` scan exists
+    * anywhere (at 100 TB a per-rule LIKE is rules×rows work; the
+    * suffix chain is rows×labels, labels bounded by hostname grammar,
+    * and the join is one hash lookup per suffix against a blocklist
+    * that stays dimension-sized even at 100k real-world entries).
+    */
+  def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)(:[0-9]+)?"
+    val all = urlCanonical(spark, dir)
+      .select(col("doc_id"), col("canonical_url").as("url"))
+      .unionByName(DomainPlantedRows.toDF("doc_id", "url"))
+    val hosts = all.select(col("doc_id"),
+      regexp_replace(lower(regexp_extract(col("url"), re, 2)),
+        "^www\\.", "").as("host"))
+    val labels = split(col("host"), "\\.")
+    val sufs = hosts.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(labels)),
+        i => array_join(slice(labels, i, size(labels)), ".")))
+        .as("suffix"))
+    val matched = sufs
+      .join(broadcast(DomainBlocklist.toDF("rule")),
+        col("suffix") === col("rule"))
+      .groupBy("doc_id").agg(min(col("rule")).as("matched_rule"))
+    hosts.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        col("matched_rule").isNotNull.as("blocked"), col("matched_rule"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_domain_filter" -> domainFilter _,
     "q_url_canonical" -> urlCanonical _,
     "q_mix_temperature" -> mixTemperature _,
     "q_coverage_report" -> coverageReport _,
@@ -863,6 +920,30 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q_mix_temperature" -> mixTemperatureSql,
     "q_url_canonical" -> urlCanonicalSql,
+    "q_domain_filter" -> {
+      val values = DomainPlantedRows.map { case (id, u) => s"($id, '$u')" }
+        .mkString(", ")
+      val rules = DomainBlocklist.map(r => s"'$r'").mkString(", ")
+      // NOTE: urlCanonicalSql contains `||` concat operators, so it must
+      // be spliced in AFTER stripMargin (stripMargin would eat one pipe)
+      val tail =
+        s"""src AS (SELECT doc_id, canonical_url AS url FROM uc
+           |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, url)),
+           |h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url,
+           |    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)(:[0-9]+)?', 2)),
+           |    '^www\\.', '') AS host FROM src),
+           |s AS (SELECT doc_id, host,
+           |    unnest(list_transform(
+           |      range(1, len(string_split(host, '.')) + 1),
+           |      i -> array_to_string(string_split(host, '.')[i:], '.')))
+           |    AS suffix FROM h),
+           |m AS (SELECT doc_id, min(suffix) AS matched_rule FROM s
+           |  WHERE suffix IN ($rules) GROUP BY doc_id)
+           |SELECT h.doc_id, h.host, m.matched_rule IS NOT NULL AS blocked,
+           |  m.matched_rule
+           |FROM h LEFT JOIN m ON h.doc_id = m.doc_id""".stripMargin
+      s"WITH uc AS ($urlCanonicalSql),\n$tail"
+    },
     "q_coverage_report" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

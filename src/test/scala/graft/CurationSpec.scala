@@ -286,6 +286,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("domain filter: label-aligned suffix blocking over canonical hosts") {
+    val rows = Curation.domainFilter(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), Option(r.getString(3)))).toMap
+    // deep subdomain blocked by its registrable parent
+    assert(rows(980001L) ===
+      (("a.b.spam.example.com", true, Some("spam.example.com"))))
+    // label boundary: notspam is NOT spam
+    assert(rows(980002L) === (("notspam.example.com", false, None)))
+    // scheme-case + www + default port fall away before judging
+    assert(rows(980004L) ===
+      (("tracker.example.com", true, Some("tracker.example.com"))))
+    assert(rows(980005L) === (("clean.example.org", false, None)))
+    // the URL fixture's planted tracker row crosses into the blocklist
+    assert(rows(915003L)._2 === true)
+    // one whole synthesized crawl domain is blocked, the rest survive
+    val corpus = rows.filter(_._1 < 915001L).values
+    assert(corpus.filter(_._1 == "src3.example.com").forall(_._2))
+    assert(corpus.exists(h => h._1 == "src3.example.com" && h._2))
+    assert(corpus.filter(_._1 != "src3.example.com").forall(!_._2))
+  }
+
   test("pii audit: typed counts, ordered redaction, clean corpus, null row") {
     val byId = Curation.piiAudit(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
