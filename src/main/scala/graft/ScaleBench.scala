@@ -121,7 +121,10 @@ object ScaleBench {
     "q_vocab_drift", "q_pii_audit",
     // domain filter: suffix-chain explode (rows×labels, labels bounded)
     // + broadcast blocklist join on top of the canonical-url window
-    "q_domain_filter")
+    "q_domain_filter",
+    // quality-rule bundle: a zero-exchange map pass (token/stopword/
+    // bigram folds all inside the row)
+    "q_quality_rules")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -592,7 +592,74 @@ object TextOps {
             * big(col("n_b"))).cast("double"), 6).as("tvd"))
   }
 
+  /** Rows planted into [[qualityRules]], each tripping exactly ONE rule
+    * (so the spec can prove rule independence), plus an all-pass row and
+    * a null row. The 201-token row carries two stopwords and distinct
+    * filler so it fails ONLY the length cap.
+    */
+  private[graft] val QualityPlantedRows: Seq[(Long, String)] = Seq(
+    (990001L, "the value data"),
+    (990002L, "the a " + (1 to 199).map(i => f"w$i%03d").mkString(" ")),
+    (990003L, "the a " + Seq.fill(12)("alpha beta").mkString(" ")),
+    (990004L, "the a zz qq ww pp"),
+    (990005L, "the a alpha beta gamma delta"),
+    (990006L, null),
+    (990007L, "alpha beta gamma delta epsilon"))
+
+  /** Quality-rule floors/caps (the Gopher/FineWeb-style heuristic
+    * bundle, expressed in exact integers). */
+  val RuleMinTokens = 5
+  val RuleMaxTokens = 200
+  val RuleMinStopInstances = 2
+  val RuleMinMeanLenX1 = 3 // mean word length lower bound
+  val RuleMaxMeanLenX1 = 10 // upper bound
+  val RuleDupBigramDen = 5 // repetitive when dup-bigram share > 1/5
+
+  /** Heuristic quality-rule bundle — the named-rule verdict table a
+    * production corpus filter actually ships (Gopher/FineWeb style):
+    * per-document booleans for each rule, the failure count, and the
+    * final keep verdict, so downstream dashboards can attribute REMOVAL
+    * REASONS instead of a single opaque score. Rules: token-count floor
+    * and cap, minimum stopword instances, mean-word-length band
+    * (compared as `lo·n_tok ≤ Σchars ≤ hi·n_tok` — exact integers, no
+    * division), and duplicate-bigram share (`(n − distinct)·den > n`).
+    * One zero-exchange map pass: tokens, stopword filter, and the
+    * bigram zip fold all inside the row.
+    */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(QualityPlantedRows.toDF("doc_id", "text"))
+    val t = tokens
+    val nTok = size(t)
+    val nStop = size(filter(t, x => x.isInCollection(Stopwords)))
+    // token chars = text length minus the n_tok-1 separators
+    val sumChars = length(col("text")) - (nTok - 1)
+    val bLen = greatest(nTok - 1, lit(0))
+    val big2 = zip_with(slice(t, lit(1), bLen), slice(t, lit(2), bLen),
+      (a, b) => concat_ws(" ", a, b))
+    val nB = size(big2)
+    val nDB = size(array_distinct(big2))
+    def ifText(c: Column): Column = when(col("text").isNotNull, c)
+    val tooShort = ifText(nTok < RuleMinTokens)
+    val tooLong = ifText(nTok > RuleMaxTokens)
+    val lowStop = ifText(nStop < RuleMinStopInstances)
+    val badLen = ifText(sumChars < nTok * RuleMinMeanLenX1 ||
+      sumChars > nTok * RuleMaxMeanLenX1)
+    val repetitive = ifText(
+      nB > 0 && (nB - nDB) * RuleDupBigramDen > nB)
+    val flags = Seq(tooShort, tooLong, lowStop, badLen, repetitive)
+    val nFailed = ifText(
+      flags.map(_.cast("int")).reduceLeft(_ + _).cast("long"))
+    src.select(col("doc_id"), ifText(nTok.cast("long")).as("n_tok"),
+      tooShort.as("too_short"), tooLong.as("too_long"),
+      lowStop.as("low_stopword"), badLen.as("bad_word_len"),
+      repetitive.as("repetitive"), nFailed.as("n_failed"),
+      ifText(nFailed === 0).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quality_rules" -> qualityRules _,
     "q_vocab_drift" -> vocabDrift _,
     "q_boilerplate_lines" -> boilerplateLines _,
     "q_html_extract" -> htmlExtract _,
@@ -613,6 +680,42 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_quality_rules" -> {
+      def sqlLit(t: String): String =
+        if (t == null) "CAST(NULL AS VARCHAR)"
+        else s"'${t.replace("'", "''")}'"
+      val values = QualityPlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      val sl = Stopwords.map(s => s"'$s'").mkString(", ")
+      val flags = Seq("too_short", "too_long", "low_stopword",
+        "bad_word_len", "repetitive")
+      val nf = flags.map(f => s"CAST($f AS INTEGER)").mkString(" + ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |s AS (SELECT doc_id, text, string_split(text, ' ') AS t
+         |  FROM src),
+         |x AS (SELECT doc_id, text, len(t) AS n_tok,
+         |    len(list_filter(t, w -> w IN ($sl))) AS n_stop,
+         |    length(text) - (len(t) - 1) AS sum_chars,
+         |    list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1]) AS b2
+         |  FROM s),
+         |f AS (SELECT doc_id, n_tok,
+         |    n_tok < $RuleMinTokens AS too_short,
+         |    n_tok > $RuleMaxTokens AS too_long,
+         |    n_stop < $RuleMinStopInstances AS low_stopword,
+         |    (sum_chars < n_tok * $RuleMinMeanLenX1
+         |      OR sum_chars > n_tok * $RuleMaxMeanLenX1) AS bad_word_len,
+         |    (len(b2) > 0 AND (len(b2) - len(list_distinct(b2)))
+         |      * $RuleDupBigramDen > len(b2)) AS repetitive
+         |  FROM x)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, too_short,
+         |  too_long, low_stopword, bad_word_len, repetitive,
+         |  CAST($nf AS BIGINT) AS n_failed,
+         |  ($nf) = 0 AS keep
+         |FROM f""".stripMargin
+    },
     "q_vocab_drift" ->
       """WITH t AS (SELECT doc_id % 2 = 0 AS is_a,
         |    unnest(string_split(text, ' ')) AS term FROM documents),

@@ -646,6 +646,28 @@ class TextDedupSpec extends SparkSpec {
     assert(inter > 0, "parity snapshots must share shingles")
   }
 
+  test("quality rules: each planted row trips exactly its one rule") {
+    val byId = TextOps.qualityRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // flag columns are 2..6: too_short, too_long, low_stopword,
+    // bad_word_len, repetitive
+    def flags(id: Long): Seq[Boolean] =
+      (2 to 6).map(byId(id).getBoolean)
+    assert(flags(990001L) === Seq(true, false, false, false, false))
+    assert(flags(990002L) === Seq(false, true, false, false, false))
+    assert(flags(990003L) === Seq(false, false, false, false, true))
+    assert(flags(990004L) === Seq(false, false, false, true, false))
+    assert(flags(990007L) === Seq(false, false, true, false, false))
+    assert(flags(990005L).forall(!_) && byId(990005L).getBoolean(8),
+      "the all-pass row must keep")
+    (990001L to 990004L).foreach { id =>
+      assert(byId(id).getLong(7) === 1L && !byId(id).getBoolean(8),
+        s"row $id: exactly one failure, not kept")
+    }
+    // null text: every verdict column stays null
+    assert((1 to 8).forall(byId(990006L).isNullAt))
+  }
+
   test("vocab drift: exact driver replay of the TVD identity") {
     val r = TextOps.vocabDrift(spark, sf).head
     val counts = scala.collection.mutable.Map
