@@ -124,7 +124,9 @@ object ScaleBench {
     "q_domain_filter",
     // quality-rule bundle: a zero-exchange map pass (token/stopword/
     // bigram folds all inside the row)
-    "q_quality_rules")
+    "q_quality_rules",
+    // k-anonymity: one grouped rollup + a group-sized residual fold
+    "q_k_anonymity")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -797,7 +797,36 @@ object Curation {
         col("matched_rule").isNotNull.as("blocked"), col("matched_rule"))
   }
 
+  /** k-anonymity floor for [[kAnonymity]]: a (lang, source) release
+    * group must hold at least this many documents or be suppressed. */
+  val KAnonK = 5
+
+  /** k-anonymity suppression — the release gate on a PUBLISHED dataset
+    * card: quasi-identifier groups (lang, source) smaller than
+    * [[KAnonK]] would re-identify their members, so they fold into one
+    * starred residual bucket (count and group-count preserved — the
+    * release still reconciles to the corpus total, but no rare
+    * combination survives). Output: surviving groups plus the residual
+    * row. Two aggregates — the grouped rollup (one exchange) and the
+    * residual fold over the GROUP-sized table (single-partition above
+    * an aggregate, the sanctioned funnel).
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    val kept = g.filter(col("n_docs") >= KAnonK)
+      .select(col("lang"), col("source"), col("n_docs"),
+        lit(1L).as("n_groups"), lit(false).as("suppressed"))
+    val residual = g.filter(col("n_docs") < KAnonK)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_groups"))
+      .select(lit("*").as("lang"), lit("*").as("source"),
+        col("n_docs"), col("n_groups"), lit(true).as("suppressed"))
+    kept.unionByName(residual)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_k_anonymity" -> kAnonymity _,
     "q_domain_filter" -> domainFilter _,
     "q_url_canonical" -> urlCanonical _,
     "q_mix_temperature" -> mixTemperature _,
@@ -920,6 +949,17 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q_mix_temperature" -> mixTemperatureSql,
     "q_url_canonical" -> urlCanonicalSql,
+    "q_k_anonymity" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS n
+         |  FROM documents GROUP BY lang, source)
+         |SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(1 AS BIGINT) AS n_groups, false AS suppressed
+         |FROM g WHERE n >= $KAnonK
+         |UNION ALL
+         |SELECT '*' AS lang, '*' AS source, CAST(sum(n) AS BIGINT)
+         |  AS n_docs, CAST(count(*) AS BIGINT) AS n_groups,
+         |  true AS suppressed
+         |FROM g WHERE n < $KAnonK""".stripMargin,
     "q_domain_filter" -> {
       val values = DomainPlantedRows.map { case (id, u) => s"($id, '$u')" }
         .mkString(", ")

@@ -182,6 +182,27 @@ object SqlEntry {
       |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
       |GROUP BY n_name""".stripMargin
 
+  /** Correlated SCALAR subquery shape (each customer's priciest order):
+    * the third subquery planner path through the SQL front door — Q4's
+    * EXISTS becomes a semi join, Q18's IN a semi join on an aggregate
+    * list, and this one Spark must de-correlate into a per-customer
+    * aggregate joined back (no per-row re-execution). Ties on the max
+    * keep all tied orders — deterministic either way, and both engines
+    * agree because the comparison is on the raw parquet double.
+    */
+  private val qTopOrderSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+      |    AS total_price
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  def sqlTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qTopOrderSql)
+  }
+
   def sqlQ18(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q18Sql)
@@ -224,7 +245,8 @@ object SqlEntry {
     "q_sql_local_volume" -> sqlQ5 _,
     "q_sql_promo_effect" -> sqlQ14 _,
     "q_sql_big_orders" -> sqlQ18 _,
-    "q_sql_idle_balance" -> sqlQ22 _)
+    "q_sql_idle_balance" -> sqlQ22 _,
+    "q_sql_top_order_per_cust" -> sqlTopOrder _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
     * TIMESTAMP literals and decimal semantics line up).
@@ -236,5 +258,6 @@ object SqlEntry {
     "q_sql_local_volume" -> q5Sql.replace("\n", " "),
     "q_sql_promo_effect" -> q14Sql.replace("\n", " "),
     "q_sql_big_orders" -> q18Sql.replace("\n", " "),
-    "q_sql_idle_balance" -> q22Sql.replace("\n", " "))
+    "q_sql_idle_balance" -> q22Sql.replace("\n", " "),
+    "q_sql_top_order_per_cust" -> qTopOrderSql.replace("\n", " "))
 }

@@ -308,6 +308,25 @@ class CurationSpec extends SparkSpec {
     assert(corpus.filter(_._1 != "src3.example.com").forall(!_._2))
   }
 
+  test("k-anonymity: no small group survives, totals reconcile") {
+    val rows = Curation.kAnonymity(spark, sf).collect()
+    val (resid, kept) = rows.partition(_.getBoolean(4))
+    assert(resid.length === 1, "exactly one residual bucket")
+    assert(kept.forall(_.getLong(2) >= Curation.KAnonK),
+      "a sub-k group survived suppression")
+    assert(kept.forall(r =>
+      r.getString(0) != "*" && r.getString(1) != "*"))
+    val total = Tables.documents(spark, sf).count()
+    val sum = kept.map(_.getLong(2)).sum +
+      (if (resid.head.isNullAt(2)) 0L else resid.head.getLong(2))
+    assert(sum === total, "release must reconcile to the corpus total")
+    // group-count bookkeeping: kept rows carry 1, residual the fold size
+    assert(kept.forall(_.getLong(3) === 1L))
+    val allGroups = Tables.documents(spark, sf)
+      .groupBy("lang", "source").count().count()
+    assert(kept.length + resid.head.getLong(3) === allGroups)
+  }
+
   test("pii audit: typed counts, ordered redaction, clean corpus, null row") {
     val byId = Curation.piiAudit(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

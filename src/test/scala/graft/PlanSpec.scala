@@ -623,6 +623,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("SQL correlated scalar subquery de-correlates to agg + join") {
+    val p = plan(SqlEntry.sqlTopOrder(spark, sf))
+    // the per-customer max must be ONE aggregate joined back, not a
+    // per-row subquery re-execution
+    assert(p.contains("HashAggregate") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")),
+      s"correlated scalar subquery did not de-correlate:\n$p")
+    assert(!p.contains("ScalarSubquery"),
+      s"scalar subquery survived into the physical plan:\n$p")
+  }
+
   test("rolling range window rides one user_id exchange") {
     val p = plan(Ext.rollingRange(spark, sf))
     assert(p.split("\n").count(_.matches("""\(\d+\) Exchange\s*""")) === 1,
