@@ -501,10 +501,13 @@ object TextOps {
     *
     * 100 TB shape: three linear exchanges, none avoidable — line
     * document-frequency (group by trimmed line), the anti join of lines
-    * against the over-threshold set (hash-partitioned equi-join; the
-    * boilerplate set GROWS with the corpus, so it is deliberately NOT
-    * broadcast), and per-doc reassembly (group by doc_id). Map-side
-    * partial aggregation carries the df count; nothing collects.
+    * against the over-threshold set, and per-doc reassembly (group by
+    * doc_id). The anti join carries NO broadcast hint on purpose: the
+    * boilerplate set GROWS with the corpus, so the size-based planner
+    * choice is the contract — broadcast while the set fits (it does at
+    * fixture scale, and the plan shows BroadcastHashJoin LeftAnti),
+    * shuffle once it outgrows the threshold. Map-side partial
+    * aggregation carries the df count; nothing collects.
     */
   def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
