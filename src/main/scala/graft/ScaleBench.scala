@@ -126,7 +126,14 @@ object ScaleBench {
     // bigram folds all inside the row)
     "q_quality_rules",
     // k-anonymity: one grouped rollup + a group-sized residual fold
-    "q_k_anonymity")
+    "q_k_anonymity",
+    // link graph: map-side synth + href explode + one dst_host exchange
+    // (host cardinality scales with s — the linear regime); perplexity
+    // bucketing rides the unigram-LM exchanges plus ONE lang-partitioned
+    // window whose per-language partitions each scale by s (the
+    // documented skew surface: 5 langs ⇒ 5 sort partitions regardless
+    // of corpus size — expect alpha ≈ 1 with a visible sort share)
+    "q_link_graph", "q_perplexity_bucket")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -219,14 +219,8 @@ object TextOps {
     */
   def unigramProb(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-    val vocab = tf.groupBy("term").agg(sum(col("c")).as("cnt"))
     val totals = docs.agg(sum(size(tokens)).cast("long").as("n_total"))
-    tf.join(broadcast(vocab), "term")
-      .groupBy("doc_id")
-      .agg(sum(col("c")).cast("long").as("n_tokens"),
-        sum(col("c") * col("cnt")).cast("long").as("sum_cnt"))
+    unigramDocAgg(spark, dir)
       .crossJoin(broadcast(totals))
       // chained /: keeps every intermediate a double (a single
       // n_tokens·N product would overflow Long at corpus scale) and
@@ -234,6 +228,66 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("sum_cnt"),
         round(col("sum_cnt").cast("double") / col("n_tokens")
           / col("n_total"), 9).as("mean_prob"))
+  }
+
+  /** The corpus-normalization-free half of [[unigramProb]]: per-doc
+    * exact-BIGINT `(n_tokens, sum_cnt)` under the corpus unigram
+    * distribution. Shared with [[perplexityBucket]], whose ranking
+    * statistic cancels the `1/N` factor — splitting here keeps the
+    * bucket query's plan free of the 1-row totals broadcast the
+    * mean-prob division needs.
+    */
+  private def unigramDocAgg(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val vocab = tf.groupBy("term").agg(sum(col("c")).as("cnt"))
+    tf.join(broadcast(vocab), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * col("cnt")).cast("long").as("sum_cnt"))
+  }
+
+  /** CCNet-style perplexity bucketing — the canonical consumer of a
+    * corpus LM score (Wenzek et al., "CCNet", LREC 2020): within each
+    * LANGUAGE, rank documents by how typical their tokens are under the
+    * corpus's own unigram distribution and label the terciles
+    * `head`/`middle`/`tail` (CCNet trains on `head`+`middle` and drops
+    * `tail`; the bucket column is the knob). The score is
+    * [[unigramProb]]'s exact-BIGINT numerator collapsed to a per-doc
+    * integer rate `sum_cnt·10⁶ div n_tokens` — corpus-size-invariant
+    * ranking (the `1/N` factor is constant within a corpus) with zero
+    * float ops, so both engines order identically; ties break on
+    * `doc_id`. Requires `sum_cnt < 2⁶³/10⁶` (≈9.2e12 token-count mass
+    * per doc) — holds whenever n_tokens·max_term_count stays below that,
+    * loudly past any real document.
+    *
+    * Plan shape: the LM join is [[unigramProb]]'s (two map-side-combined
+    * exchanges + broadcast vocab); bucketing adds ONE window exchange
+    * partitioned by `lang` — the per-language sort is CCNet's own
+    * design. At 100 TB a dominant language makes that partition
+    * corpus-sized; production swaps the exact rank for broadcast
+    * score-threshold cutoffs estimated from a sample (map-side compare,
+    * no sort) — the exact-rank form here is what makes the oracle twin
+    * byte-equal, and is the reference implementation those thresholds
+    * are validated against.
+    */
+  def perplexityBucket(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramDocAgg(spark, dir).select(col("doc_id"),
+      expr("CAST(sum_cnt * 1000000L DIV n_tokens AS BIGINT)")
+        .as("score_ppm"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val wl = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wl))
+      .select(col("doc_id"), col("lang"), col("score_ppm"),
+        when(col("rn") * 3 <= col("n_lang"), lit("head"))
+          .when(col("rn") * 3 <= col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /** Corpus-frequency floor for [[bigramCoverage]]: a bigram is "common"
@@ -463,6 +517,66 @@ object TextOps {
       .withColumn("n_chars_out", length(col("clean_text")).cast("long"))
   }
 
+  /** Planted link pages for [[linkGraph]]'s edge cases the synthesized
+    * pages don't reach: a page linking the SAME target twice (n_links
+    * counts instances, n_src_docs counts the doc once), a link-free
+    * page and a NULL page (both must contribute zero edges), and a
+    * noisy-host link (`HTTP://WWW.Src1…:80`) that must land in the
+    * clean `src1.example.com` group after host normalization.
+    */
+  private[graft] val LinkPlantedRows: Seq[(Long, String)] = Seq(
+    (945001L, "<p><a href=\"https://hub.example.net/\">hub</a> twice " +
+      "<a href=\"https://hub.example.net/\">hub</a></p>"),
+    (945002L, "<p>no links at all</p>"),
+    (945003L, null),
+    (945004L, "<a href=\"HTTP://WWW.Src1.Example.COM:80/x\">noisy</a>"))
+
+  /** Outbound-link extraction + host-level link graph — the web-graph
+    * signal every crawl-curation stack computes next to [[htmlExtract]]
+    * (in-degree feeds [[Linkage.pageRank]]-style authority and the
+    * spam/hub heuristics a quality classifier consumes). Link-bearing
+    * HTML is synthesized deterministically from (doc_id, source) — the
+    * [[Curation.urlCanonical]] pattern, so the graph forms ACROSS the
+    * whole corpus in both engines: every doc links a rotating
+    * cross-source target and a case/port/www-noisy variant, every third
+    * doc links a shared hub (a visibly high-in-degree authority);
+    * [[LinkPlantedRows]] pin the edge cases. `href` values explode to
+    * one edge per instance, hosts normalize (lowercase, strip `www.`,
+    * drop the port — the graph is host-grained, so path/query stay out
+    * of the key), and the graph aggregates per target host.
+    *
+    * 100 TB shape: map-side synth + regexp extraction + explode, then
+    * ONE exchange on `dst_host` with map-side partial aggregation; the
+    * distinct-source count is Spark's standard two-phase
+    * partial-distinct. Output is host-grained — orders of magnitude
+    * smaller than the edge stream it collapses.
+    */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synth = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        lit("<html><body><a href=\"https://src"), (col("doc_id") + 1) % 20,
+        lit(".example.com/doc/"), col("doc_id") % 7,
+        lit("\">r</a> <a href=\"HTTPS://WWW.Src"), (col("doc_id") * 3) % 20,
+        lit(".Example.COM:443/p/"), col("doc_id") % 5,
+        lit("\">n</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit(" <a href=\"http://hub.example.net/\">h</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("page"))
+    val all = synth.unionByName(LinkPlantedRows.toDF("doc_id", "page"))
+    val hrefs = regexp_extract_all(col("page"),
+      lit("href=\"([^\"]*)\""), lit(1))
+    val host = regexp_replace(
+      lower(regexp_extract(col("link"), "://([^/?#:]*)", 1)),
+      "^www\\.", "")
+    all.select(col("doc_id"), explode(hrefs).as("link"))
+      .select(col("doc_id"), host.as("dst_host"))
+      .groupBy("dst_host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_src_docs"))
+  }
+
   /** Cross-document boilerplate lines planted into [[boilerplateLines]]:
     * two nav/footer lines shared by ≥3 docs (one with asymmetric
     * whitespace padding — removal keys on the TRIMMED line), unique
@@ -675,6 +789,8 @@ object TextOps {
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
     "q_unigram_prob" -> unigramProb _,
+    "q_perplexity_bucket" -> perplexityBucket _,
+    "q_link_graph" -> linkGraph _,
     "q_bigram_coverage" -> bigramCoverage _,
     "q_bm25" -> bm25 _)
 
@@ -873,6 +989,53 @@ object TextOps {
         |  round(CAST(sum_cnt AS DOUBLE) / n_tokens / n_total, 9)
         |    AS mean_prob
         |FROM d CROSS JOIN tot""".stripMargin,
+    "q_perplexity_bucket" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS term FROM documents),
+        |tfg AS (SELECT doc_id, term, count(*) AS c FROM tok
+        |  GROUP BY doc_id, term),
+        |v AS (SELECT term, sum(c) AS cnt FROM tfg GROUP BY term),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c * cnt) AS BIGINT) AS sum_cnt
+        |  FROM tfg JOIN v USING (term) GROUP BY doc_id),
+        |s AS (SELECT doc_id,
+        |    CAST(sum_cnt * 1000000 // n_tokens AS BIGINT) AS score_ppm
+        |  FROM d),
+        |r AS (SELECT doc_id, lang, score_ppm,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score_ppm DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM s JOIN documents USING (doc_id))
+        |SELECT doc_id, lang, score_ppm,
+        |  CASE WHEN rn * 3 <= n_lang THEN 'head'
+        |    WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
+    "q_link_graph" -> {
+      val values = LinkPlantedRows.map { case (id, p) =>
+        if (p == null) s"($id, CAST(NULL AS VARCHAR))" else s"($id, '$p')"
+      }.mkString(", ")
+      s"""WITH pg AS (SELECT doc_id,
+         |    '<html><body><a href="https://src' || ((doc_id + 1) % 20)
+         |    || '.example.com/doc/' || (doc_id % 7)
+         |    || '">r</a> <a href="HTTPS://WWW.Src' || ((doc_id * 3) % 20)
+         |    || '.Example.COM:443/p/' || (doc_id % 5) || '">n</a>'
+         |    || (CASE WHEN doc_id % 3 = 0 THEN
+         |        ' <a href="http://hub.example.net/">h</a>'
+         |        ELSE '' END)
+         |    || '</body></html>' AS page
+         |  FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, page)),
+         |l AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(page, 'href="([^"]*)"', 1))
+         |      AS link FROM pg),
+         |h AS (SELECT doc_id, regexp_replace(
+         |    lower(regexp_extract(link, '://([^/?#:]*)', 1)),
+         |    '^www\\.', '') AS dst_host FROM l)
+         |SELECT dst_host, CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+         |FROM h GROUP BY dst_host""".stripMargin
+    },
     "q_bigram_coverage" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
          |  FROM documents),

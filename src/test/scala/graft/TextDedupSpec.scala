@@ -697,4 +697,48 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(6) === tvd)
     assert(tvd >= 0.0 && tvd <= 1.0, s"TVD out of range: $tvd")
   }
+
+  test("link graph: planted semantics, host normalization, edge conservation") {
+    val byHost = TextOps.linkGraph(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    // hub: every third corpus doc + the planted double-link page (two
+    // link INSTANCES, one source doc)
+    val hubDocs = ids.count(_ % 3 == 0).toLong
+    assert(byHost("hub.example.net") === (hubDocs + 2, hubDocs + 1))
+    // src1 group: corpus link1 (doc_id%20==0), noisy link2 (3d≡1 mod 20
+    // ⇒ d%20==7), and the planted WWW./:80/mixed-case page all merge
+    val n1 = ids.count(_ % 20 == 0).toLong
+    val n2 = ids.count(_ % 20 == 7).toLong
+    assert(byHost("src1.example.com") === (n1 + n2 + 1, n1 + n2 + 1))
+    // link-free and null pages contribute no edges: instance total is
+    // exactly 2 per corpus doc + the hub thirds + 3 planted instances
+    assert(byHost.values.map(_._1).sum === 2 * ids.length + hubDocs + 3)
+    // hosts are normalized: lowercase, no www., no port
+    byHost.keys.foreach { h =>
+      assert(h == h.toLowerCase && !h.startsWith("www.") && !h.contains(":"),
+        s"unnormalized host: $h")
+    }
+  }
+
+  test("perplexity buckets: exact per-language terciles, monotone in score") {
+    val rows = TextOps.perplexityBucket(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val c = rs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      assert(c.getOrElse("head", 0L) === n / 3, s"$lang head size")
+      assert(c.getOrElse("middle", 0L) === 2 * n / 3 - n / 3,
+        s"$lang middle size")
+      assert(c.getOrElse("tail", 0L) === n - 2 * n / 3, s"$lang tail size")
+      // bucket boundaries are monotone in the score (ties may straddle)
+      def scores(b: String) = rs.filter(_._3 == b).map(_._2)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").min >= scores("middle").max)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").min >= scores("tail").max)
+    }
+  }
 }
