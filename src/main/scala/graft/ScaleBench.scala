@@ -133,7 +133,12 @@ object ScaleBench {
     // window whose per-language partitions each scale by s (the
     // documented skew surface: 5 langs ⇒ 5 sort partitions regardless
     // of corpus size — expect alpha ≈ 1 with a visible sort share)
-    "q_link_graph", "q_perplexity_bucket")
+    "q_link_graph", "q_perplexity_bucket",
+    // KMV distinct sketch: the sketch pass ships ≤k longs per group;
+    // the exact countDistinct side it verifies against dominates the
+    // cost and scales with the per-source vocabulary (expect alpha ≈ 1
+    // on the exact side's distinct exchange)
+    "q_kmv_distinct")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -296,6 +296,57 @@ object Ext {
         countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
 
+  /** Sketch width for [[kmvDistinct]] — 64 order statistics per group
+    * (relative error ~1/√(k−2) ≈ 13%; production widens k, the state
+    * stays k longs per group either way).
+    */
+  val KmvK = 64
+
+  /** KMV distinct sketch vs exact — per-source vocabulary size through
+    * [[graft.functions.KmvSketch]], the ORACLE-CHECKABLE approximate
+    * distinct counter next to [[approxStats]]' engine-native HLL (whose
+    * sketch column is exempt from the hash gate precisely because no
+    * other engine can replay it; KMV closes that gap — the k smallest
+    * distinct values of the portable [[Dedup.IdMod]] poly hash are an
+    * order statistic ANY engine derives identically, so estimate and
+    * exact BOTH hash-gate). Estimator: buffer short of k ⇒ the buffer
+    * size IS the distinct-hash count; full ⇒ (k−1)·M / h₍ₖ₎, one
+    * mirrored double division. The estimate counts distinct HASHES —
+    * at 31-bit M a ~10⁶ vocabulary adds ~0.02% collision shrinkage;
+    * production widens the hash to 64 bits with the same structure.
+    *
+    * 100 TB shape: the sketch side is ONE pass with map-side partial
+    * buffers (≤ k longs per group cross the wire — network
+    * O(groups·k), never O(distinct)); the exact side is deliberately
+    * computed too (this query is the sketch's acceptance harness —
+    * the two-phase distinct exchange it pays is the cost the sketch
+    * exists to avoid), and the final join is 20 group rows a side.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .select(col("source"), col("term"),
+        graft.functions.StringFunctions
+          .utf8_poly_id(col("term"), Dedup.IdMod).as("hv"))
+    val exact = hashed.groupBy("source")
+      .agg(countDistinct(col("term")).as("n_distinct"))
+    val kmv = new graft.functions.KmvSketch(KmvK).toColumn
+    val sketch = hashed.select(col("source"), col("hv"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.name("sketch")).toDF("source", "sketch")
+    exact.join(sketch, "source")
+      .select(col("source"), col("n_distinct"),
+        size(col("sketch")).cast("long").as("n_sketch"),
+        when(size(col("sketch")) < KmvK,
+          size(col("sketch")).cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble * Dedup.IdMod.toDouble) /
+              element_at(col("sketch"), KmvK).cast("double"), 6))
+          .as("kmv_est"))
+  }
+
   /** Set operations (union / intersect / except) over two key sets:
     * customers that ordered vs customers that produced events. Each count
     * is a 1-row aggregate; the three are unioned with a tag column.
@@ -898,6 +949,7 @@ object Ext {
     "q_sessionize" -> sessionize _,
     "q_approx_stats" -> approxStats _,
     "q_approx_exact" -> approxExact _,
+    "q_kmv_distinct" -> kmvDistinct _,
     "q_upsert" -> upsert _,
     "q_skew_profile" -> skewProfile _,
     "q_salted_join" -> saltedJoinQuery _,
@@ -1089,6 +1141,25 @@ object Ext {
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
     "q_approx_exact" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
+    "q_kmv_distinct" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+         |    AS term FROM documents),
+         |ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+         |    AS n_distinct FROM tok GROUP BY source),
+         |h AS (SELECT DISTINCT source,
+         |    ${Dedup.idUtf8Sql("term")} AS hv FROM tok),
+         |r AS (SELECT source, hv,
+         |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS nd FROM h),
+         |kth AS (SELECT source, max(nd) AS nd,
+         |    max(CASE WHEN rn = $KmvK THEN hv END) AS hk
+         |  FROM r GROUP BY source)
+         |SELECT source, n_distinct,
+         |  CAST(LEAST(nd, $KmvK) AS BIGINT) AS n_sketch,
+         |  CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+         |    ELSE round(${KmvK - 1} * ${Dedup.IdMod}.0 / hk, 6) END
+         |    AS kmv_est
+         |FROM ex JOIN kth USING (source)""".stripMargin,
     "q_quantile_bins" ->
       s"""WITH b AS (SELECT l_returnflag, l_extendedprice,
          |    CAST(ntile($NBins) OVER (PARTITION BY l_returnflag

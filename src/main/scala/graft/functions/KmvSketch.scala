@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) as a TRUE
+  * PARTIAL AGGREGATE: per-group state is the k smallest DISTINCT hash
+  * values seen, combined map-side and shipped as ≤ k longs per group
+  * across the shuffle — the bounded-memory answer to per-group
+  * `count(distinct x)`, whose exact form must exchange every distinct
+  * value of every group. The estimator reads the k-th smallest value
+  * off the finished buffer: with hashes uniform on [0, M), the distinct
+  * count ≈ (k−1)·M / h₍ₖ₎.
+  *
+  * Unlike the engine-native HLL (`approx_count_distinct`, whose sketch
+  * layout is engine-specific and unreplayable), the KMV buffer is a
+  * pure ORDER STATISTIC of a portable hash: any engine that can compute
+  * the same hash and sort derives the identical buffer, k-th value, and
+  * estimate — so the whole sketch is DuckDB-oracle-checkable bit for
+  * bit. The merge is the set-union-then-trim of two sorted buffers:
+  * associative, commutative, duplicate-safe (KMV is defined on the
+  * distinct hash SET, so the same value arriving twice — or in two
+  * partials — cannot double-insert).
+  *
+  * The common-case reduce on a full buffer is one comparison against
+  * the current k-th value; the O(k) membership scan and O(k log k)
+  * re-sort only run when a value actually lands inside the window.
+  */
+class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k > 0, "k must be positive")
+
+  def zero: Seq[Long] = Seq.empty
+
+  def reduce(b: Seq[Long], a: Long): Seq[Long] =
+    if (b.size >= k && a >= b.last) b // full and past the window: no-op
+    else if (b.contains(a)) b // already in the distinct set
+    else ((b :+ a).sorted: Seq[Long]).take(k)
+
+  def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+    ((x ++ y).distinct.sorted: Seq[Long]).take(k)
+
+  def finish(b: Seq[Long]): Seq[Long] = b
+
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

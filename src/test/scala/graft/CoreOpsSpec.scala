@@ -370,4 +370,42 @@ class CoreOpsSpec extends SparkSpec {
     assert(lagDf.filter(col("gap_us") < 0).count() === 0)
     assert(lagDf.count() === Tables.events(spark, sf).count())
   }
+
+  test("KMV sketch: bounded, duplicate-safe, merge-associative, exact under k") {
+    val kmv = new graft.functions.KmvSketch(4)
+    // duplicates never double-insert: the buffer is a distinct SET
+    val dup = Seq(7L, 7L, 3L, 3L, 9L, 3L).foldLeft(kmv.zero)(kmv.reduce)
+    assert(dup === Seq(3L, 7L, 9L), "under-k buffer is the distinct set")
+    // full buffer keeps exactly the k smallest distinct values
+    val full = (1L to 100L).map(x => (x * 37) % 101)
+      .foldLeft(kmv.zero)(kmv.reduce)
+    assert(full === Seq(1L, 2L, 3L, 4L))
+    // merge of arbitrary splits equals the bulk fold (partial-agg law)
+    val xs = Seq(50L, 12L, 99L, 12L, 7L, 83L, 7L, 31L, 64L, 2L)
+    val bulk = xs.foldLeft(kmv.zero)(kmv.reduce)
+    (1 until xs.size).foreach { cut =>
+      val (a, b) = xs.splitAt(cut)
+      assert(kmv.merge(
+        a.foldLeft(kmv.zero)(kmv.reduce),
+        b.foldLeft(kmv.zero)(kmv.reduce)) === bulk, s"split at $cut")
+    }
+  }
+
+  test("KMV distinct: sketch bounded by k and estimate near exact") {
+    val rows = Ext.kmvDistinct(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { r =>
+      val (exact, nSketch, est) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nSketch <= Ext.KmvK)
+      assert(nSketch === math.min(exact, Ext.KmvK.toLong),
+        "distinct hashes = distinct terms at fixture vocab (no collisions)")
+      if (nSketch < Ext.KmvK) assert(est === exact.toDouble)
+      else {
+        // k=64 ⇒ ~13% standard error; 3-sigma acceptance band
+        assert(est > exact * 0.6 && est < exact * 1.67,
+          s"${r.getString(0)}: est $est vs exact $exact")
+      }
+    }
+  }
 }
