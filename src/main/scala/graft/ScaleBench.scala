@@ -59,6 +59,13 @@ object ScaleBench {
     "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
     "q_compact", "q_stream_upsert", "q_event_sequences",
     "q_robust_outliers", "q_watermark_audit",
+    // streaming KMV distinct: salted copies add USERS (ids shift per
+    // copy) inside the same fixed hour windows, so the sketch side is
+    // constant (k longs per window) while the exact-acceptance side's
+    // distinct exchange scales with users — expect alpha ≈ 1 from the
+    // exact epilogue, with the state-bounded claim carried by the
+    // sketch column staying ≤k at every scale
+    "q_stream_distinct",
     // linkage/index family: salted copies share no first-token blocks
     // and no vocabulary across copies, so blocked fuzzy matching, the
     // bounded-postings index build, and the fingerprint diff should all
@@ -138,7 +145,14 @@ object ScaleBench {
     // the exact countDistinct side it verifies against dominates the
     // cost and scales with the per-source vocabulary (expect alpha ≈ 1
     // on the exact side's distinct exchange)
-    "q_kmv_distinct")
+    "q_kmv_distinct",
+    // KMV Jaccard: the sketch-algebra side is sources²×O(k) array math,
+    // constant in corpus bytes; the exact vocab pair self-join scales
+    // with per-source VOCABULARY, which saturates under the
+    // row-duplication synth — measured flat (alpha ≈ 0) here, and the
+    // vocabulary-growth regime is what q_kmv_distinct's salted synth row
+    // prices
+    "q_kmv_jaccard")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -347,6 +347,75 @@ object Ext {
           .as("kmv_est"))
   }
 
+  /** Cross-source vocabulary Jaccard from KMV sketch ALGEBRA — the
+    * second half of the [[kmvDistinct]] story: the same ≤k-long buffers
+    * that estimate per-group cardinality also estimate PAIRWISE set
+    * similarity with no second pass over the data. Estimator
+    * (Bar-Yossef et al. 2002 / Beyer et al. 2007): with X = the k
+    * smallest distinct hashes of A∪B (computable from the two buffers
+    * alone — array_union/sort/slice, all codegen'd builtins),
+    * J(A,B) ≈ |X ∩ K(A) ∩ K(B)| / |X|. Both the estimate and the exact
+    * Jaccard beside it (the acceptance harness) hash-gate against
+    * DuckDB, because the buffers are order statistics of the portable
+    * poly hash.
+    *
+    * 100 TB shape: the exact side's vocabulary self-join — the thing a
+    * corpus-pair overlap audit naively runs — is vocab-sized PER PAIR
+    * and grows quadratically in the number of corpora; the sketch side
+    * touches the corpus ONCE (the kmvDistinct pass), after which every
+    * pair costs O(k) array math on a sources²-row frame. 1000 corpora ⇒
+    * ~500k pair rows of 64-long arrays, kilobytes each — driver-free,
+    * broadcast-joined, constant in corpus bytes.
+    */
+  def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+    val vocab = terms.distinct()
+    val counts = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+    val kmv = new graft.functions.KmvSketch(KmvK).toColumn
+    val sk = terms
+      .select(col("source"),
+        graft.functions.StringFunctions
+          .utf8_poly_id(col("term"), Dedup.IdMod).as("hv"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.name("sketch")).toDF("source", "sketch")
+    // exact pair intersection: the vocab-sized join the sketch replaces
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // all source pairs (sources² is dimension-sized; BNLJ on 1-row-per-
+    // source aggregates, never a corpus-sized cartesian)
+    val pairs = counts.as("ca")
+      .join(counts.as("cb"), col("ca.source") < col("cb.source"))
+      .select(col("ca.source").as("source_a"),
+        col("cb.source").as("source_b"),
+        col("ca.nv").as("na"), col("cb.nv").as("nb"))
+    val combined =
+      slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, KmvK)
+    val bothMin = array_intersect(combined,
+      array_intersect(col("sk_a"), col("sk_b")))
+    pairs
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sk.select(col("source").as("source_a"),
+        col("sketch").as("sk_a")), Seq("source_a"))
+      .join(sk.select(col("source").as("source_b"),
+        col("sketch").as("sk_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
+          .as("jaccard_exact"),
+        round(size(bothMin).cast("double") /
+          size(combined).cast("double"), 6).as("jaccard_kmv"))
+  }
+
   /** Set operations (union / intersect / except) over two key sets:
     * customers that ordered vs customers that produced events. Each count
     * is a 1-row aggregate; the three are unioned with a tag column.
@@ -950,6 +1019,7 @@ object Ext {
     "q_approx_stats" -> approxStats _,
     "q_approx_exact" -> approxExact _,
     "q_kmv_distinct" -> kmvDistinct _,
+    "q_kmv_jaccard" -> kmvJaccard _,
     "q_upsert" -> upsert _,
     "q_skew_profile" -> skewProfile _,
     "q_salted_join" -> saltedJoinQuery _,
@@ -1160,6 +1230,44 @@ object Ext {
          |    ELSE round(${KmvK - 1} * ${Dedup.IdMod}.0 / hk, 6) END
          |    AS kmv_est
          |FROM ex JOIN kth USING (source)""".stripMargin,
+    "q_kmv_jaccard" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+         |    AS term FROM documents),
+         |v AS (SELECT DISTINCT source, term FROM tok),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+         |  FROM v GROUP BY source),
+         |h AS (SELECT DISTINCT source,
+         |    ${Dedup.idUtf8Sql("term")} AS hv FROM v),
+         |r AS (SELECT source, hv,
+         |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |  FROM h),
+         |sk AS (SELECT source, list(hv ORDER BY hv) AS sketch
+         |  FROM r WHERE rn <= $KmvK GROUP BY source),
+         |pi AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM v a JOIN v b
+         |    ON a.term = b.term AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT ca.source AS source_a, cb.source AS source_b,
+         |    ca.nv AS na, cb.nv AS nb
+         |  FROM c ca JOIN c cb ON ca.source < cb.source),
+         |j AS (SELECT p.source_a, p.source_b,
+         |    CAST(COALESCE(pi.n_inter, 0) AS BIGINT) AS n_inter,
+         |    p.na, p.nb,
+         |    list_slice(list_sort(list_distinct(
+         |      list_concat(x.sketch, y.sketch))), 1, $KmvK) AS comb,
+         |    list_intersect(x.sketch, y.sketch) AS si
+         |  FROM pairs p
+         |  LEFT JOIN pi USING (source_a, source_b)
+         |  JOIN sk x ON x.source = p.source_a
+         |  JOIN sk y ON y.source = p.source_b)
+         |SELECT source_a, source_b, n_inter,
+         |  na + nb - n_inter AS n_union,
+         |  round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6)
+         |    AS jaccard_exact,
+         |  round(CAST(len(list_intersect(comb, si)) AS DOUBLE)
+         |    / len(comb), 6) AS jaccard_kmv
+         |FROM j""".stripMargin,
     "q_quantile_bins" ->
       s"""WITH b AS (SELECT l_returnflag, l_extendedprice,
          |    CAST(ntile($NBins) OVER (PARTITION BY l_returnflag

@@ -349,7 +349,61 @@ object StreamingQueries {
     s2.table(table)
   }
 
+  /** Streaming bounded-state distinct count: per-hour distinct users via
+    * the [[graft.functions.KmvSketch]] KMV aggregator over the portable
+    * poly hash of the user id. Exact streaming `countDistinct` is
+    * UNSUPPORTED by Spark for a reason — its state is one entry per
+    * distinct key per window, unbounded on a real stream; the sketch
+    * caps state at k longs per window, and because the buffer is an
+    * order statistic of a portable hash, the final sink (buffer size AND
+    * estimate) replays bit for bit in the DuckDB oracle — the streaming
+    * chapter of the KMV story after `q_kmv_distinct` (batch) and
+    * `q_kmv_jaccard` (pair algebra).
+    *
+    * Complete mode ⇒ after `processAllAvailable` the sink holds the
+    * converged per-window sketches regardless of microbatch splits (the
+    * KMV merge is associative/commutative/duplicate-safe — the spec
+    * proves the partial-agg law, so batch boundaries cannot change the
+    * buffer). The exact per-window distinct rides beside it from a BATCH
+    * epilogue over the same fixture: the acceptance harness, priced at
+    * the exact distinct exchange the sketch exists to avoid.
+    */
+  def streamDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"graft_stream_kmv_${runSeq.incrementAndGet()}"
+    val s2 = sizedStreamSession(spark, dir)
+    val k = graft.engine.Ext.KmvK
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    val q = EventStream.readEvents(s2, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        graft.functions.StringFunctions.utf8_poly_id(
+          col("user_id").cast("string"),
+          graft.engine.Dedup.IdMod).as("hv"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(kmv(col("hv")).as("sketch"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("sketch"), col("n_events"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val exact = graft.engine.Tables.events(s2, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(col("window.start").as("window_start"), col("n_exact"))
+    s2.table(table).join(exact, Seq("window_start"))
+      .select(col("window_start"), col("n_events"), col("n_exact"),
+        size(col("sketch")).cast("long").as("n_sketch"),
+        when(size(col("sketch")) < k,
+          size(col("sketch")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * graft.engine.Dedup.IdMod.toDouble) /
+              element_at(col("sketch"), k).cast("double"), 6))
+          .as("kmv_est"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_distinct" -> streamDistinct _,
     "q_stream_event_window" -> streamEventWindow _,
     "q_stream_sessions" -> streamSessions _,
     "q_stream_dedup" -> streamDedup _,
@@ -363,6 +417,29 @@ object StreamingQueries {
     * aggregate.
     */
   val oracles: Map[String, String] = Map(
+    "q_stream_distinct" -> {
+      val k = graft.engine.Ext.KmvK
+      val mod = graft.engine.Dedup.IdMod
+      s"""WITH d AS (SELECT DISTINCT date_trunc('hour', ts)
+         |    AS window_start,
+         |    ${graft.engine.Dedup.idUtf8Sql("CAST(user_id AS VARCHAR)")}
+         |    AS hv FROM events),
+         |r AS (SELECT window_start, hv, row_number() OVER
+         |      (PARTITION BY window_start ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY window_start) AS nd FROM d),
+         |kth AS (SELECT window_start, max(nd) AS nd,
+         |    max(CASE WHEN rn = $k THEN hv END) AS hk
+         |  FROM r GROUP BY window_start),
+         |ex AS (SELECT date_trunc('hour', ts) AS window_start,
+         |    count(*) AS n_events,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT window_start, n_events, n_exact,
+         |  CAST(LEAST(nd, $k) AS BIGINT) AS n_sketch,
+         |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+         |    ELSE round(${k - 1} * $mod.0 / hk, 6) END AS kmv_est
+         |FROM ex JOIN kth USING (window_start)""".stripMargin
+    },
     "q_stream_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value FROM events GROUP BY 1, 2""",
     "q_stream_sessions" ->

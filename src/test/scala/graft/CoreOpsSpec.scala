@@ -391,6 +391,21 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("KMV Jaccard: every source pair present, estimate inside the sampling band") {
+    val rows = Ext.kmvJaccard(spark, sf).collect()
+    assert(rows.length === 190, "20 choose 2 source pairs")
+    rows.foreach { r =>
+      val (exact, est) = (r.getDouble(4), r.getDouble(5))
+      assert(est >= 0.0 && est <= 1.0)
+      // deterministic hash ⇒ this is a fixed value, not a flaky draw;
+      // the band is the estimator's 3-sigma envelope + 1/k granularity
+      val band = 3.0 * math.sqrt(exact * (1 - exact) / Ext.KmvK) +
+        1.0 / Ext.KmvK
+      assert(math.abs(est - exact) <= band,
+        s"${r.getString(0)}~${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
+
   test("KMV distinct: sketch bounded by k and estimate near exact") {
     val rows = Ext.kmvDistinct(spark, sf).collect()
     assert(rows.length === 20, "one row per source")

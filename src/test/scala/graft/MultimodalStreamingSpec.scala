@@ -289,6 +289,26 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("streaming KMV distinct: state bounded by k, estimate inside the band") {
+    val rows = graft.streaming.StreamingQueries
+      .streamDistinct(spark, sf).collect()
+    val nWindows = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(rows.length.toLong === nWindows,
+      "complete mode converges to one row per hour window")
+    val k = Ext.KmvK
+    rows.foreach { r =>
+      val (exact, nSketch, est) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nSketch <= k)
+      assert(nSketch === math.min(exact, k.toLong),
+        "distinct hashes = distinct users at fixture cardinality")
+      if (nSketch < k) assert(est === exact.toDouble)
+      else assert(est > exact * 0.6 && est < exact * 1.67,
+        s"window ${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("stream-static enrichment equals the batch left join exactly") {
     val streamed = graft.streaming.StreamingQueries
       .streamEnrich(spark, sf).cache()

@@ -482,7 +482,11 @@ class PlanSpec extends SparkSpec {
       // corpus-totals broadcast (sum tokens + sum tokens^T) — same shape
       // q_vocab_drift folds per-term side counts against its 1-row
       // side-totals broadcast (N_a, N_b) — same shape
-      "q_coverage_report", "q_mix_temperature", "q_vocab_drift")
+      "q_coverage_report", "q_mix_temperature", "q_vocab_drift",
+      // q_kmv_jaccard pairs sources with a `<` non-equi join where BOTH
+      // sides are 1-row-per-source aggregates (sources² pair rows of
+      // O(k) arrays — dimension-sized by construction, never corpus rows)
+      "q_kmv_jaccard")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
