@@ -152,7 +152,14 @@ object ScaleBench {
     // row-duplication synth — measured flat (alpha ≈ 0) here, and the
     // vocabulary-growth regime is what q_kmv_distinct's salted synth row
     // prices
-    "q_kmv_jaccard")
+    "q_kmv_jaccard",
+    // CMS frequency: the counter table is depth×width integers at every
+    // scale (map-side partials bound the wire); the exact top-20
+    // acceptance side's term exchange saturates under the
+    // row-duplication synth (counts grow, the vocabulary doesn't), so
+    // the measured exponent is flat — the token-explode scan is the
+    // only linear surface and it hides under fixed machinery here
+    "q_cms_freq")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -775,7 +775,60 @@ object TextOps {
       ifText(nFailed === 0).as("keep"))
   }
 
+  /** Count-min sketch depth (independent hash rows) and width (counters
+    * per row): 4×1024 = 4096 integers TOTAL regardless of corpus size.
+    * Point-estimate overcount is bounded by e·N/width with probability
+    * 1−e^−depth (Cormode & Muthukrishnan 2005); production widens the
+    * table, the state stays depth×width counters either way.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+
+  /** Count-min sketch term-frequency estimation — the FREQUENCY
+    * counterpart of the KMV cardinality sketch (`q_kmv_distinct`), and
+    * like it fully oracle-checkable because the sketch is pure integer
+    * arithmetic over the portable poly hash: every engine derives the
+    * identical 4×1024 counter table, so the ESTIMATES hash-gate, not
+    * just the exact side. Each term occurrence increments one counter
+    * per hash row (independent rows via salted hashes); a term's
+    * estimate is the MIN of its depth counters — one-sided error,
+    * `cms_est ≥ n_exact` always.
+    *
+    * The query estimates the corpus's exact top-20 terms and carries
+    * their exact counts beside the estimates as the acceptance harness
+    * (same pattern as the KMV queries: the exact side's full-vocabulary
+    * exchange is the cost the sketch exists to avoid).
+    *
+    * 100 TB shape: the sketch build is ONE aggregation whose map-side
+    * partials and final state are ≤ depth×width integers — network
+    * O(4096) per mapper, never O(vocabulary); the probe join is 20×4
+    * rows against the broadcast counter table. The exact top-20 pays
+    * the full term exchange by design (acceptance only).
+    */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(explode(tokens).as("term"))
+    val hashes = (0 until CmsDepth).map { i =>
+      graft.functions.StringFunctions.utf8_poly_id(
+        concat(lit(s"cms$i:"), col("term")), Dedup.IdMod) % CmsWidth
+    }
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term")).limit(20)
+    val cms = terms
+      .select(posexplode(array(hashes: _*)).as(Seq("hrow", "bucket")))
+      .groupBy("hrow", "bucket").agg(count(lit(1)).as("cnt"))
+    exact
+      .select(col("term"), col("n_exact"),
+        posexplode(array(hashes: _*)).as(Seq("hrow", "bucket")))
+      .join(cms, Seq("hrow", "bucket"))
+      .groupBy("term", "n_exact")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("term"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cms_freq" -> cmsFreq _,
     "q_quality_rules" -> qualityRules _,
     "q_vocab_drift" -> vocabDrift _,
     "q_boilerplate_lines" -> boilerplateLines _,
@@ -799,6 +852,28 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_cms_freq" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' '))
+         |    AS term FROM documents),
+         |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM tok GROUP BY term
+         |  ORDER BY n_exact DESC, term LIMIT 20),
+         |rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |cms AS (SELECT i,
+         |    ${Dedup.idUtf8Sql(
+             "'cms' || CAST(i AS VARCHAR) || ':' || term")}
+         |      % $CmsWidth AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok, rows_i GROUP BY 1, 2),
+         |pr AS (SELECT e.term, e.n_exact, x.i,
+         |    ${Dedup.idUtf8Sql(
+             "'cms' || CAST(x.i AS VARCHAR) || ':' || e.term")}
+         |      % $CmsWidth AS bucket
+         |  FROM ex e, rows_i x)
+         |SELECT pr.term, pr.n_exact, min(cms.cnt) AS cms_est,
+         |  min(cms.cnt) - pr.n_exact AS overcount
+         |FROM pr JOIN cms ON pr.i = cms.i AND pr.bucket = cms.bucket
+         |GROUP BY pr.term, pr.n_exact""".stripMargin,
     "q_quality_rules" -> {
       def sqlLit(t: String): String =
         if (t == null) "CAST(NULL AS VARCHAR)"

@@ -406,6 +406,26 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("CMS frequency: one-sided overcount inside the e*N/width bound") {
+    val rows = TextOps.cmsFreq(spark, sf).collect()
+    assert(rows.length === 20, "exact top-20 heavy hitters")
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    // deterministic hashes ⇒ fixed values; the bound is the CMS
+    // guarantee: per-row expected overcount N/width, min over depth
+    // rows, Markov 3x slack
+    val bound = 3.0 * n / TextOps.CmsWidth
+    rows.foreach { r =>
+      val (exact, est, over) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact,
+        s"${r.getString(0)}: CMS must never undercount")
+      assert(over === est - exact)
+      assert(over <= bound,
+        s"${r.getString(0)}: overcount $over exceeds ${bound.toLong}")
+    }
+  }
+
   test("KMV distinct: sketch bounded by k and estimate near exact") {
     val rows = Ext.kmvDistinct(spark, sf).collect()
     assert(rows.length === 20, "one row per source")
