@@ -70,10 +70,21 @@ object GraftExtensions {
         new ExpressionInfo(classOf[Utf8PolyId].getName, "utf8_poly_id"),
         utf8PolyBuilder _))
 
-  /** Imperative registration into an existing session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration into an existing session (temp functions).
+    * Also registers the KMV distinct sketch Aggregator as the SQL UDAF
+    * `kmv_sketch(bigint) -> array<bigint>`: an Aggregator routes through
+    * the session UDF registry, not the Catalyst expression injection
+    * above, so the sketch's SQL surface needs this call —
+    * [[graft.GraftSession]] always makes it, so every engine session
+    * (Verify/Bench/SqlEntry) can fold sketches in plain `spark.sql`.
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    spark.udf.register("kmv_sketch",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.KmvSketch(graft.engine.Ext.KmvK)))
+  }
 }

@@ -180,6 +180,35 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(sigs.length === engine.Similarity.NTables)
   }
 
+  test("kmv_sketch UDAF: SQL-surface sketches match the Aggregator path") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_kmv_sql")
+    val viaSql = spark.sql(
+      s"""SELECT source, kmv_sketch(
+         |    utf8_poly_id(term, ${engine.Dedup.IdMod}L)) AS sketch
+         |FROM (SELECT source, explode(split(text, ' ')) AS term
+         |      FROM docs_kmv_sql)
+         |GROUP BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // the Dataset-API query carries the same buffers (via size and the
+    // k-th order statistic the estimator reads); compare buffer heads
+    // through the query's own n_sketch column and re-derive the full
+    // buffer with the typed Aggregator for an exact match
+    import spark.implicits._
+    val kmv = new graft.functions.KmvSketch(engine.Ext.KmvK).toColumn
+    val viaDs = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .select(col("source"),
+        graft.functions.StringFunctions.utf8_poly_id(
+          col("term"), engine.Dedup.IdMod).as("hv"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.name("sketch")).collect().toMap
+    assert(viaSql.keySet === viaDs.keySet)
+    viaSql.foreach { case (src, buf) =>
+      assert(buf === viaDs(src), s"buffer mismatch for $src")
+    }
+  }
+
   test("extensions class applies cleanly to a session builder") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; functions injected
