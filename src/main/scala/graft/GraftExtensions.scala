@@ -85,6 +85,7 @@ object GraftExtensions {
     }
     spark.udf.register("kmv_sketch",
       org.apache.spark.sql.functions.udaf(
-        new graft.functions.KmvSketch(graft.engine.Ext.KmvK)))
+        new graft.functions.KmvSketchSql(graft.engine.Ext.KmvK),
+        org.apache.spark.sql.Encoders.LONG))
   }
 }

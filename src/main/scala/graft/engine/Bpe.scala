@@ -88,10 +88,20 @@ object Bpe {
   final case class MergeRule(merge_rank: Long, round: Long, l: String,
       r: String, merged: String, pair_count: Long)
 
+  /** Word table for the trainer. Words containing U+0001/U+0002 are
+    * EXCLUDED on both engine and oracle sides: the DuckDB batched-
+    * selection oracle packs its used-set fold state into a
+    * chr(1)/chr(2)-sentinel-delimited string, so a corpus token
+    * carrying those control bytes would corrupt the membership parse.
+    * Filtering (rather than merely documenting the precondition) makes
+    * the trainer total on arbitrary corpora — the two codepoints are
+    * C0 controls that no real tokenizer wants as vocabulary anyway.
+    */
   private def wordFreq(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
+      .filter(col("word") =!= "" &&
+        !col("word").contains("\u0001") && !col("word").contains("\u0002"))
       .groupBy("word")
       .agg(count(lit(1)).cast("long").as("freq"))
 
@@ -312,7 +322,8 @@ object Bpe {
     sb ++=
       """w AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-        |  WHERE t <> '' GROUP BY t),
+        |  WHERE t <> '' AND NOT contains(t, chr(1))
+        |    AND NOT contains(t, chr(2)) GROUP BY t),
         |s0 AS MATERIALIZED (SELECT word, freq,
         |  rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' _' AS syms
         |  FROM w)""".stripMargin

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -303,38 +303,59 @@ object Curation {
         "expected_tokens")
   }
 
-  /** Mixing temperature exponent: sampling weight ∝ tokens^Alpha. 0.3 is
-    * the classic multilingual/multi-domain smoothing (α = 1 reproduces
-    * raw proportions; α → 0 approaches uniform) — small domains get
-    * UPSAMPLED relative to their raw share, the standard fix for a
-    * head-heavy corpus drowning its tails.
+  /** Mixing temperature: sampling weight ∝ tokens^(1/2) (temperature
+    * T = 2; α = 1 reproduces raw proportions, α → 0 approaches
+    * uniform) — small domains get UPSAMPLED relative to their raw
+    * share, the standard fix for a head-heavy corpus drowning its
+    * tails. α = 1/2 is chosen from the standard [0.3, 0.7] smoothing
+    * range because it is the ONE exponent with an exact integer form:
+    * the weight is the integer square root
+    * `w = isqrt(MixWeightScale² · n_tokens)` ≈ MixWeightScale·√n, so
+    * the whole weight surface stays inside the repo's exact-integer
+    * oracle discipline (no `pow`, whose last-ulp behavior differs
+    * between JVM and DuckDB libm, and no order-sensitive double sum).
+    * Bound: `MixWeightScale² · n_tokens` must stay below 2^52 (the
+    * same double-exactness guard as `robustOutliers`) — at scale 10
+    * that is 4.5e13 tokens (≈180 TB of text) in a SINGLE source.
     */
-  val MixAlpha = 0.3
+  val MixWeightScale = 10L
 
   /** Temperature-weighted dataset mixing — the curriculum companion to
     * [[domainMix]]'s budget allocator: per-source raw token share
     * (integer ppm), the temperature-smoothed sampling weight
-    * `tokens^α / Σ tokens^α`, and the resulting over/under-sampling
-    * factor vs raw. Exactly two tiny aggregates broadcast back over the
-    * source dimension (one corpus exchange total); `pow` is the one
-    * double op per column, routed through the house `round(…, 6)`.
+    * `√n / Σ√n` (exact integer isqrt weights, see [[MixWeightScale]]),
+    * and the resulting over/under-sampling factor vs raw. Exactly two
+    * tiny aggregates broadcast back over the source dimension (one
+    * corpus exchange total). The two emitted doubles are each a SINGLE
+    * mirrored IEEE division of exact integers (the `vocabDrift` tvd
+    * pattern), so the hash gate is deterministic: the floor-sqrt
+    * candidate is ±1-corrected against its square, making `w` the true
+    * integer square root on both engines regardless of libm.
     */
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val big: Column => Column = _.cast("decimal(38,0)")
     val perSrc = Tables.documents(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks)).cast("long").as("n_tokens"))
+      .withColumn("m", col("n_tokens") * lit(MixWeightScale * MixWeightScale))
+      .withColumn("k0", floor(sqrt(col("m").cast("double"))).cast("long"))
+      .withColumn("w",
+        col("k0")
+          - when(col("k0") * col("k0") > col("m"), 1L).otherwise(0L)
+          + when((col("k0") + 1) * (col("k0") + 1) <= col("m"), 1L)
+            .otherwise(0L))
     val totals = perSrc.select(
       sum(col("n_tokens")).as("tot_tokens"),
-      sum(pow(col("n_tokens"), MixAlpha)).as("tot_w"))
+      sum(col("w")).as("tot_w"))
     perSrc.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("CAST(n_tokens * 1000000 DIV tot_tokens AS BIGINT)")
           .as("share_ppm"),
-        round(pow(col("n_tokens"), MixAlpha) / col("tot_w"), 6)
+        round(col("w").cast("double") / col("tot_w").cast("double"), 6)
           .as("temp_weight"),
-        round(pow(col("n_tokens"), MixAlpha) / col("tot_w") /
-          (col("n_tokens").cast("double") / col("tot_tokens")), 6)
+        round((big(col("w")) * col("tot_tokens")).cast("double")
+          / (big(col("tot_w")) * col("n_tokens")).cast("double"), 6)
           .as("boost"))
   }
 
@@ -933,18 +954,29 @@ object Curation {
        |FROM c""".stripMargin
   }
 
-  private val mixTemperatureSql: String =
+  private val mixTemperatureSql: String = {
+    val scale2 = MixWeightScale * MixWeightScale
     s"""WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
+       |cand AS (SELECT *, n_tokens * $scale2 AS m,
+       |    CAST(floor(sqrt(CAST(n_tokens * $scale2 AS DOUBLE))) AS BIGINT)
+       |      AS k0 FROM src),
+       |srcw AS (SELECT source, n_docs, n_tokens,
+       |    k0 - (CASE WHEN k0 * k0 > m THEN 1 ELSE 0 END)
+       |       + (CASE WHEN (k0 + 1) * (k0 + 1) <= m THEN 1 ELSE 0 END)
+       |      AS w FROM cand),
        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
-       |    sum(pow(n_tokens, $MixAlpha)) AS tot_w FROM src)
+       |    CAST(sum(w) AS BIGINT) AS tot_w FROM srcw)
        |SELECT source, n_docs, n_tokens,
        |  CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS share_ppm,
-       |  round(pow(n_tokens, $MixAlpha) / tot_w, 6) AS temp_weight,
-       |  round(pow(n_tokens, $MixAlpha) / tot_w /
-       |    (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS boost
-       |FROM src CROSS JOIN tot""".stripMargin
+       |  round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6)
+       |    AS temp_weight,
+       |  round(CAST(CAST(w AS DECIMAL(38,0)) * tot_tokens AS DOUBLE)
+       |    / CAST(CAST(tot_w AS DECIMAL(38,0)) * n_tokens AS DOUBLE), 6)
+       |    AS boost
+       |FROM srcw CROSS JOIN tot""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_mix_temperature" -> mixTemperatureSql,

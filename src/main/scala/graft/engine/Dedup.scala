@@ -787,11 +787,18 @@ object Dedup {
   /** Shared cross-side probe: corpus signatures tested against a
     * BENCHMARK signature set (the decontamination shape — the benchmark
     * is eval-suite-sized, never corpus-sized, so its bands broadcast).
-    * Corpus candidates come band-bucketed under the [[LshBucketCap]]
-    * guard; exact `bit_count(xor)` verify ≤ `maxHamming` — pigeonhole
-    * recall is perfect at the threshold and the corpus never
-    * self-joins. Both inputs are (doc_id, sig); returns one row per
-    * (leaked corpus doc, benchmark hit): (doc_id, bench_id, hamming).
+    * UNLIKE the self-join cluster path there is NO [[LshBucketCap]]
+    * corpus-side guard here: candidates are bounded by corpus rows ×
+    * bench rows sharing a band key (linear in the corpus with an
+    * eval-suite-sized constant, never quadratic), and a cap would
+    * silently DROP real leaks whenever a band bucket oversizes —
+    * decontamination must keep the pigeonhole recall guarantee intact.
+    * Dropping the cap also drops the per-(band,bkey) size window, so
+    * the corpus side is exchange-free: explode → broadcast-join →
+    * exact `bit_count(xor)` verify ≤ `maxHamming` → dedup of the
+    * (already leak-sized) hit pairs. Both inputs are (doc_id, sig);
+    * returns one row per (leaked corpus doc, benchmark hit):
+    * (doc_id, bench_id, hamming).
     */
   private[graft] def bandedCrossProbe(corpus: DataFrame, bench: DataFrame,
       bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
@@ -800,25 +807,21 @@ object Dedup {
           explode(sequence(lit(0), lit(bands - 1))).as("band"))
         .withColumn("bkey", expr(
           s"shiftright(sig, CAST(band * $bandBits AS INT)) % ${1 << bandBits}"))
-    val cb = banded(corpus)
-      .withColumn("bsize",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("bsize") <= LshBucketCap)
-    cb.as("c")
+    banded(corpus).as("c")
       .join(broadcast(banded(bench).as("b")),
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
-      .select(col("c.doc_id").as("doc_id"), col("c.sig").as("sig_c"),
-        col("b.doc_id").as("bench_id"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sig_c ^ sig_b) AS INT)"))
+      .select(col("c.doc_id").as("doc_id"),
+        col("b.doc_id").as("bench_id"),
+        expr("CAST(bit_count(c.sig ^ b.sig) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_id"), col("bench_id"), col("hamming"))
+      .distinct()
   }
 
   /** DuckDB twin of [[bandedCrossProbe]]'s final select over a
     * preceding `sigs(doc_id, sig)` CTE: brute-force benchmark×corpus at
-    * the threshold (equivalent to the banded path by pigeonhole; the
-    * cap never binds at planted scale).
+    * the threshold (equivalent to the uncapped banded path by
+    * pigeonhole — every pair within `maxHamming` shares at least one
+    * exact band, and no cap can drop it).
     */
   private[graft] def crossProbeSqlTail(benchIds: Seq[Long],
       maxHamming: Int): String = {

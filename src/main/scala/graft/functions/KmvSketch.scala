@@ -45,3 +45,23 @@ class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
+
+/** Null-skipping boxed front for the SQL/UDAF surface: SQL columns are
+  * nullable, and the natural inputs (`utf8_poly_id` of a possibly-null
+  * string) propagate NULL — which must be IGNORED, the way every
+  * engine-native aggregate (`approx_count_distinct` included) ignores
+  * nulls, not fail at encode time the way a bare `Aggregator[Long, …]`
+  * does. The typed Dataset path keeps using [[KmvSketch]] directly
+  * (its inputs are non-nullable by construction there).
+  */
+class KmvSketchSql(k: Int)
+    extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
+  private val inner = new KmvSketch(k)
+  def zero: Seq[Long] = inner.zero
+  def reduce(b: Seq[Long], a: java.lang.Long): Seq[Long] =
+    if (a == null) b else inner.reduce(b, a.longValue)
+  def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = inner.merge(x, y)
+  def finish(b: Seq[Long]): Seq[Long] = inner.finish(b)
+  def bufferEncoder: Encoder[Seq[Long]] = inner.bufferEncoder
+  def outputEncoder: Encoder[Seq[Long]] = inner.outputEncoder
+}

@@ -91,6 +91,12 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 case class Utf8PolyId(child: Expression, mod: Long)
     extends UnaryExpression {
 
+  // the overflow-safety bound documented above, enforced at EVERY entry
+  // point (SQL builder, Column API, direct construction) — a larger mod
+  // would silently wrap acc·31 + 255 past 2^63 instead of failing loudly
+  require(mod > 0 && mod <= Int.MaxValue.toLong + 1L,
+    s"utf8_poly_id mod must be in (0, 2^31], got $mod")
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "utf8_poly_id"

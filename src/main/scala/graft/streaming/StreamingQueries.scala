@@ -372,7 +372,8 @@ object StreamingQueries {
     val table = s"graft_stream_kmv_${runSeq.incrementAndGet()}"
     val s2 = sizedStreamSession(spark, dir)
     val k = graft.engine.Ext.KmvK
-    val kmv = udaf(new graft.functions.KmvSketch(k))
+    val kmv = udaf(new graft.functions.KmvSketchSql(k),
+      org.apache.spark.sql.Encoders.LONG)
     val q = EventStream.readEvents(s2, dir)
       .withWatermark("ts", "2 hours")
       .select(col("ts"),

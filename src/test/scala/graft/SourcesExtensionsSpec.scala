@@ -209,6 +209,25 @@ class SourcesExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("kmv_sketch UDAF ignores NULL inputs like every native aggregate") {
+    GraftExtensions.register(spark)
+    // planted nulls interleaved with live values: the SQL surface's
+    // natural input (utf8_poly_id of a nullable string) null-propagates,
+    // and the sketch must skip those rows, not fail at encode time
+    val sk = spark.sql(
+      """SELECT kmv_sketch(v) AS sketch FROM (
+        |  SELECT CAST(NULL AS BIGINT) AS v UNION ALL SELECT 7L
+        |  UNION ALL SELECT CAST(NULL AS BIGINT) UNION ALL SELECT 3L
+        |  UNION ALL SELECT 7L)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(sk === Seq(3L, 7L))
+    // all-null group: the sketch is the empty buffer, not a failure
+    val empty = spark.sql(
+      "SELECT kmv_sketch(CAST(NULL AS BIGINT)) AS s FROM range(5)")
+      .collect().head.getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("extensions class applies cleanly to a session builder") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; functions injected
