@@ -159,7 +159,12 @@ object ScaleBench {
     // row-duplication synth (counts grow, the vocabulary doesn't), so
     // the measured exponent is flat — the token-explode scan is the
     // only linear surface and it hides under fixed machinery here
-    "q_cms_freq")
+    "q_cms_freq",
+    // round-13: script-aware segmentation is one codegen'd regexp pass
+    // + one byte fold per row, zero exchanges — the same flat-to-linear
+    // class as q_text_normalize (the planted CJK rows are 6 constants;
+    // the cost is the corpus scan)
+    "q_segment_cjk")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -99,7 +99,7 @@ object Bpe {
     */
   private def wordFreq(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(TextOps.segmentTokens(col("text"))).as("word"))
       .filter(col("word") =!= "" &&
         !col("word").contains("\u0001") && !col("word").contains("\u0002"))
       .groupBy("word")
@@ -234,11 +234,14 @@ object Bpe {
       .select("merge_rank", "round", "l", "r", "merged", "pair_count")
   }
 
-  // (doc_id, pos, word) with empties dropped — positions keep doc order
+  // (doc_id, pos, word) with empties dropped — positions keep doc order;
+  // words come from the shared script-aware segmentation so CJK text
+  // tokenizes per codepoint before the BPE dictionary join
   private def docWords(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        posexplode(TextOps.segmentTokens(col("text")))
+          .as(Seq("pos", "word")))
       .filter(col("word") =!= "")
 
   /** Corpus tokenization under the learned vocab: per doc, the word
@@ -320,12 +323,13 @@ object Bpe {
   private def bpeCtes: String = {
     val sb = new StringBuilder
     sb ++=
-      """w AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      s"""w AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(${TextOps.segmentSql("text")}) AS t
+        |        FROM documents)
         |  WHERE t <> '' AND NOT contains(t, chr(1))
         |    AND NOT contains(t, chr(2)) GROUP BY t),
         |s0 AS MATERIALIZED (SELECT word, freq,
-        |  rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' _' AS syms
+        |  rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS syms
         |  FROM w)""".stripMargin
     for (k <- 1 to Rounds) {
       sb ++= s""",
@@ -383,9 +387,11 @@ object Bpe {
   }
 
   // word-level corpus explode shared by the tokenize/budget oracles
+  // (same script-aware segmentation as the engine's docWords)
   private val tkCte =
-    """tk AS (SELECT doc_id, i AS pos, w[i] AS word FROM
-      |   (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""tk AS (SELECT doc_id, i AS pos, w[i] AS word FROM
+      |   (SELECT doc_id, ${TextOps.segmentSql("text")} AS w
+      |    FROM documents),
       |   (SELECT unnest(range(1, len(w) + 1)) AS i) WHERE w[i] <> '')"""
       .stripMargin
 

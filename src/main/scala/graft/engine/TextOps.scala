@@ -22,6 +22,48 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), " ")
 
+  // ===== script-aware deterministic segmentation (CJK-safe) ==========
+
+  /** BMP codepoint ranges segmented PER CODEPOINT: CJK Unified
+    * Ideographs (+ Extension A), Hiragana+Katakana, precomposed Hangul
+    * syllables, and Thai. Unsegmented scripts have no whitespace word
+    * boundaries, so every whitespace-token operator collapses a
+    * Chinese/Japanese/Thai line to ONE "word" — per-codepoint tokens
+    * are the standard deterministic fallback (mBERT-style CJK
+    * char-splitting) that keeps token counts, quality rules, and BPE
+    * pre-tokenization meaningful on a multilingual corpus. BMP-only by
+    * contract: supplementary-plane ideographs (CJK Ext B+) fall into
+    * word runs on BOTH engines (Java regex walks UTF-16 units, RE2
+    * walks codepoints, but a surrogate pair can never straddle a run
+    * boundary, so the two tokenizations agree — the one behavior class
+    * where they could differ is pinned consistent).
+    */
+  val SegPerCharClass: String =
+    "一-鿿㐀-䶿぀-ヿ가-힯฀-๿"
+
+  /** Whitespace for the word-run class: explicit list, NOT `\s` (Java
+    * includes U+000B where RE2 does not), plus the ideographic space.
+    */
+  private val SegWsClass: String = " \\t\\n\\r　"
+
+  /** One token = a single per-char-script codepoint OR a maximal run of
+    * anything else that is not whitespace. Latin text tokenizes exactly
+    * as whitespace split (minus empty tokens), so the segmented chain
+    * is a drop-in on an already-segmented corpus.
+    */
+  val SegPattern: String = s"[$SegPerCharClass]|[^$SegWsClass$SegPerCharClass]+"
+
+  /** The shared tokenizer: one codegen'd regexp pass, zero exchanges. */
+  def segmentTokens(c: Column): Column =
+    regexp_extract_all(c, lit(SegPattern), lit(0))
+
+  /** DuckDB mirror of [[segmentTokens]] — same pattern text verbatim
+    * (RE2 and Java agree on every construct used: explicit classes,
+    * literal BMP chars, `+`).
+    */
+  def segmentSql(e: String): String =
+    s"regexp_extract_all($e, '$SegPattern')"
+
   /** Quality scoring: token counts, per-token length, stopword ratio,
     * lexical diversity, and a composite [0,1] score — the heuristics used
     * to filter web corpora before LLM training. All ratios are small-int
@@ -71,17 +113,60 @@ object TextOps {
       (predicted === col("lang")).as("agree"))
   }
 
-  /** Token counting three ways: whitespace split, a BPE-ish regex pass
-    * (letter runs / digit runs / other), and the chars/4 estimate used for
-    * quick corpus sizing.
+  /** Token counting four ways: whitespace split, the script-aware
+    * segmentation ([[segmentTokens]] — identical to whitespace on Latin
+    * text, per-codepoint on CJK/Thai, the count a multilingual token
+    * budget must use), a BPE-ish regex pass (letter runs / digit runs /
+    * other), and the chars/4 estimate used for quick corpus sizing.
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(tokens).cast("long").as("ws_tokens"),
+      size(segmentTokens(col("text"))).cast("long").as("seg_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
         .cast("long").as("re_tokens"),
       ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
+
+  /** Planted multilingual docs for [[segmentCjk]]: Han with no spaces,
+    * mixed Han/Latin/digits, Japanese kana+kanji, spaced Hangul, Thai
+    * with combining marks (each mark its own codepoint token — the
+    * documented crudeness of the per-codepoint fallback), and a Latin
+    * control row that must tokenize identically to whitespace split.
+    */
+  private[graft] val SegPlantedRows: Seq[(Long, String)] = Seq(
+    (992001L, "大规模语料上训练模型"),
+    (992002L, "GPU集群训练 batch 大小 128"),
+    (992003L, "データでモデルを学習する"),
+    (992004L, "대규모 언어 모델"),
+    (992005L, "ภาษาไทยไม่มีช่องว่าง"),
+    (992006L, "plain latin text stays whitespace split"))
+
+  /** Script-aware segmentation audit — the proof query for
+    * [[segmentTokens]]: whitespace vs segmented token counts,
+    * per-script codepoint counts, and the portable polynomial
+    * fingerprint of the SPACE-JOINED segmented stream, which hash-pins
+    * the exact token boundaries (not just counts) against the oracle's
+    * independent RE2 tokenization. Zero exchanges — one regexp pass and
+    * one byte fold per row.
+    */
+  def segmentCjk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(SegPlantedRows.toDF("doc_id", "text"))
+    val seg = segmentTokens(col("text"))
+    def classCount(cls: String): Column =
+      size(regexp_extract_all(col("text"), lit(s"[$cls]"), lit(0)))
+    src.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(seg).cast("long").as("seg_tokens"),
+      classCount("一-鿿㐀-䶿").cast("long").as("n_han"),
+      classCount("぀-ヿ").cast("long").as("n_kana"),
+      classCount("가-힯").cast("long").as("n_hangul"),
+      classCount("฀-๿").cast("long").as("n_thai"),
+      graft.functions.StringFunctions.utf8_poly_id(
+        concat_ws(" ", seg), Dedup.IdMod).as("seg_fp"))
+  }
 
   /** Rolling polynomial fingerprint over a string column's characters
     * (acc = acc*base + ascii(ch) mod m) — an order-sensitive content
@@ -712,7 +797,13 @@ object TextOps {
   /** Rows planted into [[qualityRules]], each tripping exactly ONE rule
     * (so the spec can prove rule independence), plus an all-pass row and
     * a null row. The 201-token row carries two stopwords and distinct
-    * filler so it fails ONLY the length cap.
+    * filler so it fails ONLY the length cap. Rows 990008+ are the CJK
+    * half of the fixture: pre-segmentation every one of them collapsed
+    * to n_tok = 1 and tripped `too_short` regardless of content — the
+    * misfire [[segmentTokens]] exists to fix — so the all-pass Han row
+    * passing and the short/repetitive Han rows tripping EXACTLY their
+    * one rule is the whole-chain proof that the rules now see real CJK
+    * token structure.
     */
   private[graft] val QualityPlantedRows: Seq[(Long, String)] = Seq(
     (990001L, "the value data"),
@@ -721,7 +812,12 @@ object TextOps {
     (990004L, "the a zz qq ww pp"),
     (990005L, "the a alpha beta gamma delta"),
     (990006L, null),
-    (990007L, "alpha beta gamma delta epsilon"))
+    (990007L, "alpha beta gamma delta epsilon"),
+    // CJK rows (content chosen against CjkStopwords 的/了/是/在):
+    (990008L, "我的数据是在这里的"), // 9 Han tokens, 4 stop instances → all-pass
+    (990009L, "的了是在"), // 4 tokens < floor → too_short ONLY
+    (990010L, "的的的的的的的的的的"), // 1 distinct bigram of 9 → repetitive ONLY
+    (990011L, "的 是 qq zz 在 的 pp")) // Latin words mean len 2 → bad_word_len ONLY
 
   /** Quality-rule floors/caps (the Gopher/FineWeb-style heuristic
     * bundle, expressed in exact integers). */
@@ -732,26 +828,44 @@ object TextOps {
   val RuleMaxMeanLenX1 = 10 // upper bound
   val RuleDupBigramDen = 5 // repetitive when dup-bigram share > 1/5
 
+  /** CJK function-word stopwords (的/了/是/在 — the Mandarin analogs of
+    * the/a), counted beside [[Stopwords]] so the stopword floor is
+    * meaningful on CJK documents instead of auto-failing them.
+    */
+  val CjkStopwords: Seq[String] = Seq("的", "了", "是", "在")
+
   /** Heuristic quality-rule bundle — the named-rule verdict table a
     * production corpus filter actually ships (Gopher/FineWeb style):
     * per-document booleans for each rule, the failure count, and the
     * final keep verdict, so downstream dashboards can attribute REMOVAL
     * REASONS instead of a single opaque score. Rules: token-count floor
     * and cap, minimum stopword instances, mean-word-length band
-    * (compared as `lo·n_tok ≤ Σchars ≤ hi·n_tok` — exact integers, no
+    * (compared as `lo·n_word ≤ Σchars ≤ hi·n_word` — exact integers, no
     * division), and duplicate-bigram share (`(n − distinct)·den > n`).
     * One zero-exchange map pass: tokens, stopword filter, and the
     * bigram zip fold all inside the row.
+    *
+    * Tokens come from [[segmentTokens]] (identical to whitespace split
+    * on Latin text), so the floor/cap and bigram rules see real token
+    * structure on unsegmented scripts; the stopword floor counts
+    * [[CjkStopwords]] beside the Latin list; and the mean-word-length
+    * band is evaluated over WORD RUNS only (single-codepoint CJK tokens
+    * excluded — their "length 1" is an artifact of the per-codepoint
+    * fallback, exactly why English-tuned Gopher rules misfire on CJK),
+    * passing vacuously when a document has no word runs.
     */
   def qualityRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir).select("doc_id", "text")
       .unionByName(QualityPlantedRows.toDF("doc_id", "text"))
-    val t = tokens
+    val t = segmentTokens(col("text"))
     val nTok = size(t)
-    val nStop = size(filter(t, x => x.isInCollection(Stopwords)))
-    // token chars = text length minus the n_tok-1 separators
-    val sumChars = length(col("text")) - (nTok - 1)
+    val allStops = Stopwords ++ CjkStopwords
+    val nStop = size(filter(t, x => x.isInCollection(allStops)))
+    val wordToks = filter(t, x => !x.rlike(s"^[$SegPerCharClass]$$"))
+    val nWord = size(wordToks)
+    val sumWChars = aggregate(wordToks, lit(0L),
+      (acc, x) => acc + length(x))
     val bLen = greatest(nTok - 1, lit(0))
     val big2 = zip_with(slice(t, lit(1), bLen), slice(t, lit(2), bLen),
       (a, b) => concat_ws(" ", a, b))
@@ -761,8 +875,9 @@ object TextOps {
     val tooShort = ifText(nTok < RuleMinTokens)
     val tooLong = ifText(nTok > RuleMaxTokens)
     val lowStop = ifText(nStop < RuleMinStopInstances)
-    val badLen = ifText(sumChars < nTok * RuleMinMeanLenX1 ||
-      sumChars > nTok * RuleMaxMeanLenX1)
+    val badLen = ifText(nWord > 0 &&
+      (sumWChars < nWord * RuleMinMeanLenX1 ||
+        sumWChars > nWord * RuleMaxMeanLenX1))
     val repetitive = ifText(
       nB > 0 && (nB - nDB) * RuleDupBigramDen > nB)
     val flags = Seq(tooShort, tooLong, lowStop, badLen, repetitive)
@@ -839,6 +954,7 @@ object TextOps {
     "q_text_quality" -> textQuality _,
     "q_lang_id" -> langId _,
     "q_token_count" -> tokenCount _,
+    "q_segment_cjk" -> segmentCjk _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
     "q_unigram_prob" -> unigramProb _,
@@ -881,29 +997,35 @@ object TextOps {
       val values = QualityPlantedRows.map { case (id, t) =>
         s"($id, ${sqlLit(t)})"
       }.mkString(", ")
-      val sl = Stopwords.map(s => s"'$s'").mkString(", ")
+      val sl = (Stopwords ++ CjkStopwords).map(s => s"'$s'").mkString(", ")
       val flags = Seq("too_short", "too_long", "low_stopword",
         "bad_word_len", "repetitive")
       val nf = flags.map(f => s"CAST($f AS INTEGER)").mkString(" + ")
       s"""WITH src AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
-         |s AS (SELECT doc_id, text, string_split(text, ' ') AS t
+         |s AS (SELECT doc_id, text, ${segmentSql("text")} AS t
          |  FROM src),
          |x AS (SELECT doc_id, text, len(t) AS n_tok,
          |    len(list_filter(t, w -> w IN ($sl))) AS n_stop,
-         |    length(text) - (len(t) - 1) AS sum_chars,
+         |    list_filter(t,
+         |      w -> NOT regexp_matches(w, '^[$SegPerCharClass]$$')) AS wt,
          |    list_transform(range(1, len(t)),
          |      i -> t[i] || ' ' || t[i+1]) AS b2
          |  FROM s),
+         |y AS (SELECT doc_id, n_tok, n_stop, b2, len(wt) AS n_word,
+         |    coalesce(list_sum(list_transform(wt, w -> length(w))), 0)
+         |      AS sum_wchars
+         |  FROM x),
          |f AS (SELECT doc_id, n_tok,
          |    n_tok < $RuleMinTokens AS too_short,
          |    n_tok > $RuleMaxTokens AS too_long,
          |    n_stop < $RuleMinStopInstances AS low_stopword,
-         |    (sum_chars < n_tok * $RuleMinMeanLenX1
-         |      OR sum_chars > n_tok * $RuleMaxMeanLenX1) AS bad_word_len,
+         |    (n_word > 0 AND (sum_wchars < n_word * $RuleMinMeanLenX1
+         |      OR sum_wchars > n_word * $RuleMaxMeanLenX1))
+         |      AS bad_word_len,
          |    (len(b2) > 0 AND (len(b2) - len(list_distinct(b2)))
          |      * $RuleDupBigramDen > len(b2)) AS repetitive
-         |  FROM x)
+         |  FROM y)
          |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, too_short,
          |  too_long, low_stopword, bad_word_len, repetitive,
          |  CAST($nf AS BIGINT) AS n_failed,
@@ -1031,7 +1153,29 @@ object TextOps {
       s"""SELECT doc_id, lang, CAST(${markerScore(LangMarkers.head._2)} AS BIGINT) AS score_en, p.predicted_lang, p.predicted_lang = lang AS agree FROM documents, LATERAL (SELECT greatest(${LangMarkers.map(m => markerScore(m._2)).mkString(", ")}) AS best) s, LATERAL (SELECT CASE ${caseExpr} ELSE 'unknown' END AS predicted_lang) p"""
     },
     "q_token_count" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents""",
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(${segmentSql("text")}) AS BIGINT) AS seg_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents""",
+    "q_segment_cjk" -> {
+      def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
+      val values = SegPlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))
+         |SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(${segmentSql("text")}) AS BIGINT) AS seg_tokens,
+         |  CAST(len(regexp_extract_all(text, '[一-鿿㐀-䶿]'))
+         |    AS BIGINT) AS n_han,
+         |  CAST(len(regexp_extract_all(text, '[぀-ヿ]'))
+         |    AS BIGINT) AS n_kana,
+         |  CAST(len(regexp_extract_all(text, '[가-힯]'))
+         |    AS BIGINT) AS n_hangul,
+         |  CAST(len(regexp_extract_all(text, '[฀-๿]'))
+         |    AS BIGINT) AS n_thai,
+         |  ${Dedup.idUtf8Sql(
+               s"array_to_string(${segmentSql("text")}, ' ')")} AS seg_fp
+         |FROM src""".stripMargin
+    },
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, ${portableFpSql("text", 31, 1000000007L)} AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""",
     "q_salient_terms" ->

@@ -75,6 +75,34 @@ class BpeSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("CJK pre-tokenization: segmentation words obey the symbol round-trip law") {
+    // the trainer's pre-tokenizer is TextOps.segmentTokens: CJK/kana/
+    // hangul words arrive as single codepoints, Latin words as runs.
+    // The per-word BPE law (initSyms then collapsing spaces and mapping
+    // the end-of-word marker back) must recover every word EXACTLY —
+    // including the planted CJK ones, where pre-segmentation the whole
+    // line was one "word" the trainer could never merge sensibly.
+    val txt = "大规模语料 training データ 모델 mixed128"
+    val rows = spark.range(1)
+      .select(explode(
+        graft.engine.TextOps.segmentTokens(lit(txt))).as("word"))
+      .withColumn("syms", expr(
+        "concat(rtrim(regexp_replace(word, '(.)', '$1 ')), ' _')"))
+      .withColumn("rebuilt", expr(
+        "rtrim(replace(replace(syms, ' ', ''), '_', ' '))"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2) === r.getString(0),
+        s"round-trip broke for ${r.getString(0)}")
+    }
+    val words = rows.map(_.getString(0)).toSeq
+    // per-codepoint contract for the unsegmented scripts
+    assert(words.take(5) === Seq("大", "规", "模", "语", "料"))
+    assert(words.contains("training") && words.contains("mixed128"))
+    assert(words.count(_.length == 1) === 10) // 5 han + 3 kana + 2 hangul
+  }
+
   test("detokenize query: round trip holds on every document") {
     val d = Bpe.bpeDetokenize(spark, sf).cache()
     try {

@@ -666,6 +666,35 @@ class TextDedupSpec extends SparkSpec {
     }
     // null text: every verdict column stays null
     assert((1 to 8).forall(byId(990006L).isNullAt))
+    // CJK rows: segmentation makes the rules see real token structure —
+    // the 9-char Han row PASSES (pre-segmentation it was n_tok = 1 and
+    // tripped too_short), and the short/repetitive/mixed rows trip
+    // EXACTLY their designed rule
+    assert(byId(990008L).getLong(1) === 9L, "Han row segments to 9 tokens")
+    assert(flags(990008L).forall(!_) && byId(990008L).getBoolean(8),
+      "the all-pass Han row must keep")
+    assert(flags(990009L) === Seq(true, false, false, false, false))
+    assert(flags(990010L) === Seq(false, false, false, false, true))
+    assert(flags(990011L) === Seq(false, false, false, true, false))
+  }
+
+  test("segmentation: per-codepoint CJK, whitespace-equivalent Latin") {
+    val byId = TextOps.segmentCjk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // columns: ws_tokens(1) seg_tokens(2) n_han(3) n_kana(4)
+    // n_hangul(5) n_thai(6)
+    def row(id: Long): Seq[Long] = (1 to 6).map(byId(id).getLong(_))
+    assert(row(992001L) === Seq(1, 10, 10, 0, 0, 0), "spaceless Han")
+    assert(row(992002L) === Seq(4, 9, 6, 0, 0, 0), "mixed Han/Latin")
+    assert(row(992003L) === Seq(1, 12, 2, 10, 0, 0), "kana+kanji")
+    assert(row(992004L) === Seq(3, 7, 0, 0, 7, 0), "hangul")
+    assert(row(992005L) === Seq(1, 20, 0, 0, 0, 20), "Thai")
+    // Latin control row AND every fixture doc: seg == ws token count
+    assert(row(992006L).take(2) === Seq(6, 6))
+    byId.values.filter(_.getLong(0) < 992000L).foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: Latin text must segment as whitespace")
+    }
   }
 
   test("vocab drift: exact driver replay of the TVD identity") {
