@@ -164,7 +164,13 @@ object ScaleBench {
     // + one byte fold per row, zero exchanges — the same flat-to-linear
     // class as q_text_normalize (the planted CJK rows are 6 constants;
     // the cost is the corpus scan)
-    "q_segment_cjk")
+    "q_segment_cjk",
+    // quantile reservoir: the sketch side ships <=k (hash,value) pairs
+    // per group regardless of scale; the exact nearest-rank acceptance
+    // side pays the value-grouped count + per-flag cumulative window,
+    // which scales with distinct values per group (linear regime) —
+    // expect the exact side to dominate like q_kmv_distinct's
+    "q_kmv_quantiles")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -416,6 +416,90 @@ object Ext {
           size(combined).cast("double"), 6).as("jaccard_kmv"))
   }
 
+  /** Sample size for [[kmvQuantiles]]' hash reservoir: 256 (hash, value)
+    * pairs per group — nearest-rank error concentrates within
+    * ~±√(q(1−q)/k) ≈ ±3 rank-percent at the median; production widens
+    * k, the cross-shuffle state stays k pairs per group either way.
+    */
+  val ReservoirK = 256
+
+  /** The quantile ranks probed: q = num/den held as EXACT RATIONALS so
+    * the nearest-rank index `⌈q·n⌉ = (num·n + den − 1) DIV den` is pure
+    * integer arithmetic — no `ceil(0.9 · n)` double boundary can flip
+    * between engines.
+    */
+  val QuantRanks: Seq[(String, Int, Int)] =
+    Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+  /** Oracle-checkable quantile sketch vs exact — the percentile
+    * counterpart of [[kmvDistinct]], retiring the last non-ML rows-only
+    * exemption (`q_approx_stats` keeps the engine-native
+    * `approx_percentile` as documented engine-specific; THIS query's
+    * estimates hash-gate). Per (l_returnflag) group, the
+    * [[graft.functions.HashReservoirSketch]] keeps the k smallest
+    * distinct (hash, cents) pairs under the portable poly hash of the
+    * UNIQUE row key (l_orderkey:l_linenumber — hashing row identity,
+    * not the value, preserves occurrence multiplicity), i.e. a
+    * deterministic uniform sample any engine re-derives bit-for-bit;
+    * the quantile estimate is the nearest-rank element of the sorted
+    * sample values. Values are integer cents via the mirrored
+    * `floor(price·100 + 0.5)` (one double formula, identical in IEEE on
+    * both engines), and every rank index is integer ([[QuantRanks]]) —
+    * the whole output surface is BIGINT, no float gate anywhere.
+    *
+    * 100 TB shape: the sketch side is ONE partial aggregation — ≤ k
+    * (hash, value) pairs per group cross the wire, never O(rows). The
+    * exact nearest-rank side (the acceptance harness, same contract as
+    * kmvDistinct's exact countDistinct) pays one value-grouped count,
+    * a per-flag cumulative window (the documented skew surface: group
+    * count is the partition count; the production escape at extreme
+    * group skew is sampled rank thresholds), and a broadcast totals
+    * join-back.
+    */
+  def kmvQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"),
+      graft.functions.StringFunctions.utf8_poly_id(
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")), Dedup.IdMod).as("hv"))
+    val res = new graft.functions.HashReservoirSketch(ReservoirK).toColumn
+    val sk = rows.select(col("flag"), col("hv"), col("cents"))
+      .as[(String, Long, Long)].groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(res.name("sketch")).toDF("flag", "sketch")
+    val est = sk
+      .select(col("flag"), size(col("sketch")).as("m"),
+        array_sort(expr("transform(sketch, x -> x._2)")).as("vals"))
+      .select(col("flag") +: col("m").cast("long").as("m_sample") +:
+        QuantRanks.map { case (nm, a, b) =>
+          element_at(col("vals"),
+            expr(s"CAST((m * $a + ${b - 1}) DIV $b AS INT)"))
+            .as(s"${nm}_est")
+        }: _*)
+    val counts = rows.groupBy("flag", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("flag").agg(sum("cnt").as("n"))
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("flag").orderBy("cents")))
+      .join(broadcast(totals), Seq("flag"))
+    val exact = cum.groupBy("flag").agg(
+      max(col("n")).as("n"),
+      QuantRanks.map { case (nm, a, b) =>
+        min(when(
+          col("cum") >= expr(s"CAST((n * $a + ${b - 1}) DIV $b AS BIGINT)"),
+          col("cents"))).as(s"${nm}_exact")
+      }: _*)
+    exact.join(est, Seq("flag"))
+      .select(col("flag") +: col("n") +: col("m_sample") +:
+        QuantRanks.flatMap { case (nm, _, _) =>
+          Seq(col(s"${nm}_exact"), col(s"${nm}_est"))
+        }: _*)
+  }
+
   /** Set operations (union / intersect / except) over two key sets:
     * customers that ordered vs customers that produced events. Each count
     * is a 1-row aggregate; the three are unioned with a tag column.
@@ -1020,6 +1104,7 @@ object Ext {
     "q_approx_exact" -> approxExact _,
     "q_kmv_distinct" -> kmvDistinct _,
     "q_kmv_jaccard" -> kmvJaccard _,
+    "q_kmv_quantiles" -> kmvQuantiles _,
     "q_upsert" -> upsert _,
     "q_skew_profile" -> skewProfile _,
     "q_salted_join" -> saltedJoinQuery _,
@@ -1230,6 +1315,45 @@ object Ext {
          |    ELSE round(${KmvK - 1} * ${Dedup.IdMod}.0 / hk, 6) END
          |    AS kmv_est
          |FROM ex JOIN kth USING (source)""".stripMargin,
+    "q_kmv_quantiles" -> {
+      val rowKey =
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+      val estCols = QuantRanks.map { case (nm, a, b) =>
+        s"""CAST(max(CASE WHEN vr = (m * $a + ${b - 1}) // $b
+           |      THEN cents END) AS BIGINT) AS ${nm}_est""".stripMargin
+      }.mkString(",\n    ")
+      val exCols = QuantRanks.map { case (nm, a, b) =>
+        s"""CAST(min(CASE WHEN cum >= (n * $a + ${b - 1}) // $b
+           |      THEN cents END) AS BIGINT) AS ${nm}_exact""".stripMargin
+      }.mkString(",\n    ")
+      val outCols = QuantRanks
+        .map { case (nm, _, _) => s"${nm}_exact, ${nm}_est" }
+        .mkString(", ")
+      s"""WITH r AS (SELECT l_returnflag AS flag,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    ${Dedup.idUtf8Sql(rowKey)} AS hv
+         |  FROM lineitem),
+         |sk AS (SELECT flag, hv, cents, row_number() OVER
+         |    (PARTITION BY flag ORDER BY hv, cents) AS rk
+         |  FROM (SELECT DISTINCT flag, hv, cents FROM r)),
+         |sv AS (SELECT flag, cents, row_number() OVER
+         |    (PARTITION BY flag ORDER BY cents) AS vr,
+         |    count(*) OVER (PARTITION BY flag) AS m
+         |  FROM sk WHERE rk <= $ReservoirK),
+         |est AS (SELECT flag, CAST(max(m) AS BIGINT) AS m_sample,
+         |    $estCols
+         |  FROM sv GROUP BY flag),
+         |c AS (SELECT flag, cents, count(*) AS cnt FROM r GROUP BY 1, 2),
+         |t AS (SELECT flag, sum(cnt) AS n FROM c GROUP BY 1),
+         |cm AS (SELECT c.flag, c.cents, t.n,
+         |    sum(cnt) OVER (PARTITION BY c.flag ORDER BY c.cents) AS cum
+         |  FROM c JOIN t ON c.flag = t.flag),
+         |ex AS (SELECT flag, CAST(max(n) AS BIGINT) AS n,
+         |    $exCols
+         |  FROM cm GROUP BY flag)
+         |SELECT ex.flag, n, m_sample, $outCols
+         |FROM ex JOIN est ON ex.flag = est.flag""".stripMargin
+    },
     "q_kmv_jaccard" ->
       s"""WITH tok AS (SELECT source, unnest(string_split(text, ' '))
          |    AS term FROM documents),

@@ -46,6 +46,51 @@ class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
 
+/** Hash-reservoir sketch for ORACLE-CHECKABLE quantiles: per-group
+  * state is the k smallest DISTINCT (hash, value) pairs under
+  * lexicographic (hash, value) order, where the hash is the portable
+  * poly hash of a UNIQUE ROW KEY — so the kept pairs are a
+  * deterministic uniform-without-replacement sample of the group's
+  * value OCCURRENCES (hashing the row key, not the value, preserves
+  * multiplicity: two rows with equal values keep distinct hashes).
+  * Like [[KmvSketch]], the buffer is a pure order statistic of a
+  * portable hash: any engine derives the identical k pairs, the
+  * identical sorted sample values, and therefore the identical
+  * nearest-rank quantile ESTIMATES — the property that lets the
+  * percentile estimate itself hash-gate against DuckDB, which the
+  * engine-native `approx_percentile` sketch cannot.
+  *
+  * Sampling error is the classic order-statistic bound: the rank of
+  * the sample's q-quantile concentrates within O(√(q(1−q)/k)) of q —
+  * k = 256 puts the p50 estimate within ~±3 rank-percent with high
+  * probability. Merge is set-union-then-trim: associative,
+  * commutative, duplicate-safe (a hash collision on equal values is
+  * ONE sample slot by definition, identically in every engine).
+  * Exactly k (hash, value) pairs per group cross the shuffle.
+  */
+class HashReservoirSketch(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  require(k > 0, "k must be positive")
+  private val ord = implicitly[Ordering[(Long, Long)]]
+
+  def zero: Seq[(Long, Long)] = Seq.empty
+
+  def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+    if (b.size >= k && ord.gteq(a, b.last)) b
+    else if (b.contains(a)) b
+    else ((b :+ a).sorted(ord): Seq[(Long, Long)]).take(k)
+
+  def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    ((x ++ y).distinct.sorted(ord): Seq[(Long, Long)]).take(k)
+
+  def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
+
+  def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+  def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
 /** Null-skipping boxed front for the SQL/UDAF surface: SQL columns are
   * nullable, and the natural inputs (`utf8_poly_id` of a possibly-null
   * string) propagate NULL — which must be IGNORED, the way every

@@ -391,6 +391,40 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash reservoir: bounded, duplicate-safe, split-invariant; quantile estimates inside the sampling band") {
+    val hr = new graft.functions.HashReservoirSketch(3)
+    // lexicographic (hash, value) order; k smallest distinct pairs
+    val xs = Seq((9L, 1L), (2L, 5L), (2L, 5L), (7L, 0L), (1L, 8L), (2L, 4L))
+    val bulk = xs.foldLeft(hr.zero)(hr.reduce)
+    assert(bulk === Seq((1L, 8L), (2L, 4L), (2L, 5L)))
+    // partial-agg law: merge of arbitrary splits equals the bulk fold
+    (1 until xs.size).foreach { cut =>
+      val (a, b) = xs.splitAt(cut)
+      assert(hr.merge(
+        a.foldLeft(hr.zero)(hr.reduce),
+        b.foldLeft(hr.zero)(hr.reduce)) === bulk, s"split at $cut")
+    }
+    // the query: every estimate within ±10 rank-percent of exact at
+    // k = 256 (deterministic hash ⇒ fixed values, not a flaky draw;
+    // the bound is ~3σ of the √(q(1-q)/k) rank deviation)
+    val rows = Ext.kmvQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) === Ext.ReservoirK.toLong,
+        "groups larger than k fill the reservoir")
+      Seq((3, 4), (5, 6), (7, 8), (9, 10)).foreach { case (ei, si) =>
+        val (exact, est) = (r.getLong(ei), r.getLong(si))
+        assert(est > 0 && exact > 0)
+        // rank the estimate against the exact quantile's neighbors:
+        // values are ~uniform on the fixture so compare in value space
+        val tol = 0.10 * 10000000L // prices span ~[900, 10.5M] cents
+        assert(math.abs(est - exact) <= tol,
+          s"flag ${r.getString(0)} col $si: |$est - $exact| > $tol (n=$n)")
+      }
+    }
+  }
+
   test("KMV Jaccard: every source pair present, estimate inside the sampling band") {
     val rows = Ext.kmvJaccard(spark, sf).collect()
     assert(rows.length === 190, "20 choose 2 source pairs")
