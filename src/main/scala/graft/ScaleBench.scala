@@ -170,7 +170,13 @@ object ScaleBench {
     // side pays the value-grouped count + per-flag cumulative window,
     // which scales with distinct values per group (linear regime) —
     // expect the exact side to dominate like q_kmv_distinct's
-    "q_kmv_quantiles")
+    "q_kmv_quantiles",
+    // exact-substring dedup: window positions explode map-side, ONE sid
+    // exchange (a window count over positions, never a pair join), one
+    // doc_id exchange for the island fold — salted copies preserve each
+    // copy's internal duplication and share no shingles, so positions,
+    // marked positions, and spans all scale by s (alpha ~ 1)
+    "q_substring_dedup")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

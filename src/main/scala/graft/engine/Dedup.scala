@@ -1071,6 +1071,92 @@ object Dedup {
       .limit(SpanTopK)
   }
 
+  /** Cross-document exact-substring dedup parameters: windows of
+    * [[SubstrW]] tokens; a maximal duplicated run must cover at least
+    * [[SubstrMinSpan]] tokens to be a removal verdict (Lee et al. 2021
+    * use 50 BPE tokens at web scale; the fixture-sized floor keeps the
+    * planted 16-token quotes above it and single duplicated 8-grams
+    * below it).
+    */
+  val SubstrW = 8
+  val SubstrMinSpan = 12
+
+  /** Planted verbatim-quote pair for [[substringDedup]]: sixteen
+    * distinctive tokens embedded at DIFFERENT, non-chunk-aligned
+    * offsets (position 4 in the first doc, 8 in the second) — the
+    * arbitrary-alignment case chunk-level dedup structurally misses.
+    */
+  private[graft] val SubstrPlantedRows: Seq[(Long, String)] = {
+    val quote = (1 to 16).map(i => f"zq$i%02d").mkString(" ")
+    Seq(
+      (993001L, s"pza1 pza2 pza3 $quote wza1 wza2"),
+      (993002L, s"pzb1 pzb2 pzb3 pzb4 pzb5 pzb6 pzb7 $quote wzb1"))
+  }
+
+  /** Core of [[substringDedup]] over any (doc_id, text) frame — split
+    * out so PropertySpec can re-run it on the REDACTED corpus for the
+    * idempotence law.
+    */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    val w = SubstrW
+    val shingled = docs
+      .select(col("doc_id"), TextOps.segmentTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (w - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.StringFunctions.utf8_poly_id(
+          concat_ws(" ", slice(col("t"), col("pos"), lit(w))), IdMod)
+          .as("sid"))
+    val marked = shingled
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("sid"))))
+      .filter(col("n_occ") >= 2)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (w - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .filter(col("span_tokens") >= SubstrMinSpan)
+  }
+
+  /** Cross-document EXACT-SUBSTRING dedup at suffix granularity — the
+    * Lee-et-al "remove any ≥N-token span that appears verbatim
+    * elsewhere" story that [[repeatedSpans]] (top shared windows) and
+    * [[chunkDedup]] (fixed-boundary chunks) approximate. Every
+    * [[SubstrW]]-token window position whose shingle occurs ≥2 times
+    * ANYWHERE in the corpus (other doc or elsewhere in the same doc) is
+    * marked; marked positions coalesce into maximal token intervals
+    * (touching-or-overlapping windows merge: gap ≤ W); intervals of
+    * ≥[[SubstrMinSpan]] tokens are emitted as removal spans — arbitrary
+    * alignment, no chunk grid. Matches the ExactSubstr definition:
+    * every copy of a duplicated span is flagged, first occurrences
+    * included.
+    *
+    * 100 TB shape: shingles explode map-side off the shared
+    * segmentation; ONE sid exchange prices duplication (a window count,
+    * never a self-join — candidates are positions, not pairs); ONE
+    * doc_id exchange sorts each doc's marked positions for the island
+    * fold. Never all-pairs, no driver state; the output is
+    * verdict-sized.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    substringSpans(
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .unionByName(SubstrPlantedRows.toDF("doc_id", "text")))
+  }
+
   /** Bloom-prefiltered decontamination — the scale path for when the
     * benchmark shingle set outgrows a broadcast hash table. Semantics are
     * IDENTICAL to [[decontaminate]] (it shares that oracle SQL): a Bloom
@@ -1340,6 +1426,7 @@ object Dedup {
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_repeated_spans" -> repeatedSpans _,
+    "q_substring_dedup" -> substringDedup _,
     "q_split_leakage" -> splitLeakage _,
     "q_dedup_weights" -> dedupWeights _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
@@ -1681,6 +1768,41 @@ object Dedup {
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, span
          |LIMIT $SpanTopK""".stripMargin,
+    "q_substring_dedup" -> {
+      val values = SubstrPlantedRows.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      val w = SubstrW
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |tok AS (SELECT doc_id, ${TextOps.segmentSql("text")} AS t
+         |  FROM src),
+         |sh AS (SELECT doc_id, p AS pos,
+         |    ${idUtf8Sql(s"array_to_string(t[p : p + ${w - 1}], ' ')")}
+         |      AS sid
+         |  FROM tok, LATERAL (SELECT
+         |    unnest(range(1, len(t) - ${w - 2})) AS p)
+         |  WHERE len(t) >= $w),
+         |mk AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY sid) AS n_occ FROM sh)
+         |  WHERE n_occ >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > $w
+         |      THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |    FROM mk)),
+         |sp AS (SELECT doc_id, island,
+         |    CAST(min(pos) AS BIGINT) AS span_start,
+         |    CAST(max(pos) + ${w - 1} AS BIGINT) AS span_end,
+         |    CAST(count(*) AS BIGINT) AS n_windows
+         |  FROM isl GROUP BY doc_id, island)
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_tokens, n_windows
+         |FROM sp WHERE span_end - span_start + 1 >= $SubstrMinSpan"""
+        .stripMargin
+    },
     "q_utf8_fingerprint" -> {
       val values = Utf8PlantedRows.map { case (id, t) =>
         s"($id, '${t.replace("'", "''")}')"

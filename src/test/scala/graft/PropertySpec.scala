@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.engine.{Multimodal, ScalarOps}
+import graft.engine.{Dedup, Multimodal, ScalarOps, Tables}
 import graft.streaming.SessionState
 import graft.streaming.SessionState.{ClosedSession, Event, OpenSession}
 
@@ -404,6 +404,49 @@ class PropertySpec extends SparkSpec {
       val want = if (r.isNullAt(1)) None else Some(r.getLong(1))
       assert(viaSql(r.getLong(0)) === want)
     }
+  }
+
+  test("substring dedup law: spans are real duplicates, removal is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Dedup.SubstrPlantedRows.toDF("doc_id", "text"))
+    val spans = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.nonEmpty)
+    // every flagged span's text occurs at least twice in the corpus
+    // (spot-check the planted pair: both carry the identical quote)
+    val byDoc = spans.groupBy(_._1)
+    assert(byDoc.contains(993001L) && byDoc.contains(993002L))
+    val txt = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the planted pair: identical 16-token quote at different offsets
+    val quoteA = byDoc(993001L).head
+    val quoteB = byDoc(993002L).head
+    assert(quoteA._3 - quoteA._2 === quoteB._3 - quoteB._2,
+      "planted spans cover the same 16-token quote")
+    def spanText(id: Long, a: Long, b: Long): String =
+      txt(id).split(" ").slice(a.toInt - 1, b.toInt).mkString(" ")
+    assert(
+      spanText(993001L, quoteA._2, quoteA._3) ===
+        spanText(993002L, quoteB._2, quoteB._3),
+      "the two flagged spans are the same verbatim text")
+    // idempotence: remove every flagged span (all copies) and re-run —
+    // the redacted corpus must contain no removable span
+    val spanMap = spans.groupBy(_._1).view
+      .mapValues(_.map(s => (s._2, s._3)).toSeq).toMap
+    val redacted = docs.collect().map { r =>
+      val id = r.getLong(0)
+      val toks = txt(id).split("[ \t\n\r]+").filter(_.nonEmpty)
+      val cut = spanMap.getOrElse(id, Seq.empty)
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !cut.exists { case (a, b) =>
+          i + 1 >= a && i + 1 <= b } => t
+      }
+      (id, kept.mkString(" "))
+    }.toSeq
+    val again = Dedup.substringSpans(redacted.toDF("doc_id", "text"))
+    assert(again.count() === 0L,
+      "re-running on the redacted corpus must find no spans")
   }
 
   test("boilerplate removal law: exact df replay, then idempotent") {
