@@ -176,7 +176,10 @@ object ScaleBench {
     // doc_id exchange for the island fold — salted copies preserve each
     // copy's internal duplication and share no shingles, so positions,
     // marked positions, and spans all scale by s (alpha ~ 1)
-    "q_substring_dedup")
+    "q_substring_dedup",
+    // frozen-classifier scoring: a zero-exchange map pass (features +
+    // one linear margin per row) — the q_quality_rules class
+    "q_quality_score")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

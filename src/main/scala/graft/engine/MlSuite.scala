@@ -440,10 +440,56 @@ object MlSuite {
         "is_best", "best_test_auc_micro")
   }
 
+  /** Quality-classifier loop, training half (FineWeb-Edu shape): a
+    * seeded LR learns the [[TextOps.qualityFeatures]] → rule-bundle-keep
+    * mapping (hand rules bootstrap a trainable scorer; a production run
+    * swaps the weak rule labels for human/LLM annotations — the
+    * training machinery is identical). Emits the learned model AND its
+    * metrics as rows: intercept, one coefficient per feature (in
+    * [[TextOps.QualityLrW]] order), train AUC/accuracy, and corpus/
+    * class sizes — the artifact a deployment freezes into the
+    * `q_quality_score` literals. Rows-only by design (Spark-ML fit is
+    * not DuckDB-expressible); MlSpec pins fit determinism and the
+    * metric floors, and the SCORING pass with frozen weights is the
+    * hash-gated half (`q_quality_score`).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = TextOps.qualityFeatures(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .withColumn("label", col("rules_keep").cast("double"))
+    val cols = Array("f_ntok", "f_stop", "f_dupb", "f_wlen")
+    val assembled = new VectorAssembler().setInputCols(cols)
+      .setOutputCol("features").transform(feats).cache()
+    try {
+      val lr = new LogisticRegression().setMaxIter(100)
+        .setRegParam(0.001).setStandardization(true)
+      val m = lr.fit(assembled)
+      val preds = m.transform(assembled)
+      val auc = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderROC").evaluate(preds)
+      val acc = preds
+        .filter((col("prediction") === 1.0) === (col("label") === 1.0))
+        .count().toDouble / assembled.count()
+      val nKeep = feats.filter(col("rules_keep")).count()
+      val rows =
+        Seq(("intercept", m.intercept)) ++
+          cols.zipWithIndex.map { case (c, i) =>
+            (s"coef_$c", m.coefficients(i))
+          } ++
+          Seq(("auc_train", auc), ("accuracy_train", acc),
+            ("n_docs", assembled.count().toDouble),
+            ("n_keep", nKeep.toDouble))
+      rows.toDF("metric", "value")
+        .withColumn("value", round(col("value"), 6))
+    } finally { assembled.unpersist(): Unit }
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_train_eval" -> mlTrainEval _,
     "ml_describe" -> describeModel _,
-    "ml_cross_validate" -> crossValidate _)
+    "ml_cross_validate" -> crossValidate _,
+    "ml_quality_classifier" -> qualityClassifier _)
 
   /** Not DuckDB-expressible — no oracle entries (driver rows-only check). */
   val oracles: Map[String, String] = Map.empty

@@ -890,6 +890,96 @@ object TextOps {
       ifText(nFailed === 0).as("keep"))
   }
 
+  /** Per-document quality FEATURES + the rule-bundle label, shared by
+    * the classifier trainer (`ml_quality_classifier`) and the
+    * frozen-weight scorer (`q_quality_score`) so train-time and
+    * score-time features cannot drift. Features are the house float
+    * surface: one CAST and three single mirrored divisions of exact
+    * integers (token count, stopword rate, duplicate-bigram rate, mean
+    * word-run length), all over the shared script-aware segmentation.
+    * Label: the [[qualityRules]] keep verdict (the FineWeb-Edu shape —
+    * hand rules bootstrap a trainable scorer).
+    */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
+    val t = segmentTokens(col("text"))
+    val nTok = size(t)
+    val allStops = Stopwords ++ CjkStopwords
+    val nStop = size(filter(t, x => x.isInCollection(allStops)))
+    val wordToks = filter(t, x => !x.rlike(s"^[$SegPerCharClass]$$"))
+    val nWord = size(wordToks)
+    val sumWChars = aggregate(wordToks, lit(0L),
+      (acc, x) => acc + length(x))
+    val bLen = greatest(nTok - 1, lit(0))
+    val big2 = zip_with(slice(t, lit(1), bLen), slice(t, lit(2), bLen),
+      (a, b) => concat_ws(" ", a, b))
+    val nB = size(big2)
+    val nDB = size(array_distinct(big2))
+    val tooShort = nTok < RuleMinTokens
+    val tooLong = nTok > RuleMaxTokens
+    val lowStop = nStop < RuleMinStopInstances
+    val badLen = nWord > 0 &&
+      (sumWChars < nWord * RuleMinMeanLenX1 ||
+        sumWChars > nWord * RuleMaxMeanLenX1)
+    val repetitive = nB > 0 && (nB - nDB) * RuleDupBigramDen > nB
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), nTok.cast("long").as("n_tok"),
+        nTok.cast("double").as("f_ntok"),
+        (nStop.cast("double") / nTok.cast("double")).as("f_stop"),
+        when(nB > 0, (nB - nDB).cast("double") / nB.cast("double"))
+          .otherwise(0.0).as("f_dupb"),
+        when(nWord > 0,
+          sumWChars.cast("double") / nWord.cast("double"))
+          .otherwise(0.0).as("f_wlen"),
+        (!(tooShort || tooLong || lowStop || badLen || repetitive))
+          .as("rules_keep"))
+      .filter(col("n_tok") >= 1)
+  }
+
+  /** Frozen quality-classifier weights for [[qualityScore]]: seeded LR
+    * coefficients from `ml_quality_classifier` trained at sf0.01
+    * (features in [[qualityFeatures]] order: f_ntok, f_stop, f_dupb,
+    * f_wlen), pinned as literals so the SCORING pass is a pure
+    * oracle-checkable column program — the shipped-model deployment
+    * shape. MlSpec asserts retraining reproduces a working model; these
+    * exact constants are the frozen artifact, not a per-run output.
+    */
+  val QualityLrIntercept: Double = -6.261109
+  val QualityLrW: Seq[Double] = Seq(0.180792, 71.26968, -4.788396,
+    -0.546955)
+
+  /** Corpus scoring under the FROZEN quality classifier — the
+    * deployment half of the FineWeb-Edu loop (`ml_quality_classifier`
+    * trains and evaluates; THIS query ships the learned linear scorer
+    * over the corpus as one zero-exchange map pass). The margin is the
+    * raw linear score (no sigmoid — exp's last-ulp behavior differs
+    * across libms; the margin is monotone in the probability and
+    * crosses 0 exactly where p crosses 1/2), computed in ONE fixed
+    * left-to-right expression so both engines run the identical IEEE op
+    * sequence, then rounded to 6. `lr_keep` compares the ROUNDED margin
+    * to 0 so the verdict is a pure function of the gated column.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityFeatures(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), col("n_tok"),
+        round(expr(marginSql), 6).as("margin"), col("rules_keep"))
+      .withColumn("lr_keep", col("margin") > 0.0)
+      .select(col("doc_id"), col("n_tok"), col("margin"),
+        col("lr_keep"), col("rules_keep"),
+        (col("lr_keep") === col("rules_keep")).as("agree"))
+
+  /** The one shared margin expression (identical text goes through
+    * Spark's and DuckDB's SQL parsers, so literal parsing and operation
+    * order are the same on both sides).
+    */
+  private[graft] def marginSql: String = {
+    val names = Seq("f_ntok", "f_stop", "f_dupb", "f_wlen")
+    QualityLrW.zip(names).foldLeft(QualityLrIntercept.toString) {
+      case (acc, (w, n)) => s"$acc + ($w) * $n"
+    }
+  }
+
   /** Count-min sketch depth (independent hash rows) and width (counters
     * per row): 4×1024 = 4096 integers TOTAL regardless of corpus size.
     * Point-estimate overcount is bounded by e·N/width with probability
@@ -955,6 +1045,7 @@ object TextOps {
     "q_lang_id" -> langId _,
     "q_token_count" -> tokenCount _,
     "q_segment_cjk" -> segmentCjk _,
+    "q_quality_score" -> qualityScore _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
     "q_unigram_prob" -> unigramProb _,
@@ -1154,6 +1245,42 @@ object TextOps {
     },
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(${segmentSql("text")}) AS BIGINT) AS seg_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents""",
+    "q_quality_score" -> {
+      val sl = (Stopwords ++ CjkStopwords).map(s => s"'$s'").mkString(", ")
+      s"""WITH s AS (SELECT doc_id, ${segmentSql("text")} AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |x AS (SELECT doc_id, len(t) AS n_tok,
+         |    len(list_filter(t, w -> w IN ($sl))) AS n_stop,
+         |    list_filter(t,
+         |      w -> NOT regexp_matches(w, '^[$SegPerCharClass]$$')) AS wt,
+         |    list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1]) AS b2
+         |  FROM s),
+         |y AS (SELECT doc_id, n_tok, n_stop, len(wt) AS n_word,
+         |    coalesce(list_sum(list_transform(wt, w -> length(w))), 0)
+         |      AS sum_wchars,
+         |    len(b2) AS nb, len(list_distinct(b2)) AS ndb
+         |  FROM x WHERE n_tok >= 1),
+         |f AS (SELECT doc_id, n_tok,
+         |    CAST(n_tok AS DOUBLE) AS f_ntok,
+         |    CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS f_stop,
+         |    CASE WHEN nb > 0 THEN CAST(nb - ndb AS DOUBLE)
+         |      / CAST(nb AS DOUBLE) ELSE 0.0 END AS f_dupb,
+         |    CASE WHEN n_word > 0 THEN CAST(sum_wchars AS DOUBLE)
+         |      / CAST(n_word AS DOUBLE) ELSE 0.0 END AS f_wlen,
+         |    (NOT (n_tok < $RuleMinTokens OR n_tok > $RuleMaxTokens
+         |      OR n_stop < $RuleMinStopInstances
+         |      OR (n_word > 0 AND (sum_wchars < n_word * $RuleMinMeanLenX1
+         |        OR sum_wchars > n_word * $RuleMaxMeanLenX1))
+         |      OR (nb > 0 AND (nb - ndb) * $RuleDupBigramDen > nb)))
+         |      AS rules_keep
+         |  FROM y),
+         |g AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |    round($marginSql, 6) AS margin, rules_keep FROM f)
+         |SELECT doc_id, n_tok, margin, margin > 0 AS lr_keep,
+         |  rules_keep, (margin > 0) = rules_keep AS agree
+         |FROM g""".stripMargin
+    },
     "q_segment_cjk" -> {
       def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
       val values = SegPlantedRows.map { case (id, t) =>

@@ -109,4 +109,33 @@ class MlSpec extends SparkSpec {
       assert(x === y, s"micro-unit CV drift: $x vs $y")
     }
   }
+
+  test("quality classifier: learnable, deterministic, and the frozen scorer agrees with the rules") {
+    import org.apache.spark.sql.functions._
+    def rows(s: org.apache.spark.sql.SparkSession) =
+      MlSuite.qualityClassifier(s, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    val a = rows(spark)
+    val m = a.toMap
+    // the rule bundle is linearly learnable from its own features: the
+    // refit must separate keep from drop nearly perfectly
+    assert(m("auc_train") >= 0.99, s"auc ${m("auc_train")}")
+    assert(m("accuracy_train") >= 0.95)
+    assert(m("n_docs") > m("n_keep") && m("n_keep") > 0,
+      "both classes present in the training frame")
+    // fit determinism across fresh sessions (the ml_train_eval law)
+    val b = rows(spark.newSession())
+    a.zip(b).foreach { case (x, y) =>
+      assert(x === y, s"classifier drift: $x vs $y")
+    }
+    // deployment half: the FROZEN sf0.01-trained weights transfer to
+    // this fixture — scorer and hand rules agree on >= 95% of docs
+    val score = graft.engine.TextOps.qualityScore(spark, sf).cache()
+    try {
+      val n = score.count()
+      val agree = score.filter(col("agree")).count()
+      assert(n > 0 && agree * 100L >= n * 95L,
+        s"frozen scorer agreement $agree/$n below 95%")
+    } finally { score.unpersist(): Unit }
+  }
 }
