@@ -198,6 +198,55 @@ object SqlEntry {
       |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
 
+  /** Window shape through the SQL text front door: the top-3 orders per
+    * customer as `row_number() OVER` — the windowed twin of
+    * [[qTopOrderSql]]'s correlated scalar. The planner must produce ONE
+    * Window over one sort exchange and NO join (the naive translation
+    * is a self-join on the per-customer max — PlanSpec gates that it
+    * never appears). The tie-break key (o_orderkey) makes the cut a
+    * total order, so both engines keep identical rows; `row_number`
+    * returns int in Spark and bigint in DuckDB, hence the explicit
+    * CAST.
+    */
+  private val qWindowTopNSql =
+    """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn,
+      |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+      |    AS total_price
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Grouping-set shape through the SQL text front door: order counts
+    * and totals by (priority, status) with ROLLUP subtotals — the
+    * Expand planner path (each row fans out over its grouping sets
+    * map-side; one exchange on the expanded keys). `grouping()`
+    * disambiguates subtotal rows from genuine NULL keys, identically
+    * in both engines.
+    */
+  private val qRollupSql =
+    """SELECT
+      |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+      |    ELSE o_orderpriority END AS priority,
+      |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+      |    ELSE o_orderstatus END AS status,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
+  def sqlWindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qWindowTopNSql)
+  }
+
+  def sqlRollup(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qRollupSql)
+  }
+
   def sqlTopOrder(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(qTopOrderSql)
@@ -246,7 +295,9 @@ object SqlEntry {
     "q_sql_promo_effect" -> sqlQ14 _,
     "q_sql_big_orders" -> sqlQ18 _,
     "q_sql_idle_balance" -> sqlQ22 _,
-    "q_sql_top_order_per_cust" -> sqlTopOrder _)
+    "q_sql_top_order_per_cust" -> sqlTopOrder _,
+    "q_sql_window_topn" -> sqlWindowTopN _,
+    "q_sql_rollup" -> sqlRollup _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
     * TIMESTAMP literals and decimal semantics line up).
@@ -259,5 +310,7 @@ object SqlEntry {
     "q_sql_promo_effect" -> q14Sql.replace("\n", " "),
     "q_sql_big_orders" -> q18Sql.replace("\n", " "),
     "q_sql_idle_balance" -> q22Sql.replace("\n", " "),
-    "q_sql_top_order_per_cust" -> qTopOrderSql.replace("\n", " "))
+    "q_sql_top_order_per_cust" -> qTopOrderSql.replace("\n", " "),
+    "q_sql_window_topn" -> qWindowTopNSql.replace("\n", " "),
+    "q_sql_rollup" -> qRollupSql.replace("\n", " "))
 }

@@ -627,6 +627,26 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("SQL window top-n plans ONE Window and no join") {
+    val p = plan(SqlEntry.sqlWindowTopN(spark, sf))
+    val windows = p.split("\n")
+      .count(_.matches("""\(\d+\) Window\s*"""))
+    assert(windows === 1,
+      s"row_number top-n must be exactly one Window pass:\n$p")
+    // the naive translation is a self-join against the per-customer
+    // max/rank — any Join node means the window path degraded
+    assert(!p.contains("Join"),
+      s"window top-n must not plan a join:\n$p")
+  }
+
+  test("SQL ROLLUP plans the Expand grouping-set path") {
+    val p = plan(SqlEntry.sqlRollup(spark, sf))
+    assert(p.contains("Expand"),
+      s"GROUP BY ROLLUP must plan an Expand:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"rollup must be one expand+aggregate, no join:\n$p")
+  }
+
   test("SQL correlated scalar subquery de-correlates to agg + join") {
     val p = plan(SqlEntry.sqlTopOrder(spark, sf))
     // the per-customer max must be ONE aggregate joined back, not a
