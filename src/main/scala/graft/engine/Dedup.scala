@@ -749,7 +749,13 @@ object Dedup {
     * ([[Multimodal.imageDedup]]), audio energy-contour hash
     * ([[Multimodal.audioDedup]]) all reuse it, so the scale contract is
     * proven once: candidates are band-bucketed (never all-pairs), the
-    * pair graph is dup-sized, the component loop is O(log n).
+    * pair graph is dup-sized, the component loop is O(log n). The
+    * MEASURED scale evidence for this plan is `q_simhash_pairs`' row in
+    * BASELINE.md's ScaleBench table (α ≈ 0.29 at sf0.1×10 — the
+    * corpus-signature workload); the modality dedups themselves are
+    * absent from ScaleBench because their corpus rows are magic-filtered
+    * out before decode, leaving a planted-sized input BY CONSTRUCTION —
+    * their 100 TB behavior IS this shared plan's.
     *
     * Returns one row per input doc: (doc_id, sig, cluster_root,
     * is_keeper) — singletons root at themselves and keep.

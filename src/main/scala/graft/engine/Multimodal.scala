@@ -563,6 +563,12 @@ object Multimodal {
     * one row per decoded image with its hash, cluster root, and keeper
     * flag. Scale shape: decode is partition-wise, candidates are
     * band-bucketed (never all-pairs), the pair graph is dup-sized.
+    * Measured scale evidence: this is [[Dedup.bandedHammingClusters]],
+    * whose exponent `q_simhash_pairs` prices in BASELINE.md's
+    * ScaleBench table (α ≈ 0.29) — the modality queries themselves are
+    * planted-sized by construction (corpus rows magic-filter out before
+    * decode), so the shared plan's row IS their 100 TB story; the same
+    * cross-reference covers [[audioDedup]] and [[videoDedup]].
     */
   /** (doc_id, sig) dHash table over the image-decodable slice of the
     * media table plus `extra` planted (id, payload) rows: magic-filtered

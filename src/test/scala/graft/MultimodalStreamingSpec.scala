@@ -309,6 +309,44 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV state law at 20x users: buffer stays <= k per window") {
+    // the structural scale claim behind q_stream_distinct's flat
+    // ScaleBench row: the per-window STATE is the sketch buffer, and it
+    // is <= k longs no matter how many distinct users a window sees.
+    // 20x the fixture's per-window user load through the same UDAF the
+    // stream aggregates with (complete-mode state == this buffer; the
+    // merge law elsewhere proves microbatch splits cannot change it).
+    GraftExtensions.register(spark)
+    val k = Ext.KmvK
+    val usersPerWindow = 40000L // ~20x the fixture's distinct users/hour
+    // scrambled fixed-width keys: KMV's estimator reads the k-th ORDER
+    // STATISTIC of the hash, so it needs the hash roughly uniform over
+    // the id population — SEQUENTIAL decimal ids defeat the byte-poly
+    // fold (consecutive strings hash to consecutive values, clustering
+    // the hash set into narrow runs), so the synthetic ids go through a
+    // multiplicative scramble first, the shape real user ids have
+    val rows = spark.range(0, 4 * usersPerWindow).selectExpr(
+      s"id DIV $usersPerWindow AS win",
+      "lpad(CAST((id * 2654435761) % 1000000007 AS STRING), 10, '0')" +
+        " AS uid")
+      .selectExpr("win",
+        s"utf8_poly_id(uid, ${graft.engine.Dedup.IdMod}L) AS hv")
+      .groupBy("win")
+      .agg(expr("kmv_sketch(hv)").as("sketch"))
+      .selectExpr("win", "size(sketch) AS n_sketch",
+        s"round(${k - 1} * ${graft.engine.Dedup.IdMod}.0D" +
+          s" / CAST(element_at(sketch, $k) AS DOUBLE), 6) AS est")
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getInt(1) === k,
+        s"window ${r.get(0)}: state must cap at k = $k longs")
+      val est = r.getDouble(2)
+      assert(est > usersPerWindow * 0.6 && est < usersPerWindow * 1.67,
+        s"window ${r.get(0)}: estimate $est outside the k=64 band")
+    }
+  }
+
   test("stream-static enrichment equals the batch left join exactly") {
     val streamed = graft.streaming.StreamingQueries
       .streamEnrich(spark, sf).cache()
