@@ -444,8 +444,8 @@ object Bpe {
            |      AS n_tokens
            |  FROM tk t JOIN s$Rounds s ON t.word = s.word
            |  GROUP BY t.doc_id),
-           |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
-           |    len(list_filter(string_split(text, ' '),
+           |q AS (SELECT doc_id, len(${TextOps.segmentSql("text")}) AS n_tok,
+           |    len(list_filter(${TextOps.segmentSql("text")},
            |      t -> t IN (${Curation.stopList}))) AS n_stop
            |  FROM documents),
            |m AS (SELECT q.doc_id, c.n_tokens,

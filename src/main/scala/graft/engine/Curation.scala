@@ -16,7 +16,10 @@ object Curation {
   val ChunkSize = 32
   val ChunkStride = 24 // = size - overlap(8)
 
-  private def toks = split(col("text"), " ")
+  // shared tokenizer: the script-aware segmentation (== whitespace split
+  // on Latin text; per-codepoint on unsegmented scripts) so budgets,
+  // chunk grids, samples, and mixes count real tokens multilingually
+  private def toks = TextOps.segmentTokens(col("text"))
 
   /** PII scrubbing: regex redaction of emails/URLs with per-doc match
     * counts. PII is synthesized in-query (fixture text is clean) so the
@@ -474,14 +477,16 @@ object Curation {
     * decisions are Long comparisons — bit-exact against the oracle.
     */
   /** Micro-scaled (×1e6, Long) quality score used by the budget
-    * selections; null text ⇒ 0 so adversarial rows sort last, unkept.
+    * selections; null or token-free text ⇒ 0 so adversarial rows sort
+    * last, unkept (the segmentation, unlike whitespace split, yields an
+    * EMPTY array for empty text — the n_tok = 0 branch must not divide).
     */
   private[engine] def qualityMicro: org.apache.spark.sql.Column = {
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isInCollection(TextOps.Stopwords)))
-    val q = round(
+    val q = when(nTok > 0, round(
       least(nTok.cast("double") / 50, lit(1.0)) *
-        (lit(1.0) - nStop.cast("double") / nTok), 6)
+        (lit(1.0) - nStop.cast("double") / nTok), 6)).otherwise(0.0)
     coalesce(round(q * 1000000L).cast("long"), lit(0L))
   }
 
@@ -660,7 +665,7 @@ object Curation {
   def coverageReport(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("lang"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
+        size(toks).cast("long").as("toks"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
     val tot = g.agg(sum(col("n_docs")).cast("long").as("t_docs"),
@@ -878,10 +883,10 @@ object Curation {
   private val corpusCurateSql =
     s"""WITH scored AS (
        |  SELECT doc_id, source,
-       |    len(string_split(text, ' ')) AS n_tok,
-       |    len(list_filter(string_split(text, ' '),
+       |    len(${TextOps.segmentSql("text")}) AS n_tok,
+       |    len(list_filter(${TextOps.segmentSql("text")},
        |      t -> t IN ($stopList))) AS n_stop,
-       |    len(list_filter(string_split(text, ' '),
+       |    len(list_filter(${TextOps.segmentSql("text")},
        |      t -> t IN ($enList))) AS score_en,
        |    min(doc_id) OVER (PARTITION BY
        |      ${TextOps.portableFpSql("text", FpBase1, FpMod1)},
@@ -957,7 +962,7 @@ object Curation {
   private val mixTemperatureSql: String = {
     val scale2 = MixWeightScale * MixWeightScale
     s"""WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |    CAST(sum(len(${TextOps.segmentSql("text")})) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
        |cand AS (SELECT *, n_tokens * $scale2 AS m,
        |    CAST(floor(sqrt(CAST(n_tokens * $scale2 AS DOUBLE))) AS BIGINT)
@@ -1017,8 +1022,8 @@ object Curation {
       s"WITH uc AS ($urlCanonicalSql),\n$tail"
     },
     "q_coverage_report" ->
-      """WITH g AS (SELECT lang, source, count(*) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      s"""WITH g AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(${TextOps.segmentSql("text")})) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang, source),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM g)
@@ -1090,19 +1095,19 @@ object Curation {
          |FROM src""".stripMargin
     },
     "q_doc_chunk" ->
-      s"""SELECT doc_id, CAST(start / $ChunkStride AS INTEGER) AS chunk_idx, CAST(len(t[start + 1 : least(start + $ChunkSize, len(t))]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[start + 1 : least(start + $ChunkSize, len(t))], ' ') AS chunk_text FROM (SELECT doc_id, string_split(text, ' ') AS t, unnest(range(0, greatest(len(string_split(text, ' ')), 1), $ChunkStride)) AS start FROM documents) WHERE len(t[start + 1 : least(start + $ChunkSize, len(t))]) > 0""",
+      s"""SELECT doc_id, CAST(start / $ChunkStride AS INTEGER) AS chunk_idx, CAST(len(t[start + 1 : least(start + $ChunkSize, len(t))]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[start + 1 : least(start + $ChunkSize, len(t))], ' ') AS chunk_text FROM (SELECT doc_id, ${TextOps.segmentSql("text")} AS t, unnest(range(0, greatest(len(${TextOps.segmentSql("text")}), 1), $ChunkStride)) AS start FROM documents) WHERE len(t[start + 1 : least(start + $ChunkSize, len(t))]) > 0""",
     "q_weighted_sample" ->
-      """WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE) / 1000000007 AS u FROM documents) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(least(1.0, n_tokens / 100.0), 6) AS weight, round(u, 6) AS u FROM s WHERE u < least(1.0, n_tokens / 100.0)""",
+      s"""WITH s AS (SELECT doc_id, len(${TextOps.segmentSql("text")}) AS n_tokens, CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE) / 1000000007 AS u FROM documents) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(least(1.0, n_tokens / 100.0), 6) AS weight, round(u, 6) AS u FROM s WHERE u < least(1.0, n_tokens / 100.0)""",
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total, COUNT(CASE WHEN doc_id % 10 < 3 THEN 1 END) AS n_sampled, round(CAST(COUNT(CASE WHEN doc_id % 10 < 3 THEN 1 END) AS DOUBLE) / count(*), 6) AS sample_ratio FROM documents GROUP BY lang""",
     "q_repetition" ->
-      """SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams, round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_ratio FROM (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) WHERE len(g2) > 0""",
+      s"""SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams, round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_ratio FROM (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2 FROM (SELECT doc_id, ${TextOps.segmentSql("text")} AS t FROM documents)) WHERE len(g2) > 0""",
     "q_data_shuffle" ->
       """SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS shuffle_key, CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS position FROM documents""",
     "q_corpus_curate" -> corpusCurateSql,
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(${TextOps.segmentSql("text")}) AS BIGINT) AS n_tokens,
          |    (doc_id * 2654435761) % 1000000007 AS shuffle_key
          |  FROM documents),
          |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
@@ -1119,8 +1124,8 @@ object Curation {
          |FROM c""".stripMargin,
     "q_quality_threshold" ->
       s"""WITH s AS (SELECT doc_id, source,
-         |    len(string_split(text, ' ')) AS n_tok,
-         |    len(list_filter(string_split(text, ' '),
+         |    len(${TextOps.segmentSql("text")}) AS n_tok,
+         |    len(list_filter(${TextOps.segmentSql("text")},
          |      t -> t IN ($stopList))) AS n_stop
          |  FROM documents),
          |m AS (SELECT doc_id, source,
@@ -1134,8 +1139,8 @@ object Curation {
          |FROM r""".stripMargin,
     "q_token_budget" ->
       s"""WITH s AS (SELECT doc_id,
-         |    len(string_split(text, ' ')) AS n_tok,
-         |    len(list_filter(string_split(text, ' '),
+         |    len(${TextOps.segmentSql("text")}) AS n_tok,
+         |    len(list_filter(${TextOps.segmentSql("text")},
          |      t -> t IN ($stopList))) AS n_stop
          |  FROM documents),
          |m AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
@@ -1150,7 +1155,7 @@ object Curation {
       s"""WITH b AS (SELECT
          |    ${TextOps.portableFpSql("text", FpBase1, FpMod1)} % 100
          |      AS bucket,
-         |    source, len(string_split(text, ' ')) AS n_tok
+         |    source, len(${TextOps.segmentSql("text")}) AS n_tok
          |  FROM documents),
          |s AS (SELECT CASE WHEN bucket < $SplitTrainPct THEN 'train'
          |      WHEN bucket < $SplitValPct THEN 'validation'
@@ -1164,7 +1169,7 @@ object Curation {
          |FROM a""".stripMargin,
     "q_domain_mix" ->
       s"""WITH t AS (SELECT source,
-         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |    CAST(sum(len(${TextOps.segmentSql("text")})) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY source),
          |g AS (SELECT source, n_tokens,
          |    round(CAST(sum(n_tokens) OVER () AS DOUBLE) * $MixBudgetShare

@@ -203,6 +203,16 @@ object Dedup {
 
   /** doc_id -> distinct word-3-gram shingle rows.
     *
+    * Tokenization note: the shingle word grid is WHITESPACE split by
+    * design and stays so when the text-analysis chain moved to
+    * [[TextOps.segmentTokens]] — the shingle vocabulary is a FINGERPRINT
+    * definition (every persisted index, incremental probe, and oracle
+    * replays the same byte stream), so changing it invalidates corpora
+    * fingerprinted under the old grid. A multilingual deployment makes
+    * the one-line swap here (segmentTokens is drop-in and makes CJK
+    * shingles per-codepoint 3-grams) and refingerprints; `q_substring_
+    * dedup` already runs its exact-substring grid on the segmentation.
+    *
     * Implemented as three shifted `slice`s zipped back together rather than
     * `transform(sequence(...), i -> element_at(...))` — the indexed-HOF
     * form re-walks the array per position and measured ~8x slower at sf0.1

@@ -326,7 +326,7 @@ object Ext {
     import spark.implicits._
     val hashed = Tables.documents(spark, dir)
       .select(col("source"),
-        explode(split(col("text"), " ")).as("term"))
+        explode(TextOps.segmentTokens(col("text"))).as("term"))
       .select(col("source"), col("term"),
         graft.functions.StringFunctions
           .utf8_poly_id(col("term"), Dedup.IdMod).as("hv"))
@@ -371,7 +371,7 @@ object Ext {
     import spark.implicits._
     val terms = Tables.documents(spark, dir)
       .select(col("source"),
-        explode(split(col("text"), " ")).as("term"))
+        explode(TextOps.segmentTokens(col("text"))).as("term"))
     val vocab = terms.distinct()
     val counts = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
     val kmv = new graft.functions.KmvSketch(KmvK).toColumn
@@ -1297,7 +1297,7 @@ object Ext {
     "q_approx_exact" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
     "q_kmv_distinct" ->
-      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+      s"""WITH tok AS (SELECT source, unnest(${TextOps.segmentSql("text")})
          |    AS term FROM documents),
          |ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
          |    AS n_distinct FROM tok GROUP BY source),
@@ -1355,7 +1355,7 @@ object Ext {
          |FROM ex JOIN est ON ex.flag = est.flag""".stripMargin
     },
     "q_kmv_jaccard" ->
-      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+      s"""WITH tok AS (SELECT source, unnest(${TextOps.segmentSql("text")})
          |    AS term FROM documents),
          |v AS (SELECT DISTINCT source, term FROM tok),
          |c AS (SELECT source, CAST(count(*) AS BIGINT) AS nv

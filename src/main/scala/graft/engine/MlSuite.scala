@@ -462,6 +462,21 @@ object MlSuite {
     val assembled = new VectorAssembler().setInputCols(cols)
       .setOutputCol("features").transform(feats).cache()
     try {
+      val nDocs = assembled.count()
+      val nKeepPre = feats.filter(col("rules_keep")).count()
+      // degenerate corpora (empty, or single-class labels) cannot fit:
+      // emit the structural rows with the trivial classifier's metrics
+      // instead of throwing — the robustness contract for every query
+      if (nDocs == 0L || nKeepPre == 0L || nKeepPre == nDocs) {
+        val maj = if (nDocs == 0L) 0.0
+          else math.max(nKeepPre, nDocs - nKeepPre).toDouble / nDocs
+        return (Seq(("intercept", 0.0)) ++
+          cols.map(c => (s"coef_$c", 0.0)) ++
+          Seq(("auc_train", 0.5), ("accuracy_train", maj),
+            ("n_docs", nDocs.toDouble), ("n_keep", nKeepPre.toDouble)))
+          .toDF("metric", "value")
+          .withColumn("value", round(col("value"), 6))
+      }
       val lr = new LogisticRegression().setMaxIter(100)
         .setRegParam(0.001).setStandardization(true)
       val m = lr.fit(assembled)

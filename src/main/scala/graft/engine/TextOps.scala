@@ -20,7 +20,15 @@ object TextOps {
     */
   val Stopwords: Seq[String] = Seq("the", "a", "value", "data")
 
-  private def tokens: Column = split(col("text"), " ")
+  /** The SHARED tokenizer for every text-analysis operator: the
+    * script-aware segmentation (identical to whitespace split on Latin
+    * text, per-codepoint on CJK/Thai — see [[segmentTokens]]), so the
+    * quality/LM/BM25/sketch chain measures real tokens on a
+    * multilingual corpus. Operators whose semantics are EXPLICITLY
+    * whitespace (`ws_tokens` in [[tokenCount]]/[[segmentCjk]]) call
+    * `split` directly.
+    */
+  private def tokens: Column = segmentTokens(col("text"))
 
   // ===== script-aware deterministic segmentation (CJK-safe) ==========
 
@@ -73,14 +81,19 @@ object TextOps {
     val nTok = size(tokens)
     val nStop = size(filter(tokens, t => t.isInCollection(Stopwords)))
     val nDistinct = size(array_distinct(tokens))
+    // token-free text (possible under segmentation, unlike whitespace
+    // split) must not reach the divisions: ratios are null for it
+    def ifTok(c: Column): Column = when(nTok > 0, c)
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
-      round(col("n_chars").cast("double") / nTok, 6).as("chars_per_token"),
-      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"),
-      round(nDistinct.cast("double") / nTok, 6).as("distinct_ratio"),
-      round(least(nTok.cast("double") / 50, lit(1.0)) *
-        (lit(1.0) - nStop.cast("double") / nTok), 6).as("quality_score"))
+      ifTok(round(col("n_chars").cast("double") / nTok, 6))
+        .as("chars_per_token"),
+      ifTok(round(nStop.cast("double") / nTok, 6)).as("stopword_ratio"),
+      ifTok(round(nDistinct.cast("double") / nTok, 6))
+        .as("distinct_ratio"),
+      ifTok(round(least(nTok.cast("double") / 50, lit(1.0)) *
+        (lit(1.0) - nStop.cast("double") / nTok), 6)).as("quality_score"))
   }
 
   /** Marker-word language ID (n-gram/stopword heuristic): score per
@@ -122,8 +135,8 @@ object TextOps {
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      size(tokens).cast("long").as("ws_tokens"),
-      size(segmentTokens(col("text"))).cast("long").as("seg_tokens"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(tokens).cast("long").as("seg_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
         .cast("long").as("re_tokens"),
       ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
@@ -409,7 +422,7 @@ object TextOps {
       "filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)), " +
         "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)")
     val bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), segmentTokens(col("text")).as("ws"))
       .select(col("doc_id"), explode(bigrams).as("bg"))
     val common = bg.groupBy("bg").agg(count(lit(1)).as("c"))
       .filter(col("c") >= BigramMinCount)
@@ -925,7 +938,10 @@ object TextOps {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), nTok.cast("long").as("n_tok"),
         nTok.cast("double").as("f_ntok"),
-        (nStop.cast("double") / nTok.cast("double")).as("f_stop"),
+        // the n_tok >= 1 filter below drops token-free rows, but the
+        // projection still evaluates for them — guard the division
+        when(nTok > 0, nStop.cast("double") / nTok.cast("double"))
+          .otherwise(0.0).as("f_stop"),
         when(nB > 0, (nB - nDB).cast("double") / nB.cast("double"))
           .otherwise(0.0).as("f_dupb"),
         when(nWord > 0,
@@ -1056,11 +1072,11 @@ object TextOps {
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
   private def markerScore(ms: Seq[String]): String =
-    s"len(list_filter(string_split(text, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    s"len(list_filter(${segmentSql("text")}, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
     "q_cms_freq" ->
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' '))
+      s"""WITH tok AS (SELECT unnest(${segmentSql("text")})
          |    AS term FROM documents),
          |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
          |  FROM tok GROUP BY term
@@ -1124,8 +1140,8 @@ object TextOps {
          |FROM f""".stripMargin
     },
     "q_vocab_drift" ->
-      """WITH t AS (SELECT doc_id % 2 = 0 AS is_a,
-        |    unnest(string_split(text, ' ')) AS term FROM documents),
+      s"""WITH t AS (SELECT doc_id % 2 = 0 AS is_a,
+        |    unnest(${segmentSql("text")}) AS term FROM documents),
         |c AS (SELECT term,
         |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS c_a,
         |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS c_b
@@ -1219,24 +1235,24 @@ object TextOps {
          |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))""".stripMargin
     },
     "q_array_stats" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+      s"""SELECT doc_id,
+        |  CAST(len(${segmentSql("text")}) AS BIGINT) AS n_words,
+        |  CAST(list_aggregate(list_transform(${segmentSql("text")},
         |    x -> len(x)), 'sum') AS BIGINT) AS sum_len,
-        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |  CAST(list_aggregate(list_transform(${segmentSql("text")},
         |    x -> len(x)), 'max') AS BIGINT) AS max_len,
-        |  CAST(len(list_filter(string_split(text, ' '),
+        |  CAST(len(list_filter(${segmentSql("text")},
         |    x -> len(x) >= 6)) AS BIGINT) AS n_long
         |FROM documents""".stripMargin,
     "q_regex_extract" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    w -> regexp_matches(w, '^s[a-z]+$'))) AS BIGINT) AS n_s_words,
-        |  list_filter(string_split(text, ' '),
-        |    w -> regexp_matches(w, '^s[a-z]+$'))[1] AS first_s_word
+      s"""SELECT doc_id,
+        |  CAST(len(list_filter(${segmentSql("text")},
+        |    w -> regexp_matches(w, '^s[a-z]+$$'))) AS BIGINT) AS n_s_words,
+        |  list_filter(${segmentSql("text")},
+        |    w -> regexp_matches(w, '^s[a-z]+$$'))[1] AS first_s_word
         |FROM documents""".stripMargin,
     "q_text_quality" ->
-      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS distinct_ratio, round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / len(string_split(text, ' '))), 6) AS quality_score FROM documents""",
+      s"""SELECT doc_id, CAST(len(${segmentSql("text")}) AS BIGINT) AS n_tokens, round(CAST(n_chars AS DOUBLE) / len(${segmentSql("text")}), 6) AS chars_per_token, round(CAST(len(list_filter(${segmentSql("text")}, t -> t IN ($stopList))) AS DOUBLE) / len(${segmentSql("text")}), 6) AS stopword_ratio, round(CAST(len(list_distinct(${segmentSql("text")})) AS DOUBLE) / len(${segmentSql("text")}), 6) AS distinct_ratio, round(least(CAST(len(${segmentSql("text")}) AS DOUBLE) / 50, 1.0) * (1.0 - CAST(len(list_filter(${segmentSql("text")}, t -> t IN ($stopList))) AS DOUBLE) / len(${segmentSql("text")})), 6) AS quality_score FROM documents""",
     "q_lang_id" -> {
       val caseExpr = LangMarkers.map { case (lang, ms) =>
         s"WHEN ${markerScore(ms)} = s.best AND s.best > 0 THEN '$lang'"
@@ -1306,7 +1322,7 @@ object TextOps {
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, ${portableFpSql("text", 31, 1000000007L)} AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""",
     "q_salient_terms" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      s"""WITH tok AS (SELECT doc_id, unnest(${segmentSql("text")}) AS term
          |  FROM documents),
          |tfg AS (SELECT doc_id, term, count(*) AS tf
          |  FROM tok GROUP BY doc_id, term),
@@ -1322,7 +1338,7 @@ object TextOps {
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= $SalientK""".stripMargin,
     "q_unigram_prob" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+      s"""WITH tok AS (SELECT doc_id, unnest(${segmentSql("text")})
         |    AS term FROM documents),
         |tfg AS (SELECT doc_id, term, count(*) AS c FROM tok
         |  GROUP BY doc_id, term),
@@ -1336,7 +1352,7 @@ object TextOps {
         |    AS mean_prob
         |FROM d CROSS JOIN tot""".stripMargin,
     "q_perplexity_bucket" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+      s"""WITH tok AS (SELECT doc_id, unnest(${segmentSql("text")})
         |    AS term FROM documents),
         |tfg AS (SELECT doc_id, term, count(*) AS c FROM tok
         |  GROUP BY doc_id, term),
@@ -1383,7 +1399,7 @@ object TextOps {
          |FROM h GROUP BY dst_host""".stripMargin
     },
     "q_bigram_coverage" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH w AS (SELECT doc_id, ${segmentSql("text")} AS ws
          |  FROM documents),
          |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
          |b AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg FROM ix),
@@ -1395,16 +1411,16 @@ object TextOps {
          |GROUP BY doc_id""".stripMargin,
     "q_bm25" -> {
       val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+      s"""WITH tok AS (SELECT doc_id, unnest(${segmentSql("text")})
          |    AS term FROM documents),
          |tfg AS (SELECT doc_id, term, count(*) AS tf FROM tok
          |  WHERE term IN ($termList) GROUP BY doc_id, term),
          |dfg AS (SELECT term, count(DISTINCT doc_id) AS df
          |  FROM tfg GROUP BY term),
-         |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' '))
+         |dlt AS (SELECT doc_id, CAST(len(${segmentSql("text")})
          |    AS BIGINT) AS dl FROM documents),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |    CAST(sum(len(${segmentSql("text")})) AS BIGINT)
          |      AS total_tokens FROM documents),
          |s AS (SELECT term, doc_id, tf, dl, round(
          |    (n_docs - df + 0.5) / (df + 0.5) * (tf * ${Bm25K1 + 1}) /

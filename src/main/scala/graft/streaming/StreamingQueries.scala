@@ -324,7 +324,7 @@ object StreamingQueries {
     val s2 = spark.newSession() // stateless: no state sizing needed
     val docs = s2.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val toks = split(col("text"), " ")
+    val toks = TextOps.segmentTokens(col("text")) // shared tokenizer
     val nTok = size(toks)
     val nStop = size(filter(toks,
       t => t.isInCollection(TextOps.Stopwords)))
@@ -462,10 +462,10 @@ object StreamingQueries {
         """round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) *
           |    (1.0 - CAST(n_stop AS DOUBLE) / n_tok), 6)""".stripMargin
       s"""WITH scored AS (SELECT doc_id, source,
-         |    len(string_split(text, ' ')) AS n_tok,
-         |    len(list_filter(string_split(text, ' '),
+         |    len(${TextOps.segmentSql("text")}) AS n_tok,
+         |    len(list_filter(${TextOps.segmentSql("text")},
          |      t -> t IN ($stopList))) AS n_stop,
-         |    len(list_filter(string_split(text, ' '),
+         |    len(list_filter(${TextOps.segmentSql("text")},
          |      t -> t IN ($enList))) AS score_en
          |  FROM documents)
          |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
