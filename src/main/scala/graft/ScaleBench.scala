@@ -179,7 +179,14 @@ object ScaleBench {
     "q_substring_dedup",
     // frozen-classifier scoring: a zero-exchange map pass (features +
     // one linear margin per row) — the q_quality_rules class
-    "q_quality_score")
+    "q_quality_score",
+    // duplication report: NOTE the bench's count() action lets Catalyst
+    // ELIMINATE the left join-back (the span side's keys are provably
+    // unique from its Aggregate, and only the group count survives
+    // pruning), so this row prices the per-doc token rollup only — the
+    // span pass's true exponent is q_substring_dedup's row; Verify
+    // materializes every column, so correctness sees the full plan
+    "q_dedup_report")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -1146,6 +1146,38 @@ object Dedup {
       .filter(col("span_tokens") >= SubstrMinSpan)
   }
 
+  /** DuckDB CTE chain from a preceding `src(doc_id, text)` CTE to the
+    * maximal-duplicated-interval table `sp(doc_id, island, span_start,
+    * span_end, n_windows)` — the twin of [[substringSpans]], shared by
+    * the span-listing and corpus-report oracles.
+    */
+  private def substrSpanSqlCtes: String = {
+    val w = SubstrW
+    s"""tok AS (SELECT doc_id, ${TextOps.segmentSql("text")} AS t
+       |  FROM src),
+       |sh AS (SELECT doc_id, p AS pos,
+       |    ${idUtf8Sql(s"array_to_string(t[p : p + ${w - 1}], ' ')")}
+       |      AS sid
+       |  FROM tok, LATERAL (SELECT
+       |    unnest(range(1, len(t) - ${w - 2})) AS p)
+       |  WHERE len(t) >= $w),
+       |mk AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY sid) AS n_occ FROM sh)
+       |  WHERE n_occ >= 2),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $w
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |    FROM mk)),
+       |sp AS (SELECT doc_id, island,
+       |    CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(pos) + ${w - 1} AS BIGINT) AS span_end,
+       |    CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+  }
+
   /** Cross-document EXACT-SUBSTRING dedup at suffix granularity — the
     * Lee-et-al "remove any ≥N-token span that appears verbatim
     * elsewhere" story that [[repeatedSpans]] (top shared windows) and
@@ -1171,6 +1203,43 @@ object Dedup {
     substringSpans(
       Tables.documents(spark, dir).select("doc_id", "text")
         .unionByName(SubstrPlantedRows.toDF("doc_id", "text")))
+  }
+
+  /** Per-source duplication REPORT over the exact-substring spans — the
+    * Lee-et-al-style "how much of the corpus is verbatim-duplicated
+    * text" table a dedup run publishes before/after acting: per source,
+    * doc and token counts, docs carrying ≥1 removable span, total
+    * duplicated tokens (spans are maximal and non-overlapping within a
+    * doc by construction, so the sum is exact coverage), the integer-ppm
+    * duplicated share, and the largest span. Plan: the span pass
+    * (verdict-sized output) joins back to per-doc token counts on
+    * doc_id, then ONE source rollup — the spans side is duplicate-sized
+    * so the join-back never dominates.
+    */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")
+    val per = docs.select(col("doc_id"), col("source"),
+      size(TextOps.segmentTokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val sp = substringSpans(docs.select("doc_id", "text"))
+      .groupBy("doc_id")
+      .agg(sum(col("span_tokens")).as("dup_tokens"),
+        max(col("span_tokens")).as("max_span"),
+        count(lit(1)).as("n_spans"))
+    per.join(sp, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans").isNotNull, 1L).otherwise(0L))
+          .as("n_docs_with_dup"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        max(coalesce(col("max_span"), lit(0L))).as("max_span"))
+      .select(col("source"), col("n_docs"), col("n_docs_with_dup"),
+        col("n_tokens"), col("dup_tokens"),
+        expr("CAST(dup_tokens * 1000000 DIV n_tokens AS BIGINT)")
+          .as("dup_ppm"),
+        col("max_span"))
   }
 
   /** Bloom-prefiltered decontamination — the scale path for when the
@@ -1443,6 +1512,7 @@ object Dedup {
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_repeated_spans" -> repeatedSpans _,
     "q_substring_dedup" -> substringDedup _,
+    "q_dedup_report" -> dedupReport _,
     "q_split_leakage" -> splitLeakage _,
     "q_dedup_weights" -> dedupWeights _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
@@ -1788,37 +1858,39 @@ object Dedup {
       val values = SubstrPlantedRows.map { case (id, t) =>
         s"($id, '${t.replace("'", "''")}')"
       }.mkString(", ")
-      val w = SubstrW
       s"""WITH src AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
-         |tok AS (SELECT doc_id, ${TextOps.segmentSql("text")} AS t
-         |  FROM src),
-         |sh AS (SELECT doc_id, p AS pos,
-         |    ${idUtf8Sql(s"array_to_string(t[p : p + ${w - 1}], ' ')")}
-         |      AS sid
-         |  FROM tok, LATERAL (SELECT
-         |    unnest(range(1, len(t) - ${w - 2})) AS p)
-         |  WHERE len(t) >= $w),
-         |mk AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
-         |    count(*) OVER (PARTITION BY sid) AS n_occ FROM sh)
-         |  WHERE n_occ >= 2),
-         |isl AS (SELECT doc_id, pos,
-         |    sum(CASE WHEN prev IS NULL OR pos - prev > $w
-         |      THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM (SELECT doc_id, pos,
-         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |    FROM mk)),
-         |sp AS (SELECT doc_id, island,
-         |    CAST(min(pos) AS BIGINT) AS span_start,
-         |    CAST(max(pos) + ${w - 1} AS BIGINT) AS span_end,
-         |    CAST(count(*) AS BIGINT) AS n_windows
-         |  FROM isl GROUP BY doc_id, island)
+         |$substrSpanSqlCtes
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start + 1 AS span_tokens, n_windows
          |FROM sp WHERE span_end - span_start + 1 >= $SubstrMinSpan"""
         .stripMargin
     },
+    "q_dedup_report" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         |$substrSpanSqlCtes,
+         |spans AS (SELECT doc_id,
+         |    span_end - span_start + 1 AS span_tokens FROM sp
+         |  WHERE span_end - span_start + 1 >= $SubstrMinSpan),
+         |per AS (SELECT d.doc_id, d.source,
+         |    CAST(len(${TextOps.segmentSql("text")}) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+         |    CAST(max(span_tokens) AS BIGINT) AS max_span,
+         |    count(*) AS n_spans
+         |  FROM spans GROUP BY doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN a.n_spans IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_with_dup,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+         |  CAST(sum(coalesce(dup_tokens, 0)) * 1000000
+         |    // sum(n_tokens) AS BIGINT) AS dup_ppm,
+         |  CAST(max(coalesce(max_span, 0)) AS BIGINT) AS max_span
+         |FROM per p LEFT JOIN agg a ON p.doc_id = a.doc_id
+         |GROUP BY source""".stripMargin,
     "q_utf8_fingerprint" -> {
       val values = Utf8PlantedRows.map { case (id, t) =>
         s"($id, '${t.replace("'", "''")}')"

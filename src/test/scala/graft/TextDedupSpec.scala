@@ -678,6 +678,28 @@ class TextDedupSpec extends SparkSpec {
     assert(flags(990011L) === Seq(false, false, false, true, false))
   }
 
+  test("dedup report: exact span-coverage accounting per source") {
+    val rep = Dedup.dedupReport(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (nd, ndd, nt, dt, ppm, mx) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(ndd <= nd && dt <= nt,
+        s"${r.getString(0)}: coverage cannot exceed the corpus")
+      assert(ppm === dt * 1000000L / nt)
+      assert(mx == 0L || mx >= Dedup.SubstrMinSpan.toLong)
+      assert((ndd == 0L) === (dt == 0L))
+    }
+    // conservation: the report's duplicated tokens are exactly the span
+    // pass's total over the same (planted-free) corpus
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val spanTotal = Dedup.substringSpans(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+      .agg(coalesce(sum("span_tokens"), lit(0L))).collect()
+      .head.getLong(0)
+    assert(rep.map(_.getLong(4)).sum === spanTotal)
+  }
+
   test("segmentation: per-codepoint CJK, whitespace-equivalent Latin") {
     val byId = TextOps.segmentCjk(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
