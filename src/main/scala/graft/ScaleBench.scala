@@ -186,7 +186,14 @@ object ScaleBench {
     // pruning), so this row prices the per-doc token rollup only — the
     // span pass's true exponent is q_substring_dedup's row; Verify
     // materializes every column, so correctness sees the full plan
-    "q_dedup_report")
+    "q_dedup_report",
+    // catalog stats: one stacked corpus pass (rows x 4 map-side) into a
+    // 4-group aggregate. Same count()-pruning caveat as q_dedup_report:
+    // only the grouping keys survive the bench action, so this row
+    // prices the stacked scan + key agg; the exact-NDV distinct
+    // exchange (linear in per-column cardinality) and the <=k-longs KMV
+    // side are exercised by Verify's full materialization
+    "q_table_stats")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

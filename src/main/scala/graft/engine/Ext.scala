@@ -500,6 +500,72 @@ object Ext {
         }: _*)
   }
 
+  /** Columns profiled by [[tableStats]] and two planted rows carrying
+    * NULLs (the fixture's columns are fully populated, so the null
+    * accounting needs them to prove anything).
+    */
+  private val StatCols = Seq("doc_id", "lang", "source", "n_chars")
+  private[graft] val StatsPlantedRows
+      : Seq[(Long, Option[String], Option[String], Option[Long])] = Seq(
+    (994001L, None, None, None),
+    (994002L, None, Some("srcX"), None))
+
+  /** ANALYZE-style per-column table statistics — the catalog profile a
+    * cost-based optimizer (or a data-quality dashboard) reads: row
+    * count, null count, EXACT distinct count, the KMV sketch estimate
+    * beside it (the bounded-state column any 100 TB profile actually
+    * ships — ≤k longs per column cross the wire, vs the exact side's
+    * per-column distinct exchange, priced here as the acceptance
+    * harness), and the min/max zone-map bounds over the RENDERED string
+    * domain (binary collation in both engines, so the bounds
+    * hash-gate; a typed zone map per column family is the production
+    * variant). ONE corpus pass: the column stack explodes map-side
+    * (rows×4, the A10 pivot shape), then a single cname aggregation —
+    * no per-column scans, no Expand (single distinct aggregate).
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = StatsPlantedRows.toDF("doc_id", "lang", "source",
+      "n_chars")
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .unionByName(planted)
+    val stacked = src.select(explode(array(StatCols.map(c =>
+        struct(lit(c).as("cname"), col(c).cast("string").as("v"))): _*))
+        .as("s"))
+      .select(col("s.cname").as("cname"), col("s.v").as("v"))
+      // affine post-mix mod the PRIME IdMod: raw poly order statistics
+      // collapse on sequential-id domains (consecutive rendered ids
+      // hash to consecutive values, so the k smallest cover a sliver of
+      // the range and the estimator explodes ~10^5x — measured on
+      // doc_id); the mix maps any arithmetic progression to a
+      // near-equidistributed one (step coprime to p), restoring the
+      // uniformity the KMV estimator needs. Engine-portable integer
+      // arithmetic, mirrored verbatim in the oracle.
+      .withColumn("hv", when(col("v").isNotNull,
+        (graft.functions.StringFunctions.utf8_poly_id(col("v"),
+          Dedup.IdMod) * lit(1103515245L) + lit(12345L)) % Dedup.IdMod))
+    val kmv = udaf(new graft.functions.KmvSketchSql(KmvK),
+      org.apache.spark.sql.Encoders.LONG)
+    stacked.groupBy("cname")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("ndv_exact"),
+        kmv(col("hv")).as("sketch"),
+        min(col("v")).as("min_str"), max(col("v")).as("max_str"))
+      .select(col("cname"), col("n_rows"), col("n_nulls"),
+        col("ndv_exact"),
+        size(col("sketch")).cast("long").as("n_sketch"),
+        when(size(col("sketch")) < KmvK,
+          size(col("sketch")).cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble * Dedup.IdMod.toDouble) /
+              element_at(col("sketch"), KmvK).cast("double"), 6))
+          .as("ndv_kmv"),
+        col("min_str"), col("max_str"))
+  }
+
   /** Set operations (union / intersect / except) over two key sets:
     * customers that ordered vs customers that produced events. Each count
     * is a 1-row aggregate; the three are unioned with a tag column.
@@ -1105,6 +1171,7 @@ object Ext {
     "q_kmv_distinct" -> kmvDistinct _,
     "q_kmv_jaccard" -> kmvJaccard _,
     "q_kmv_quantiles" -> kmvQuantiles _,
+    "q_table_stats" -> tableStats _,
     "q_upsert" -> upsert _,
     "q_skew_profile" -> skewProfile _,
     "q_salted_join" -> saltedJoinQuery _,
@@ -1315,6 +1382,49 @@ object Ext {
          |    ELSE round(${KmvK - 1} * ${Dedup.IdMod}.0 / hk, 6) END
          |    AS kmv_est
          |FROM ex JOIN kth USING (source)""".stripMargin,
+    "q_table_stats" -> {
+      val values = StatsPlantedRows.map { case (id, l, s, n) =>
+        def str(o: Option[String]) =
+          o.map(x => s"'$x'").getOrElse("CAST(NULL AS VARCHAR)")
+        def num(o: Option[Long]) =
+          o.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
+        s"($id, ${str(l)}, ${str(s)}, ${num(n)})"
+      }.mkString(", ")
+      val unions = StatCols.map {
+        case c @ ("doc_id" | "n_chars") =>
+          s"SELECT '$c' AS cname, CAST($c AS VARCHAR) AS v FROM src"
+        case c =>
+          s"SELECT '$c' AS cname, $c AS v FROM src"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH src AS (SELECT doc_id, lang, source,
+         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values)
+         |    v(doc_id, lang, source, n_chars)),
+         |st AS ($unions),
+         |h AS (SELECT DISTINCT cname,
+         |    (${Dedup.idUtf8Sql("v")} * 1103515245 + 12345)
+         |      % ${Dedup.IdMod} AS hv
+         |  FROM st WHERE v IS NOT NULL),
+         |r AS (SELECT cname, hv,
+         |    row_number() OVER (PARTITION BY cname ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY cname) AS nd FROM h),
+         |kth AS (SELECT cname, max(nd) AS nd,
+         |    max(CASE WHEN rn = $KmvK THEN hv END) AS hk
+         |  FROM r GROUP BY cname),
+         |base AS (SELECT cname, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nulls,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS ndv_exact,
+         |    min(v) AS min_str, max(v) AS max_str
+         |  FROM st GROUP BY cname)
+         |SELECT b.cname, n_rows, n_nulls, ndv_exact,
+         |  CAST(LEAST(nd, $KmvK) AS BIGINT) AS n_sketch,
+         |  CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+         |    ELSE round(${KmvK - 1} * ${Dedup.IdMod}.0 / hk, 6) END
+         |    AS ndv_kmv,
+         |  min_str, max_str
+         |FROM base b JOIN kth ON b.cname = kth.cname""".stripMargin
+    },
     "q_kmv_quantiles" -> {
       val rowKey =
         "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"

@@ -425,6 +425,29 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("table stats: null accounting from planted rows, NDV estimate in band") {
+    val rows = Ext.tableStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("doc_id", "lang", "source", "n_chars"))
+    val n = Tables.documents(spark, sf).count() +
+      Ext.StatsPlantedRows.size
+    rows.values.foreach(r => assert(r.getLong(1) === n))
+    // planted nulls: 2 lang, 1 source, 2 n_chars, 0 doc_id
+    assert(rows("doc_id").getLong(2) === 0L)
+    assert(rows("lang").getLong(2) === 2L)
+    assert(rows("source").getLong(2) === 1L)
+    assert(rows("n_chars").getLong(2) === 2L)
+    rows.values.foreach { r =>
+      val (ndv, nSk, est) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nSk === math.min(ndv, Ext.KmvK.toLong))
+      if (nSk < Ext.KmvK) assert(est === ndv.toDouble)
+      else assert(est > ndv * 0.6 && est < ndv * 1.67,
+        s"${r.getString(0)}: est $est vs exact $ndv — the affine " +
+          "post-mix must keep sequential domains in the KMV band")
+      assert(r.getString(6) <= r.getString(7), "zone map ordered")
+    }
+  }
+
   test("KMV Jaccard: every source pair present, estimate inside the sampling band") {
     val rows = Ext.kmvJaccard(spark, sf).collect()
     assert(rows.length === 190, "20 choose 2 source pairs")
