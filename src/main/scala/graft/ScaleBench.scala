@@ -193,7 +193,11 @@ object ScaleBench {
     // prices the stacked scan + key agg; the exact-NDV distinct
     // exchange (linear in per-column cardinality) and the <=k-longs KMV
     // side are exercised by Verify's full materialization
-    "q_table_stats")
+    "q_table_stats",
+    // release manifest: one partitioned write + one grouped read-back
+    // scan; the fingerprint is a map-side fold into a 5-group sum —
+    // write volume scales by s, the rollup is language-count-sized
+    "q_dataset_manifest")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

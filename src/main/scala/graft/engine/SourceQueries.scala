@@ -131,6 +131,53 @@ object SourceQueries {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
 
+  /** Read-back schema for [[datasetManifest]] (explicit — no inference
+    * job; `lang` last because partition columns append on read).
+    */
+  private val manifestSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Dataset RELEASE MANIFEST — the integrity record a corpus release
+    * ships beside its shards: the full documents table is written
+    * `partitionBy(lang)` and read back, and per partition the manifest
+    * reports row count, byte volume, id range, and an
+    * ORDER-INDEPENDENT content fingerprint — the sum (mod the prime
+    * modulus) of each row's portable poly hash over `doc_id:text`.
+    * Commutativity makes the fingerprint partition-layout- and
+    * task-order-invariant, so ANY faithful copy of the release
+    * reproduces it; the oracle computes the same fingerprint from the
+    * ORIGINAL table, so the hash gate proves the parquet export +
+    * partitioned read-back preserved every byte of every document —
+    * the end-to-end sink/source integrity check `q_*_roundtrip`
+    * checksums approximate at column granularity. The per-row sum
+    * rides DECIMAL(38,0) so it cannot overflow before the mod at any
+    * corpus size. One write + one grouped scan; no exchange beyond the
+    * lang rollup.
+    */
+  def datasetManifest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-manifest")
+    JsonCsvSources.writeParquetPartitioned(
+      Tables.documents(spark, dir)
+        .select("doc_id", "source", "n_chars", "text", "lang"),
+      tmp, "lang")
+    spark.read.schema(manifestSchema).parquet(tmp)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        graft.functions.StringFunctions.utf8_poly_id(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")),
+          Dedup.IdMod).as("hv"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("hv").cast("decimal(38,0)")) % Dedup.IdMod)
+          .cast("long").as("content_fp"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** Raw text-lines round-trip — the rawest corpus interchange format
     * (one document per line: tab-separated id/lang/source, then the
     * text, which is tab-free by fixture construction): write through
@@ -376,6 +423,7 @@ object SourceQueries {
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_partitioned_export" -> partitionedExport _,
+    "q_dataset_manifest" -> datasetManifest _,
     "q_multiline_roundtrip" -> multilineRoundtrip _,
     "q_text_roundtrip" -> textRoundtrip _,
     "q_compact" -> compactStore _,
@@ -398,6 +446,15 @@ object SourceQueries {
          |FROM documents WHERE lang IN ($langs)
          |GROUP BY lang""".stripMargin
     },
+    "q_dataset_manifest" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(CAST(${graft.engine.Dedup.idUtf8Sql(
+              "CAST(doc_id AS VARCHAR) || ':' || text")}
+         |    AS HUGEINT)) % ${graft.engine.Dedup.IdMod} AS BIGINT)
+         |    AS content_fp,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents GROUP BY lang""".stripMargin,
     "q_multiline_roundtrip" -> customerChecksumSql,
     "q_text_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

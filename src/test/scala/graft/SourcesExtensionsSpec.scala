@@ -228,6 +228,37 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("dataset manifest: layout-invariant and tamper-evident") {
+    import org.apache.spark.sql.functions._
+    val m = engine.SourceQueries.datasetManifest(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m.nonEmpty)
+    // the fingerprint is a pure function of content: recompute from the
+    // ORIGINAL table under a scrambled partitioning — must be identical
+    def fp(df: org.apache.spark.sql.DataFrame): Map[String, Long] = df
+      .select(col("lang"),
+        graft.functions.StringFunctions.utf8_poly_id(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")),
+          engine.Dedup.IdMod).as("hv"))
+      .groupBy("lang")
+      .agg((sum(col("hv").cast("decimal(38,0)")) % engine.Dedup.IdMod)
+        .cast("long").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = engine.Tables.documents(spark, sf)
+    assert(fp(docs.repartition(13, col("doc_id"))) === m,
+      "order/layout must not change the fingerprint")
+    // tamper evidence: one flipped character in one document moves the
+    // partition's fingerprint
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val lang0 = docs.filter(col("doc_id") === 0L)
+      .select("lang").collect().head.getString(0)
+    val tm = fp(tampered)
+    assert(tm(lang0) !== m(lang0), "tampering must change the manifest")
+    assert((tm - lang0) === (m - lang0), "other partitions unaffected")
+  }
+
   test("extensions class applies cleanly to a session builder") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; functions injected
