@@ -197,7 +197,11 @@ object ScaleBench {
     // release manifest: one partitioned write + one grouped read-back
     // scan; the fingerprint is a map-side fold into a 5-group sum —
     // write volume scales by s, the rollup is language-count-sized
-    "q_dataset_manifest")
+    "q_dataset_manifest",
+    // ingest-time substring probe: delta windows semi-join the corpus
+    // sid set — both sides' sid exchanges scale linearly with tokens;
+    // the island fold is delta-sized
+    "q_substring_incremental")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

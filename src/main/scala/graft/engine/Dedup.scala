@@ -1113,9 +1113,13 @@ object Dedup {
     * out so PropertySpec can re-run it on the REDACTED corpus for the
     * idempotence law.
     */
-  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+  /** (doc_id, pos, sid) window-position stream under the shared
+    * segmentation — the front half of [[substringSpans]] and the
+    * incremental probe.
+    */
+  private def substrWindows(docs: DataFrame): DataFrame = {
     val w = SubstrW
-    val shingled = docs
+    docs
       .select(col("doc_id"), TextOps.segmentTokens(col("text")).as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), col("t"),
@@ -1124,11 +1128,13 @@ object Dedup {
         graft.functions.StringFunctions.utf8_poly_id(
           concat_ws(" ", slice(col("t"), col("pos"), lit(w))), IdMod)
           .as("sid"))
-    val marked = shingled
-      .withColumn("n_occ",
-        count(lit(1)).over(Window.partitionBy(col("sid"))))
-      .filter(col("n_occ") >= 2)
-      .select("doc_id", "pos")
+  }
+
+  /** Back half shared by the span queries: marked positions → maximal
+    * token intervals ≥ [[SubstrMinSpan]]. Input is (doc_id, pos).
+    */
+  private def substrIslands(marked: DataFrame): DataFrame = {
+    val w = SubstrW
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
@@ -1146,12 +1152,22 @@ object Dedup {
       .filter(col("span_tokens") >= SubstrMinSpan)
   }
 
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    val marked = substrWindows(docs)
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("sid"))))
+      .filter(col("n_occ") >= 2)
+      .select("doc_id", "pos")
+    substrIslands(marked)
+  }
+
   /** DuckDB CTE chain from a preceding `src(doc_id, text)` CTE to the
     * maximal-duplicated-interval table `sp(doc_id, island, span_start,
     * span_end, n_windows)` — the twin of [[substringSpans]], shared by
     * the span-listing and corpus-report oracles.
     */
-  private def substrSpanSqlCtes: String = {
+  /** tok+sh window CTEs from a preceding `src(doc_id, text)` CTE. */
+  private def substrWindowSqlCtes: String = {
     val w = SubstrW
     s"""tok AS (SELECT doc_id, ${TextOps.segmentSql("text")} AS t
        |  FROM src),
@@ -1160,11 +1176,13 @@ object Dedup {
        |      AS sid
        |  FROM tok, LATERAL (SELECT
        |    unnest(range(1, len(t) - ${w - 2})) AS p)
-       |  WHERE len(t) >= $w),
-       |mk AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
-       |    count(*) OVER (PARTITION BY sid) AS n_occ FROM sh)
-       |  WHERE n_occ >= 2),
-       |isl AS (SELECT doc_id, pos,
+       |  WHERE len(t) >= $w)""".stripMargin
+  }
+
+  /** island/span CTEs from a preceding `mk(doc_id, pos)` CTE. */
+  private def substrIslandSqlCtes: String = {
+    val w = SubstrW
+    s"""isl AS (SELECT doc_id, pos,
        |    sum(CASE WHEN prev IS NULL OR pos - prev > $w
        |      THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
@@ -1177,6 +1195,13 @@ object Dedup {
        |    CAST(count(*) AS BIGINT) AS n_windows
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
   }
+
+  private def substrSpanSqlCtes: String =
+    s"""$substrWindowSqlCtes,
+       |mk AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY sid) AS n_occ FROM sh)
+       |  WHERE n_occ >= 2),
+       |$substrIslandSqlCtes""".stripMargin
 
   /** Cross-document EXACT-SUBSTRING dedup at suffix granularity — the
     * Lee-et-al "remove any ≥N-token span that appears verbatim
@@ -1203,6 +1228,37 @@ object Dedup {
     substringSpans(
       Tables.documents(spark, dir).select("doc_id", "text")
         .unionByName(SubstrPlantedRows.toDF("doc_id", "text")))
+  }
+
+  /** INGEST-TIME exact-substring probe — the incremental chapter of the
+    * substring-dedup family, the shape a production pipeline runs on
+    * every arriving batch: each DELTA document (doc_id %
+    * [[IncrementalDeltaMod]] == 0, the same batch carve as
+    * [[dedupIncremental]]) is scanned for spans whose every window
+    * already exists in the STANDING CORPUS (the non-delta docs), i.e.
+    * "this new document quotes ≥[[SubstrMinSpan]] tokens of content we
+    * already have" — flagged before the batch is admitted. Plan: delta
+    * windows LEFT SEMI join the corpus's DISTINCT sid set (one sid
+    * exchange each side; the semi join ships no corpus payload), then
+    * the per-delta-doc island fold. The corpus side rebuilds here per
+    * run; a standing ingest persists it `bucketBy(sid)` exactly like
+    * [[corpusBandIndex]] does for minhash bands — the probe plan is
+    * index-layout-invariant, so the steady-state cost is delta-sized.
+    * Never all-pairs: candidates are delta window POSITIONS, not
+    * document pairs.
+    */
+  def substringIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir).select("doc_id", "text")
+    val win = substrWindows(all)
+    val corpusSids = win
+      .filter(col("doc_id") % IncrementalDeltaMod > 0)
+      .select("sid").distinct()
+    val marked = win
+      .filter(col("doc_id") % IncrementalDeltaMod === 0)
+      .join(corpusSids, Seq("sid"), "left_semi")
+      .select("doc_id", "pos")
+    substrIslands(marked)
+      .withColumnRenamed("doc_id", "doc_new")
   }
 
   /** Per-source duplication REPORT over the exact-substring spans — the
@@ -1513,6 +1569,7 @@ object Dedup {
     "q_repeated_spans" -> repeatedSpans _,
     "q_substring_dedup" -> substringDedup _,
     "q_dedup_report" -> dedupReport _,
+    "q_substring_incremental" -> substringIncremental _,
     "q_split_leakage" -> splitLeakage _,
     "q_dedup_weights" -> dedupWeights _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
@@ -1866,6 +1923,19 @@ object Dedup {
          |FROM sp WHERE span_end - span_start + 1 >= $SubstrMinSpan"""
         .stripMargin
     },
+    "q_substring_incremental" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         |$substrWindowSqlCtes,
+         |cs AS (SELECT DISTINCT sid FROM sh
+         |  WHERE doc_id % $IncrementalDeltaMod > 0),
+         |mk AS (SELECT doc_id, pos FROM sh
+         |  WHERE doc_id % $IncrementalDeltaMod = 0
+         |    AND sid IN (SELECT sid FROM cs)),
+         |$substrIslandSqlCtes
+         |SELECT doc_id AS doc_new, span_start, span_end,
+         |  span_end - span_start + 1 AS span_tokens, n_windows
+         |FROM sp WHERE span_end - span_start + 1 >= $SubstrMinSpan"""
+        .stripMargin,
     "q_dedup_report" ->
       s"""WITH src AS (SELECT doc_id, text FROM documents),
          |$substrSpanSqlCtes,

@@ -700,6 +700,25 @@ class TextDedupSpec extends SparkSpec {
     assert(rep.map(_.getLong(4)).sum === spanTotal)
   }
 
+  test("incremental substring probe: spans nest inside the full-dedup spans") {
+    // a delta span requires every window to exist in the STANDING
+    // corpus — a strictly stronger condition than the full pass's
+    // any-second-occurrence, so each incremental span must sit inside
+    // some full-dedup span of the same document
+    val inc = Dedup.substringIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = Dedup.substringSpans(
+      Tables.documents(spark, sf).select("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    inc.foreach { case (d, a, b) =>
+      assert(d % Dedup.IncrementalDeltaMod === 0L, "delta docs only")
+      assert(full.getOrElse(d, Array.empty[(Long, Long, Long)])
+        .exists { case (_, fa, fb) => fa <= a && b <= fb },
+        s"delta span ($d, $a, $b) not nested in any full span")
+    }
+  }
+
   test("segmentation: per-codepoint CJK, whitespace-equivalent Latin") {
     val byId = TextOps.segmentCjk(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
