@@ -462,8 +462,13 @@ object MlSuite {
     val assembled = new VectorAssembler().setInputCols(cols)
       .setOutputCol("features").transform(feats).cache()
     try {
-      val nDocs = assembled.count()
-      val nKeepPre = feats.filter(col("rules_keep")).count()
+      // ONE aggregation job for the class counts (the cached frame then
+      // feeds the fit and the prediction pass — three actions total)
+      val cnt = assembled.agg(count(lit(1)),
+        sum(col("label"))).collect().head
+      val nDocs = cnt.getLong(0)
+      val nKeepPre =
+        if (cnt.isNullAt(1)) 0L else cnt.getDouble(1).toLong
       // degenerate corpora (empty, or single-class labels) cannot fit:
       // emit the structural rows with the trivial classifier's metrics
       // instead of throwing — the robustness contract for every query
@@ -483,18 +488,18 @@ object MlSuite {
       val preds = m.transform(assembled)
       val auc = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").evaluate(preds)
-      val acc = preds
+      val nCorrect = preds
         .filter((col("prediction") === 1.0) === (col("label") === 1.0))
-        .count().toDouble / assembled.count()
-      val nKeep = feats.filter(col("rules_keep")).count()
+        .count()
+      val acc = nCorrect.toDouble / nDocs
       val rows =
         Seq(("intercept", m.intercept)) ++
           cols.zipWithIndex.map { case (c, i) =>
             (s"coef_$c", m.coefficients(i))
           } ++
           Seq(("auc_train", auc), ("accuracy_train", acc),
-            ("n_docs", assembled.count().toDouble),
-            ("n_keep", nKeep.toDouble))
+            ("n_docs", nDocs.toDouble),
+            ("n_keep", nKeepPre.toDouble))
       rows.toDF("metric", "value")
         .withColumn("value", round(col("value"), 6))
     } finally { assembled.unpersist(): Unit }
