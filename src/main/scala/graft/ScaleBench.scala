@@ -201,7 +201,12 @@ object ScaleBench {
     // ingest-time substring probe: delta windows semi-join the corpus
     // sid set — both sides' sid exchanges scale linearly with tokens;
     // the island fold is delta-sized
-    "q_substring_incremental")
+    "q_substring_incremental",
+    // XML round-trip: write + rowTag-split read of the scaled events
+    // table — both sides are zero-exchange scans, so the exponent
+    // prices the (row-at-a-time) XML serde itself; expect alpha ~ 1
+    // like q_compact's rewrite
+    "q_xml_roundtrip")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

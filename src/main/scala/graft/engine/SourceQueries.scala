@@ -79,6 +79,22 @@ object SourceQueries {
     checksum(JsonCsvSources.readCsv(spark, tmp, Some(eventsLite)))
   }
 
+  /** XML twin of [[jsonlRoundtrip]] (S8 surface widened): events → XML
+    * sink (one `<row>` element per record) → schema'd XML scan →
+    * aggregate. XML is what legacy feeds and the big public document
+    * dumps (Wikipedia, PubMed) ship in, so an ingest engine needs the
+    * scan gate-checked; Spark 4's native XML source in default
+    * (non-multiline) mode splits files on `rowTag` boundaries, so the
+    * read parallelizes like JSONL — the scan stays scalable even for
+    * few-large-file dumps. Explicit schema on the read side (XML
+    * inference samples the FULL input — a whole extra pass at 100 TB).
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-xml")
+    JsonCsvSources.writeXml(eventsProjection(spark, dir), tmp)
+    checksum(JsonCsvSources.readXml(spark, tmp, Some(eventsLite)))
+  }
+
   /** ORC twin of [[jsonlRoundtrip]]: the columnar non-parquet interchange
     * path (ORC self-describes its schema, so no explicit schema needed on
     * the read side).
@@ -422,6 +438,7 @@ object SourceQueries {
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
+    "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_partitioned_export" -> partitionedExport _,
     "q_dataset_manifest" -> datasetManifest _,
     "q_multiline_roundtrip" -> multilineRoundtrip _,
@@ -437,6 +454,7 @@ object SourceQueries {
     "q_jsonl_roundtrip" -> checksumSql,
     "q_csv_roundtrip" -> checksumSql,
     "q_orc_roundtrip" -> checksumSql,
+    "q_xml_roundtrip" -> checksumSql,
     "q_partitioned_export" -> {
       val langs = ExportLangs.map(l => s"'$l'").mkString(", ")
       s"""SELECT lang, count(*) AS n_docs,

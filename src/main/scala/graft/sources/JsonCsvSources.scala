@@ -88,4 +88,24 @@ object JsonCsvSources {
   /** ORC sink (splittable columnar output, one file per partition). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** XML scan (Spark 4 ships the XML source natively) — the interchange
+    * format legacy feeds and document corpora (Wikipedia dumps, PubMed,
+    * sitemap/feed crawls) actually arrive in. Default (non-multiline)
+    * mode splits input by `rowTag` occurrences, so large row-per-record
+    * files parallelize like JSONL; an explicit schema skips the
+    * inference pass (XML infers by full sampling — waste at scale).
+    */
+  def readXml(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      rowTag: String = "row"): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).xml(path)
+  }
+
+  /** XML sink — one `rowTag` element per record, one file per partition
+    * (splittable on re-read by the same tag).
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).xml(path)
 }

@@ -25,6 +25,27 @@ class SourcesExtensionsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("XML round-trip preserves the customer table (Spark 4 native XML)") {
+    val out = tmpDir("xml-rt")
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    JsonCsvSources.writeXml(src, out)
+    // schema'd read — no inference pass; same columns, same values
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_nationkey",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c_acctbal",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("c_mktsegment",
+        org.apache.spark.sql.types.StringType)))
+    val back = JsonCsvSources.readXml(spark, out, Some(schema))
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(back.count() === src.count())
+    assert(back.except(src).count() === 0)
+  }
+
   test("multiline JSON array file loads with inferred schema (S1)") {
     val dir = tmpDir("mljson")
     val rows = Tables.nation(spark, sf).collect().map(r =>
