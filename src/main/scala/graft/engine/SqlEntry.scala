@@ -237,6 +237,35 @@ object SqlEntry {
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
 
+  /** Q16-flavored NOT IN shape (parts that never shipped in the final
+    * year, rolled up per brand): the LAST distinct subquery planner
+    * path through the SQL front door — `NOT IN (subquery)` carries
+    * three-valued NULL semantics (any NULL in the list vetoes every
+    * row), so Spark cannot use the plain left-anti join it gives NOT
+    * EXISTS; it plans a NULL-AWARE anti join (single-column NAAJ,
+    * broadcast build of the distinct key list). The build side here is
+    * the distinct shipped-partkey list — key-cardinality-sized, a
+    * legitimate broadcast at any corpus scale (and l_partkey is
+    * non-null by schema, so both engines agree there is no NULL veto).
+    * Completes the subquery quartet: EXISTS→semi, IN+HAVING→semi on
+    * aggregate, NOT EXISTS→anti, NOT IN→null-aware anti.
+    */
+  private val qNotInSql =
+    """SELECT p_brand, count(*) AS n_unshipped,
+      |  min(p_partkey) AS min_part, max(p_partkey) AS max_part,
+      |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |    AS idle_value
+      |FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY p_brand""".stripMargin
+
+  def sqlNotIn(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qNotInSql)
+  }
+
   def sqlWindowTopN(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(qWindowTopNSql)
@@ -297,7 +326,8 @@ object SqlEntry {
     "q_sql_idle_balance" -> sqlQ22 _,
     "q_sql_top_order_per_cust" -> sqlTopOrder _,
     "q_sql_window_topn" -> sqlWindowTopN _,
-    "q_sql_rollup" -> sqlRollup _)
+    "q_sql_rollup" -> sqlRollup _,
+    "q_sql_unshipped_parts" -> sqlNotIn _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
     * TIMESTAMP literals and decimal semantics line up).
@@ -312,5 +342,6 @@ object SqlEntry {
     "q_sql_idle_balance" -> q22Sql.replace("\n", " "),
     "q_sql_top_order_per_cust" -> qTopOrderSql.replace("\n", " "),
     "q_sql_window_topn" -> qWindowTopNSql.replace("\n", " "),
-    "q_sql_rollup" -> qRollupSql.replace("\n", " "))
+    "q_sql_rollup" -> qRollupSql.replace("\n", " "),
+    "q_sql_unshipped_parts" -> qNotInSql.replace("\n", " "))
 }

@@ -647,6 +647,21 @@ class PlanSpec extends SparkSpec {
       s"rollup must be one expand+aggregate, no join:\n$p")
   }
 
+  test("SQL NOT IN plans a broadcast null-aware anti join (NAAJ)") {
+    val p = plan(SqlEntry.sqlNotIn(spark, sf))
+    // NOT IN's three-valued NULL semantics need the null-aware variant:
+    // a single-column NAAJ plans as BroadcastHashJoin LeftAnti with a
+    // null-aware broadcast build of the distinct key list — never a
+    // row-space nested loop, and the shipdate cut must reach the scan
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"NOT IN must plan as a broadcast null-aware anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN degraded to a nested loop:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter must push to the lineitem scan:\n$p")
+  }
+
   test("SQL correlated scalar subquery de-correlates to agg + join") {
     val p = plan(SqlEntry.sqlTopOrder(spark, sf))
     // the per-customer max must be ONE aggregate joined back, not a
