@@ -206,7 +206,12 @@ object ScaleBench {
     // table — both sides are zero-exchange scans, so the exponent
     // prices the (row-at-a-time) XML serde itself; expect alpha ~ 1
     // like q_compact's rewrite
-    "q_xml_roundtrip")
+    "q_xml_roundtrip",
+    // tokenizer fertility: two regexp counts + two lengths per row into
+    // one lang-grouped 5-long partial-sum exchange (map-side combined,
+    // langs-count output rows) — the corpus scan is the only linear
+    // surface, expect alpha ~ 1 with a flat floor
+    "q_tokenizer_fertility")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

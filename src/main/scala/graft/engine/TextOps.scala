@@ -181,6 +181,62 @@ object TextOps {
         concat_ws(" ", seg), Dedup.IdMod).as("seg_fp"))
   }
 
+  /** Maximal non-whitespace run — the "word" grid fertility is measured
+    * against. Built from [[SegWsClass]] (the explicit list, not `\s`) so
+    * both regex engines agree byte-for-byte; a CJK line with no spaces
+    * is ONE word under this grid, which is exactly the signal fertility
+    * exposes.
+    */
+  private val WordRunPattern: String = s"[^$SegWsClass]+"
+
+  /** Tokenizer fertility audit per language — the standard multilingual
+    * tokenizer-selection table (tokens per word, bytes per token, chars
+    * per token by language). Fertility ≈ 1 on whitespace-segmented
+    * languages and ≫ 1 on unsegmented scripts, because the word grid is
+    * the whitespace run while the token grid is the script-aware
+    * segmentation ([[segmentTokens]]); the planted CJK rows (labeled
+    * with their own `lang` so the audit row is visible) pin that
+    * contrast exactly. A corpus whose fertility row explodes is one
+    * whose token budgets, quality rules, and context-window packing are
+    * all mis-calibrated — this audit is how a pipeline notices BEFORE
+    * training.
+    *
+    * Scale shape: one map pass (two regexp counts + two length
+    * functions per row) into one `groupBy(lang)` exchange of
+    * nLangs×5-long partial sums — map-side combined, no second
+    * exchange. Per-lang sums are exact BIGINTs (bytes per lang bound
+    * 2⁶³ ≈ 9.2 EB); the three ratios are the house one-mirrored-double-
+    * division + round(...,6), guarded so a zero-word or zero-token
+    * language reports null instead of dividing.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select(
+        col("doc_id"), col("text"), col("lang"))
+      .unionByName(SegPlantedRows.toDF("doc_id", "text")
+        .withColumn("lang", lit("xx_planted")))
+    val perDoc = src.select(
+      col("lang"),
+      octet_length(col("text")).cast("long").as("nb"),
+      length(col("text")).cast("long").as("nc"),
+      size(regexp_extract_all(col("text"), lit(WordRunPattern), lit(0)))
+        .cast("long").as("nw"),
+      size(segmentTokens(col("text"))).cast("long").as("ns"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6))
+    perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bytes"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_words"),
+        sum(col("ns")).as("n_seg_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_chars"),
+        col("n_words"), col("n_seg_tokens"),
+        ratio(col("n_seg_tokens"), col("n_words")).as("fertility"),
+        ratio(col("n_bytes"), col("n_seg_tokens")).as("bytes_per_token"),
+        ratio(col("n_chars"), col("n_seg_tokens")).as("chars_per_token"))
+  }
+
   /** Rolling polynomial fingerprint over a string column's characters
     * (acc = acc*base + ascii(ch) mod m) — an order-sensitive content
     * hash computed entirely with integer arithmetic, so it is
@@ -1061,6 +1117,7 @@ object TextOps {
     "q_lang_id" -> langId _,
     "q_token_count" -> tokenCount _,
     "q_segment_cjk" -> segmentCjk _,
+    "q_tokenizer_fertility" -> tokenizerFertility _,
     "q_quality_score" -> qualityScore _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
@@ -1318,6 +1375,33 @@ object TextOps {
          |  ${Dedup.idUtf8Sql(
                s"array_to_string(${segmentSql("text")}, ' ')")} AS seg_fp
          |FROM src""".stripMargin
+    },
+    "q_tokenizer_fertility" -> {
+      def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
+      val values = SegPlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)}, 'xx_planted')"
+      }.mkString(", ")
+      s"""WITH src AS (SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text, lang)),
+         |per AS (SELECT lang,
+         |  CAST(strlen(text) AS BIGINT) AS nb,
+         |  CAST(length(text) AS BIGINT) AS nc,
+         |  CAST(len(regexp_extract_all(text, '$WordRunPattern'))
+         |    AS BIGINT) AS nw,
+         |  CAST(len(${segmentSql("text")}) AS BIGINT) AS ns FROM src)
+         |SELECT lang, count(*) AS n_docs, sum(nb) AS n_bytes,
+         |  sum(nc) AS n_chars, sum(nw) AS n_words,
+         |  sum(ns) AS n_seg_tokens,
+         |  CASE WHEN sum(nw) > 0
+         |    THEN round(CAST(sum(ns) AS DOUBLE) / sum(nw), 6) END
+         |    AS fertility,
+         |  CASE WHEN sum(ns) > 0
+         |    THEN round(CAST(sum(nb) AS DOUBLE) / sum(ns), 6) END
+         |    AS bytes_per_token,
+         |  CASE WHEN sum(ns) > 0
+         |    THEN round(CAST(sum(nc) AS DOUBLE) / sum(ns), 6) END
+         |    AS chars_per_token
+         |FROM per GROUP BY lang""".stripMargin
     },
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, ${portableFpSql("text", 31, 1000000007L)} AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""",

@@ -738,6 +738,25 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer fertility: planted CJK contrast, Latin unity, doc conservation") {
+    val rows = TextOps.tokenizerFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // planted rows: 16 whitespace words, 64 segmented tokens (the
+    // per-row counts pinned by the segmentation test) => fertility 4.0
+    val planted = rows("xx_planted")
+    assert(planted.getLong(1) === 6L)
+    assert(planted.getLong(4) === 16L && planted.getLong(5) === 64L)
+    assert(planted.getDouble(6) === 4.0)
+    // fixture languages are whitespace-segmented: fertility exactly 1
+    rows.keys.filter(_ != "xx_planted").foreach { lang =>
+      assert(rows(lang).getDouble(6) === 1.0,
+        s"$lang: Latin-script fertility must be 1.0")
+    }
+    // every document lands in exactly one language row
+    val corpus = Tables.documents(spark, sf).count()
+    assert(rows.values.map(_.getLong(1)).sum === corpus + 6)
+  }
+
   test("vocab drift: exact driver replay of the TVD identity") {
     val r = TextOps.vocabDrift(spark, sf).head
     val counts = scala.collection.mutable.Map
