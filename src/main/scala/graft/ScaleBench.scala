@@ -211,7 +211,11 @@ object ScaleBench {
     // one lang-grouped 5-long partial-sum exchange (map-side combined,
     // langs-count output rows) — the corpus scan is the only linear
     // surface, expect alpha ~ 1 with a flat floor
-    "q_tokenizer_fertility")
+    "q_tokenizer_fertility",
+    // epoch plan: one source-grouped partial-sum exchange (corpus scan
+    // linear) + two 1-row totals broadcasts over the source dimension —
+    // everything after the first aggregate is source-count-sized
+    "q_epoch_plan")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -362,6 +362,82 @@ object Curation {
           .as("boost"))
   }
 
+  /** The training budget is [[EpochBudgetEpochs]] corpus passes' worth
+    * of tokens; no source may repeat more than [[EpochCap]] times (the
+    * data-constrained-scaling regime where another epoch of the same
+    * data is worth less than fresh tokens — Muennighoff et al. 2023's
+    * "Scaling Data-Constrained Language Models" finding, public).
+    * Budget ≤ cap·corpus by construction (EpochBudgetEpochs ≤
+    * EpochCap), which is what makes the one-round redistribution total:
+    * Σshortfall ≤ Σheadroom always holds, so `extra ≤ headroom`
+    * pointwise and no source can overshoot the cap.
+    */
+  val EpochBudgetEpochs = 4L
+  val EpochCap = 4L
+
+  /** Repetition-aware epoch planning — the allocator that turns "train
+    * for B tokens on these sources" into per-source epoch counts. The
+    * budget B = [[EpochBudgetEpochs]]·Σtokens is split across sources
+    * in proportion to their summed quality score (the allocator's
+    * preference signal — a high-quality source earns more repeats);
+    * each source serves at most [[EpochCap]] epochs of its own unique
+    * tokens, and the capped sources' undeliverable remainder is
+    * redistributed to the others in proportion to remaining headroom.
+    * Every column is an exact BIGINT: the two big products route
+    * through DECIMAL(38,0) (the `vocabDrift` pattern — Long×Long can
+    * exceed 2⁶³ at corpus scale) and every division is an integer
+    * floor DIV mirrored by DuckDB's `//`, so the whole plan hash-gates
+    * with zero float ops. Floor division under-distributes by at most
+    * one token per source — reported, not hidden: Σfinal ≤ B exactly.
+    *
+    * Plan shape: one `groupBy(source)` corpus exchange into
+    * source-dimension rows, then TWO 1-row totals broadcasts (budget
+    * terms, then shortfall/headroom) — the sanctioned
+    * collect-scalar-kept-in-plan shape of [[mixTemperature]]; nothing
+    * after the first aggregate touches corpus rows.
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val big: Column => Column = _.cast("decimal(38,0)")
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(toks)).cast("long").as("unique_tokens"),
+        sum(qualityMicro).as("quality_sum"))
+    val totals = perSrc.select(
+      sum(col("unique_tokens")).as("tot_tokens"),
+      sum(col("quality_sum")).as("tot_quality"))
+    val alloc = perSrc.crossJoin(broadcast(totals))
+      .withColumn("alloc_tokens",
+        when(col("tot_quality") > 0,
+          expr(s"""CAST((CAST($EpochBudgetEpochs AS DECIMAL(38,0))
+                   * tot_tokens * quality_sum)
+                  DIV tot_quality AS BIGINT)""")).otherwise(0L))
+      .withColumn("epochs_needed",
+        when(col("unique_tokens") > 0,
+          expr("(alloc_tokens + unique_tokens - 1) DIV unique_tokens"))
+          .otherwise(0L))
+      .withColumn("epochs", least(lit(EpochCap), col("epochs_needed")))
+      .withColumn("served_tokens",
+        least(col("alloc_tokens"), lit(EpochCap) * col("unique_tokens")))
+      .withColumn("shortfall", col("alloc_tokens") - col("served_tokens"))
+      .withColumn("headroom",
+        lit(EpochCap) * col("unique_tokens") - col("served_tokens"))
+    val redis = alloc.select(
+      sum(col("shortfall")).as("tot_short"),
+      sum(col("headroom")).as("tot_head"))
+    alloc.crossJoin(broadcast(redis))
+      .withColumn("extra_tokens",
+        when(col("tot_head") > 0, expr(
+          """CAST((CAST(tot_short AS DECIMAL(38,0)) * headroom)
+            DIV tot_head AS BIGINT)""".stripMargin)).otherwise(0L))
+      .withColumn("final_tokens", col("served_tokens") + col("extra_tokens"))
+      .withColumn("final_epochs_milli",
+        when(col("unique_tokens") > 0,
+          expr("(final_tokens * 1000) DIV unique_tokens")).otherwise(0L))
+      .select("source", "unique_tokens", "quality_sum", "alloc_tokens",
+        "epochs_needed", "epochs", "served_tokens", "shortfall",
+        "headroom", "extra_tokens", "final_tokens", "final_epochs_milli")
+  }
+
   /** Sequence packing (concat-and-chunk): lay the shuffled corpus out as
     * one token stream and cut it into fixed-length training sequences of
     * [[PackLen]] tokens — the step that turns curated documents into the
@@ -856,6 +932,7 @@ object Curation {
     "q_domain_filter" -> domainFilter _,
     "q_url_canonical" -> urlCanonical _,
     "q_mix_temperature" -> mixTemperature _,
+    "q_epoch_plan" -> epochPlan _,
     "q_coverage_report" -> coverageReport _,
     "q_negative_sample" -> negativeSample _,
     "q_winsorize" -> winsorize _,
@@ -985,6 +1062,53 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q_mix_temperature" -> mixTemperatureSql,
+    "q_epoch_plan" ->
+      s"""WITH scored AS (SELECT source,
+         |    len(${TextOps.segmentSql("text")}) AS n_tok,
+         |    len(list_filter(${TextOps.segmentSql("text")},
+         |      t -> t IN ($stopList))) AS n_stop
+         |  FROM documents),
+         |per AS (SELECT source,
+         |    CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
+         |    CAST(sum(COALESCE(CASE WHEN n_tok > 0
+         |      THEN CAST(round(($qExpr) * 1000000) AS BIGINT) END, 0))
+         |      AS BIGINT) AS quality_sum
+         |  FROM scored GROUP BY source),
+         |tot AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS tot_tokens,
+         |    CAST(sum(quality_sum) AS BIGINT) AS tot_quality FROM per),
+         |alloc AS (SELECT source, unique_tokens, quality_sum,
+         |    CASE WHEN tot_quality > 0 THEN CAST(
+         |      CAST($EpochBudgetEpochs AS HUGEINT) * tot_tokens
+         |        * quality_sum // tot_quality AS BIGINT)
+         |      ELSE 0 END AS alloc_tokens
+         |  FROM per CROSS JOIN tot),
+         |capped AS (SELECT *,
+         |    CASE WHEN unique_tokens > 0 THEN
+         |      (alloc_tokens + unique_tokens - 1) // unique_tokens
+         |      ELSE 0 END AS epochs_needed,
+         |    least(alloc_tokens, $EpochCap * unique_tokens)
+         |      AS served_tokens
+         |  FROM alloc),
+         |room AS (SELECT *,
+         |    least(CAST($EpochCap AS BIGINT), epochs_needed) AS epochs,
+         |    alloc_tokens - served_tokens AS shortfall,
+         |    $EpochCap * unique_tokens - served_tokens AS headroom
+         |  FROM capped),
+         |rtot AS (SELECT CAST(sum(shortfall) AS BIGINT) AS tot_short,
+         |    CAST(sum(headroom) AS BIGINT) AS tot_head FROM room),
+         |fin AS (SELECT r.*,
+         |    CASE WHEN tot_head > 0 THEN CAST(
+         |      CAST(tot_short AS HUGEINT) * headroom // tot_head
+         |      AS BIGINT) ELSE 0 END AS extra_tokens
+         |  FROM room r CROSS JOIN rtot)
+         |SELECT source, unique_tokens, quality_sum, alloc_tokens,
+         |  epochs_needed, epochs, served_tokens, shortfall, headroom,
+         |  extra_tokens,
+         |  served_tokens + extra_tokens AS final_tokens,
+         |  CASE WHEN unique_tokens > 0 THEN
+         |    (served_tokens + extra_tokens) * 1000 // unique_tokens
+         |    ELSE 0 END AS final_epochs_milli
+         |FROM fin""".stripMargin,
     "q_url_canonical" -> urlCanonicalSql,
     "q_k_anonymity" ->
       s"""WITH g AS (SELECT lang, source, count(*) AS n

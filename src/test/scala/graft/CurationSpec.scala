@@ -211,6 +211,37 @@ class CurationSpec extends SparkSpec {
       got.values.map(_._1).sum <= Curation.TokenBudget)
   }
 
+  test("epoch plan: cap respected, redistribution total, budget conserved") {
+    val rows = Curation.epochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cap = Curation.EpochCap
+    var totAlloc, totFinal, totShort, totHead = 0L
+    rows.foreach { r =>
+      val Seq(u, _, alloc, needed, epochs, served, short, head, extra,
+        fin, milli) = (1 to 11).map(r.getLong(_)).toSeq
+      totAlloc += alloc; totFinal += fin
+      totShort += short; totHead += head
+      assert(epochs === math.min(cap, needed), r.toString)
+      assert(served === math.min(alloc, cap * u), r.toString)
+      assert(short === alloc - served && head === cap * u - served)
+      // a capped source donates, never receives; no source overshoots
+      if (short > 0) assert(extra === 0L, r.toString)
+      assert(extra <= head, r.toString)
+      assert(fin === served + extra && fin <= cap * u, r.toString)
+      assert(milli === fin * 1000 / u && milli <= cap * 1000)
+    }
+    // budget ≤ cap·corpus ⇒ Σshortfall ≤ Σheadroom (redistribution is
+    // total up to per-source floor loss)
+    assert(totShort <= totHead)
+    assert(totFinal <= totAlloc &&
+      totAlloc - totFinal < rows.length.toLong,
+      s"floor loss must stay under one token per source: " +
+        s"$totAlloc vs $totFinal")
+    // the binding regime is actually exercised on the fixture
+    assert(rows.exists(_.getLong(7) > 0), "no source capped")
+    assert(rows.exists(_.getLong(9) > 0), "no source boosted")
+  }
+
   test("weighted sample is exactly the u(doc_id) < w(doc) subset") {
     // the whole point of hash-threshold sampling is exact driver-side
     // reproducibility: recompute the accept set independently from the

@@ -480,6 +480,10 @@ class PlanSpec extends SparkSpec {
       // q_coverage_report's 1-row corpus-totals broadcast (same shape)
       // q_mix_temperature folds per-source token sums against its 1-row
       // corpus-totals broadcast (sum tokens + sum tokens^T) — same shape
+      // q_epoch_plan folds the source-dimension rows against TWO 1-row
+      // totals broadcasts (budget terms, then shortfall/headroom) —
+      // same collect-scalar-kept-in-plan shape
+      "q_epoch_plan",
       // q_vocab_drift folds per-term side counts against its 1-row
       // side-totals broadcast (N_a, N_b) — same shape
       "q_coverage_report", "q_mix_temperature", "q_vocab_drift",
