@@ -215,7 +215,13 @@ object ScaleBench {
     // epoch plan: one source-grouped partial-sum exchange (corpus scan
     // linear) + two 1-row totals broadcasts over the source dimension —
     // everything after the first aggregate is source-count-sized
-    "q_epoch_plan")
+    "q_epoch_plan",
+    // threshold sensitivity: ONE candidate+verify pass (the
+    // q_dedup_minhash pipeline — banded, capped) feeds all five sweep
+    // points; the sweep is a 5-way explode over the dup-sized verified
+    // pairs + two 5-row group-counts, so the exponent should track
+    // q_dedup_minhash's
+    "q_dedup_sensitivity")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

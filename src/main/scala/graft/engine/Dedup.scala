@@ -281,6 +281,62 @@ object Dedup {
       dedupMinhashPairs(spark, dir).cache()
     }
 
+  /** Sweep points for [[dedupSensitivity]], as integer percent so the
+    * per-threshold keep decision is the exact rational comparison
+    * `ni·100 ≥ pct·union` (no float jaccard anywhere). All points sit
+    * AT or ABOVE the banding design threshold ([[MinhashThreshold]]):
+    * the LSH candidate generation is calibrated for 0.6, so every pair
+    * with true jaccard ≥ 0.6 that banding surfaces is in the swept set,
+    * and tightening the threshold only FILTERS that set — sweeping
+    * below 0.6 would need re-banding (more rows per band) to keep
+    * recall, which is a different index, not a different query.
+    */
+  val SweepThresholds: Seq[Int] = Seq(60, 70, 80, 90, 95)
+
+  /** Dedup threshold-sensitivity report — the tuning table an operator
+    * reads before committing a near-dup threshold to a corpus: for each
+    * candidate threshold, how many verified pairs survive and how many
+    * documents are implicated. ONE candidate-generation + verification
+    * pass (the expensive part: shingles → signatures → banding → exact
+    * intersections) feeds every threshold; the sweep itself is a
+    * 5-way explode over the dup-sized verified-pair table followed by
+    * two group-counts on the 5-row threshold dimension. Re-running the
+    * full dedup per threshold — the naive alternative — would pay the
+    * corpus-scale pipeline k times for identical candidates.
+    */
+  def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = idSets(shingleIds(spark, dir))
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sids").as("sa"),
+      col("n").as("na"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sids").as("sb"),
+      col("n").as("nb"))
+    val ni = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val pairs = lshCandidates(spark, dir)
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), ni.as("ni"),
+        (col("na") + col("nb") - ni).cast("long").as("un"))
+    val swept = pairs
+      .select(col("doc_a"), col("doc_b"), col("ni"), col("un"),
+        explode(typedLit(SweepThresholds)).as("threshold_pct"))
+      .filter(col("ni") * 100 >= col("threshold_pct") * col("un"))
+    val nPairs = swept.groupBy("threshold_pct")
+      .agg(count(lit(1)).as("p"))
+    val nDocs = swept
+      .select(col("threshold_pct"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold_pct").agg(countDistinct(col("d")).as("g"))
+    // left joins from the literal threshold dimension keep zero-pair
+    // thresholds visible (a sweep whose tightest point silently
+    // disappears reads as coverage, not as "nothing survives 0.95")
+    SweepThresholds.toDF("threshold_pct")
+      .join(nPairs, Seq("threshold_pct"), "left")
+      .join(nDocs, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct").cast("long").as("threshold_pct"),
+        coalesce(col("p"), lit(0L)).as("n_pairs"),
+        coalesce(col("g"), lit(0L)).as("n_dup_docs"))
+  }
+
   /** Degenerate-band-bucket guard: a bucket of k docs sharing a band key
     * yields k²/2 candidate pairs in ONE join task, and documents with
     * identical shingle SETS (exact dups, but also reordered sentences or
@@ -1558,6 +1614,7 @@ object Dedup {
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_minhash" -> dedupMinhash _,
+    "q_dedup_sensitivity" -> dedupSensitivity _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -1853,6 +1910,29 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_sensitivity" -> {
+      val ts = SweepThresholds.map(t => s"($t)").mkString(", ")
+      s"""WITH $minhashCtes,
+         |j AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sids, sb.sids)) AS BIGINT) AS ni,
+         |    CAST(sa.n + sb.n - len(list_intersect(sa.sids, sb.sids))
+         |      AS BIGINT) AS un
+         |  FROM cand JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |t(threshold_pct) AS (SELECT * FROM (VALUES $ts)),
+         |sw AS (SELECT threshold_pct, doc_a, doc_b FROM j CROSS JOIN t
+         |  WHERE ni * 100 >= threshold_pct * un),
+         |np AS (SELECT threshold_pct, count(*) AS p FROM sw GROUP BY 1),
+         |nd AS (SELECT threshold_pct, count(DISTINCT d) AS g FROM (
+         |    SELECT threshold_pct, doc_a AS d FROM sw
+         |    UNION ALL SELECT threshold_pct, doc_b FROM sw)
+         |  GROUP BY 1)
+         |SELECT CAST(t.threshold_pct AS BIGINT) AS threshold_pct,
+         |  CAST(COALESCE(p, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(g, 0) AS BIGINT) AS n_dup_docs
+         |FROM t LEFT JOIN np USING (threshold_pct)
+         |LEFT JOIN nd USING (threshold_pct)""".stripMargin
+    },
     "q_split_leakage" ->
       s"""WITH $minhashCtes,
          |ver AS (${verifySql(MinhashThreshold)}),

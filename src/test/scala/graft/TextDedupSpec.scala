@@ -124,6 +124,29 @@ class TextDedupSpec extends SparkSpec {
     assert(mh.subsetOf(exact))
   }
 
+  test("dedup sensitivity: full sweep present, monotone, pair-consistent") {
+    val rows = Dedup.dedupSensitivity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // one row per sweep point even where nothing survives
+    assert(rows.map(_._1) === Dedup.SweepThresholds.map(_.toLong))
+    // tightening a threshold can only shrink the surviving set
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, s"sweep not monotone: $p1->$p2")
+    }
+    rows.foreach { case (_, p, d) =>
+      assert(d <= 2 * p, "more implicated docs than pair endpoints")
+      if (p > 0) assert(d >= 2, "a surviving pair implicates two docs")
+    }
+    // the loosest sweep point sees every pair the production threshold
+    // keeps: exact rational >= 0.6 admits everything IEEE >= 0.6 does
+    // except boundary dust, and the fixture has no boundary-dust pairs
+    assert(rows.head._2 >= Dedup.dedupMinhash(spark, sf).count(),
+      "sweep@60 lost pairs the production pass keeps")
+    assert(rows.head._2 > rows.last._2 || rows.head._2 == 0,
+      "fixture sweep should separate at least one threshold")
+  }
+
   test("dedup clusters: pairs share roots, one keeper per component") {
     val clusters = Dedup.dedupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
