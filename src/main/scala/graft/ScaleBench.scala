@@ -221,7 +221,16 @@ object ScaleBench {
     // points; the sweep is a 5-way explode over the dup-sized verified
     // pairs + two 5-row group-counts, so the exponent should track
     // q_dedup_minhash's
-    "q_dedup_sensitivity")
+    "q_dedup_sensitivity",
+    // span-removal surgery: q_substring_dedup's exchanges plus one
+    // doc_id join-back and a map-side reconstruct. NOTE the bench's
+    // count() action lets Catalyst ELIMINATE the left join-back (the
+    // span side's doc_id keys are provably unique from its Aggregate,
+    // and count references no columns), the q_dedup_report caveat —
+    // this row prices the segmentation scan only; the span pass's true
+    // exponent is q_substring_dedup's row, and Verify materializes
+    // every column so correctness sees the full plan
+    "q_substring_scrub")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

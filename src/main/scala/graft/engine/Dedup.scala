@@ -130,8 +130,14 @@ object Dedup {
          | ELSE
          |  ((((acc*31 + 240 + x//262144)*31 + 128 + (x//4096)%64)*31
          |    + 128 + (x//64)%64)*31 + 128 + x%64) % $m END""".stripMargin
+    // the c <> '' filter makes the fold total on EMPTY input: DuckDB
+    // splits '' into [''] and unicode('') is -1, which would poison the
+    // accumulator, while the engine side (Utf8PolyId over real UTF-8
+    // bytes) folds an empty byte stream to 0; non-empty input never
+    // yields an empty split element, so existing ids are unchanged
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c <> ''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), " +
       step + ")"
   }
 
@@ -1286,6 +1292,49 @@ object Dedup {
         .unionByName(SubstrPlantedRows.toDF("doc_id", "text")))
   }
 
+  /** Span-removal surgery — the APPLY half of [[substringDedup]]'s
+    * detect half: every flagged ≥[[SubstrMinSpan]]-token duplicated
+    * interval is cut out and the survivors reassemble in order, which
+    * is what Lee et al.'s ExactSubstr actually does to the training
+    * corpus (drop the span, keep both neighbors). Output is the
+    * scrubbed token stream (canonical single-space join of the shared
+    * segmentation — the token grid the spans were measured on), its
+    * exact token accounting, and the portable byte fingerprint that
+    * hash-pins the reconstructed CONTENT, not just the counts.
+    *
+    * 100 TB shape: the span side is [[substringSpans]]'s two exchanges
+    * collapsed to a per-doc interval list (verdict-sized); the
+    * reconstruction is one doc_id join + a map-side double HOF
+    * (positions × spans-per-doc — spans per doc are few by
+    * construction, intervals are MAXIMAL and ≥12 tokens, so a doc
+    * carries at most n_tokens/12 of them). Docs with no spans take the
+    * null-branch identity: their token array passes through untouched.
+    */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(SubstrPlantedRows.toDF("doc_id", "text"))
+    val spans = substringSpans(src)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    val kept = filter(
+      sequence(lit(1), size(col("t"))),
+      p => !exists(col("spans"), s =>
+        p >= s.getField("span_start") && p <= s.getField("span_end")))
+    val scrubToks = when(col("spans").isNull, col("t"))
+      .otherwise(transform(kept, p => element_at(col("t"), p)))
+    src.select(col("doc_id"), TextOps.segmentTokens(col("text")).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("st", scrubToks)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("st"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("st")).as("scrub_text"),
+        graft.functions.StringFunctions.utf8_poly_id(
+          concat_ws(" ", col("st")), IdMod).as("scrub_fp"))
+  }
+
   /** INGEST-TIME exact-substring probe — the incremental chapter of the
     * substring-dedup family, the shape a production pipeline runs on
     * every arriving batch: each DELTA document (doc_id %
@@ -1625,6 +1674,7 @@ object Dedup {
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_repeated_spans" -> repeatedSpans _,
     "q_substring_dedup" -> substringDedup _,
+    "q_substring_scrub" -> substringScrub _,
     "q_dedup_report" -> dedupReport _,
     "q_substring_incremental" -> substringIncremental _,
     "q_split_leakage" -> splitLeakage _,
@@ -2001,6 +2051,31 @@ object Dedup {
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start + 1 AS span_tokens, n_windows
          |FROM sp WHERE span_end - span_start + 1 >= $SubstrMinSpan"""
+        .stripMargin
+    },
+    "q_substring_scrub" -> {
+      val values = SubstrPlantedRows.map { case (id, t) =>
+        s"($id, '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |$substrSpanSqlCtes,
+         |spans AS (SELECT doc_id, span_start, span_end FROM sp
+         |  WHERE span_end - span_start + 1 >= $SubstrMinSpan),
+         |pos AS (SELECT doc_id, p, t[p] AS tokn FROM tok,
+         |  LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p)),
+         |kept AS (SELECT pos.doc_id, p, tokn FROM pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = pos.doc_id
+         |      AND p BETWEEN s.span_start AND s.span_end)),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tokn, ' ' ORDER BY p) AS scrub_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tok.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(scrub_text, '') AS scrub_text,
+         |  ${idUtf8Sql("COALESCE(scrub_text, '')")} AS scrub_fp
+         |FROM tok LEFT JOIN reb ON tok.doc_id = reb.doc_id"""
         .stripMargin
     },
     "q_substring_incremental" ->

@@ -723,6 +723,34 @@ class TextDedupSpec extends SparkSpec {
     assert(rep.map(_.getLong(4)).sum === spanTotal)
   }
 
+  test("substring scrub: span mass removed exactly, planted quotes cut") {
+    val rows = Dedup.substringScrub(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    // the planted verbatim-quote pair loses exactly its 16-token quote
+    // at both (non-chunk-aligned) offsets, neighbors rejoined in order
+    assert(rows(993001L)._2 === 16L)
+    assert(rows(993001L)._3 === "pza1 pza2 pza3 wza1 wza2")
+    assert(rows(993002L)._2 === 16L)
+    assert(rows(993002L)._3 === "pzb1 pzb2 pzb3 pzb4 pzb5 pzb6 pzb7 wzb1")
+    // per-doc removal equals the detect half's span mass (spans within
+    // a doc are maximal, hence disjoint — nothing double-counted)
+    val spanMass = Dedup.substringDedup(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, sp) => d -> sp.map(_.getLong(3)).sum }
+    rows.foreach { case (d, (n, cut, text, fp)) =>
+      assert(cut === spanMass.getOrElse(d, 0L), s"doc $d span mass")
+      val keptToks = text.split(" ").filter(_.nonEmpty).length.toLong
+      assert(keptToks === n - cut, s"doc $d token conservation")
+      if (cut === n) assert(text === "" && fp === 0L,
+        s"fully-duplicated doc $d must scrub to empty")
+    }
+    // the fixture exercises both partial and total removal
+    assert(rows.values.exists(r => r._2 > 0 && r._2 < r._1))
+    assert(rows.values.exists(r => r._1 > 0 && r._2 === r._1))
+  }
+
   test("incremental substring probe: spans nest inside the full-dedup spans") {
     // a delta span requires every window to exist in the STANDING
     // corpus — a strictly stronger condition than the full pass's
