@@ -230,7 +230,11 @@ object ScaleBench {
     // this row prices the segmentation scan only; the span pass's true
     // exponent is q_substring_dedup's row, and Verify materializes
     // every column so correctness sees the full plan
-    "q_substring_scrub")
+    "q_substring_scrub",
+    // intra-doc line collapse: ONE zero-exchange map pass (index-aware
+    // array filter vs the previous element) — the q_quality_rules
+    // class; the corpus scan is the only linear surface
+    "q_line_collapse")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

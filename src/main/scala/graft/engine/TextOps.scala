@@ -777,6 +777,48 @@ object TextOps {
     * shuffle once it outgrows the threshold. Map-side partial
     * aggregation carries the df count; nothing collects.
     */
+  /** Planted rows for [[lineCollapse]]: a 3-line run that must fold to
+    * one, a NON-consecutive repeat that must survive (this operator is
+    * not a line dedup — order context matters), a trimmed-equal run
+    * whose FIRST original spelling must be the survivor, a single-line
+    * doc, and an empty doc.
+    */
+  private[graft] val LineCollapsePlantedRows: Seq[(Long, String)] = Seq(
+    (994001L, "alpha line\nalpha line\nalpha line\nbeta"),
+    (994002L, "xrep\nyother\nxrep"),
+    (994003L, "pad\n  pad \npad\ntail"),
+    (994004L, "single"),
+    (994005L, ""))
+
+  /** Intra-document consecutive-duplicate-line collapse — the
+    * repetition cleaner (C4/RefinedWeb-style) that runs BEFORE
+    * cross-document boilerplate removal: runs of adjacent lines that
+    * are equal after trimming fold to their first occurrence (original
+    * spelling kept), non-adjacent repeats survive untouched. Scraped
+    * pages carry exactly this artifact (menus, cookie banners, pager
+    * widgets emitted in a loop), and collapsing it is a per-document
+    * decision that needs no corpus context — so the whole operator is
+    * ONE zero-exchange map pass: an index-aware array filter against
+    * the previous element, rebuilt in place. The fingerprint hash-pins
+    * the reconstructed content like [[graft.engine.Dedup.substringScrub]].
+    */
+  def lineCollapse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(LineCollapsePlantedRows.toDF("doc_id", "text"))
+    val kept = filter(col("ls"), (l, i) =>
+      (i === lit(0)) ||
+        (trim(l) =!= trim(element_at(col("ls"), greatest(i, lit(1))))))
+    src.select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .withColumn("kp", kept)
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(col("kp"))).cast("long").as("n_collapsed"),
+        concat_ws("\n", col("kp")).as("clean_text"),
+        graft.functions.StringFunctions.utf8_poly_id(
+          concat_ws("\n", col("kp")), Dedup.IdMod).as("clean_fp"))
+  }
+
   def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     boilerplateOver(Tables.documents(spark, dir).select("doc_id", "text")
@@ -1118,6 +1160,7 @@ object TextOps {
     "q_token_count" -> tokenCount _,
     "q_segment_cjk" -> segmentCjk _,
     "q_tokenizer_fertility" -> tokenizerFertility _,
+    "q_line_collapse" -> lineCollapse _,
     "q_quality_score" -> qualityScore _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
@@ -1402,6 +1445,34 @@ object TextOps {
          |    THEN round(CAST(sum(nc) AS DOUBLE) / sum(ns), 6) END
          |    AS chars_per_token
          |FROM per GROUP BY lang""".stripMargin
+    },
+    "q_line_collapse" -> {
+      // escape quotes FIRST, then newline -> chr(10) splice (the
+      // boilerplate oracle's idiom) so the escaper cannot double the
+      // quotes the splice inserts
+      def sqlLit(t: String): String =
+        s"'${t.replace("'", "''").replace("\n", "' || chr(10) || '")}'"
+      val values = LineCollapsePlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+         |  FROM src),
+         |pos AS (SELECT doc_id, i, ls[i] AS line FROM ln,
+         |  LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)),
+         |kp AS (SELECT doc_id, i, line FROM (SELECT doc_id, i, line,
+         |    lag(trim(line)) OVER (PARTITION BY doc_id ORDER BY i)
+         |      AS prev FROM pos)
+         |  WHERE prev IS NULL OR trim(line) <> prev),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY i) AS clean_text
+         |  FROM kp GROUP BY doc_id)
+         |SELECT ln.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(ls) - COALESCE(n_kept, 0) AS BIGINT) AS n_collapsed,
+         |  COALESCE(clean_text, '') AS clean_text,
+         |  ${Dedup.idUtf8Sql("COALESCE(clean_text, '')")} AS clean_fp
+         |FROM ln LEFT JOIN reb ON ln.doc_id = reb.doc_id""".stripMargin
     },
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, ${portableFpSql("text", 31, 1000000007L)} AS fingerprint, CAST(len(text) AS BIGINT) AS len_chars FROM documents""",

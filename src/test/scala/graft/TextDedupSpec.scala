@@ -789,6 +789,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("line collapse: runs fold to first spelling, non-adjacent repeats survive") {
+    val rows = TextOps.lineCollapse(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(rows(994001L) ===
+      ((4L, 2L, "alpha line\nbeta", rows(994001L)._4)))
+    // non-consecutive repeat is NOT a run — must survive untouched
+    assert(rows(994002L)._2 === 0L &&
+      rows(994002L)._3 === "xrep\nyother\nxrep")
+    // trimmed-equal run keeps the FIRST original spelling
+    assert(rows(994003L) ===
+      ((4L, 2L, "pad\ntail", rows(994003L)._4)))
+    assert(rows(994004L)._3 === "single")
+    assert(rows(994005L) === ((1L, 0L, "", 0L)))
+    // idempotence: collapsing leaves no adjacent trimmed-equal pair
+    rows.values.foreach { case (_, _, text, _) =>
+      val ls = text.split("\n", -1).map(_.trim)
+      ls.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) != w(1),
+          s"adjacent duplicates survive in: $text")
+      }
+    }
+    // the untouched fixture corpus (no newlines) passes through whole
+    assert(rows.filter(_._1 < 994000L).values.forall(r =>
+      r._1 === 1L && r._2 === 0L))
+  }
+
   test("tokenizer fertility: planted CJK contrast, Latin unity, doc conservation") {
     val rows = TextOps.tokenizerFertility(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
