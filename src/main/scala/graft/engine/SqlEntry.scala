@@ -266,6 +266,48 @@ object SqlEntry {
     spark.sql(qNotInSql)
   }
 
+  /** The registered-extension surface through raw SQL text: the three
+    * engine-native functions a plain `spark.sql` user can call —
+    * `nfc_normalize` and `utf8_poly_id` (Catalyst expressions injected
+    * by [[graft.GraftExtensions]]) and `kmv_sketch` (the bounded KMV
+    * Aggregator as a session UDAF) — composed into the per-source
+    * distinct-vocabulary sketch WITH its exact acceptance side, all in
+    * one GROUP BY. Result is column-for-column the `q_kmv_distinct`
+    * Dataset query, so the oracle is SHARED: the same DuckDB text
+    * hash-gates both, proving SQL-surface ≡ Dataset-API ≡ oracle for
+    * the whole extension registry (not just spec-level equality).
+    * `nfc_normalize` is exact identity here — the fixture corpus is
+    * ASCII, hence already NFC — so it exercises the registration and
+    * codegen path without perturbing the hash.
+    */
+  private def qKmvSql: String = {
+    val k = Ext.KmvK
+    val m = graft.engine.Dedup.IdMod
+    s"""WITH tok AS (SELECT source,
+       |    explode(regexp_extract_all(text,
+       |      '${graft.engine.TextOps.SegPattern}', 0)) AS term
+       |  FROM documents),
+       |h AS (SELECT source, term,
+       |    utf8_poly_id(nfc_normalize(term), ${m}L) AS hv FROM tok)
+       |SELECT source,
+       |  count(DISTINCT term) AS n_distinct,
+       |  CAST(size(kmv_sketch(hv)) AS BIGINT) AS n_sketch,
+       |  CASE WHEN size(kmv_sketch(hv)) < $k
+       |    THEN CAST(size(kmv_sketch(hv)) AS DOUBLE)
+       |    ELSE round(${(k - 1).toDouble} * ${m.toDouble}
+       |      / element_at(kmv_sketch(hv), $k), 6) END AS kmv_est
+       |FROM h GROUP BY source""".stripMargin
+  }
+
+  def sqlKmv(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    // self-sufficient like registerTables: the driver's Verify session
+    // is a plain builder (no spark.sql.extensions), and register() is
+    // an idempotent createOrReplace either way
+    graft.GraftExtensions.register(spark)
+    spark.sql(qKmvSql)
+  }
+
   def sqlWindowTopN(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(qWindowTopNSql)
@@ -327,7 +369,8 @@ object SqlEntry {
     "q_sql_top_order_per_cust" -> sqlTopOrder _,
     "q_sql_window_topn" -> sqlWindowTopN _,
     "q_sql_rollup" -> sqlRollup _,
-    "q_sql_unshipped_parts" -> sqlNotIn _)
+    "q_sql_unshipped_parts" -> sqlNotIn _,
+    "q_sql_kmv_rollup" -> sqlKmv _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
     * TIMESTAMP literals and decimal semantics line up).
@@ -343,5 +386,7 @@ object SqlEntry {
     "q_sql_top_order_per_cust" -> qTopOrderSql.replace("\n", " "),
     "q_sql_window_topn" -> qWindowTopNSql.replace("\n", " "),
     "q_sql_rollup" -> qRollupSql.replace("\n", " "),
-    "q_sql_unshipped_parts" -> qNotInSql.replace("\n", " "))
+    "q_sql_unshipped_parts" -> qNotInSql.replace("\n", " "),
+    // shared with the Dataset-API twin: same columns, same values
+    "q_sql_kmv_rollup" -> Ext.oracles("q_kmv_distinct"))
 }

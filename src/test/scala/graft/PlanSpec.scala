@@ -666,6 +666,18 @@ class PlanSpec extends SparkSpec {
       s"shipdate filter must push to the lineitem scan:\n$p")
   }
 
+  test("SQL extension surface: UDAF rides partial ObjectHashAggregate, no join") {
+    val p = plan(SqlEntry.sqlKmv(spark, sf))
+    // the registered kmv_sketch Aggregator must plan as a TRUE partial
+    // aggregate (map-side combine before each Exchange — the <=k longs
+    // per group wire bound), and the distinct + sketch combination must
+    // stay a multi-phase aggregate, never a join-back
+    assert(p.contains("ObjectHashAggregate"),
+      s"kmv_sketch UDAF lost its ObjectHashAggregate machinery:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"SQL sketch rollup must be pure aggregation, no join:\n$p")
+  }
+
   test("SQL correlated scalar subquery de-correlates to agg + join") {
     val p = plan(SqlEntry.sqlTopOrder(spark, sf))
     // the per-customer max must be ONE aggregate joined back, not a
