@@ -234,7 +234,12 @@ object ScaleBench {
     // intra-doc line collapse: ONE zero-exchange map pass (index-aware
     // array filter vs the previous element) — the q_quality_rules
     // class; the corpus scan is the only linear surface
-    "q_line_collapse")
+    "q_line_collapse",
+    // nprobe sweep: one centroid/assignment pass + the brute-force
+    // truth pass (NQueryVecs x corpus, the priced baseline) feed all
+    // four sweep points via min-nprobe filters — expect the truth
+    // pass's linear exponent, like q_sim_cosine_topk's row
+    "q_ann_nprobe_sweep")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -715,6 +715,62 @@ object Similarity {
     * IVF — is exactly what this monitor exists to trigger, which is why
     * it reports the honest number rather than tuning the fixture.
     */
+  /** Probe counts for [[annNprobeSweep]] — all below the cell count so
+    * every sweep point is a real approximation (probing every cell is
+    * brute force with extra steps).
+    */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** IVF nprobe tuning table — the recall-vs-cost curve an operator
+    * reads before fixing the probe count, the ANN analog of
+    * [[graft.engine.Dedup.dedupSensitivity]]. ONE centroid/assignment
+    * pass and ONE brute-force truth pass feed every sweep point:
+    * because a truth neighbor is retrieved at probe count p iff its
+    * assigned cell ranks ≤ p among the query's centroid preferences
+    * (candidate sets are nested in p, and a truth hit that enters the
+    * candidates can never be pushed out of the top-k — its global rank
+    * already is ≤ k), each truth pair carries a MIN-NPROBE = that
+    * crank, and recall@p is a filter-count. Cost is priced as scored
+    * candidate rows: Σ probed-cell sizes per query (the query's own
+    * row included when its cell is probed — the distance-computation
+    * count an IVF engine pays). Re-running the ANN query per probe
+    * count — the naive sweep — would pay the centroid join and top-k
+    * window four times for nested candidate sets.
+    */
+  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = cellRanked(spark, dir)
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val truth = simCosineTopk(spark, dir).select("query_id", "neighbor_id")
+    val qRank = ranked.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("cell"), col("crank"))
+    val minNp = truth.join(assign, Seq("neighbor_id"))
+      .join(qRank, Seq("query_id", "cell"))
+      .select(col("query_id"), col("crank").as("min_np"))
+    val np = explode(typedLit(NprobeSweep)).as("nprobe")
+    val trueByNp = truth.select(np)
+      .groupBy("nprobe").agg(count(lit(1)).as("t"))
+    val hitByNp = minNp.select(col("min_np"), np)
+      .filter(col("min_np") <= col("nprobe"))
+      .groupBy("nprobe").agg(count(lit(1)).as("h"))
+    val cellSize = assign.groupBy("cell").agg(count(lit(1)).as("csize"))
+    val costByNp = qRank.join(cellSize, Seq("cell"))
+      .select(col("csize"), col("crank"), np)
+      .filter(col("crank") <= col("nprobe"))
+      .groupBy("nprobe").agg(sum(col("csize")).as("c"))
+    NprobeSweep.toDF("nprobe")
+      .join(trueByNp, Seq("nprobe"), "left")
+      .join(hitByNp, Seq("nprobe"), "left")
+      .join(costByNp, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("long").as("nprobe"),
+        coalesce(col("t"), lit(0L)).as("n_true"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / col("t"), 6)
+          .as("recall"),
+        coalesce(col("c"), lit(0L)).as("n_scored"))
+  }
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = simCosineTopk(spark, dir).select("query_id", "neighbor_id")
     val approx = annLsh(spark, dir)
@@ -740,7 +796,8 @@ object Similarity {
     "q_embed_centroid" -> embedCentroid _,
     "q_embed_quantize" -> embedQuantize _,
     "q_embed_project" -> embedProject _,
-    "q_ann_recall" -> annRecall _)
+    "q_ann_recall" -> annRecall _,
+    "q_ann_nprobe_sweep" -> annNprobeSweep _)
 
   /** Shared cosine SQL fragment: same fused accumulation order as the
     * Catalyst expression (independent accumulators, index order).
@@ -910,6 +967,42 @@ object Similarity {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q_ann_nprobe_sweep" -> {
+      val npVals = NprobeSweep.map(t => s"($t)").mkString(", ")
+      s"""WITH $cellCtes,
+         |assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked0
+         |  WHERE crank = 1),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < $NQueryVecs),
+         |pairs AS (SELECT query_id, vec_id AS neighbor_id,
+         |    round(${cosSql("qe", "embedding")}, 6) AS cos_sim
+         |  FROM embeddings CROSS JOIN qv WHERE vec_id <> query_id),
+         |rankedt AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs),
+         |truth AS (SELECT query_id, neighbor_id FROM rankedt
+         |  WHERE rank <= $TopK),
+         |qrank AS (SELECT vec_id AS query_id, cell, crank FROM ranked0
+         |  WHERE vec_id < $NQueryVecs),
+         |minnp AS (SELECT t.query_id, q.crank AS min_np
+         |  FROM truth t JOIN assign a USING (neighbor_id)
+         |  JOIN qrank q ON q.query_id = t.query_id AND q.cell = a.cell),
+         |np(nprobe) AS (SELECT * FROM (VALUES $npVals)),
+         |tr AS (SELECT nprobe, count(*) AS t FROM truth CROSS JOIN np
+         |  GROUP BY 1),
+         |ht AS (SELECT nprobe, count(*) AS h FROM minnp CROSS JOIN np
+         |  WHERE min_np <= nprobe GROUP BY 1),
+         |cs AS (SELECT cell, count(*) AS csize FROM assign GROUP BY cell),
+         |co AS (SELECT nprobe, sum(csize) AS c
+         |  FROM qrank JOIN cs USING (cell) CROSS JOIN np
+         |  WHERE crank <= nprobe GROUP BY 1)
+         |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+         |  CAST(COALESCE(t, 0) AS BIGINT) AS n_true,
+         |  CAST(COALESCE(h, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(COALESCE(h, 0) AS DOUBLE) / t, 6) AS recall,
+         |  CAST(COALESCE(c, 0) AS BIGINT) AS n_scored
+         |FROM np LEFT JOIN tr USING (nprobe) LEFT JOIN ht USING (nprobe)
+         |LEFT JOIN co USING (nprobe)""".stripMargin
+    },
     "q_ann_pq" ->
       s"""WITH sub AS (SELECT vec_id, label, s,
          |    embedding[CAST(s * $PqSubDim + 1 AS INT) :

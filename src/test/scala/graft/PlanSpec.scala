@@ -475,6 +475,10 @@ class PlanSpec extends SparkSpec {
       // q_target_encode joins its 1-row global-prior aggregate the same
       // way (collect-scalar kept in-plan); q_negative_sample fans its
       // anchors out over a 1-row corpus-count broadcast
+      // q_ann_nprobe_sweep embeds the brute-force truth pass (the
+      // NQueryVecs-probe broadcast cross join q_sim_cosine_topk and
+      // q_ann_recall are sanctioned for) plus the centroid broadcast
+      "q_ann_nprobe_sweep",
       "q_ann_recall", "q_bloom_join", "q_dup_transitivity",
       "q_target_encode", "q_negative_sample",
       // q_coverage_report's 1-row corpus-totals broadcast (same shape)

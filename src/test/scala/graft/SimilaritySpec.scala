@@ -286,6 +286,37 @@ class SimilaritySpec extends SparkSpec {
       assert(h === truth.filter(_._1 == q).count(lsh.contains).toLong)
   }
 
+  test("nprobe sweep: monotone recall/cost, agrees with the IVF query at 4") {
+    val rows = Similarity.annNprobeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Similarity.NprobeSweep.map(_.toLong))
+    rows.foreach { case (_, t, h, rec, _) =>
+      assert(t === (Similarity.NQueryVecs * Similarity.TopK).toLong)
+      assert(h >= 0L && h <= t)
+      assert(math.abs(rec - h.toDouble / t) < 1e-6)
+    }
+    // candidate sets are nested in nprobe: recall can only grow, and
+    // each extra probed cell adds strictly positive scored rows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"hits fell ${a._1}->${b._1}")
+      assert(b._5 > a._5, s"cost not increasing ${a._1}->${b._1}")
+    }
+    // cross-operator law: hits at the production probe count equal the
+    // truth pairs the real IVF query retrieves (a truth hit entering
+    // the candidates can never be pushed out of the top-k)
+    val truth = Similarity.simCosineTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val at4 = rows.find(_._1 === Similarity.NProbe.toLong).get
+    assert(at4._3 === truth.count(ivf.contains).toLong,
+      "sweep@NProbe disagrees with the IVF query's retrieved truth")
+  }
+
   test("chunk-grid near-dup emits each pair exactly once at any grid size") {
     val e = Tables.embeddings(spark, sf)
     val base = Similarity.nearDupPairsGrid(e, 1).collect()
