@@ -239,7 +239,11 @@ object ScaleBench {
     // truth pass (NQueryVecs x corpus, the priced baseline) feed all
     // four sweep points via min-nprobe filters — expect the truth
     // pass's linear exponent, like q_sim_cosine_topk's row
-    "q_ann_nprobe_sweep")
+    "q_ann_nprobe_sweep",
+    // pack manifest: packSequences' prefix sum + map-side pack explode
+    // + ONE pack_id window whose partitions hold <= PackLen+1 segments
+    // — expect q_pack_sequences' linear exponent
+    "q_pack_manifest")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -500,6 +500,41 @@ object Curation {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Pack manifest — the trainer-handoff view of [[packSequences]]:
+    * one row per (pack, document segment) with the segment's offset and
+    * length INSIDE the pack, plus per-pack segment count and fill. This
+    * is the table a training loader actually consumes (attention masks
+    * must not cross document boundaries inside a packed sequence, so
+    * the loader needs each pack's internal segmentation, not each
+    * document's pack placement — the same data transposed to the
+    * pack's point of view).
+    *
+    * Scale shape: rides [[packSequences]]' distributed prefix sum; each
+    * document explodes map-side into the packs it spans (Σ segments =
+    * n_packs + n_docs − … ≤ docs + total_tokens/PackLen — linear), and
+    * the per-pack rollup is ONE pack_id window exchange whose
+    * partitions hold at most PackLen+1 segments each (a pack cannot
+    * contain more segments than tokens) — bounded regardless of corpus
+    * size.
+    */
+  def packManifest(spark: SparkSession, dir: String): DataFrame = {
+    val L = PackLen
+    val segStart = greatest(lit(0L), col("cum_start") - col("pack_id") * L)
+    val segEnd =
+      least(lit(L), col("cum_start") + col("n_tokens") - col("pack_id") * L)
+    val segs = packSequences(spark, dir)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum_start"),
+        explode(sequence(col("pack_id"),
+          col("pack_id") + col("n_boundary_crossings"))).as("pack_id"))
+      .select(col("pack_id"), col("doc_id"),
+        segStart.as("seg_start"), (segEnd - segStart).as("seg_len"))
+    val w = Window.partitionBy(col("pack_id"))
+    segs
+      .withColumn("n_segs", count(lit(1)).over(w))
+      .withColumn("pack_fill", sum(col("seg_len")).over(w))
+  }
+
   /** Per-domain quality-threshold curation: keep the top [[QualityKeepFrac]]
     * share of documents per source by the corpus-curate quality score —
     * the "keep the best 30% of every domain" recipe step, which a single
@@ -946,6 +981,7 @@ object Curation {
     "q_corpus_curate" -> corpusCurate _,
     "q_domain_mix" -> domainMix _,
     "q_pack_sequences" -> packSequences _,
+    "q_pack_manifest" -> packManifest _,
     "q_quality_threshold" -> qualityThreshold _,
     "q_token_budget" -> tokenBudget _,
     "q_hash_split" -> hashSplit _)
@@ -1246,6 +1282,30 @@ object Curation {
          |      - cum_start // $PackLen
          |    ELSE CAST(0 AS BIGINT) END AS n_boundary_crossings
          |FROM c""".stripMargin,
+    "q_pack_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${TextOps.segmentSql("text")}) AS BIGINT) AS n_tokens,
+         |    (doc_id * 2654435761) % 1000000007 AS shuffle_key
+         |  FROM documents),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY shuffle_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cum_start FROM t),
+         |d AS (SELECT doc_id, n_tokens, cum_start,
+         |    cum_start // $PackLen AS p0,
+         |    (cum_start + n_tokens - 1) // $PackLen AS p1
+         |  FROM c WHERE n_tokens > 0),
+         |seg AS (SELECT pack_id, doc_id,
+         |    GREATEST(0, cum_start - pack_id * $PackLen) AS seg_start,
+         |    LEAST($PackLen, cum_start + n_tokens - pack_id * $PackLen)
+         |      - GREATEST(0, cum_start - pack_id * $PackLen) AS seg_len
+         |  FROM d, LATERAL (SELECT unnest(range(p0, p1 + 1)) AS pack_id))
+         |SELECT pack_id, doc_id, CAST(seg_start AS BIGINT) AS seg_start,
+         |  CAST(seg_len AS BIGINT) AS seg_len,
+         |  CAST(count(*) OVER (PARTITION BY pack_id) AS BIGINT) AS n_segs,
+         |  CAST(sum(seg_len) OVER (PARTITION BY pack_id) AS BIGINT)
+         |    AS pack_fill
+         |FROM seg""".stripMargin,
     "q_quality_threshold" ->
       s"""WITH s AS (SELECT doc_id, source,
          |    len(${TextOps.segmentSql("text")}) AS n_tok,

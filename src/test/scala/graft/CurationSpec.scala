@@ -211,6 +211,40 @@ class CurationSpec extends SparkSpec {
       got.values.map(_._1).sum <= Curation.TokenBudget)
   }
 
+  test("pack manifest: segments tile each pack, conserve docs, fill packs") {
+    val segs = Curation.packManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(segs.nonEmpty)
+    val L = Curation.PackLen
+    val byPack = segs.groupBy(_._1)
+    val lastPack = byPack.keys.max
+    byPack.foreach { case (p, ss) =>
+      // window columns match the group
+      ss.foreach { s =>
+        assert(s._5 === ss.length.toLong && s._6 === ss.map(_._4).sum)
+      }
+      // segments tile [0, fill) gaplessly in order
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"pack $p does not start at 0")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 + a._4 === b._3, s"gap/overlap in pack $p")
+      }
+      val fill = sorted.last._3 + sorted.last._4
+      assert(if (p === lastPack) fill <= L else fill === L,
+        s"pack $p fill $fill")
+      ss.foreach(s => assert(s._4 > 0 && s._4 <= L))
+    }
+    // transposition conserves every document's tokens and span count
+    val docs = Curation.packSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(6)))).toMap
+    segs.groupBy(_._2).foreach { case (d, ss) =>
+      val (n, crossings) = docs(d)
+      assert(ss.map(_._4).sum === n, s"doc $d token mass")
+      assert(ss.length.toLong === crossings + 1, s"doc $d span count")
+    }
+  }
+
   test("epoch plan: cap respected, redistribution total, budget conserved") {
     val rows = Curation.epochPlan(spark, sf).collect()
     assert(rows.nonEmpty)
