@@ -243,7 +243,11 @@ object ScaleBench {
     // pack manifest: packSequences' prefix sum + map-side pack explode
     // + ONE pack_id window whose partitions hold <= PackLen+1 segments
     // — expect q_pack_sequences' linear exponent
-    "q_pack_manifest")
+    "q_pack_manifest",
+    // source dup matrix: the memoized minhash verified pairs re-labeled
+    // through two doc_id equi-joins + a sources^2-bounded rollup —
+    // expect q_dedup_minhash's machinery-floor exponent
+    "q_dup_source_matrix")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

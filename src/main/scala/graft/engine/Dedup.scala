@@ -343,6 +343,47 @@ object Dedup {
         coalesce(col("g"), lit(0L)).as("n_dup_docs"))
   }
 
+  /** Source-pair duplication matrix — WHO copies WHOM: the verified
+    * near-dup pairs rolled up by unordered source pair, with pair count,
+    * implicated-document count, and the mean verified jaccard (exact
+    * integer micro-sum divided once). The diagonal (src_a = src_b) is
+    * within-source duplication (template churn); heavy OFF-diagonal
+    * cells are mirror/syndication relationships — the signal a curation
+    * pipeline uses to drop a whole mirrored domain instead of paying
+    * per-document dedup on it forever. Rides the memoized minhash
+    * verified pairs (dup-sized); the two source lookups are doc_id
+    * equi-joins against the corpus projection, and the rollup output is
+    * at most sources² rows.
+    */
+  def dupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    // LEFT joins + the 'planted' fallback: the dedup corpus carries the
+    // planted multilingual rows, which have no documents-table source —
+    // an inner join would silently drop their pairs and break the
+    // pair-mass conservation law the spec pins
+    val srcs = Tables.documents(spark, dir).select("doc_id", "source")
+    val pairs = dedupMinhash(spark, dir)
+      .join(srcs.toDF("doc_a", "sa"), Seq("doc_a"), "left")
+      .join(srcs.toDF("doc_b", "sb"), Seq("doc_b"), "left")
+      .withColumn("sa", coalesce(col("sa"), lit("planted")))
+      .withColumn("sb", coalesce(col("sb"), lit("planted")))
+      .select(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 1000000L).cast("long").as("j_micro"))
+    val docs = pairs
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("src_a", "src_b")
+      .agg(countDistinct(col("d")).as("n_docs"))
+    pairs.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("j_micro")).cast("double") /
+          (count(lit(1)) * 1000000L), 6).as("mean_jaccard"))
+      .join(docs, Seq("src_a", "src_b"))
+      .select("src_a", "src_b", "n_pairs", "n_docs", "mean_jaccard")
+  }
+
   /** Degenerate-band-bucket guard: a bucket of k docs sharing a band key
     * yields k²/2 candidate pairs in ONE join task, and documents with
     * identical shingle SETS (exact dups, but also reordered sentences or
@@ -1664,6 +1705,7 @@ object Dedup {
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_sensitivity" -> dedupSensitivity _,
+    "q_dup_source_matrix" -> dupSourceMatrix _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -1960,6 +2002,28 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
+    "q_dup_source_matrix" ->
+      s"""WITH $minhashCtes,
+         |ver AS (${verifySql(MinhashThreshold)}),
+         |lab AS (SELECT
+         |    least(COALESCE(a.source, 'planted'),
+         |      COALESCE(b.source, 'planted')) AS src_a,
+         |    greatest(COALESCE(a.source, 'planted'),
+         |      COALESCE(b.source, 'planted')) AS src_b,
+         |    v.doc_a, v.doc_b,
+         |    CAST(round(v.jaccard * 1000000) AS BIGINT) AS j_micro
+         |  FROM ver v LEFT JOIN documents a ON a.doc_id = v.doc_a
+         |  LEFT JOIN documents b ON b.doc_id = v.doc_b),
+         |pd AS (SELECT src_a, src_b, count(DISTINCT d) AS n_docs FROM (
+         |    SELECT src_a, src_b, doc_a AS d FROM lab
+         |    UNION ALL SELECT src_a, src_b, doc_b FROM lab)
+         |  GROUP BY src_a, src_b)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  round(CAST(sum(j_micro) AS DOUBLE) / (count(*) * 1000000), 6)
+         |    AS mean_jaccard
+         |FROM lab JOIN pd USING (src_a, src_b)
+         |GROUP BY src_a, src_b, n_docs""".stripMargin,
     "q_dedup_sensitivity" -> {
       val ts = SweepThresholds.map(t => s"($t)").mkString(", ")
       s"""WITH $minhashCtes,

@@ -147,6 +147,37 @@ class TextDedupSpec extends SparkSpec {
       "fixture sweep should separate at least one threshold")
   }
 
+  test("dup source matrix: conserves pair mass, ordered keys, exact recount") {
+    val cells = Dedup.dupSourceMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(cells.nonEmpty)
+    cells.foreach { case (a, b, p, d, j) =>
+      assert(a <= b, "source pair must be unordered-canonical")
+      assert(d >= 2 && d <= 2 * p)
+      assert(j >= Dedup.MinhashThreshold - 1e-6 && j <= 1.0 + 1e-6)
+    }
+    // the matrix is a pure re-labeling of the verified pairs
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .withDefaultValue("planted") // the dedup corpus's planted rows
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cells.map(_._3).sum === pairs.length.toLong, "pair mass")
+    // exact recount of the heaviest cell, mean included
+    val (ha, hb, hp, _, hj) = cells.maxBy(_._3)
+    val mine = pairs.filter { case (x, y, _) =>
+      val (sa, sb) = (srcOf(x), srcOf(y))
+      val (lo, hi) = if (sa <= sb) (sa, sb) else (sb, sa)
+      lo == ha && hi == hb
+    }
+    assert(mine.length.toLong === hp)
+    val mean = BigDecimal(mine.map(p => math.round(p._3 * 1000000L))
+      .sum.toDouble / (mine.length * 1000000L))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(hj === mean)
+  }
+
   test("dedup clusters: pairs share roots, one keeper per component") {
     val clusters = Dedup.dedupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
