@@ -247,7 +247,10 @@ object ScaleBench {
     // source dup matrix: the memoized minhash verified pairs re-labeled
     // through two doc_id equi-joins + a sources^2-bounded rollup —
     // expect q_dedup_minhash's machinery-floor exponent
-    "q_dup_source_matrix")
+    "q_dup_source_matrix",
+    // content flags: zero-exchange map pass (category folds inside the
+    // row) — the q_quality_rules class
+    "q_content_flags")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -965,6 +965,62 @@ object TextOps {
     * fallback, exactly why English-tuned Gopher rules misfire on CJK),
     * passing vacuously when a document has no word runs.
     */
+  /** Topical taxonomy for [[contentFlags]] — placeholder category
+    * wordlists a deployment swaps for its real ones (the operator
+    * shape, not the lexicon, is the deliverable). Token-level exact
+    * match over the shared segmentation, so a category term inside a
+    * larger word never fires (the classic "Scunthorpe" false positive
+    * of substring blocklists).
+    */
+  val ContentTaxonomy: Seq[(String, Seq[String])] = Seq(
+    "adult" -> Seq("explicit", "nsfw", "xrated"),
+    "violence" -> Seq("weapon", "assault", "gore"),
+    "gambling" -> Seq("casino", "jackpot", "betting"))
+
+  /** A category fires at ≥ this many term instances — one stray
+    * mention is context, repetition is topic (the boundary row below
+    * pins the off-by-one).
+    */
+  val ContentFlagMin = 2
+
+  /** Planted rows: one doc tripping each category, a boundary doc at
+    * exactly threshold−1 instances (must NOT flag), a term embedded in
+    * a larger token (must not count), and a clean control.
+    */
+  private[graft] val ContentPlantedRows: Seq[(Long, String)] = Seq(
+    (995001L, "explicit content explicit banner nsfw page"),
+    (995002L, "weapon report and assault case and gore detail"),
+    (995003L, "casino night jackpot draw betting pool casino"),
+    (995004L, "casino mentioned once in passing"),
+    (995005L, "nonexplicit words like weaponry stay uncounted"),
+    (995006L, "plain clean control document"))
+
+  /** Content-taxonomy safety flags — the TOPICAL filter beside the
+    * STATISTICAL [[qualityRules]]: per document, exact token-level hit
+    * counts for each category list, the total, and a per-category +
+    * overall flag at [[ContentFlagMin]] instances. One zero-exchange
+    * map pass over the shared segmentation (the lists live in the
+    * closure as literals — at production lexicon sizes they become a
+    * broadcast set lookup, same plan class).
+    */
+  def contentFlags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(ContentPlantedRows.toDF("doc_id", "text"))
+    val t = segmentTokens(col("text"))
+    val hits = ContentTaxonomy.map { case (cat, words) =>
+      cat -> size(filter(t, x => x.isInCollection(words))).cast("long")
+    }
+    val total = hits.map(_._2).reduce(_ + _)
+    val flagged = hits.map(_._2 >= ContentFlagMin).reduce(_ || _)
+    val cols = Seq(col("doc_id")) ++
+      hits.map { case (cat, c) => c.as(s"n_$cat") } ++
+      Seq(total.as("n_total")) ++
+      hits.map { case (cat, c) => (c >= ContentFlagMin).as(s"flag_$cat") } ++
+      Seq(flagged.as("flagged"))
+    src.select(cols: _*)
+  }
+
   def qualityRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1161,6 +1217,7 @@ object TextOps {
     "q_segment_cjk" -> segmentCjk _,
     "q_tokenizer_fertility" -> tokenizerFertility _,
     "q_line_collapse" -> lineCollapse _,
+    "q_content_flags" -> contentFlags _,
     "q_quality_score" -> qualityScore _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
@@ -1445,6 +1502,33 @@ object TextOps {
          |    THEN round(CAST(sum(nc) AS DOUBLE) / sum(ns), 6) END
          |    AS chars_per_token
          |FROM per GROUP BY lang""".stripMargin
+    },
+    "q_content_flags" -> {
+      def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
+      val values = ContentPlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      val catCols = ContentTaxonomy.map { case (cat, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"""CAST(len(list_filter(${segmentSql("text")},
+           |    x -> x IN ($lst))) AS BIGINT) AS n_$cat""".stripMargin
+      }.mkString(", ")
+      val cats = ContentTaxonomy.map(_._1)
+      val totalExpr = cats.map(c => s"n_$c").mkString(" + ")
+      val flagCols = cats.map(c =>
+        s"n_$c >= $ContentFlagMin AS flag_$c").mkString(", ")
+      val anyFlag = cats.map(c => s"n_$c >= $ContentFlagMin")
+        .mkString(" OR ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |h AS (SELECT doc_id,
+         |  $catCols
+         |FROM src)
+         |SELECT doc_id, ${cats.map(c => s"n_$c").mkString(", ")},
+         |  $totalExpr AS n_total,
+         |  $flagCols,
+         |  $anyFlag AS flagged
+         |FROM h""".stripMargin
     },
     "q_line_collapse" -> {
       // escape quotes FIRST, then newline -> chr(10) splice (the

@@ -820,6 +820,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("content flags: categories trip at threshold, embedded terms never count") {
+    val rows = TextOps.contentFlags(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long): Seq[Long] = (1 to 3).map(rows(id).getLong(_))
+    assert(counts(995001L) === Seq(3, 0, 0) && rows(995001L).getBoolean(8))
+    assert(counts(995002L) === Seq(0, 3, 0) && rows(995002L).getBoolean(8))
+    assert(counts(995003L) === Seq(0, 0, 4) && rows(995003L).getBoolean(8))
+    // one stray instance is context, not topic (threshold boundary)
+    assert(counts(995004L) === Seq(0, 0, 1) && !rows(995004L).getBoolean(8))
+    // token-level matching: 'nonexplicit' / 'weaponry' must not fire
+    assert(counts(995005L) === Seq(0, 0, 0))
+    assert(counts(995006L) === Seq(0, 0, 0))
+    rows.values.foreach { r =>
+      // n_total is the category sum; flagged iff some category trips
+      assert(r.getLong(4) === (1 to 3).map(r.getLong(_)).sum)
+      val trip = (1 to 3).exists(i =>
+        r.getLong(i) >= TextOps.ContentFlagMin)
+      assert(r.getBoolean(8) === trip, r.toString)
+    }
+    // the synthetic corpus itself is clean (all flags planted)
+    assert(rows.filter(_._1 < 995000L).values.forall(!_.getBoolean(8)))
+  }
+
   test("line collapse: runs fold to first spelling, non-adjacent repeats survive") {
     val rows = TextOps.lineCollapse(spark, sf).collect()
       .map(r => r.getLong(0) ->
