@@ -250,7 +250,11 @@ object ScaleBench {
     "q_dup_source_matrix",
     // content flags: zero-exchange map pass (category folds inside the
     // row) — the q_quality_rules class
-    "q_content_flags")
+    "q_content_flags",
+    // lsh recall canary: the minhash pipeline + the rare-shingle exact
+    // pass + one dup-sized full join — expect the exact pass's
+    // exponent (q_dedup_ngram_jaccard's row) to dominate
+    "q_lsh_recall")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

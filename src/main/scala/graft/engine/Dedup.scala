@@ -682,6 +682,38 @@ object Dedup {
     verifyPairs(cand, idSets(ds), JaccardThreshold)
   }
 
+  /** LSH recall canary — the dedup-family analog of
+    * [[graft.engine.Similarity.annRecall]]: the banded minhash pass
+    * audited against the exact rare-shingle-blocked pass at the SAME
+    * threshold ([[MinhashThreshold]], applied to the identically-rounded
+    * jaccard both sides emit). One full outer join of two dup-sized
+    * pair sets into a single accounting row: each side's total, the
+    * agreement, the recall ratio, and BOTH miss directions — pairs the
+    * banding dropped (probability-of-collision misses) and pairs the
+    * rare-shingle blocking dropped (a ≥0.6 pair sharing only common
+    * shingles never becomes an exact-side candidate). Neither reference
+    * is free of blind spots, which is exactly why the canary prices
+    * them against each other instead of trusting either.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = dedupNgramJaccard(spark, dir)
+      .filter(col("jaccard") >= MinhashThreshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("e"))
+    val lsh = dedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("l"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full")
+      .select(coalesce(col("e"), lit(0L)).as("e"),
+        coalesce(col("l"), lit(0L)).as("l"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("l")).as("n_lsh"),
+        sum(col("e") * col("l")).as("n_common"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        when(col("n_exact") > 0,
+          round(col("n_common").cast("double") / col("n_exact"), 6))
+          .as("lsh_recall"),
+        (col("n_lsh") - col("n_common")).as("n_lsh_only"),
+        (col("n_exact") - col("n_common")).as("n_exact_only"))
+  }
+
   /** Containment threshold for [[dedupContainment]]: flag a pair when the
     * SMALLER doc's shingles sit ≥ this fraction inside the larger.
     */
@@ -1706,6 +1738,7 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_sensitivity" -> dedupSensitivity _,
     "q_dup_source_matrix" -> dupSourceMatrix _,
+    "q_lsh_recall" -> lshRecall _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -2002,6 +2035,39 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "q_dedup_minhash" -> minhashSql,
+    "q_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |lshp AS (${verifySql(MinhashThreshold)}),
+         |rare AS (SELECT sid FROM ds GROUP BY sid
+         |  HAVING count(*) <= $RareShingleMaxFreq),
+         |rds AS (SELECT doc_id, sid FROM ds JOIN rare USING (sid)),
+         |cande AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM rds x JOIN rds y ON x.sid = y.sid
+         |    AND x.doc_id < y.doc_id),
+         |vere AS (SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE) /
+         |      (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids))), 6)
+         |      AS jaccard
+         |  FROM cande JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE) /
+         |    (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids)))
+         |    >= $JaccardThreshold),
+         |ex AS (SELECT doc_a, doc_b, 1 AS e FROM vere
+         |  WHERE jaccard >= $MinhashThreshold),
+         |ls AS (SELECT doc_a, doc_b, 1 AS l FROM lshp),
+         |fj AS (SELECT COALESCE(e, 0) AS e, COALESCE(l, 0) AS l
+         |  FROM ex FULL JOIN ls USING (doc_a, doc_b)),
+         |agg AS (SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+         |    CAST(sum(l) AS BIGINT) AS n_lsh,
+         |    CAST(sum(e * l) AS BIGINT) AS n_common FROM fj)
+         |SELECT n_exact, n_lsh, n_common,
+         |  CASE WHEN n_exact > 0
+         |    THEN round(CAST(n_common AS DOUBLE) / n_exact, 6) END
+         |    AS lsh_recall,
+         |  n_lsh - n_common AS n_lsh_only,
+         |  n_exact - n_common AS n_exact_only
+         |FROM agg""".stripMargin,
     "q_dup_source_matrix" ->
       s"""WITH $minhashCtes,
          |ver AS (${verifySql(MinhashThreshold)}),

@@ -147,6 +147,24 @@ class TextDedupSpec extends SparkSpec {
       "fixture sweep should separate at least one threshold")
   }
 
+  test("lsh recall canary: exact recount of both sides and both miss directions") {
+    val r = Dedup.lshRecall(spark, sf).head
+    val (ne, nl, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc <= math.min(ne, nl))
+    assert(r.getLong(4) === nl - nc && r.getLong(5) === ne - nc)
+    if (ne > 0)
+      assert(math.abs(r.getDouble(3) - nc.toDouble / ne) < 1e-6)
+    // recount both sides from the underlying queries
+    val exact = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .filter(_.getDouble(2) >= Dedup.MinhashThreshold)
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(ne === exact.size.toLong && nl === lsh.size.toLong)
+    assert(nc === (exact intersect lsh).size.toLong)
+    assert(ne > 0, "fixture must exercise the canary")
+  }
+
   test("dup source matrix: conserves pair mass, ordered keys, exact recount") {
     val cells = Dedup.dupSourceMatrix(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
