@@ -254,7 +254,11 @@ object ScaleBench {
     // lsh recall canary: the minhash pipeline + the rare-shingle exact
     // pass + one dup-sized full join — expect the exact pass's
     // exponent (q_dedup_ngram_jaccard's row) to dominate
-    "q_lsh_recall")
+    "q_lsh_recall",
+    // anchor text: map-side synth + regexp explode + ONE dst_host
+    // exchange; the majority window runs over distinct (host, text)
+    // labels, not link instances — the q_link_graph class
+    "q_anchor_text")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -731,6 +731,72 @@ object TextOps {
         countDistinct(col("doc_id")).as("n_src_docs"))
   }
 
+  /** Planted pages for [[anchorText]]: case/whitespace anchor variants
+    * that must merge after normalization, an empty anchor (image-style
+    * link — counted as a link, excluded from text stats), and a
+    * contested host whose top anchor needs the deterministic tie-break.
+    */
+  private[graft] val AnchorPlantedRows: Seq[(Long, String)] = Seq(
+    (996001L, "<a href=\"https://t1.example.org/\">Data Guide</a>" +
+      "<a href=\"https://t1.example.org/x\">  data GUIDE </a>"),
+    (996002L, "<a href=\"https://t1.example.org/y\">data guide</a>" +
+      "<a href=\"https://t2.example.org/\"></a>"),
+    (996003L, "<a href=\"https://t2.example.org/a\">beta ref</a>" +
+      "<a href=\"https://t2.example.org/b\">alpha ref</a>"))
+
+  /** Anchor-text aggregation — the web-graph RELEVANCE signal next to
+    * [[linkGraph]]'s authority signal: what the web CALLS a page is a
+    * label its own content can't fake, which is why anchor harvesting
+    * is a standard web-pipeline step. Per target host: link count,
+    * anchors carrying text, distinct normalized anchor texts, and the
+    * majority anchor (count-desc, text-asc tie-break). Anchors
+    * normalize by trim+lower so case/whitespace variants merge; empty
+    * anchors (image links) count as links but not as text.
+    *
+    * Scale shape: regexp explode + normalize map-side, ONE dst_host
+    * exchange for the (host, text) counts, and the majority pick is a
+    * window over the host's DISTINCT anchor texts (label-cardinality
+    * rows, not link instances) — never corpus rows.
+    */
+  def anchorText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val synth = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        lit("<a href=\"https://src"), (col("doc_id") + 1) % 20,
+        lit(".example.com/\">guide "), col("doc_id") % 4,
+        lit("</a><a href=\"https://src"), (col("doc_id") * 3) % 20,
+        lit(".example.com/p\">REF "), col("doc_id") % 3,
+        lit("</a>")).as("page"))
+    val all = synth.unionByName(AnchorPlantedRows.toDF("doc_id", "page"))
+    val matches = regexp_extract_all(col("page"),
+      lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))
+    val href = regexp_extract(col("m"), "href=\"([^\"]*)\"", 1)
+    val host = regexp_replace(
+      lower(regexp_extract(href, "://([^/?#:]*)", 1)), "^www\\.", "")
+    val anchor = lower(trim(regexp_extract(col("m"), ">([^<]*)</a>", 1)))
+    val labeled = all
+      .select(explode(matches).as("m"))
+      .select(host.as("dst_host"), anchor.as("atext"))
+    val perText = labeled
+      .groupBy("dst_host", "atext")
+      .agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("dst_host"))
+      .orderBy(col("n").desc, col("atext"))
+    val top = perText.filter(col("atext") =!= "")
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("dst_host"), col("atext").as("top_anchor"),
+        col("n").as("top_anchor_n"))
+    perText.groupBy("dst_host")
+      .agg(sum(col("n")).as("n_links"),
+        sum(when(col("atext") =!= "", col("n")).otherwise(0L))
+          .as("n_with_text"),
+        countDistinct(when(col("atext") =!= "", col("atext")))
+          .as("n_distinct_texts"))
+      .join(top, Seq("dst_host"), "left")
+  }
+
   /** Cross-document boilerplate lines planted into [[boilerplateLines]]:
     * two nav/footer lines shared by ≥3 docs (one with asymmetric
     * whitespace padding — removal keys on the TRIMMED line), unique
@@ -1218,6 +1284,7 @@ object TextOps {
     "q_tokenizer_fertility" -> tokenizerFertility _,
     "q_line_collapse" -> lineCollapse _,
     "q_content_flags" -> contentFlags _,
+    "q_anchor_text" -> anchorText _,
     "q_quality_score" -> qualityScore _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
@@ -1612,6 +1679,41 @@ object TextOps {
         |    WHEN rn * 3 <= n_lang * 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM r""".stripMargin,
+    "q_anchor_text" -> {
+      val values = AnchorPlantedRows.map { case (id, p) =>
+        s"($id, '${p.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""WITH pg AS (SELECT doc_id,
+         |    '<a href="https://src' || ((doc_id + 1) % 20)
+         |    || '.example.com/">guide ' || (doc_id % 4)
+         |    || '</a><a href="https://src' || ((doc_id * 3) % 20)
+         |    || '.example.com/p">REF ' || (doc_id % 3) || '</a>' AS page
+         |  FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, page)),
+         |m AS (SELECT unnest(regexp_extract_all(page,
+         |    '<a href="[^"]*"[^>]*>[^<]*</a>')) AS m FROM pg),
+         |lab AS (SELECT regexp_replace(lower(regexp_extract(
+         |      regexp_extract(m, 'href="([^"]*)"', 1),
+         |      '://([^/?#:]*)', 1)), '^www\\.', '') AS dst_host,
+         |    lower(trim(regexp_extract(m, '>([^<]*)</a>', 1))) AS atext
+         |  FROM m),
+         |pt AS (SELECT dst_host, atext, count(*) AS n FROM lab
+         |  GROUP BY dst_host, atext),
+         |top AS (SELECT dst_host, atext AS top_anchor,
+         |    CAST(n AS BIGINT) AS top_anchor_n FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY dst_host
+         |      ORDER BY n DESC, atext) AS rk FROM pt WHERE atext <> '')
+         |  WHERE rk = 1)
+         |SELECT pt.dst_host, CAST(sum(n) AS BIGINT) AS n_links,
+         |  CAST(sum(CASE WHEN atext <> '' THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_with_text,
+         |  CAST(count(DISTINCT CASE WHEN atext <> '' THEN atext END)
+         |    AS BIGINT) AS n_distinct_texts,
+         |  any_value(top_anchor) AS top_anchor,
+         |  any_value(top_anchor_n) AS top_anchor_n
+         |FROM pt LEFT JOIN top USING (dst_host)
+         |GROUP BY pt.dst_host""".stripMargin
+    },
     "q_link_graph" -> {
       val values = LinkPlantedRows.map { case (id, p) =>
         if (p == null) s"($id, CAST(NULL AS VARCHAR))" else s"($id, '$p')"

@@ -838,6 +838,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("anchor text: variants merge, image links excluded, majority tie-break") {
+    val rows = TextOps.anchorText(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // case/whitespace variants of 'Data Guide' collapse to one label
+    val t1 = rows("t1.example.org")
+    assert((1 to 3).map(t1.getLong(_)) === Seq(3, 3, 1))
+    assert(t1.getString(4) === "data guide" && t1.getLong(5) === 3L)
+    // the empty (image-style) anchor counts as a link, not as text;
+    // the 1-1 tie between labels breaks on text order
+    val t2 = rows("t2.example.org")
+    assert((1 to 3).map(t2.getLong(_)) === Seq(3, 2, 2))
+    assert(t2.getString(4) === "alpha ref" && t2.getLong(5) === 1L)
+    rows.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "text anchors exceed links")
+      assert(r.getLong(3) <= r.getLong(2), "distinct texts exceed texts")
+      if (r.getLong(2) > 0) {
+        assert(r.getString(4) != null && r.getString(4).nonEmpty)
+        assert(r.getLong(5) >= 1L && r.getLong(5) <= r.getLong(2))
+      }
+    }
+  }
+
   test("content flags: categories trip at threshold, embedded terms never count") {
     val rows = TextOps.contentFlags(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
