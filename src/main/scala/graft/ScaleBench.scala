@@ -258,7 +258,10 @@ object ScaleBench {
     // anchor text: map-side synth + regexp explode + ONE dst_host
     // exchange; the majority window runs over distinct (host, text)
     // labels, not link instances — the q_link_graph class
-    "q_anchor_text")
+    "q_anchor_text",
+    // deletion audit: one regexp map pass + one 1-row global aggregate
+    // — the q_pii_audit scan class with a DECIMAL sum epilogue
+    "q_deletion_audit")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

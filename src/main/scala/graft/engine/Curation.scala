@@ -103,6 +103,52 @@ object Curation {
           countExprs.reduceLeft(_ + _) > 0).as("has_pii"): _*)
   }
 
+  /** Deletion / right-to-be-forgotten audit — the compliance record a
+    * release writes when PII-bearing documents must LEAVE the corpus:
+    * one accounting row with the before/deleted/retained counts, the
+    * order-independent content fingerprint of the RETAINED corpus (the
+    * [[graft.engine.SourceQueries.datasetManifest]] sum-mod-prime, so
+    * the audit pins exactly which corpus the release now is), and the
+    * REDACTION-CLOSURE check: the number of documents whose redacted
+    * text STILL matches any PII pattern. That last column must be zero
+    * — a placeholder that leaves partial digits behind would re-match,
+    * i.e. redaction must be a fixed point of detection, and this query
+    * gates it corpus-wide rather than trusting the pattern authors.
+    * Null-text rows are retained (nothing to detect) and excluded from
+    * the fingerprint sum (no content to fingerprint), mirrored on both
+    * engines. One map pass + one global aggregate; no exchange beyond
+    * the 1-row agg.
+    */
+  def deletionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(PiiPlantedRows.toDF("doc_id", "text"))
+    val nPii = PiiPatterns.map { case (_, re, _) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    }.reduce(_ + _)
+    val hasPii = when(col("text").isNotNull, nPii > 0).otherwise(false)
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (acc, (_, re, ph)) => regexp_replace(acc, re, ph)
+    }
+    val residual = PiiPatterns.map { case (_, re, _) =>
+      size(regexp_extract_all(redacted, lit(re), lit(0)))
+    }.reduce(_ + _)
+    val hv = graft.functions.StringFunctions.utf8_poly_id(
+      concat(col("doc_id").cast("string"), lit(":"), col("text")),
+      Dedup.IdMod)
+    src.select(
+        hasPii.as("p"),
+        when(!hasPii, hv).as("keep_hv"),
+        when(col("text").isNotNull && residual > 0, 1L).otherwise(0L)
+          .as("res"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(when(col("p"), 0L).otherwise(1L)).as("n_retained"),
+        (sum(col("keep_hv").cast("decimal(38,0)")) % Dedup.IdMod)
+          .cast("long").as("fp_retained"),
+        sum(col("res")).as("n_redacted_residual"))
+  }
+
   /** Fixed-size chunking with overlap (size 32, stride 24): the
     * document-to-training-sample explosion. Chunk starts stride across the
     * token array; each row is one chunk with its token count and text.
@@ -973,6 +1019,7 @@ object Curation {
     "q_winsorize" -> winsorize _,
     "q_text_scrub" -> textScrub _,
     "q_pii_audit" -> piiAudit _,
+    "q_deletion_audit" -> deletionAudit _,
     "q_doc_chunk" -> docChunk _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_weighted_sample" -> weightedSample _,
@@ -1253,6 +1300,41 @@ object Curation {
          |SELECT doc_id, $countCols, $red AS redacted,
          |  ($total) > 0 AS has_pii
          |FROM src""".stripMargin
+    },
+    "q_deletion_audit" -> {
+      def sqlLit(t: String): String =
+        if (t == null) "CAST(NULL AS VARCHAR)"
+        else s"'${t.replace("'", "''")}'"
+      val values = PiiPlantedRows.map { case (id, t) =>
+        s"($id, ${sqlLit(t)})"
+      }.mkString(", ")
+      val total = PiiPatterns.map { case (_, re, _) =>
+        s"len(regexp_extract_all(text, '$re'))"
+      }.mkString(" + ")
+      val red = PiiPatterns.foldLeft("text") { case (acc, (_, re, ph)) =>
+        s"regexp_replace($acc, '$re', '$ph', 'g')"
+      }
+      val resid = PiiPatterns.map { case (_, re, _) =>
+        s"len(regexp_extract_all($red, '$re'))"
+      }.mkString(" + ")
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |per AS (SELECT doc_id, text,
+         |    COALESCE(text IS NOT NULL AND ($total) > 0, FALSE) AS p,
+         |    CASE WHEN text IS NOT NULL AND ($resid) > 0
+         |      THEN 1 ELSE 0 END AS res
+         |  FROM src)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pii_docs,
+         |  CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_retained,
+         |  CAST(sum(CASE WHEN NOT p THEN CAST(${graft.engine.Dedup
+              .idUtf8Sql("CAST(doc_id AS VARCHAR) || ':' || text")}
+         |    AS HUGEINT) END) % ${Dedup.IdMod} AS BIGINT)
+         |    AS fp_retained,
+         |  CAST(sum(res) AS BIGINT) AS n_redacted_residual
+         |FROM per""".stripMargin
     },
     "q_doc_chunk" ->
       s"""SELECT doc_id, CAST(start / $ChunkStride AS INTEGER) AS chunk_idx, CAST(len(t[start + 1 : least(start + $ChunkSize, len(t))]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[start + 1 : least(start + $ChunkSize, len(t))], ' ') AS chunk_text FROM (SELECT doc_id, ${TextOps.segmentSql("text")} AS t, unnest(range(0, greatest(len(${TextOps.segmentSql("text")}), 1), $ChunkStride)) AS start FROM documents) WHERE len(t[start + 1 : least(start + $ChunkSize, len(t))]) > 0""",

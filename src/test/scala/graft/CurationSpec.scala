@@ -211,6 +211,22 @@ class CurationSpec extends SparkSpec {
       got.values.map(_._1).sum <= Curation.TokenBudget)
   }
 
+  test("deletion audit: recounts pii docs, conserves, redaction is closed") {
+    val r = Curation.deletionAudit(spark, sf).head
+    val (n, np, nr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n === np + nr, "every doc is deleted or retained")
+    // recount against the per-doc audit (independent query)
+    val audit = Curation.piiAudit(spark, sf).collect()
+    assert(n === audit.length.toLong)
+    assert(np === audit.count(a =>
+      !a.isNullAt(6) && a.getBoolean(6)).toLong)
+    assert(np > 0, "planted PII rows must be deleted")
+    // redaction must be a fixed point of detection, corpus-wide
+    assert(r.getLong(4) === 0L, "redacted text still matches a pattern")
+    val fp = r.getLong(3)
+    assert(fp >= 0L && fp < graft.engine.Dedup.IdMod)
+  }
+
   test("pack manifest: segments tile each pack, conserve docs, fill packs") {
     val segs = Curation.packManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
