@@ -261,7 +261,11 @@ object ScaleBench {
     "q_anchor_text",
     // deletion audit: one regexp map pass + one 1-row global aggregate
     // — the q_pii_audit scan class with a DECIMAL sum epilogue
-    "q_deletion_audit")
+    "q_deletion_audit",
+    // bm25 retrieval: the postings scan + two bounded joins end in
+    // TakeOrderedAndProject (per-partition heaps, k rows to the
+    // driver) — never a partition-less window; expect q_bm25's class
+    "q_bm25_search")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

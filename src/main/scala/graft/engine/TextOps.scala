@@ -349,6 +349,53 @@ object TextOps {
       .select("term", "doc_id", "tf", "dl", "bm25", "rank")
   }
 
+  /** Multi-term BM25 RETRIEVAL — the query the [[bm25]] scorer and the
+    * inverted index exist to serve: the whole [[Bm25QueryTerms]] query
+    * ranked as documents, not term postings. Each candidate document's
+    * per-term BM25 contributions convert to integer micros BEFORE
+    * summing (summing raw doubles would make the total depend on
+    * engine-specific addition order — the per-term round(…,6) is the
+    * last float op, after which everything is exact BIGINT), so the
+    * document ordering is bit-deterministic cross-engine. The top-k cut
+    * is `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject,
+    * per-partition heaps merged at the driver over k rows, NEVER a
+    * partition-less window funneling candidates through one task (the
+    * per-term ranking in [[bm25]] partitions by term; a whole-query
+    * ranking has no such key, so the limit form is the only shape that
+    * scales with candidate count).
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens)).cast("long").as("total_tokens"))
+    val dl = docs.select(col("doc_id"),
+      size(tokens).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term").isInCollection(Bm25QueryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val idf =
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val perTerm = round(
+      idf * (col("tf") * lit(Bm25K1 + 1)) /
+        (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
+          lit(Bm25B) * col("dl") * col("n_docs") / col("total_tokens"))),
+      6)
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(perTerm * 1000000L).cast("long").as("s_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(col("s_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   /** Unigram-LM document scoring — the corpus-statistics quality filter a
     * training pipeline runs after the heuristic [[textQuality]] pass:
     * score every document by how typical its tokens are under the
@@ -1292,7 +1339,8 @@ object TextOps {
     "q_perplexity_bucket" -> perplexityBucket _,
     "q_link_graph" -> linkGraph _,
     "q_bigram_coverage" -> bigramCoverage _,
-    "q_bm25" -> bm25 _)
+    "q_bm25" -> bm25 _,
+    "q_bm25_search" -> bm25Search _)
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
   private def markerScore(ms: Seq[String]): String =
@@ -1773,5 +1821,31 @@ object TextOps {
          |    ORDER BY bm25 DESC, doc_id) AS rank FROM s)
          |SELECT term, doc_id, tf, dl, bm25, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= $Bm25TopK""".stripMargin
+    },
+    "q_bm25_search" -> {
+      val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(${segmentSql("text")})
+         |    AS term FROM documents),
+         |tfg AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ($termList) GROUP BY doc_id, term),
+         |dfg AS (SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM tfg GROUP BY term),
+         |dlt AS (SELECT doc_id, CAST(len(${segmentSql("text")})
+         |    AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(${segmentSql("text")})) AS BIGINT)
+         |      AS total_tokens FROM documents),
+         |s AS (SELECT doc_id, CAST(round(round(
+         |    (n_docs - df + 0.5) / (df + 0.5) * (tf * ${Bm25K1 + 1}) /
+         |      (tf + $Bm25K1 * (${1 - Bm25B} +
+         |        $Bm25B * dl * n_docs / total_tokens)), 6) * 1000000)
+         |    AS BIGINT) AS s_micro
+         |  FROM tfg JOIN dfg USING (term) JOIN dlt USING (doc_id)
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         |  CAST(sum(s_micro) AS BIGINT) AS score_micro
+         |FROM s GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id
+         |LIMIT $Bm25TopK""".stripMargin
     })
 }

@@ -466,7 +466,10 @@ class PlanSpec extends SparkSpec {
     // inherits that query's sanctioned broadcast probe join
     val sanctionedNlj = Set("q_sim_cosine_topk", "q_agg_multi", "q_ann_ivf",
       "q_salient_terms", "q_semantic_dedup", "q_ann_incremental",
-      "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_unigram_prob",
+      // q_bm25_search folds its 1-row corpus-totals broadcast like
+      // q_bm25 (same collect-scalar-kept-in-plan shape)
+      "q_kmeans_refine", "q_ann_pq", "q_bm25", "q_bm25_search",
+      "q_unigram_prob",
       "q_drift_ks", "q_embed_project", "q_watermark_audit",
       // q_bloom_join broadcasts its 1-row 8 KiB bitmap into the probe
       // filter; q_dup_transitivity folds three 1-row graph aggregates

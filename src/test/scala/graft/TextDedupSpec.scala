@@ -838,6 +838,50 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("bm25 search: ordered top-k, scores replay from raw corpus statistics") {
+    val rows = TextOps.bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === TextOps.Bm25TopK)
+    rows.foreach { case (_, h, _) =>
+      assert(h >= 1 && h <= TextOps.Bm25QueryTerms.length)
+    }
+    // TakeOrderedAndProject must return the (score desc, id asc) order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+    // replay every returned score from raw corpus statistics
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val seg = java.util.regex.Pattern.compile(TextOps.SegPattern)
+    def toks(t: String): Seq[String] = {
+      val m = seg.matcher(t); val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(); b.result()
+    }
+    val tokenized = texts.map { case (id, t) => id -> toks(t) }.toMap
+    val nDocs = tokenized.size.toLong
+    val totalTokens = tokenized.values.map(_.length.toLong).sum
+    val dfOf = TextOps.Bm25QueryTerms.map { q =>
+      q -> tokenized.values.count(_.contains(q)).toLong
+    }.toMap
+    def scoreOf(id: Long): (Long, Long) = {
+      val ts = tokenized(id); val dlen = ts.length.toLong
+      val hits = TextOps.Bm25QueryTerms.filter(ts.contains)
+      val micros = hits.map { q =>
+        val tf = ts.count(_ == q).toDouble
+        val idf = (nDocs - dfOf(q) + 0.5) / (dfOf(q) + 0.5)
+        val s = idf * (tf * (TextOps.Bm25K1 + 1)) /
+          (tf + TextOps.Bm25K1 * ((1 - TextOps.Bm25B) +
+            TextOps.Bm25B * dlen * nDocs / totalTokens.toDouble))
+        math.round(BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+      }
+      (hits.length.toLong, micros.sum)
+    }
+    rows.foreach { case (id, h, s) =>
+      assert((h, s) === scoreOf(id), s"doc $id score replay")
+    }
+  }
+
   test("anchor text: variants merge, image links excluded, majority tie-break") {
     val rows = TextOps.anchorText(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
