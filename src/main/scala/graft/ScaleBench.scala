@@ -265,7 +265,18 @@ object ScaleBench {
     // bm25 retrieval: the postings scan + two bounded joins end in
     // TakeOrderedAndProject (per-partition heaps, k rows to the
     // driver) — never a partition-less window; expect q_bm25's class
-    "q_bm25_search")
+    "q_bm25_search",
+    // vocab growth: one linear term exchange (min-decile per distinct
+    // token) + two 10-key aggregates over a 1-row bounds broadcast —
+    // the q_vocab_drift class; the sequence explode multiplies ten
+    // rows, never corpus rows
+    "q_vocab_growth",
+    // index forget: the deleted docs' band recompute rides the memoized
+    // signature table (the minhash machinery floor); the patch itself
+    // is one anti/semi join pair against the deletion-batch-sized dirty
+    // set plus a dirty-bucket-partitioned window — expect the
+    // q_dedup_incremental_bucketed class (index scan + delta-sized work)
+    "q_index_forget")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -664,6 +664,111 @@ object Dedup {
       .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_corpus"),
         col("jaccard"))
 
+  /** Deletion-batch modulus for [[indexForget]]: corpus docs with
+    * `doc_id % ForgetMod == 0` are the standing right-to-be-forgotten
+    * batch (the deterministic analog of the deletion list
+    * [[Curation.deletionAudit]] produces from PII detection). Chosen
+    * coprime to [[IncrementalDeltaMod]] so the deleted slice cuts across
+    * the index corpus rather than aliasing its delta carve-out.
+    */
+  val ForgetMod = 7L
+
+  /** Right-to-be-forgotten propagation into the PERSISTED minhash band
+    * index — the maintenance operation that connects the governance
+    * family ([[Curation.deletionAudit]]) to the incremental-dedup family
+    * ([[dedupIncrementalBucketed]]): when documents leave the corpus,
+    * the standing index must forget them WITHOUT a full rebuild. The
+    * patch rule: a bucket is DIRTY iff a deleted doc's own band rows
+    * touch it (recomputed from the deleted docs' signatures — the only
+    * authority; the index itself hides members behind oversize-collapsed
+    * star rows). Clean-bucket rows pass through UNTOUCHED (their
+    * membership is provably unchanged — any row referencing a deleted
+    * doc sits in a bucket that doc's band rows mark dirty); dirty
+    * buckets rebuild from the RETAINED members' band rows with the
+    * build-time collapse re-applied at the new size — so a star bucket
+    * that drops under [[LshBucketCap]] re-expands to member rows and a
+    * bucket whose min doc was deleted re-keys its star correctly.
+    *
+    * The output row IS the correctness theorem: `fp_after` (the
+    * [[SourceQueries.datasetManifest]]-style order-independent
+    * sum-mod-prime over `band:bkey:doc_b`) and the row counts are
+    * computed by the engine over the PATCH (clean ∪ rebuilt) while the
+    * oracle computes them over a FULL REBUILD on the retained corpus —
+    * the hash gate passing proves patch ≡ rebuild, bucket by bucket.
+    *
+    * 100 TB shape: the deleted docs' signature/band recompute is
+    * deletion-batch-sized; `dirty` is batch×[[Bands]] keys, so the
+    * semi/anti joins broadcast it by size (degrading gracefully to
+    * shuffle for a giant purge); the clean side is ONE pass over the
+    * persisted index with no corpus recompute; the rebuild side's band
+    * recompute prunes to dirty buckets via the semi join. A production
+    * deployment pairs this plan with a bucket-pruned physical rewrite of
+    * only the dirty index files (the
+    * [[graft.streaming.StreamingQueries]] upsert's touched-partition
+    * pattern); the query keeps the rewrite logical so the equality proof
+    * stays engine-checkable.
+    */
+  def indexForget(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.table(corpusBandIndex(spark, dir))
+    val corpus = bandRows(signatures(spark, dir)).drop("bkey2")
+      .filter(col("doc_id") % IncrementalDeltaMod > 0)
+    val delBands = corpus.filter(col("doc_id") % ForgetMod === 0)
+    val dirty = delBands.select("band", "bkey").distinct()
+    val hv = graft.functions.StringFunctions.utf8_poly_id(
+      concat(col("band").cast("string"), lit(":"), col("bkey"),
+        lit(":"), col("doc_b").cast("string")), IdMod)
+    val patchedAgg = forgetPatchedRows(spark, dir).agg(
+      sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean_rows"),
+      sum(when(!col("is_clean"), 1L).otherwise(0L)).as("n_rebuilt_rows"),
+      count(lit(1)).as("n_rows_after"),
+      (sum(hv.cast("decimal(38,0)")) % IdMod).cast("long").as("fp_after"))
+    idx.agg(count(lit(1)).as("n_rows_before"))
+      .crossJoin(broadcast(delBands.select("doc_id").distinct()
+        .agg(count(lit(1)).as("n_deleted_docs"))))
+      .crossJoin(broadcast(dirty.agg(count(lit(1))
+        .as("n_dirty_buckets"))))
+      .crossJoin(broadcast(patchedAgg))
+  }
+
+  /** The patched index rows [[indexForget]] aggregates — exposed so the
+    * spec can assert the patch's structural invariants (no deleted doc
+    * survives; clean and rebuilt rows partition by dirty-bucket
+    * membership; the patch equals a direct rebuild row-for-row).
+    */
+  private[graft] def forgetPatchedRows(spark: SparkSession,
+      dir: String): DataFrame =
+    forgetPatch(
+      spark.table(corpusBandIndex(spark, dir)),
+      bandRows(signatures(spark, dir)).drop("bkey2")
+        .filter(col("doc_id") % IncrementalDeltaMod > 0),
+      ForgetMod, LshBucketCap)
+
+  /** The patch core, parameterized over the index rows, the corpus band
+    * rows, the deletion predicate modulus, and the collapse cap — cap is
+    * a parameter ONLY so the spec can exercise the star-collapse and
+    * re-expansion paths on synthetic buckets; production callers always
+    * use [[LshBucketCap]] (the oracle mirrors that value).
+    */
+  private[graft] def forgetPatch(idx: DataFrame, corpus: DataFrame,
+      forgetMod: Long, cap: Int): DataFrame = {
+    val dirty = corpus.filter(col("doc_id") % forgetMod === 0)
+      .select("band", "bkey").distinct()
+    val clean = idx.join(dirty, Seq("band", "bkey"), "left_anti")
+      .select(col("band"), col("bkey"), col("doc_b"),
+        lit(true).as("is_clean"))
+    val retained = corpus.filter(col("doc_id") % forgetMod =!= 0)
+      .join(dirty, Seq("band", "bkey"), "left_semi")
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+    val rebuilt = retained.filter(col("bsize") <= cap)
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+      .union(retained.filter(col("bsize") > cap)
+        .groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_b")))
+      .select(col("band"), col("bkey"), col("doc_b"),
+        lit(false).as("is_clean"))
+    clean.union(rebuilt)
+  }
+
   /** n-gram Jaccard near-dup with rare-shingle blocking: candidates are
     * pairs sharing at least one shingle with global frequency <=
     * [[RareShingleMaxFreq]] (near-identical docs always share their rare
@@ -1741,6 +1846,7 @@ object Dedup {
     "q_lsh_recall" -> lshRecall _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
+    "q_index_forget" -> indexForget _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_containment" -> dedupContainment _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -1869,6 +1975,59 @@ object Dedup {
        |    ON d.band = o.band AND d.bkey = o.bkey)),
        |ver AS (${verifySql(MinhashThreshold)})
        |SELECT doc_a AS doc_new, doc_b AS doc_corpus, jaccard FROM ver""".stripMargin
+
+  /** DuckDB twin of [[indexForget]] — but deliberately NOT the same
+    * algorithm: the oracle computes a FULL REBUILD of the index on the
+    * retained corpus (and the before/clean/dirty accounting
+    * independently), so the hash gate passing proves the engine's
+    * clean-pass-through + dirty-rebuild patch is extensionally equal to
+    * rebuilding from scratch.
+    */
+  private val indexForgetSql: String = {
+    val rowStr =
+      "CAST(band AS VARCHAR) || ':' || bkey || ':' || " +
+        "CAST(doc_b AS VARCHAR)"
+    s"""WITH $shingleSql,
+       |sig AS (SELECT doc_id, $sigExprs FROM ds GROUP BY doc_id),
+       |bands0 AS ($bandSelects),
+       |corpus AS (SELECT doc_id, band, bkey FROM bands0
+       |  WHERE doc_id % $IncrementalDeltaMod > 0),
+       |sizedb AS (SELECT doc_id, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM corpus),
+       |idx AS (SELECT band, bkey, doc_id AS doc_b FROM sizedb
+       |    WHERE bsize <= $LshBucketCap
+       |  UNION ALL SELECT band, bkey, min(doc_id) AS doc_b FROM sizedb
+       |    WHERE bsize > $LshBucketCap GROUP BY band, bkey),
+       |delb AS (SELECT doc_id, band, bkey FROM corpus
+       |  WHERE doc_id % $ForgetMod = 0),
+       |dirty AS (SELECT DISTINCT band, bkey FROM delb),
+       |ret AS (SELECT doc_id, band, bkey FROM corpus
+       |  WHERE doc_id % $ForgetMod <> 0),
+       |sizedr AS (SELECT doc_id, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) AS bsize FROM ret),
+       |reb AS (SELECT band, bkey, doc_id AS doc_b FROM sizedr
+       |    WHERE bsize <= $LshBucketCap
+       |  UNION ALL SELECT band, bkey, min(doc_id) AS doc_b FROM sizedr
+       |    WHERE bsize > $LshBucketCap GROUP BY band, bkey),
+       |cl AS (SELECT i.band, i.bkey, i.doc_b FROM idx i
+       |  WHERE NOT EXISTS (SELECT 1 FROM dirty d
+       |    WHERE d.band = i.band AND d.bkey = i.bkey)),
+       |rd AS (SELECT r.band, r.bkey, r.doc_b FROM reb r
+       |  WHERE EXISTS (SELECT 1 FROM dirty d
+       |    WHERE d.band = r.band AND d.bkey = r.bkey)),
+       |fp AS (SELECT ${idUtf8Sql(rowStr)} AS hv FROM reb)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_rows_before,
+       |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM delb)
+       |    AS n_deleted_docs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM dirty)
+       |    AS n_dirty_buckets,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clean_rows,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rd) AS n_rebuilt_rows,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM reb) AS n_rows_after,
+       |  (SELECT CAST(sum(CAST(hv AS DECIMAL(38,0))) % $IdMod AS BIGINT)
+       |    FROM fp) AS fp_after""".stripMargin
+  }
 
   /** Connected components as a recursive transitive closure (fixture dup
     * clusters are tiny, so the closure is small); root = min reachable id.
@@ -2133,6 +2292,7 @@ object Dedup {
          |FROM lab GROUP BY split_a, split_b""".stripMargin,
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_incremental_bucketed" -> incrementalSql,
+    "q_index_forget" -> indexForgetSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_weights" -> dedupWeightsSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,

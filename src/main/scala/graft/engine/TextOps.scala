@@ -1018,6 +1018,55 @@ object TextOps {
             * big(col("n_b"))).cast("double"), 6).as("tvd"))
   }
 
+  /** Checkpoint count for [[vocabGrowth]] — ten ingest-order deciles. */
+  val VocabDeciles = 10
+
+  /** Heaps-law vocabulary-growth curve — the corpus diagnostic that
+    * sizes tokenizer vocabularies and smoke-tests dedup health: distinct
+    * segmented tokens seen vs tokens scanned, checkpointed at ten
+    * ingest-order (doc_id-range) deciles. A healthy crawl grows its
+    * vocabulary as a power law (Heaps' V ≈ K·nᵝ); a curve that goes FLAT
+    * early signals heavy duplication (no new content arriving), and the
+    * tail decile's `vocab_new` is the marginal-novelty number a
+    * data-acquisition loop watches. Everything is an exact integer:
+    * decile boundaries are value-range arithmetic over a 1-row
+    * min/span broadcast (`ceil(p·10/span)` as `(p·10 + span − 1) DIV
+    * span` — no global row_number, which would be a single-partition
+    * sort at corpus scale), a token's first-seen decile is
+    * `min(decile)` under one term exchange (decile is monotone in
+    * doc_id, so min-of-decile ≡ decile-of-min), and the cumulative
+    * curve comes from a `sequence(dec, 10)` explode over the TEN-row
+    * per-decile aggregate — no window, no driver state. 100 TB shape:
+    * one linear term exchange + two 10-key aggregates; the explode
+    * multiplies ten rows, not the corpus.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("ws"))
+    val bounds = docs.agg(min(col("doc_id")).as("mn"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
+    val pd = docs.crossJoin(broadcast(bounds))
+      .select(col("ws"),
+        expr(s"CAST(((doc_id - mn + 1) * $VocabDeciles + span - 1)" +
+          " DIV span AS INT)").as("dec"))
+    val da = pd.groupBy("dec").agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ws")).cast("long")).as("n_tokens"))
+    val va = pd.select(col("dec"), explode(col("ws")).as("term"))
+      .groupBy("term").agg(min(col("dec")).as("fdec"))
+      .groupBy("fdec").agg(count(lit(1)).as("vocab_new"))
+    da.join(va, col("dec") === col("fdec"), "left")
+      .select(col("dec"), col("n_docs"), col("n_tokens"),
+        coalesce(col("vocab_new"), lit(0L)).as("vn"))
+      .select(col("dec"), col("n_docs"), col("n_tokens"), col("vn"),
+        explode(sequence(col("dec"), lit(VocabDeciles))).as("decile"))
+      .groupBy("decile")
+      .agg(sum(col("n_docs")).as("docs_cum"),
+        sum(col("n_tokens")).as("tokens_cum"),
+        sum(col("vn")).as("vocab_cum"),
+        sum(when(col("dec") === col("decile"), col("vn")).otherwise(0L))
+          .as("vocab_new"))
+  }
+
   /** Rows planted into [[qualityRules]], each tripping exactly ONE rule
     * (so the spec can prove rule independence), plus an all-pass row and
     * a null row. The 201-token row carries two stopwords and distinct
@@ -1319,6 +1368,7 @@ object TextOps {
     "q_cms_freq" -> cmsFreq _,
     "q_quality_rules" -> qualityRules _,
     "q_vocab_drift" -> vocabDrift _,
+    "q_vocab_growth" -> vocabGrowth _,
     "q_boilerplate_lines" -> boilerplateLines _,
     "q_html_extract" -> htmlExtract _,
     "q_text_normalize" -> textNormalize _,
@@ -1433,6 +1483,31 @@ object TextOps {
         |    / CAST(2 * CAST(max(n_a) AS DECIMAL(38,0))
         |      * CAST(max(n_b) AS DECIMAL(38,0)) AS DOUBLE), 6) AS tvd
         |FROM c, tot""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH b AS (SELECT min(doc_id) AS mn,
+         |    max(doc_id) - min(doc_id) + 1 AS span FROM documents),
+         |pd AS (SELECT ${segmentSql("text")} AS ws,
+         |    CAST(((doc_id - mn + 1) * $VocabDeciles + span - 1) // span
+         |      AS INTEGER) AS dec
+         |  FROM documents CROSS JOIN b),
+         |da AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+         |  FROM pd GROUP BY dec),
+         |va AS (SELECT fdec, CAST(count(*) AS BIGINT) AS vocab_new
+         |  FROM (SELECT term, min(dec) AS fdec FROM
+         |      (SELECT dec, unnest(ws) AS term FROM pd) GROUP BY term)
+         |  GROUP BY fdec),
+         |base AS (SELECT dec, n_docs, n_tokens,
+         |    coalesce(vocab_new, 0) AS vn
+         |  FROM da LEFT JOIN va ON dec = fdec),
+         |ex AS (SELECT CAST(unnest(range(dec, ${VocabDeciles + 1}))
+         |    AS INTEGER) AS decile, dec, n_docs, n_tokens, vn FROM base)
+         |SELECT decile, CAST(sum(n_docs) AS BIGINT) AS docs_cum,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_cum,
+         |  CAST(sum(vn) AS BIGINT) AS vocab_cum,
+         |  CAST(sum(CASE WHEN dec = decile THEN vn ELSE 0 END) AS BIGINT)
+         |    AS vocab_new
+         |FROM ex GROUP BY decile""".stripMargin,
     "q_boilerplate_lines" -> {
       def sqlLit(t: String): String =
         if (t == null) "CAST(NULL AS VARCHAR)"

@@ -97,4 +97,75 @@ class ClusteringSpec extends SparkSpec {
       assert(fast.toSeq === dist.toSeq, s"trial $trial diverged")
     }
   }
+
+  test("index forget: patch invariants and accounting row consistency") {
+    val patched = Dedup.forgetPatchedRows(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    // no deleted doc survives anywhere in the patched index — member
+    // rows and star rows alike (a star doc is itself a bucket member)
+    patched.foreach { case (band, bkey, docB, _) =>
+      assert(docB % Dedup.ForgetMod != 0L,
+        s"deleted doc $docB survives in bucket ($band,$bkey)")
+    }
+    // clean and rebuilt rows partition the bucket-key space: a bucket
+    // is either untouched (clean) or dirty (rebuilt), never both
+    val cleanKeys = patched.filter(_._4).map(p => (p._1, p._2)).toSet
+    val rebuiltKeys = patched.filterNot(_._4).map(p => (p._1, p._2)).toSet
+    assert(cleanKeys.intersect(rebuiltKeys).isEmpty,
+      "a bucket appears in both the clean pass-through and the rebuild")
+    // the accounting row must be the exact fold of the patched rows
+    val out = Dedup.indexForget(spark, sf).head
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) =>
+        (acc * 31 + (b & 0xff)) % Dedup.IdMod)
+    val fp = patched.map { case (band, bkey, docB, _) =>
+      BigInt(poly(s"$band:$bkey:$docB"))
+    }.sum % Dedup.IdMod
+    assert(out.getAs[Long]("n_clean_rows") === patched.count(_._4).toLong)
+    assert(out.getAs[Long]("n_rebuilt_rows") ===
+      patched.count(!_._4).toLong)
+    assert(out.getAs[Long]("n_rows_after") === patched.length.toLong)
+    assert(out.getAs[Long]("fp_after") === fp.toLong)
+    // the fixture's forget batch is non-empty and touches buckets
+    assert(out.getAs[Long]("n_deleted_docs") > 0L)
+    assert(out.getAs[Long]("n_dirty_buckets") > 0L)
+    assert(out.getAs[Long]("n_rows_before") >=
+      out.getAs[Long]("n_rows_after"))
+  }
+
+  test("index forget: star buckets re-expand, re-key, and stay collapsed" +
+      " exactly per the cap rule") {
+    import spark.implicits._
+    // synthetic corpus band rows at cap=2; forgetMod=10 deletes 10,20,30
+    //  bucket A: members 10,11,12 (size 3 > cap → index holds star 10);
+    //    deleting 10 leaves {11,12} = cap → must RE-EXPAND to members
+    //  bucket B: members 20,21,22,23 (star 20); deleting 20 leaves
+    //    {21,22,23} > cap → stays collapsed but must RE-KEY star to 21
+    //  bucket C: members 5,6 (sub-cap member rows); no deletions → must
+    //    pass through untouched as clean rows
+    //  bucket D: members 30,31,32,33 (star 30) — like B, re-keys to 31
+    val corpus = Seq(
+      (10L, 0, "A"), (11L, 0, "A"), (12L, 0, "A"),
+      (20L, 0, "B"), (21L, 0, "B"), (22L, 0, "B"), (23L, 0, "B"),
+      (5L, 1, "C"), (6L, 1, "C"),
+      (30L, 1, "D"), (31L, 1, "D"), (32L, 1, "D"), (33L, 1, "D"))
+      .toDF("doc_id", "band", "bkey")
+    // the standing index = the build-time collapse at cap=2
+    val idx = Seq(
+      (0, "A", 10L), (0, "B", 20L),
+      (1, "C", 5L), (1, "C", 6L), (1, "D", 30L))
+      .toDF("band", "bkey", "doc_b")
+    val rows = Dedup.forgetPatch(idx, corpus, 10L, 2).collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(rows((0, "A")) === Seq((11L, false), (12L, false)),
+      "oversize bucket dropping to cap must re-expand to member rows")
+    assert(rows((0, "B")) === Seq((21L, false)),
+      "still-oversize bucket must re-key its star to the new min")
+    assert(rows((1, "C")) === Seq((5L, true), (6L, true)),
+      "untouched bucket must pass through as clean rows")
+    assert(rows((1, "D")) === Seq((31L, false)))
+  }
 }

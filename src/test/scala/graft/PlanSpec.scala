@@ -494,6 +494,15 @@ class PlanSpec extends SparkSpec {
       // q_vocab_drift folds per-term side counts against its 1-row
       // side-totals broadcast (N_a, N_b) — same shape
       "q_coverage_report", "q_mix_temperature", "q_vocab_drift",
+      // q_vocab_growth assigns ingest-order deciles from its 1-row
+      // min/span bounds broadcast (collect-scalar kept in-plan) —
+      // the alternative, a global row_number, would be a
+      // single-partition sort at corpus scale
+      "q_vocab_growth",
+      // q_index_forget assembles its one accounting row from four 1-row
+      // aggregate broadcasts (before/deleted/dirty/patched) — the
+      // collect-scalar-kept-in-plan shape
+      "q_index_forget",
       // q_kmv_jaccard pairs sources with a `<` non-equi join where BOTH
       // sides are 1-row-per-source aggregates (sources² pair rows of
       // O(k) arrays — dimension-sized by construction, never corpus rows)

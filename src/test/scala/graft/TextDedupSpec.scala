@@ -974,6 +974,54 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.values.map(_.getLong(1)).sum === corpus + 6)
   }
 
+  test("vocab growth: exact driver replay of the Heaps curve") {
+    val rows = TextOps.vocabGrowth(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap.toSeq.sortBy(_._1)
+    // independent driver replay: decile by value-range arithmetic,
+    // first-seen decile per distinct token, cumulative fold
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mn = docs.map(_._1).min
+    val span = docs.map(_._1).max - mn + 1
+    val segRe = TextOps.SegPattern.r
+    def dec(id: Long): Int =
+      (((id - mn + 1) * TextOps.VocabDeciles + span - 1) / span).toInt
+    val first = scala.collection.mutable.Map.empty[String, Int]
+    val perDec = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val d = dec(id)
+      val ts = segRe.findAllIn(text).toSeq
+      val (nd, nt) = perDec(d)
+      perDec(d) = (nd + 1, nt + ts.size)
+      ts.foreach { t =>
+        if (!first.contains(t) || first(t) > d) first(t) = d
+      }
+    }
+    rows.foreach { case (d, (docsCum, toksCum, vocabCum, vocabNew)) =>
+      assert(docsCum ===
+        perDec.filter(_._1 <= d).values.map(_._1).sum, s"docs@$d")
+      assert(toksCum ===
+        perDec.filter(_._1 <= d).values.map(_._2).sum, s"tokens@$d")
+      assert(vocabCum === first.values.count(_ <= d).toLong, s"vocab@$d")
+      assert(vocabNew === first.values.count(_ == d).toLong, s"new@$d")
+    }
+    // the tail checkpoint must account for the whole corpus exactly
+    val (dl, (docsAll, toksAll, vocabAll, _)) = rows.last
+    assert(dl === TextOps.VocabDeciles)
+    assert(docsAll === docs.length.toLong)
+    assert(toksAll === perDec.values.map(_._2).sum)
+    assert(vocabAll === first.size.toLong)
+    // cumulative columns are monotone non-decreasing in decile order
+    rows.sliding(2).foreach {
+      case Seq((_, a), (_, b)) =>
+        assert(a._1 <= b._1 && a._2 <= b._2 && a._3 <= b._3)
+      case _ =>
+    }
+  }
+
   test("vocab drift: exact driver replay of the TVD identity") {
     val r = TextOps.vocabDrift(spark, sf).head
     val counts = scala.collection.mutable.Map
