@@ -276,7 +276,10 @@ object ScaleBench {
     // is one anti/semi join pair against the deletion-batch-sized dirty
     // set plus a dirty-bucket-partitioned window — expect the
     // q_dedup_incremental_bucketed class (index scan + delta-sized work)
-    "q_index_forget")
+    "q_index_forget",
+    // quality calibration: the q_quality_score zero-exchange scoring
+    // map pass + one 8-key aggregate — the q_quality_rules scan class
+    "q_quality_calibration")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -54,6 +54,13 @@ object TextOps {
     */
   private val SegWsClass: String = " \\t\\n\\r　"
 
+  /** The SAME whitespace set as actual characters (SegWsClass spells
+    * tab/newline as regex escapes) — consumed by the native
+    * [[graft.functions.QualityStats]] scanner, which must tokenize
+    * byte-for-byte like [[SegPattern]].
+    */
+  private[graft] val SegWsChars: String = " \t\n\r　"
+
   /** One token = a single per-char-script codepoint OR a maximal run of
     * anything else that is not whitespace. Latin text tokenizes exactly
     * as whitespace split (minus empty tokens), so the segmented chain
@@ -1229,20 +1236,25 @@ object TextOps {
     * Label: the [[qualityRules]] keep verdict (the FineWeb-Edu shape —
     * hand rules bootstrap a trainable scorer).
     */
+  /** The six integer statistics behind the quality features, computed
+    * by the native one-pass [[graft.functions.QualityStats]] expression
+    * (previously each feature column re-derived the segmented array
+    * through `regexp_extract_all` + HOFs, which Spark's codegen
+    * subexpression elimination cannot dedupe across lambda variables —
+    * the scoring pass tokenized every row ~30 times; the native struct
+    * is CSE-able, so the scan runs ONCE per row).
+    */
+  private def qualityStatsCol: Column =
+    graft.functions.StringFunctions.quality_stats(col("text"),
+      SegPerCharClass, SegWsChars, Stopwords ++ CjkStopwords)
+
   private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
-    val t = segmentTokens(col("text"))
-    val nTok = size(t)
-    val allStops = Stopwords ++ CjkStopwords
-    val nStop = size(filter(t, x => x.isInCollection(allStops)))
-    val wordToks = filter(t, x => !x.rlike(s"^[$SegPerCharClass]$$"))
-    val nWord = size(wordToks)
-    val sumWChars = aggregate(wordToks, lit(0L),
-      (acc, x) => acc + length(x))
-    val bLen = greatest(nTok - 1, lit(0))
-    val big2 = zip_with(slice(t, lit(1), bLen), slice(t, lit(2), bLen),
-      (a, b) => concat_ws(" ", a, b))
-    val nB = size(big2)
-    val nDB = size(array_distinct(big2))
+    val nTok = col("qs.n_tok")
+    val nStop = col("qs.n_stop")
+    val nWord = col("qs.n_word")
+    val sumWChars = col("qs.sum_wchars")
+    val nB = col("qs.nb")
+    val nDB = col("qs.ndb")
     val tooShort = nTok < RuleMinTokens
     val tooLong = nTok > RuleMaxTokens
     val lowStop = nStop < RuleMinStopInstances
@@ -1252,7 +1264,8 @@ object TextOps {
     val repetitive = nB > 0 && (nB - nDB) * RuleDupBigramDen > nB
     docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), nTok.cast("long").as("n_tok"),
+      .select(col("doc_id"), qualityStatsCol.as("qs"))
+      .select(col("doc_id"), nTok.as("n_tok"),
         nTok.cast("double").as("f_ntok"),
         // the n_tok >= 1 filter below drops token-free rows, but the
         // projection still evaluates for them — guard the division
@@ -1300,6 +1313,49 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("margin"),
         col("lr_keep"), col("rules_keep"),
         (col("lr_keep") === col("rules_keep")).as("agree"))
+
+  /** Calibration-bin width for [[qualityCalibration]], in margin micros
+    * (0.5 margin units per bin), and the symmetric clamp that pins the
+    * tails into the first/last bin (margins beyond ±2.0 carry no extra
+    * calibration information — they are "the classifier is sure").
+    */
+  val CalBinMicro = 500000L
+  val CalClampMicro = 2000000L
+
+  /** Reliability table for the frozen quality classifier — the
+    * calibration artifact that answers "when the margin says keep, how
+    * often do the rules agree?", binned by margin. The one float surface
+    * is [[qualityScore]]'s already-hash-gated margin double; everything
+    * after is exact integers: margin micros (`round(margin·10⁶)` of the
+    * 6-dp-rounded margin — never near a .5 boundary), clamped to
+    * ±[[CalClampMicro]] BEFORE the bin division so the `DIV` operand is
+    * non-negative (Spark truncates integer division toward zero while
+    * DuckDB's `//` floors — they agree only above zero), and per-bin
+    * counts with the keep rate as integer ppm. The training loop reads
+    * this table to pick a deployment threshold other than 0; a
+    * well-calibrated scorer shows the rule-agreement rate rising
+    * monotonically across bins. One 8-key aggregate over the scoring
+    * map pass — zero additional exchanges at any corpus size.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .withColumn("bin", expr(
+        s"CAST((least(greatest(CAST(round(margin * 1000000) AS BIGINT)," +
+          s" ${-CalClampMicro}L), ${CalClampMicro - 1}L)" +
+          s" + ${CalClampMicro}L) DIV ${CalBinMicro}L AS INT)"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lr_keep"), 1L).otherwise(0L)).as("n_lr_keep"),
+        sum(when(col("rules_keep"), 1L).otherwise(0L))
+          .as("n_rules_keep"),
+        sum(when(col("agree"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("bin"),
+        (col("bin").cast("long") * CalBinMicro - CalClampMicro)
+          .as("bin_lo_micro"),
+        col("n_docs"), col("n_lr_keep"), col("n_rules_keep"),
+        col("n_agree"),
+        expr("CAST(n_rules_keep * 1000000 DIV n_docs AS BIGINT)")
+          .as("rule_keep_ppm"))
 
   /** The one shared margin expression (identical text goes through
     * Spark's and DuckDB's SQL parsers, so literal parsing and operation
@@ -1383,6 +1439,7 @@ object TextOps {
     "q_content_flags" -> contentFlags _,
     "q_anchor_text" -> anchorText _,
     "q_quality_score" -> qualityScore _,
+    "q_quality_calibration" -> qualityCalibration _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_salient_terms" -> salientTerms _,
     "q_unigram_prob" -> unigramProb _,
@@ -1395,6 +1452,44 @@ object TextOps {
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
   private def markerScore(ms: Seq[String]): String =
     s"len(list_filter(${segmentSql("text")}, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+
+  /** Shared feature/margin CTE chain (s→x→y→f→g) behind the
+    * q_quality_score and q_quality_calibration oracles — g carries
+    * (doc_id, n_tok, margin, rules_keep).
+    */
+  private def qualityScoreCtes: String = {
+    val sl = (Stopwords ++ CjkStopwords).map(s => s"'$s'").mkString(", ")
+    s"""s AS (SELECT doc_id, ${segmentSql("text")} AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |x AS (SELECT doc_id, len(t) AS n_tok,
+       |    len(list_filter(t, w -> w IN ($sl))) AS n_stop,
+       |    list_filter(t,
+       |      w -> NOT regexp_matches(w, '^[$SegPerCharClass]$$')) AS wt,
+       |    list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1]) AS b2
+       |  FROM s),
+       |y AS (SELECT doc_id, n_tok, n_stop, len(wt) AS n_word,
+       |    coalesce(list_sum(list_transform(wt, w -> length(w))), 0)
+       |      AS sum_wchars,
+       |    len(b2) AS nb, len(list_distinct(b2)) AS ndb
+       |  FROM x WHERE n_tok >= 1),
+       |f AS (SELECT doc_id, n_tok,
+       |    CAST(n_tok AS DOUBLE) AS f_ntok,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS f_stop,
+       |    CASE WHEN nb > 0 THEN CAST(nb - ndb AS DOUBLE)
+       |      / CAST(nb AS DOUBLE) ELSE 0.0 END AS f_dupb,
+       |    CASE WHEN n_word > 0 THEN CAST(sum_wchars AS DOUBLE)
+       |      / CAST(n_word AS DOUBLE) ELSE 0.0 END AS f_wlen,
+       |    (NOT (n_tok < $RuleMinTokens OR n_tok > $RuleMaxTokens
+       |      OR n_stop < $RuleMinStopInstances
+       |      OR (n_word > 0 AND (sum_wchars < n_word * $RuleMinMeanLenX1
+       |        OR sum_wchars > n_word * $RuleMaxMeanLenX1))
+       |      OR (nb > 0 AND (nb - ndb) * $RuleDupBigramDen > nb)))
+       |      AS rules_keep
+       |  FROM y),
+       |g AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |    round($marginSql, 6) AS margin, rules_keep FROM f)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_cms_freq" ->
@@ -1608,42 +1703,32 @@ object TextOps {
     },
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(${segmentSql("text")}) AS BIGINT) AS seg_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents""",
-    "q_quality_score" -> {
-      val sl = (Stopwords ++ CjkStopwords).map(s => s"'$s'").mkString(", ")
-      s"""WITH s AS (SELECT doc_id, ${segmentSql("text")} AS t
-         |  FROM documents WHERE text IS NOT NULL),
-         |x AS (SELECT doc_id, len(t) AS n_tok,
-         |    len(list_filter(t, w -> w IN ($sl))) AS n_stop,
-         |    list_filter(t,
-         |      w -> NOT regexp_matches(w, '^[$SegPerCharClass]$$')) AS wt,
-         |    list_transform(range(1, len(t)),
-         |      i -> t[i] || ' ' || t[i+1]) AS b2
-         |  FROM s),
-         |y AS (SELECT doc_id, n_tok, n_stop, len(wt) AS n_word,
-         |    coalesce(list_sum(list_transform(wt, w -> length(w))), 0)
-         |      AS sum_wchars,
-         |    len(b2) AS nb, len(list_distinct(b2)) AS ndb
-         |  FROM x WHERE n_tok >= 1),
-         |f AS (SELECT doc_id, n_tok,
-         |    CAST(n_tok AS DOUBLE) AS f_ntok,
-         |    CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS f_stop,
-         |    CASE WHEN nb > 0 THEN CAST(nb - ndb AS DOUBLE)
-         |      / CAST(nb AS DOUBLE) ELSE 0.0 END AS f_dupb,
-         |    CASE WHEN n_word > 0 THEN CAST(sum_wchars AS DOUBLE)
-         |      / CAST(n_word AS DOUBLE) ELSE 0.0 END AS f_wlen,
-         |    (NOT (n_tok < $RuleMinTokens OR n_tok > $RuleMaxTokens
-         |      OR n_stop < $RuleMinStopInstances
-         |      OR (n_word > 0 AND (sum_wchars < n_word * $RuleMinMeanLenX1
-         |        OR sum_wchars > n_word * $RuleMaxMeanLenX1))
-         |      OR (nb > 0 AND (nb - ndb) * $RuleDupBigramDen > nb)))
-         |      AS rules_keep
-         |  FROM y),
-         |g AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-         |    round($marginSql, 6) AS margin, rules_keep FROM f)
-         |SELECT doc_id, n_tok, margin, margin > 0 AS lr_keep,
-         |  rules_keep, (margin > 0) = rules_keep AS agree
-         |FROM g""".stripMargin
-    },
+    "q_quality_score" -> (s"WITH $qualityScoreCtes\n" +
+      """SELECT doc_id, n_tok, margin, margin > 0 AS lr_keep,
+        |  rules_keep, (margin > 0) = rules_keep AS agree
+        |FROM g""".stripMargin),
+    "q_quality_calibration" ->
+      s"""WITH $qualityScoreCtes,
+         |sc AS (SELECT margin > 0 AS lr_keep, rules_keep,
+         |    (margin > 0) = rules_keep AS agree,
+         |    CAST((least(greatest(CAST(round(margin * 1000000)
+         |        AS BIGINT), ${-CalClampMicro}), ${CalClampMicro - 1})
+         |      + $CalClampMicro) // $CalBinMicro AS INTEGER) AS bin
+         |  FROM g),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN lr_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_lr_keep,
+         |    CAST(sum(CASE WHEN rules_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rules_keep,
+         |    CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM sc GROUP BY bin)
+         |SELECT bin, CAST(bin * $CalBinMicro - $CalClampMicro AS BIGINT)
+         |    AS bin_lo_micro,
+         |  n_docs, n_lr_keep, n_rules_keep, n_agree,
+         |  CAST(n_rules_keep * 1000000 // n_docs AS BIGINT)
+         |    AS rule_keep_ppm
+         |FROM b""".stripMargin,
     "q_segment_cjk" -> {
       def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
       val values = SegPlantedRows.map { case (id, t) =>

@@ -3,10 +3,11 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.graft.glue
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for Unicode NFC normalization — the
@@ -126,6 +127,130 @@ case class Utf8PolyId(child: Expression, mod: Long)
       newChild: Expression): Utf8PolyId = copy(child = newChild)
 }
 
+/** Native Catalyst expression computing ALL of the quality-feature
+  * integer statistics in ONE tokenization pass: token count, stopword
+  * instances, word-run count and summed word lengths, and
+  * bigram-instance/distinct counts, returned as a six-long struct.
+  *
+  * Why native: the composed-builtin form re-derives the segmented token
+  * array (`regexp_extract_all`) inside every feature column, and the
+  * dependent higher-order functions (`filter`/`zip_with`/`aggregate`
+  * with lambda variables) are EXCLUDED from Spark's codegen
+  * subexpression elimination — so after project collapse the scoring
+  * pass tokenized each row ~30 times (measured 14x the pruned-scan cost
+  * at sf0.1). This expression is a plain deterministic unary, so CSE
+  * dedupes every `GetStructField(quality_stats(text))` reference to ONE
+  * evaluation per row, and the scan walks the string once.
+  *
+  * Tokenization contract: EXACTLY [[graft.engine.TextOps.SegPattern]]
+  * semantics — per-codepoint tokens for the BMP per-char ranges,
+  * maximal runs of anything else that is not whitespace; supplementary
+  * -plane codepoints always land inside word runs (BMP-only class, the
+  * same behavior Java regex and RE2 agree on). The parameters (class
+  * ranges, whitespace set, stopword list) arrive as constructor
+  * literals so two identical calls are `semanticEquals` (CSE-able) and
+  * the expression stays engine-agnostic.
+  *
+  * Null in, null out; the empty string yields all-zero counts.
+  */
+case class QualityStats(child: Expression, perCharClass: String,
+    wsChars: String, stopwords: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_word", LongType, nullable = false),
+    StructField("sum_wchars", LongType, nullable = false),
+    StructField("nb", LongType, nullable = false),
+    StructField("ndb", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "quality_stats"
+
+  // perCharClass is "lo-hi" triplets (all BMP, one UTF-16 unit each)
+  @transient private lazy val ranges: Array[Int] =
+    perCharClass.grouped(3).flatMap(s =>
+      Seq(s.charAt(0).toInt, s.charAt(2).toInt)).toArray
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    stopwords.foreach(h.add)
+    h
+  }
+
+  private def inClass(cp: Int): Boolean = {
+    var i = 0
+    while (i < ranges.length) {
+      if (cp >= ranges(i) && cp <= ranges(i + 1)) return true
+      i += 2
+    }
+    false
+  }
+
+  /** Codegen/eval entry point (public so generated code can call it). */
+  def stats(u: UTF8String): InternalRow = {
+    val s = u.toString
+    val n = s.length
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (wsChars.indexOf(cp) >= 0) i += w
+      else if (inClass(cp)) { toks.add(s.substring(i, i + w)); i += w }
+      else {
+        val start = i
+        i += w
+        var done = false
+        while (i < n && !done) {
+          val c2 = s.codePointAt(i)
+          if (wsChars.indexOf(c2) >= 0 || inClass(c2)) done = true
+          else i += Character.charCount(c2)
+        }
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size
+    var nStop = 0L
+    var nWord = 0L
+    var sumW = 0L
+    var k = 0
+    while (k < m) {
+      val t = toks.get(k)
+      if (stopSet.contains(t)) nStop += 1
+      val cps = t.codePointCount(0, t.length)
+      if (!(cps == 1 && inClass(t.codePointAt(0)))) {
+        nWord += 1
+        sumW += cps
+      }
+      k += 1
+    }
+    var ndb = 0L
+    if (m > 1) {
+      val seen = new java.util.HashSet[String]()
+      var j = 0
+      while (j < m - 1) {
+        seen.add(toks.get(j) + " " + toks.get(j + 1))
+        j += 1
+      }
+      ndb = seen.size.toLong
+    }
+    val nb = if (m > 1) (m - 1).toLong else 0L
+    new GenericInternalRow(
+      Array[Any](m.toLong, nStop, nWord, sumW, nb, ndb))
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    stats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("qualityStatsExpr", this,
+      classOf[QualityStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.stats($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QualityStats = copy(child = newChild)
+}
+
 object StringFunctions {
   /** Column-API entry point for [[NfcNormalize]]. */
   def nfc_normalize(c: Column): Column =
@@ -134,4 +259,10 @@ object StringFunctions {
   /** Column-API entry point for [[Utf8PolyId]]. */
   def utf8_poly_id(c: Column, mod: Long): Column =
     glue.column(Utf8PolyId(glue.expression(c), mod))
+
+  /** Column-API entry point for [[QualityStats]]. */
+  def quality_stats(c: Column, perCharClass: String, wsChars: String,
+      stopwords: Seq[String]): Column =
+    glue.column(QualityStats(glue.expression(c), perCharClass, wsChars,
+      stopwords))
 }

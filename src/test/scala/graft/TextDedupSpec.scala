@@ -974,6 +974,105 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.values.map(_.getLong(1)).sum === corpus + 6)
   }
 
+  test("native quality_stats equals the HOF-composed statistics" +
+      " on adversarial rows and the fixture corpus") {
+    import spark.implicits._
+    // the displaced composed form (the pre-native qualityFeatures
+    // body), kept here as the semantic reference the scanner must match
+    def hofStats(df: org.apache.spark.sql.DataFrame) = {
+      val t = TextOps.segmentTokens(col("text"))
+      val allStops = TextOps.Stopwords ++ TextOps.CjkStopwords
+      val wordToks = filter(t,
+        x => !x.rlike(s"^[${TextOps.SegPerCharClass}]$$"))
+      val bLen = greatest(size(t) - 1, lit(0))
+      val big2 = zip_with(slice(t, lit(1), bLen), slice(t, lit(2), bLen),
+        (a, b) => concat_ws(" ", a, b))
+      df.select(col("text"),
+        size(t).cast("long").as("n_tok"),
+        size(filter(t, x => x.isInCollection(allStops))).cast("long")
+          .as("n_stop"),
+        size(wordToks).cast("long").as("n_word"),
+        aggregate(wordToks, lit(0L), (acc, x) => acc + length(x))
+          .as("sum_wchars"),
+        size(big2).cast("long").as("nb"),
+        size(array_distinct(big2)).cast("long").as("ndb"))
+    }
+    def nativeStats(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("text"),
+        graft.functions.StringFunctions.quality_stats(col("text"),
+          TextOps.SegPerCharClass, TextOps.SegWsChars,
+          TextOps.Stopwords ++ TextOps.CjkStopwords).as("qs"))
+        .select(col("text"), col("qs.n_tok"), col("qs.n_stop"),
+          col("qs.n_word"), col("qs.sum_wchars"), col("qs.nb"),
+          col("qs.ndb"))
+    val planted = Seq(
+      "the value data",                    // plain Latin with stopwords
+      "我的数据是在这里的",                   // pure Han (per-char tokens)
+      "的 是 qq zz 在 的 pp",               // mixed CJK stop + Latin
+      "",                                  // empty → all zeros
+      " \t\n\r　",                          // whitespace only (incl U+3000)
+      "a",                                 // single 1-char word run
+      "的",                                 // single CJK stopword token
+      "x\u000By",                     // VT is NOT whitespace here
+      "𠀀𠀀 word",     // CJK Ext B pair: a WORD run
+      "ありがとう ございます",                 // kana per-char
+      "ภาษาไทย",                            // Thai per-char
+      "alpha beta alpha beta alpha beta")  // repeated bigrams
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    Seq(planted, corpus).foreach { src =>
+      val a = hofStats(src).collect().map(r =>
+        r.getString(0) -> r.toSeq.drop(1)).toMap
+      val b = nativeStats(src).collect().map(r =>
+        r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(a.keySet === b.keySet)
+      a.foreach { case (text, exp) =>
+        assert(b(text) === exp, s"stats diverge on: ${text.take(60)}")
+      }
+    }
+  }
+
+  test("quality calibration: exact per-bin replay and sure-tail behavior") {
+    val scored = TextOps.qualityScore(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5)))
+    def bin(margin: Double): Int = {
+      val m = math.round(margin * 1000000)
+      val mc = math.min(math.max(m, -TextOps.CalClampMicro),
+        TextOps.CalClampMicro - 1)
+      ((mc + TextOps.CalClampMicro) / TextOps.CalBinMicro).toInt
+    }
+    val expected = scored.groupBy(t => bin(t._1)).view.mapValues { g =>
+      (g.length.toLong, g.count(_._2).toLong, g.count(_._3).toLong,
+        g.count(_._4).toLong)
+    }.toMap
+    val rows = TextOps.qualityCalibration(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val (n, lr, rk, ag) = expected(b)
+      assert(r.getLong(1) === b * TextOps.CalBinMicro -
+        TextOps.CalClampMicro)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((n, lr, rk, ag)), s"bin $b")
+      assert(r.getLong(6) === rk * 1000000L / n)
+      // lr_keep is a pure function of the bin: margins in a bin at or
+      // above the zero boundary are all keep, below all drop (bin 4's
+      // lower bound IS margin 0, exclusive on the keep side only for
+      // margin exactly 0 — no fixture margin lands on exactly 0.0)
+      if (b >= 4) assert(r.getLong(3) === r.getLong(2), s"bin $b lr")
+      else assert(r.getLong(3) === 0L, s"bin $b lr")
+    }
+    // calibration story: the sure tails agree with the rules far more
+    // often than not (the trained scorer is near-perfect on fixture)
+    val lo = rows.minBy(_.getInt(0))
+    val hi = rows.maxBy(_.getInt(0))
+    assert(lo.getLong(6) < hi.getLong(6),
+      "rule-keep rate must rise from the drop tail to the keep tail")
+  }
+
   test("vocab growth: exact driver replay of the Heaps curve") {
     val rows = TextOps.vocabGrowth(spark, sf).collect()
       .map(r => r.getInt(0) ->
