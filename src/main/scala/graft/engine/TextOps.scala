@@ -85,22 +85,30 @@ object TextOps {
     * divisions (bit-exact in any engine).
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = size(tokens)
-    val nStop = size(filter(tokens, t => t.isInCollection(Stopwords)))
-    val nDistinct = size(array_distinct(tokens))
+    // ONE native scan per row (n_tok/n_distinct/stopword instances);
+    // the composed form re-tokenized the row once per ratio column —
+    // see [[graft.functions.TokenSetStats]]
+    val qs = graft.functions.StringFunctions.token_set_stats(
+      col("text"), SegPerCharClass, SegWsChars, Seq(Stopwords))
+    val nTok = col("qs.n_tok")
+    val nStop = col("qs.set_counts").getItem(0)
+    val nDistinct = col("qs.n_distinct")
     // token-free text (possible under segmentation, unlike whitespace
     // split) must not reach the divisions: ratios are null for it
     def ifTok(c: Column): Column = when(nTok > 0, c)
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      ifTok(round(col("n_chars").cast("double") / nTok, 6))
-        .as("chars_per_token"),
-      ifTok(round(nStop.cast("double") / nTok, 6)).as("stopword_ratio"),
-      ifTok(round(nDistinct.cast("double") / nTok, 6))
-        .as("distinct_ratio"),
-      ifTok(round(least(nTok.cast("double") / 50, lit(1.0)) *
-        (lit(1.0) - nStop.cast("double") / nTok), 6)).as("quality_score"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), qs.as("qs"))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        ifTok(round(col("n_chars").cast("double") / nTok, 6))
+          .as("chars_per_token"),
+        ifTok(round(nStop.cast("double") / nTok, 6)).as("stopword_ratio"),
+        ifTok(round(nDistinct.cast("double") / nTok, 6))
+          .as("distinct_ratio"),
+        ifTok(round(least(nTok.cast("double") / 50, lit(1.0)) *
+          (lit(1.0) - nStop.cast("double") / nTok), 6))
+          .as("quality_score"))
   }
 
   /** Marker-word language ID (n-gram/stopword heuristic): score per
@@ -118,19 +126,26 @@ object TextOps {
     "zh" -> Seq("de", "shi", "le", "zai"))
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scores = LangMarkers.map { case (lang, ms) =>
-      lang -> size(filter(tokens, t => t.isInCollection(ms)))
+    // one native scan counts every language's markers together
+    // ([[graft.functions.TokenSetStats]]); the composed form
+    // re-tokenized the row once per language score
+    val qs = graft.functions.StringFunctions.token_set_stats(
+      col("text"), SegPerCharClass, SegWsChars, LangMarkers.map(_._2))
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> col("qs.set_counts").getItem(i)
     }
     val best = greatest(scores.map(_._2): _*)
     // first language (in declaration order) reaching the max score wins
     val predicted = scores.reverse.foldLeft(lit("unknown")) {
       case (acc, (lang, s)) => when(s === best && best > 0, lang).otherwise(acc)
     }
-    Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      scores.head._2.cast("long").as("score_en"),
-      predicted.as("predicted_lang"),
-      (predicted === col("lang")).as("agree"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), qs.as("qs"))
+      .select(
+        col("doc_id"), col("lang"),
+        scores.head._2.as("score_en"),
+        predicted.as("predicted_lang"),
+        (predicted === col("lang")).as("agree"))
   }
 
   /** Token counting four ways: whitespace split, the script-aware
@@ -1176,9 +1191,13 @@ object TextOps {
     import spark.implicits._
     val src = Tables.documents(spark, dir).select("doc_id", "text")
       .unionByName(ContentPlantedRows.toDF("doc_id", "text"))
-    val t = segmentTokens(col("text"))
-    val hits = ContentTaxonomy.map { case (cat, words) =>
-      cat -> size(filter(t, x => x.isInCollection(words))).cast("long")
+    // one native scan counts every category together
+    // ([[graft.functions.TokenSetStats]]); the composed form
+    // re-tokenized the row once per count and once per flag column
+    val qs = graft.functions.StringFunctions.token_set_stats(
+      col("text"), SegPerCharClass, SegWsChars, ContentTaxonomy.map(_._2))
+    val hits = ContentTaxonomy.zipWithIndex.map { case ((cat, _), i) =>
+      cat -> col("qs.set_counts").getItem(i)
     }
     val total = hits.map(_._2).reduce(_ + _)
     val flagged = hits.map(_._2 >= ContentFlagMin).reduce(_ || _)
@@ -1187,26 +1206,25 @@ object TextOps {
       Seq(total.as("n_total")) ++
       hits.map { case (cat, c) => (c >= ContentFlagMin).as(s"flag_$cat") } ++
       Seq(flagged.as("flagged"))
-    src.select(cols: _*)
+    src.select(col("doc_id"), qs.as("qs")).select(cols: _*)
   }
 
   def qualityRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir).select("doc_id", "text")
       .unionByName(QualityPlantedRows.toDF("doc_id", "text"))
-    val t = segmentTokens(col("text"))
-    val nTok = size(t)
-    val allStops = Stopwords ++ CjkStopwords
-    val nStop = size(filter(t, x => x.isInCollection(allStops)))
-    val wordToks = filter(t, x => !x.rlike(s"^[$SegPerCharClass]$$"))
-    val nWord = size(wordToks)
-    val sumWChars = aggregate(wordToks, lit(0L),
-      (acc, x) => acc + length(x))
-    val bLen = greatest(nTok - 1, lit(0))
-    val big2 = zip_with(slice(t, lit(1), bLen), slice(t, lit(2), bLen),
-      (a, b) => concat_ws(" ", a, b))
-    val nB = size(big2)
-    val nDB = size(array_distinct(big2))
+      // one native scan per row ([[graft.functions.QualityStats]], the
+      // same struct the feature/scorer chain rides); the composed form
+      // re-tokenized the row once per rule column. The null planted row
+      // propagates a null struct, so the ifText guards below behave as
+      // before.
+      .select(col("doc_id"), col("text"), qualityStatsCol.as("qs"))
+    val nTok = col("qs.n_tok")
+    val nStop = col("qs.n_stop")
+    val nWord = col("qs.n_word")
+    val sumWChars = col("qs.sum_wchars")
+    val nB = col("qs.nb")
+    val nDB = col("qs.ndb")
     def ifText(c: Column): Column = when(col("text").isNotNull, c)
     val tooShort = ifText(nTok < RuleMinTokens)
     val tooLong = ifText(nTok > RuleMaxTokens)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.graft.glue
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for Unicode NFC normalization — the
@@ -127,6 +128,54 @@ case class Utf8PolyId(child: Expression, mod: Long)
       newChild: Expression): Utf8PolyId = copy(child = newChild)
 }
 
+/** The shared script-aware scanner behind [[QualityStats]] and
+  * [[TokenSetStats]] — one codepoint walk reproducing
+  * `TextOps.SegPattern` exactly (per-codepoint tokens for the BMP
+  * per-char ranges, maximal non-whitespace runs otherwise;
+  * supplementary-plane codepoints always join word runs).
+  */
+private[functions] object SegScanner {
+  /** "lo-hi" triplets (all BMP, one UTF-16 unit each) → flat bounds. */
+  def parseRanges(perCharClass: String): Array[Int] =
+    perCharClass.grouped(3).flatMap(s =>
+      Seq(s.charAt(0).toInt, s.charAt(2).toInt)).toArray
+
+  def inClass(ranges: Array[Int], cp: Int): Boolean = {
+    var i = 0
+    while (i < ranges.length) {
+      if (cp >= ranges(i) && cp <= ranges(i + 1)) return true
+      i += 2
+    }
+    false
+  }
+
+  def tokenize(s: String, ranges: Array[Int],
+      wsChars: String): java.util.ArrayList[String] = {
+    val n = s.length
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (wsChars.indexOf(cp) >= 0) i += w
+      else if (inClass(ranges, cp)) {
+        toks.add(s.substring(i, i + w)); i += w
+      } else {
+        val start = i
+        i += w
+        var done = false
+        while (i < n && !done) {
+          val c2 = s.codePointAt(i)
+          if (wsChars.indexOf(c2) >= 0 || inClass(ranges, c2)) done = true
+          else i += Character.charCount(c2)
+        }
+        toks.add(s.substring(start, i))
+      }
+    }
+    toks
+  }
+}
+
 /** Native Catalyst expression computing ALL of the quality-feature
   * integer statistics in ONE tokenization pass: token count, stopword
   * instances, word-run count and summed word lengths, and
@@ -166,48 +215,17 @@ case class QualityStats(child: Expression, perCharClass: String,
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "quality_stats"
 
-  // perCharClass is "lo-hi" triplets (all BMP, one UTF-16 unit each)
   @transient private lazy val ranges: Array[Int] =
-    perCharClass.grouped(3).flatMap(s =>
-      Seq(s.charAt(0).toInt, s.charAt(2).toInt)).toArray
+    SegScanner.parseRanges(perCharClass)
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val h = new java.util.HashSet[String]()
     stopwords.foreach(h.add)
     h
   }
 
-  private def inClass(cp: Int): Boolean = {
-    var i = 0
-    while (i < ranges.length) {
-      if (cp >= ranges(i) && cp <= ranges(i + 1)) return true
-      i += 2
-    }
-    false
-  }
-
   /** Codegen/eval entry point (public so generated code can call it). */
   def stats(u: UTF8String): InternalRow = {
-    val s = u.toString
-    val n = s.length
-    val toks = new java.util.ArrayList[String]()
-    var i = 0
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      val w = Character.charCount(cp)
-      if (wsChars.indexOf(cp) >= 0) i += w
-      else if (inClass(cp)) { toks.add(s.substring(i, i + w)); i += w }
-      else {
-        val start = i
-        i += w
-        var done = false
-        while (i < n && !done) {
-          val c2 = s.codePointAt(i)
-          if (wsChars.indexOf(c2) >= 0 || inClass(c2)) done = true
-          else i += Character.charCount(c2)
-        }
-        toks.add(s.substring(start, i))
-      }
-    }
+    val toks = SegScanner.tokenize(u.toString, ranges, wsChars)
     val m = toks.size
     var nStop = 0L
     var nWord = 0L
@@ -217,7 +235,7 @@ case class QualityStats(child: Expression, perCharClass: String,
       val t = toks.get(k)
       if (stopSet.contains(t)) nStop += 1
       val cps = t.codePointCount(0, t.length)
-      if (!(cps == 1 && inClass(t.codePointAt(0)))) {
+      if (!(cps == 1 && SegScanner.inClass(ranges, t.codePointAt(0)))) {
         nWord += 1
         sumW += cps
       }
@@ -251,6 +269,67 @@ case class QualityStats(child: Expression, perCharClass: String,
       newChild: Expression): QualityStats = copy(child = newChild)
 }
 
+/** The lexicon-counting sibling of [[QualityStats]]: token count,
+  * distinct-token count, and per-lexicon token-INSTANCE counts for any
+  * number of word lists, all from ONE scan — the shape behind language
+  * ID (marker lists), text-quality ratios (stopword list + lexical
+  * diversity), and content-taxonomy flags (category lists), each of
+  * which previously re-tokenized the row once per derived column.
+  */
+case class TokenSetStats(child: Expression, perCharClass: String,
+    wsChars: String, sets: Seq[Seq[String]]) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("set_counts",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "token_set_stats"
+
+  @transient private lazy val ranges: Array[Int] =
+    SegScanner.parseRanges(perCharClass)
+  @transient private lazy val setHashes: Array[java.util.HashSet[String]] =
+    sets.map { ws =>
+      val h = new java.util.HashSet[String]()
+      ws.foreach(h.add)
+      h
+    }.toArray
+
+  /** Codegen/eval entry point (public so generated code can call it). */
+  def stats(u: UTF8String): InternalRow = {
+    val toks = SegScanner.tokenize(u.toString, ranges, wsChars)
+    val m = toks.size
+    val counts = new Array[Long](setHashes.length)
+    val distinct = new java.util.HashSet[String]()
+    var k = 0
+    while (k < m) {
+      val t = toks.get(k)
+      distinct.add(t)
+      var s = 0
+      while (s < setHashes.length) {
+        if (setHashes(s).contains(t)) counts(s) += 1
+        s += 1
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](m.toLong, distinct.size.toLong,
+      new GenericArrayData(counts)))
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    stats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenSetStatsExpr", this,
+      classOf[TokenSetStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.stats($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenSetStats = copy(child = newChild)
+}
+
 object StringFunctions {
   /** Column-API entry point for [[NfcNormalize]]. */
   def nfc_normalize(c: Column): Column =
@@ -265,4 +344,10 @@ object StringFunctions {
       stopwords: Seq[String]): Column =
     glue.column(QualityStats(glue.expression(c), perCharClass, wsChars,
       stopwords))
+
+  /** Column-API entry point for [[TokenSetStats]]. */
+  def token_set_stats(c: Column, perCharClass: String, wsChars: String,
+      sets: Seq[Seq[String]]): Column =
+    glue.column(TokenSetStats(glue.expression(c), perCharClass, wsChars,
+      sets))
 }

@@ -1022,6 +1022,27 @@ class TextDedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val corpus = engine.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
+    // TokenSetStats (the lexicon-counting sibling): n_tok, distinct
+    // tokens, and per-set instance counts vs the HOF composition
+    val sets = Seq(TextOps.Stopwords, TextOps.CjkStopwords,
+      Seq("alpha", "beta"))
+    def hofSetStats(df: org.apache.spark.sql.DataFrame) = {
+      val t = TextOps.segmentTokens(col("text"))
+      df.select(col("text") +: size(t).cast("long").as("n_tok") +:
+        size(array_distinct(t)).cast("long").as("n_distinct") +:
+        sets.zipWithIndex.map { case (ws, i) =>
+          size(filter(t, x => x.isInCollection(ws))).cast("long")
+            .as(s"c$i")
+        }: _*)
+    }
+    def nativeSetStats(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("text"),
+        graft.functions.StringFunctions.token_set_stats(col("text"),
+          TextOps.SegPerCharClass, TextOps.SegWsChars, sets).as("qs"))
+        .select(col("text") +: col("qs.n_tok") +:
+          col("qs.n_distinct") +:
+          sets.indices.map(i =>
+            col("qs.set_counts").getItem(i).as(s"c$i")): _*)
     Seq(planted, corpus).foreach { src =>
       val a = hofStats(src).collect().map(r =>
         r.getString(0) -> r.toSeq.drop(1)).toMap
@@ -1030,6 +1051,13 @@ class TextDedupSpec extends SparkSpec {
       assert(a.keySet === b.keySet)
       a.foreach { case (text, exp) =>
         assert(b(text) === exp, s"stats diverge on: ${text.take(60)}")
+      }
+      val c = hofSetStats(src).collect().map(r =>
+        r.getString(0) -> r.toSeq.drop(1)).toMap
+      val d = nativeSetStats(src).collect().map(r =>
+        r.getString(0) -> r.toSeq.drop(1)).toMap
+      c.foreach { case (text, exp) =>
+        assert(d(text) === exp, s"set stats diverge on: ${text.take(60)}")
       }
     }
   }
