@@ -279,7 +279,11 @@ object ScaleBench {
     "q_index_forget",
     // quality calibration: the q_quality_score zero-exchange scoring
     // map pass + one 8-key aggregate — the q_quality_rules scan class
-    "q_quality_calibration")
+    "q_quality_calibration",
+    // collocations: one bigram-instance exchange + one term exchange
+    // (both linear, floor-bounded fan-in) + two term equi-joins into
+    // TakeOrderedAndProject — expect the q_bigram_coverage class
+    "q_collocations")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -1040,6 +1040,60 @@ object TextOps {
             * big(col("n_b"))).cast("double"), 6).as("tvd"))
   }
 
+  /** Collocation floor and output size for [[collocations]]: a bigram
+    * must recur [[CollocMinCount]] times corpus-wide to be a candidate
+    * (the same Zipf argument as [[BigramMinCount]]: a fixed instance
+    * floor bounds the surviving DISTINCT set long after the corpus
+    * outgrows memory), and the table keeps the [[CollocTopK]] strongest.
+    */
+  val CollocMinCount = 3
+  val CollocTopK = 20
+
+  /** Collocation mining — the statistical phrase detector that feeds a
+    * tokenizer's multi-word merge list and a curation pipeline's
+    * boilerplate-phrase audit: bigrams whose observed co-occurrence
+    * beats the independence expectation. The association score is the
+    * PMI RATIO kept exact under the house no-ln rule: lift·100 =
+    * `c_ab·N·100 DIV (c_a·c_b)` over DECIMAL(38,0) products (token
+    * counts × corpus totals overflow int64 at real corpus sizes) with
+    * the floor DIV mirrored by DuckDB's `//` — PMI = ln(lift) is
+    * monotone in it, so ranking by lift IS ranking by PMI. Top-k by
+    * (lift, bigram) through orderBy+limit ⇒ TakeOrderedAndProject —
+    * per-partition heaps, k rows to the driver, never a global sort.
+    *
+    * 100 TB shape: one bigram-instance exchange + one term exchange
+    * (both linear, map-side combined), the instance floor bounds the
+    * join fan-in, two term equi-joins recover c_a/c_b, and the corpus
+    * total folds in as the sanctioned 1-row broadcast.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(segmentTokens(col("text")).as("ws"))
+    val bigrams = expr(
+      "filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)), " +
+        "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)")
+    val uni = docs.select(explode(col("ws")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
+    val bgc = docs.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinCount)
+    bgc
+      .select(col("bigram"), col("c_ab"),
+        substring_index(col("bigram"), " ", 1).as("ta"),
+        substring_index(col("bigram"), " ", -1).as("tb"))
+      .join(uni.select(col("term").as("ta"), col("c").as("c_a")), "ta")
+      .join(uni.select(col("term").as("tb"), col("c").as("c_b")), "tb")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_tokens"),
+        expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * n_tokens * 100)" +
+          " DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)")
+          .as("lift_x100"))
+      .orderBy(col("lift_x100").desc, col("bigram"))
+      .limit(CollocTopK)
+  }
+
   /** Checkpoint count for [[vocabGrowth]] — ten ingest-order deciles. */
   val VocabDeciles = 10
 
@@ -1443,6 +1497,7 @@ object TextOps {
     "q_quality_rules" -> qualityRules _,
     "q_vocab_drift" -> vocabDrift _,
     "q_vocab_growth" -> vocabGrowth _,
+    "q_collocations" -> collocations _,
     "q_boilerplate_lines" -> boilerplateLines _,
     "q_html_extract" -> htmlExtract _,
     "q_text_normalize" -> textNormalize _,
@@ -1596,6 +1651,26 @@ object TextOps {
         |    / CAST(2 * CAST(max(n_a) AS DECIMAL(38,0))
         |      * CAST(max(n_b) AS DECIMAL(38,0)) AS DOUBLE), 6) AS tvd
         |FROM c, tot""".stripMargin,
+    "q_collocations" ->
+      s"""WITH w AS (SELECT ${segmentSql("text")} AS ws FROM documents),
+         |tok AS (SELECT unnest(ws) AS term FROM w),
+         |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok
+         |  GROUP BY term),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+         |ix AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w),
+         |b AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram FROM ix),
+         |bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM b
+         |  GROUP BY bigram HAVING count(*) >= $CollocMinCount)
+         |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b, n_tokens,
+         |  CAST((CAST(c_ab AS HUGEINT) * n_tokens * 100)
+         |    // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT)
+         |    AS lift_x100
+         |FROM bgc
+         |JOIN uni ua ON ua.term = split_part(bigram, ' ', 1)
+         |JOIN uni ub ON ub.term = split_part(bigram, ' ', 2)
+         |CROSS JOIN tot
+         |ORDER BY lift_x100 DESC, bigram
+         |LIMIT $CollocTopK""".stripMargin,
     "q_vocab_growth" ->
       s"""WITH b AS (SELECT min(doc_id) AS mn,
          |    max(doc_id) - min(doc_id) + 1 AS span FROM documents),

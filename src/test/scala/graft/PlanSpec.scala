@@ -503,6 +503,9 @@ class PlanSpec extends SparkSpec {
       // aggregate broadcasts (before/deleted/dirty/patched) — the
       // collect-scalar-kept-in-plan shape
       "q_index_forget",
+      // q_collocations folds the 1-row corpus-token total into the
+      // lift ratio (same collect-scalar shape as q_bm25)
+      "q_collocations",
       // q_kmv_jaccard pairs sources with a `<` non-equi join where BOTH
       // sides are 1-row-per-source aggregates (sources² pair rows of
       // O(k) arrays — dimension-sized by construction, never corpus rows)

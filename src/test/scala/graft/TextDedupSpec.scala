@@ -1062,6 +1062,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("collocations: exact top-k replay of the integer lift ranking") {
+    val rows = TextOps.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // independent driver replay over the raw corpus
+    val segRe = TextOps.SegPattern.r
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val bg = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val ts = segRe.findAllIn(r.getString(0)).toSeq
+      ts.foreach(t => uni(t) += 1)
+      ts.sliding(2).foreach { w =>
+        if (w.length == 2) bg(w(0) + " " + w(1)) += 1
+      }
+    }
+    val n = uni.values.sum
+    val expected = bg.toSeq
+      .filter(_._2 >= TextOps.CollocMinCount)
+      .map { case (b, cab) =>
+        val Array(a, t2) = b.split(" ", 2)
+        val lift = (BigInt(cab) * n * 100 /
+          (BigInt(uni(a)) * uni(t2))).toLong
+        (b, cab, uni(a), uni(t2), n, lift)
+      }
+      .sortBy { case (b, _, _, _, _, lift) => (-lift, b) }
+      .take(TextOps.CollocTopK)
+    assert(rows.toSeq === expected)
+    // a collocation must beat independence: lift over 100 at the top
+    assert(rows.head._6 > 100L)
+  }
+
   test("quality calibration: exact per-bin replay and sure-tail behavior") {
     val scored = TextOps.qualityScore(spark, sf).collect()
       .map(r => (r.getDouble(2), r.getBoolean(3), r.getBoolean(4),
