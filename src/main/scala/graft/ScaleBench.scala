@@ -283,7 +283,12 @@ object ScaleBench {
     // collocations: one bigram-instance exchange + one term exchange
     // (both linear, floor-bounded fan-in) + two term equi-joins into
     // TakeOrderedAndProject — expect the q_bigram_coverage class
-    "q_collocations")
+    "q_collocations",
+    // join size estimate: two per-key aggregates + one key equi-join
+    // into a single global agg — linear in rows on both sides (the
+    // exact acceptance side dominates; production pays only the
+    // 1/16-key sampled exchanges)
+    "q_join_size_estimate")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -216,9 +216,63 @@ object JoinOps {
         round(col("sp").cast("double") / col("n"), 4).as("avg_price"))
   }
 
+  /** Key-sampling modulus for [[joinSizeEstimate]]: keep join keys whose
+    * portable hash lands in 1/[[JoinEstRate]] of the space. A fixed-rate
+    * Bernoulli key sample (not a row sample — BOTH sides keep the SAME
+    * keys, so per-key frequency products are exact for sampled keys) is
+    * the deterministic, engine-portable form of end-biased sampling.
+    */
+  val JoinEstRate = 16L
+
+  /** Sampled join-cardinality estimation — the planner diagnostic a
+    * 100 TB pipeline runs BEFORE committing to a join strategy:
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated from the 1/[[JoinEstRate]]
+    * deterministic key sample (each sampled key's exact frequency
+    * product, scaled back up). Key sampling is the correct design —
+    * a row sample breaks the product (both sides must see the same
+    * keys); hashing the KEY keeps the estimator unbiased over the key
+    * population with variance governed by the frequency skew. The exact
+    * side (full per-key aggregate join) rides along as the acceptance
+    * harness, exactly like the KMV/CMS sketch queries: production runs
+    * the estimate alone, paying two ~1/16-key map-side-combined
+    * exchanges instead of the full join.
+    *
+    * All integers exact: frequency products sum through DECIMAL(38,0)
+    * (HUGEINT in the oracle), the estimate is `sampled_sum·rate`, and
+    * the relative error reports as `|est−exact|·10⁶ DIV exact`.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val keyHash: Column => Column = k =>
+      graft.functions.StringFunctions.utf8_poly_id(
+        k.cast("string"), Dedup.IdMod)
+    def freqs(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k")).groupBy("k")
+        .agg(count(lit(1)).as("f"))
+    val fa = freqs(Tables.orders(spark, dir), "o_orderkey")
+    val fb = freqs(Tables.lineitem(spark, dir), "l_orderkey")
+    val big: Column => Column = _.cast("decimal(38,0)")
+    val j = fa.select(col("k"), col("f").as("f_a"))
+      .join(fb.select(col("k"), col("f").as("f_b")), Seq("k"))
+      .select(col("k"), (big(col("f_a")) * col("f_b")).as("prod"),
+        (keyHash(col("k")) % JoinEstRate === 0).as("in_sample"))
+    j.agg(
+        count(lit(1)).as("n_join_keys"),
+        sum(col("prod")).cast("long").as("exact_rows"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled_keys"),
+        (sum(when(col("in_sample"), col("prod")).otherwise(big(lit(0))))
+          * JoinEstRate).cast("long").as("est_rows"))
+      .select(col("n_join_keys"), col("exact_rows"),
+        col("sampled_keys"), col("est_rows"),
+        // diff·10⁶ through DECIMAL — at real corpus sizes the product
+        // overflows int64 long before the row counts themselves do
+        expr("CAST(CAST(abs(est_rows - exact_rows) AS DECIMAL(38,0))" +
+          " * 1000000 DIV exact_rows AS BIGINT)").as("err_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bloom_join" -> bloomJoin _,
     "q_semi_anti" -> semiAnti _,
+    "q_join_size_estimate" -> joinSizeEstimate _,
     "q_mv_refresh" -> mvRefresh _)
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +301,24 @@ object JoinOps {
         |    AS sum_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |    / count(*), 4) AS avg_price
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_size_estimate" ->
+      s"""WITH fa AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT)
+         |    AS f_a FROM orders GROUP BY o_orderkey),
+         |fb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f_b
+         |  FROM lineitem GROUP BY l_orderkey),
+         |j AS (SELECT k, CAST(f_a AS HUGEINT) * f_b AS prod,
+         |    ${Dedup.idUtf8Sql("CAST(k AS VARCHAR)")} % $JoinEstRate = 0
+         |      AS in_sample
+         |  FROM fa JOIN fb USING (k))
+         |SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+         |  CAST(sum(prod) AS BIGINT) AS exact_rows,
+         |  CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS sampled_keys,
+         |  CAST(sum(CASE WHEN in_sample THEN prod ELSE 0 END)
+         |    * $JoinEstRate AS BIGINT) AS est_rows,
+         |  CAST(abs(sum(CASE WHEN in_sample THEN prod ELSE 0 END)
+         |      * $JoinEstRate - sum(prod)) * 1000000 // sum(prod)
+         |    AS BIGINT) AS err_ppm
+         |FROM j""".stripMargin)
 }

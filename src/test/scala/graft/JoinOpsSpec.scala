@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.engine.{JoinOps, Tables}
+import graft.engine.{Dedup, JoinOps, Tables}
 
 /** Join-reduction and view-maintenance invariants: the Bloom pre-filter is
   * sound (superset of true matches) and actually reduces the probe side;
@@ -65,5 +65,38 @@ class JoinOpsSpec extends SparkSpec {
       "semi + anti must partition the customer set per nation")
     assert(JoinOps.semiAnti(spark, sf).agg(sum(col("n_active")))
       .head.getLong(0) > 0)
+  }
+
+  test("join size estimate: exact side is the true cardinality and the" +
+      " sampled estimator replays exactly") {
+    val r = JoinOps.joinSizeEstimate(spark, sf).head
+    // the exact side IS the join cardinality
+    val truth = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(r.getAs[Long]("exact_rows") === truth)
+    // driver replay of the deterministic key sample
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) =>
+        (acc * 31 + (b & 0xff)) % Dedup.IdMod)
+    val fa = Tables.orders(spark, sf).groupBy("o_orderkey")
+      .agg(count(lit(1)).as("f")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fb = Tables.lineitem(spark, sf).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("f")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val keys = fa.keySet.intersect(fb.keySet)
+    val sampled = keys.filter(k =>
+      poly(k.toString) % JoinOps.JoinEstRate == 0L)
+    assert(r.getAs[Long]("n_join_keys") === keys.size.toLong)
+    assert(r.getAs[Long]("sampled_keys") === sampled.size.toLong)
+    val est = sampled.toSeq.map(k => BigInt(fa(k)) * fb(k)).sum *
+      JoinOps.JoinEstRate
+    assert(r.getAs[Long]("est_rows") === est.toLong)
+    // the estimator must be in the right ballpark on the fixture
+    // (uniform-ish key frequencies: well under 2x off)
+    assert(r.getAs[Long]("err_ppm") < 500000L,
+      s"estimate off by ${r.getAs[Long]("err_ppm")} ppm")
   }
 }
