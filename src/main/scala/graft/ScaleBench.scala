@@ -288,7 +288,10 @@ object ScaleBench {
     // into a single global agg — linear in rows on both sides (the
     // exact acceptance side dominates; production pays only the
     // 1/16-key sampled exchanges)
-    "q_join_size_estimate")
+    "q_join_size_estimate",
+    // cdc dedup: one token explode + one doc-bounded boundary window +
+    // the fp keeper window — q_chunk_dedup's class plus the window
+    "q_cdc_dedup")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

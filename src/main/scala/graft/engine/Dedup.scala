@@ -1756,6 +1756,79 @@ object Dedup {
         (col("n_chunks") - col("n_kept")).as("n_dup"))
   }
 
+  /** Content-defined-chunking divisor: a token closes a chunk when its
+    * portable hash lands in 1/[[CdcMod]] of the space, so the EXPECTED
+    * chunk length is [[CdcMod]] tokens and boundaries are properties of
+    * the CONTENT, not of positions.
+    */
+  val CdcMod = 8L
+
+  /** Planted rows for [[cdcDedup]]: a 64-token base, the same text with
+    * ONE token prepended (every fixed-grid window shifts, so
+    * [[chunkDedup]]'s aligned fingerprints all change — the classic
+    * storage-dedup failure CDC exists to fix), and a half-overlapping
+    * tail-divergent variant.
+    */
+  private[graft] val CdcPlantedRows: Seq[(Long, String)] = Seq(
+    (996001L, (1 to 64).map(i => f"cdc$i%02d").mkString(" ")),
+    (996002L, "shift " + (1 to 64).map(i => f"cdc$i%02d").mkString(" ")),
+    (996003L, (1 to 32).map(i => f"cdc$i%02d").mkString(" ") + " " +
+      (1 to 32).map(i => f"tail$i%02d").mkString(" ")))
+
+  /** Content-defined chunk dedup — the shift-resistant sibling of
+    * [[chunkDedup]]: fixed-grid windows change EVERY fingerprint when a
+    * single token is inserted upstream (the planted 996002 row shares
+    * ZERO aligned chunks with its base), while CDC boundaries are
+    * content positions (hash-marked tokens), so an insertion only
+    * perturbs the one chunk it lands in and every later chunk
+    * re-aligns — the rsync/LBFS boundary trick applied to token
+    * streams. Chunk ids are a per-doc prefix count of marked tokens
+    * (ONE doc-partitioned window over token rows — bounded by document
+    * length at any corpus size), chunk fingerprints are md5 of the
+    * reassembled token run ([[chunkDedup]]'s portable choice), and the
+    * keeper rule mirrors chunkDedup exactly (first (doc_id, start)
+    * wins per fingerprint). Unbounded chunk length is possible when no
+    * token marks (a production CDC adds a max-length forced split; the
+    * expected length is [[CdcMod]] tokens and `max_chunk_tokens` keeps
+    * the tail visible).
+    *
+    * 100 TB shape: one token explode + one doc-bounded window + one
+    * (doc, chunk) aggregate + the fp keeper window — all linear, no
+    * corpus-side driver state; identical plan class to chunkDedup plus
+    * the boundary window.
+    */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(CdcPlantedRows.toDF("doc_id", "text"))
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"),
+        when(graft.functions.StringFunctions.utf8_poly_id(
+          col("tok"), IdMod) % CdcMod === 0, 1L).otherwise(0L).as("mk"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCid = tok.withColumn("cid",
+      coalesce(sum(col("mk")).over(win), lit(0L)))
+    val chunks = withCid.groupBy("doc_id", "cid")
+      .agg(min(col("p")).as("start_p"),
+        count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")))).as("fp"))
+    val keep = Window.partitionBy("fp").orderBy("doc_id", "start_p")
+    chunks.withColumn("rn", row_number().over(keep))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        max(col("n_chunk_tokens")).as("max_chunk_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        (col("n_chunks") - col("n_kept")).as("n_dup"),
+        col("n_tokens"), col("max_chunk_tokens"))
+  }
+
   /** Transitivity diagnostic over the verified near-dup pair graph:
     * nodes/edges/wedges/triangles and the transitivity ratio
     * 3·triangles/wedges in integer ppm. This is the measurement that
@@ -1837,6 +1910,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_corpus_overlap" -> corpusOverlap _,
     "q_chunk_dedup" -> chunkDedup _,
+    "q_cdc_dedup" -> cdcDedup _,
     "q_dup_transitivity" -> dupTransitivity _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -2171,6 +2245,39 @@ object Dedup {
          |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_dup
          |FROM r GROUP BY doc_id""".stripMargin,
+    "q_cdc_dedup" -> {
+      val values = CdcPlantedRows.map { case (id, t) => s"($id, '$t')" }
+        .mkString(", ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+         |tk AS (SELECT doc_id, p, w[p] AS tok,
+         |    CASE WHEN ${idUtf8Sql("w[p]")} % $CdcMod = 0
+         |      THEN 1 ELSE 0 END AS mk
+         |  FROM t, LATERAL (SELECT
+         |    unnest(range(1, len(w) + 1)) AS p)),
+         |c AS (SELECT doc_id, p, tok,
+         |    coalesce(sum(mk) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cid
+         |  FROM tk),
+         |ch AS (SELECT doc_id, cid, min(p) AS start_p,
+         |    CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+         |  FROM c GROUP BY doc_id, cid),
+         |r AS (SELECT doc_id, n_chunk_tokens,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, start_p)
+         |      AS rn
+         |  FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup,
+         |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(max(n_chunk_tokens) AS BIGINT) AS max_chunk_tokens
+         |FROM r GROUP BY doc_id""".stripMargin
+    },
     "q_dup_transitivity" ->
       s"""WITH $minhashCtes,
          |ver AS (${verifySql(MinhashThreshold)}),

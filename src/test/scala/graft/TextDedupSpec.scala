@@ -1062,6 +1062,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("cdc dedup: shift-resistant where the fixed grid is blind," +
+      " token mass conserved") {
+    val rows = Dedup.cdcDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val base = rows(996001L)
+    val shifted = rows(996002L)
+    val half = rows(996003L)
+    // the one-token-prepended copy must re-align: it duplicates most of
+    // the base's chunks (all boundaries after the insertion are content
+    // positions, so they land identically)
+    assert(shifted._3 > 0L,
+      "CDC found no duplicate chunks in the shifted copy")
+    // ... while the FIXED grid shares zero aligned windows: replay
+    // chunkDedup's fingerprinting on the planted pair in the driver
+    val baseToks = Dedup.CdcPlantedRows(0)._2.split(" ")
+    val shiftToks = Dedup.CdcPlantedRows(1)._2.split(" ")
+    def gridFps(t: Array[String]): Set[String] =
+      (1 to t.length by Dedup.ChunkWords).map(p =>
+        t.slice(p - 1, p - 1 + Dedup.ChunkWords).mkString(" ")).toSet
+    assert(gridFps(baseToks).intersect(gridFps(shiftToks)).isEmpty,
+      "fixture invalid: the fixed grid also survives the shift")
+    // the tail-divergent row shares its first half's chunks only:
+    // some dup, some novel
+    assert(half._3 > 0L && half._3 < half._1)
+    // token-mass conservation: chunks tile each planted doc exactly
+    assert(base._4 === 64L && shifted._4 === 65L && half._4 === 64L)
+    // per-doc accounting identities hold corpus-wide
+    rows.values.foreach { case (nc, nk, nd, nt, mx) =>
+      assert(nc === nk + nd)
+      assert(mx <= nt && nc > 0L)
+    }
+  }
+
   test("collocations: exact top-k replay of the integer lift ranking") {
     val rows = TextOps.collocations(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
