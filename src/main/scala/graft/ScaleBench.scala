@@ -291,7 +291,11 @@ object ScaleBench {
     "q_join_size_estimate",
     // cdc dedup: one token explode + one doc-bounded boundary window +
     // the fp keeper window — q_chunk_dedup's class plus the window
-    "q_cdc_dedup")
+    "q_cdc_dedup",
+    // embed sensitivity: ONE label-blocked chunk-grid pass at the sweep
+    // floor feeds all five points (the q_dedup_sensitivity shape on the
+    // q_embed_near_dup machinery) — expect q_embed_near_dup's exponent
+    "q_embed_sensitivity")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -237,6 +237,51 @@ object Similarity {
     nearDupPairsGrid(e, chunks)
   }
 
+  /** Sweep thresholds (integer percents) for [[embedSensitivity]] —
+    * the floor (30) is the candidate-generation threshold, so ONE grid
+    * pass feeds every sweep point.
+    */
+  val EmbedSweepPct: Seq[Long] = Seq(30L, 40L, 50L, 70L, 90L)
+
+  /** Cosine-threshold sensitivity for semantic dedup — the embedding
+    * analog of `q_dedup_sensitivity`, the table that answers "what does
+    * moving the SemDeDup threshold cost/save?": surviving near-dup
+    * pairs and implicated vectors at five thresholds, all fed by ONE
+    * label-blocked chunk-grid pass at the sweep floor. The only float
+    * is the already-hash-gated round(6) cosine; each sweep point
+    * compares its integer micros against `pct·10⁴`, so the threshold
+    * boundaries are exact on both engines. Zero-pair thresholds stay
+    * visible via the left join from the literal threshold dimension
+    * (the dedup-sensitivity convention).
+    */
+  def embedSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val maxBlock = e.groupBy("label").count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    val chunks = math.max(1,
+      math.ceil(maxBlock.toDouble / NearDupChunkRows).toInt)
+    val pairs = nearDupPairsGrid(e, chunks,
+      threshold = EmbedSweepPct.min / 100.0)
+    val swept = pairs
+      .select(col("vec_a"), col("vec_b"),
+        expr("CAST(round(cos_sim * 1000000) AS BIGINT)").as("cm"),
+        explode(typedLit(EmbedSweepPct)).as("threshold_pct"))
+      .filter(col("cm") >= col("threshold_pct") * 10000L)
+    val nPairs = swept.groupBy("threshold_pct")
+      .agg(count(lit(1)).as("p"))
+    val nVecs = swept
+      .select(col("threshold_pct"),
+        explode(array(col("vec_a"), col("vec_b"))).as("v"))
+      .groupBy("threshold_pct").agg(countDistinct(col("v")).as("g"))
+    EmbedSweepPct.toDF("threshold_pct")
+      .join(nPairs, Seq("threshold_pct"), "left")
+      .join(nVecs, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct"),
+        coalesce(col("p"), lit(0L)).as("n_pairs"),
+        coalesce(col("g"), lit(0L)).as("n_dup_vecs"))
+  }
+
   /** All within-label pairs with cosine ≥ [[NearDupThreshold]], via a
     * chunk-grid self-join: row → chunk c = vec_id mod chunks; the a-side
     * replicates each row to cells (c, j) for j ∈ [c, chunks), the b-side
@@ -248,7 +293,8 @@ object Similarity {
     * a.vec_id < b.vec_id self-join the oracle runs.
     */
   private[graft] def nearDupPairsGrid(e: DataFrame, chunks: Int,
-      blockCol: String = "label"): DataFrame = {
+      blockCol: String = "label",
+      threshold: Double = NearDupThreshold): DataFrame = {
     val withC = e.withColumn("c",
       pmod(col("vec_id"), lit(chunks)).cast("int"))
     val aSide = withC.select(col(blockCol), col("vec_id").as("ida"),
@@ -261,7 +307,7 @@ object Similarity {
     aSide.join(bSide, Seq(blockCol, "gi", "gj"))
       .filter(col("gi") =!= col("gj") || col("ida") < col("idb"))
       .withColumn("cos_sim", round(cos, 6))
-      .filter(col("cos_sim") >= NearDupThreshold)
+      .filter(col("cos_sim") >= threshold)
       .select(col(blockCol), least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"), col("cos_sim"))
   }
@@ -793,6 +839,7 @@ object Similarity {
     "q_semantic_dedup" -> semanticDedup _,
     "q_kmeans_refine" -> kmeansRefine _,
     "q_embed_near_dup" -> embedNearDup _,
+    "q_embed_sensitivity" -> embedSensitivity _,
     "q_embed_centroid" -> embedCentroid _,
     "q_embed_quantize" -> embedQuantize _,
     "q_embed_project" -> embedProject _,
@@ -944,6 +991,30 @@ object Similarity {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs)
          |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q_embed_sensitivity" -> {
+      val thrVals = EmbedSweepPct.map(t => s"($t)").mkString(", ")
+      s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(round(round(${cosSql("a.embedding", "b.embedding")}, 6)
+         |      * 1000000) AS BIGINT) AS cm
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6)
+         |    >= ${EmbedSweepPct.min / 100.0}),
+         |t AS (SELECT CAST(thr AS BIGINT) AS threshold_pct
+         |  FROM (VALUES $thrVals) v(thr)),
+         |s AS (SELECT threshold_pct, va, vb FROM p, t
+         |  WHERE cm >= threshold_pct * 10000),
+         |np AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS p
+         |  FROM s GROUP BY threshold_pct),
+         |nd AS (SELECT threshold_pct,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS g
+         |  FROM (SELECT threshold_pct, unnest([va, vb]) AS v FROM s)
+         |  GROUP BY threshold_pct)
+         |SELECT threshold_pct, coalesce(p, 0) AS n_pairs,
+         |  coalesce(g, 0) AS n_dup_vecs
+         |FROM t LEFT JOIN np USING (threshold_pct)
+         |LEFT JOIN nd USING (threshold_pct)""".stripMargin
+    },
     "q_embed_near_dup" ->
       s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim

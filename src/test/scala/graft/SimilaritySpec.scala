@@ -332,4 +332,25 @@ class SimilaritySpec extends SparkSpec {
       assert(grid.toSet === base, s"pair set diverged at k=$chunks")
     }
   }
+
+  test("embed sensitivity: monotone sweep that agrees with the" +
+      " production near-dup pass at its own threshold") {
+    val rows = Similarity.embedSensitivity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Similarity.EmbedSweepPct)
+    // tightening the threshold can only shrink both counts
+    rows.sliding(2).foreach {
+      case Array((_, a), (_, b)) =>
+        assert(a._1 >= b._1 && a._2 >= b._2, "sweep not monotone")
+      case _ =>
+    }
+    // the production-threshold point IS q_embed_near_dup's pair count
+    val prodPct = math.round(Similarity.NearDupThreshold * 100)
+    val atProd = rows.toMap.apply(prodPct)
+    assert(atProd._1 === Similarity.embedNearDup(spark, sf).count())
+    // the floor point must see strictly more than the production point
+    // on the fixture (the sweep exists to show the gradient)
+    assert(rows.head._2._1 > atProd._1)
+  }
 }
