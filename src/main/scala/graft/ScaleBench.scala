@@ -295,7 +295,10 @@ object ScaleBench {
     // embed sensitivity: ONE label-blocked chunk-grid pass at the sweep
     // floor feeds all five points (the q_dedup_sensitivity shape on the
     // q_embed_near_dup machinery) — expect q_embed_near_dup's exponent
-    "q_embed_sensitivity")
+    "q_embed_sensitivity",
+    // degree distribution: linkGraph's dst_host exchange + a
+    // bucket-count aggregate — expect q_link_graph's exponent
+    "q_degree_dist")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

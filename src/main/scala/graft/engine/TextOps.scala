@@ -800,6 +800,36 @@ object TextOps {
         countDistinct(col("doc_id")).as("n_src_docs"))
   }
 
+  /** In-degree distribution of the link graph in power-of-two buckets —
+    * the power-law diagnostic beside [[linkGraph]]'s edge table and the
+    * pagerank authority scores: a healthy web crawl's host in-degrees
+    * are Zipf-like (each doubling bucket holds fewer hosts), and a
+    * bucket that BULGES flags link farms / mirror rings before they
+    * poison authority signals. The bucket index is floor(log2(degree))
+    * made EXACT despite float log2: the candidate from `log2` is
+    * corrected by two integer shift comparisons (`2^b ≤ n < 2^(b+1)`),
+    * so an ulp error at a power-of-two boundary cannot misbucket on
+    * either engine. Rides [[linkGraph]]'s one dst_host exchange plus a
+    * bucket-count-sized aggregate.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val b0 = "CAST(floor(log2(n_links)) AS INT)"
+    val bkt = s"$b0 + IF(n_links >= shiftleft(CAST(1 AS BIGINT)," +
+      s" $b0 + 1), 1, 0) - IF(n_links < shiftleft(CAST(1 AS BIGINT)," +
+      s" $b0), 1, 0)"
+    linkGraph(spark, dir)
+      .select(col("n_links"), expr(bkt).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_hosts"),
+        sum(col("n_links")).as("sum_links"),
+        min(col("n_links")).as("min_deg"),
+        max(col("n_links")).as("max_deg"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("deg_lo"),
+        col("n_hosts"), col("sum_links"), col("min_deg"),
+        col("max_deg"))
+  }
+
   /** Planted pages for [[anchorText]]: case/whitespace anchor variants
     * that must merge after normalization, an empty anchor (image-style
     * link — counted as a link, excluded from text stats), and a
@@ -1518,6 +1548,7 @@ object TextOps {
     "q_unigram_prob" -> unigramProb _,
     "q_perplexity_bucket" -> perplexityBucket _,
     "q_link_graph" -> linkGraph _,
+    "q_degree_dist" -> degreeDist _,
     "q_bigram_coverage" -> bigramCoverage _,
     "q_bm25" -> bm25 _,
     "q_bm25_search" -> bm25Search _)
@@ -1525,6 +1556,32 @@ object TextOps {
   private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
   private def markerScore(ms: Seq[String]): String =
     s"len(list_filter(${segmentSql("text")}, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+
+  /** Shared link-synthesis CTE chain (pg -> l -> h) behind the
+    * q_link_graph and q_degree_dist oracles.
+    */
+  private def linkGraphCtes: String = {
+    val values = LinkPlantedRows.map { case (id, p) =>
+      if (p == null) s"($id, CAST(NULL AS VARCHAR))" else s"($id, '$p')"
+    }.mkString(", ")
+    s"""pg AS (SELECT doc_id,
+       |    '<html><body><a href="https://src' || ((doc_id + 1) % 20) ||
+       |    '.example.com/doc/' || (doc_id % 7) ||
+       |    '">r</a> <a href="HTTPS://WWW.Src' || ((doc_id * 3) % 20) ||
+       |    '.Example.COM:443/p/' || (doc_id % 5) || '">n</a>' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN
+       |        ' <a href="http://hub.example.net/">h</a>'
+       |        ELSE '' END) ||
+       |    '</body></html>' AS page
+       |  FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, page)),
+       |l AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(page, 'href="([^"]*)"', 1))
+       |      AS link FROM pg),
+       |h AS (SELECT doc_id, regexp_replace(
+       |    lower(regexp_extract(link, '://([^/?#:]*)', 1)),
+       |    '^www\\.', '') AS dst_host FROM l)""".stripMargin
+  }
 
   /** Shared feature/margin CTE chain (s→x→y→f→g) behind the
     * q_quality_score and q_quality_calibration oracles — g carries
@@ -2015,30 +2072,29 @@ object TextOps {
          |FROM pt LEFT JOIN top USING (dst_host)
          |GROUP BY pt.dst_host""".stripMargin
     },
-    "q_link_graph" -> {
-      val values = LinkPlantedRows.map { case (id, p) =>
-        if (p == null) s"($id, CAST(NULL AS VARCHAR))" else s"($id, '$p')"
-      }.mkString(", ")
-      s"""WITH pg AS (SELECT doc_id,
-         |    '<html><body><a href="https://src' || ((doc_id + 1) % 20)
-         |    || '.example.com/doc/' || (doc_id % 7)
-         |    || '">r</a> <a href="HTTPS://WWW.Src' || ((doc_id * 3) % 20)
-         |    || '.Example.COM:443/p/' || (doc_id % 5) || '">n</a>'
-         |    || (CASE WHEN doc_id % 3 = 0 THEN
-         |        ' <a href="http://hub.example.net/">h</a>'
-         |        ELSE '' END)
-         |    || '</body></html>' AS page
-         |  FROM documents
-         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, page)),
-         |l AS (SELECT doc_id,
-         |    unnest(regexp_extract_all(page, 'href="([^"]*)"', 1))
-         |      AS link FROM pg),
-         |h AS (SELECT doc_id, regexp_replace(
-         |    lower(regexp_extract(link, '://([^/?#:]*)', 1)),
-         |    '^www\\.', '') AS dst_host FROM l)
+    "q_link_graph" ->
+      s"""WITH $linkGraphCtes
          |SELECT dst_host, CAST(count(*) AS BIGINT) AS n_links,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
-         |FROM h GROUP BY dst_host""".stripMargin
+         |FROM h GROUP BY dst_host""".stripMargin,
+    "q_degree_dist" -> {
+      val b0 = "CAST(floor(log2(n_links)) AS INTEGER)"
+      s"""WITH $linkGraphCtes,
+         |d AS (SELECT dst_host, CAST(count(*) AS BIGINT) AS n_links
+         |  FROM h GROUP BY dst_host),
+         |bk AS (SELECT n_links, $b0
+         |    + (CASE WHEN n_links >= (CAST(1 AS BIGINT) << ($b0 + 1))
+         |        THEN 1 ELSE 0 END)
+         |    - (CASE WHEN n_links < (CAST(1 AS BIGINT) << $b0)
+         |        THEN 1 ELSE 0 END) AS bucket
+         |  FROM d)
+         |SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT)
+         |    AS deg_lo,
+         |  CAST(count(*) AS BIGINT) AS n_hosts,
+         |  CAST(sum(n_links) AS BIGINT) AS sum_links,
+         |  CAST(min(n_links) AS BIGINT) AS min_deg,
+         |  CAST(max(n_links) AS BIGINT) AS max_deg
+         |FROM bk GROUP BY bucket""".stripMargin
     },
     "q_bigram_coverage" ->
       s"""WITH w AS (SELECT doc_id, ${segmentSql("text")} AS ws

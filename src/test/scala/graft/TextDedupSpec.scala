@@ -1062,6 +1062,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("degree distribution: exact bucket replay and power-of-two" +
+      " boundary correctness") {
+    import spark.implicits._
+    val deg = TextOps.linkGraph(spark, sf).collect()
+      .map(r => r.getLong(1))
+    def bucket(n: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = deg.groupBy(bucket).map { case (b, ns) =>
+      b -> ((ns.length.toLong, ns.sum, ns.min, ns.max))
+    }
+    val rows = TextOps.degreeDist(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows === expected)
+    // deg_lo is 2^bucket
+    TextOps.degreeDist(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) === (1L << r.getInt(0)))
+    }
+    // the float-log candidate is integer-corrected: exact powers of two
+    // and their neighbors must bucket exactly, far beyond the fixture's
+    // degree range
+    val probes = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L, 1023L, 1024L, 1025L,
+      (1L << 40) - 1, 1L << 40, (1L << 40) + 1, (1L << 52) - 1, 1L << 52)
+    val b0 = "CAST(floor(log2(n_links)) AS INT)"
+    val got = probes.toDF("n_links")
+      .select(col("n_links"), expr(
+        s"$b0 + IF(n_links >= shiftleft(CAST(1 AS BIGINT), $b0 + 1)," +
+          s" 1, 0) - IF(n_links < shiftleft(CAST(1 AS BIGINT), $b0)," +
+          s" 1, 0)").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probes.foreach { n =>
+      assert(got(n) === bucket(n), s"misbucketed degree $n")
+    }
+  }
+
   test("cdc dedup: shift-resistant where the fixed grid is blind," +
       " token mass conserved") {
     val rows = Dedup.cdcDedup(spark, sf).collect()
