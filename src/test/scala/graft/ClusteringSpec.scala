@@ -98,6 +98,43 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("banding design: (bands=4, rows=3) maximizes the S-curve" +
+      " separation among 12-permutation factorizations") {
+    // P(candidate | jaccard = j/100) = 1 - (1 - t^r)^b, computed EXACTLY
+    // as a big rational in ppm: the numerator is
+    // 100^(r·b) - (100^r - j^r)^b over denominator 100^(r·b).
+    def pPpm(b: Int, r: Int, jPct: Int): Long = {
+      val den = BigInt(100).pow(r * b)
+      val num = den - (BigInt(100).pow(r) - BigInt(jPct).pow(r)).pow(b)
+      (num * 1000000 / den).toLong
+    }
+    val factorizations = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6),
+      (1, 12))
+    assert(factorizations.forall { case (b, r) =>
+      b * r == Dedup.Bands * Dedup.Rows
+    })
+    // the house threshold is 0.6; the design wants candidates LIKELY at
+    // the threshold and UNLIKELY well below it — measure the separation
+    // P(60) − P(30) per factorization
+    def gap(b: Int, r: Int): Long = pPpm(b, r, 60) - pPpm(b, r, 30)
+    val houseGap = gap(Dedup.Bands, Dedup.Rows)
+    factorizations.filterNot(_ == ((Dedup.Bands, Dedup.Rows)))
+      .foreach { case (b, r) =>
+        assert(houseGap > gap(b, r),
+          s"factorization ($b,$r) separates better than the house choice")
+      }
+    // the house curve's anchor points: 62.2% recall at the threshold,
+    // 10.4% at 0.3, 94.3% at 0.8 (the signature/star fallbacks own the
+    // band-missed tail — see lshCandidates)
+    assert(pPpm(4, 3, 60) === 622198L)
+    assert(pPpm(4, 3, 30) === 103704L)
+    assert(pPpm(4, 3, 80) === 943287L)
+    // monotone in jaccard for the house curve
+    (1 until 100).foreach { j =>
+      assert(pPpm(4, 3, j) <= pPpm(4, 3, j + 1))
+    }
+  }
+
   test("index forget: patch invariants and accounting row consistency") {
     val patched = Dedup.forgetPatchedRows(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
