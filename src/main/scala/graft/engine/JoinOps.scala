@@ -224,45 +224,74 @@ object JoinOps {
     */
   val JoinEstRate = 16L
 
+  /** Heavy-hitter floor for [[joinSizeEstimate]]: a join key whose
+    * frequency product reaches this contributes EXACTLY instead of
+    * through the sample. Without it one hot key outside the sample
+    * (f_B in the millions on a skewed fact table) swings the whole
+    * estimate by orders of magnitude — end-biased sampling
+    * (Estan-Varghese shape: big flows exact, small flows sampled)
+    * bounds the sampled mass per key, which bounds the variance.
+    */
+  val JoinEstHeavyMin = 256L
+
   /** Sampled join-cardinality estimation — the planner diagnostic a
     * 100 TB pipeline runs BEFORE committing to a join strategy:
-    * |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated from the 1/[[JoinEstRate]]
-    * deterministic key sample (each sampled key's exact frequency
-    * product, scaled back up). Key sampling is the correct design —
-    * a row sample breaks the product (both sides must see the same
-    * keys); hashing the KEY keeps the estimator unbiased over the key
-    * population with variance governed by the frequency skew. The exact
-    * side (full per-key aggregate join) rides along as the acceptance
-    * harness, exactly like the KMV/CMS sketch queries: production runs
-    * the estimate alone, paying two ~1/16-key map-side-combined
-    * exchanges instead of the full join.
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k), split END-BIASED: keys with
+    * `f_A·f_B ≥` [[JoinEstHeavyMin]] contribute exactly (there are few
+    * of them by Zipf, and they are exactly the ones a sample must not
+    * miss), the light tail contributes through the deterministic
+    * 1/[[JoinEstRate]] KEY sample scaled back up. Key sampling is the
+    * correct design — a row sample breaks the product (both sides must
+    * see the same keys); hashing the KEY keeps the light-tail estimator
+    * unbiased with per-key variance bounded by the heavy floor. The
+    * exact side (full per-key aggregate join) rides along as the
+    * acceptance harness, exactly like the KMV/CMS sketch queries:
+    * production runs the estimate alone, paying two ~1/16-key
+    * map-side-combined exchanges plus the heavy set instead of the
+    * full join.
     *
     * All integers exact: frequency products sum through DECIMAL(38,0)
-    * (HUGEINT in the oracle), the estimate is `sampled_sum·rate`, and
-    * the relative error reports as `|est−exact|·10⁶ DIV exact`.
+    * (HUGEINT in the oracle), the estimate is
+    * `heavy_sum + light_sampled_sum·rate`, and the relative error
+    * reports as `|est−exact|·10⁶ DIV exact`.
     */
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val keyHash: Column => Column = k =>
-      graft.functions.StringFunctions.utf8_poly_id(
-        k.cast("string"), Dedup.IdMod)
     def freqs(df: DataFrame, key: String): DataFrame =
       df.select(col(key).as("k")).groupBy("k")
         .agg(count(lit(1)).as("f"))
-    val fa = freqs(Tables.orders(spark, dir), "o_orderkey")
-    val fb = freqs(Tables.lineitem(spark, dir), "l_orderkey")
+    joinSizeEstimateCore(
+      freqs(Tables.orders(spark, dir), "o_orderkey"),
+      freqs(Tables.lineitem(spark, dir), "l_orderkey"))
+  }
+
+  /** The estimator core over two (k, f) frequency tables — exposed so
+    * the spec can prove the heavy-hitter path on synthetic skew the
+    * fixture's uniform keys never trigger.
+    */
+  private[graft] def joinSizeEstimateCore(fa: DataFrame,
+      fb: DataFrame): DataFrame = {
+    val keyHash: Column => Column = k =>
+      graft.functions.StringFunctions.utf8_poly_id(
+        k.cast("string"), Dedup.IdMod)
     val big: Column => Column = _.cast("decimal(38,0)")
     val j = fa.select(col("k"), col("f").as("f_a"))
       .join(fb.select(col("k"), col("f").as("f_b")), Seq("k"))
-      .select(col("k"), (big(col("f_a")) * col("f_b")).as("prod"),
+      .select(col("k"), (big(col("f_a")) * col("f_b")).as("prod"))
+      .select(col("k"), col("prod"),
+        (col("prod") >= JoinEstHeavyMin).as("heavy"),
         (keyHash(col("k")) % JoinEstRate === 0).as("in_sample"))
     j.agg(
         count(lit(1)).as("n_join_keys"),
+        sum(when(col("heavy"), 1L).otherwise(0L)).as("n_heavy_keys"),
         sum(col("prod")).cast("long").as("exact_rows"),
-        sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled_keys"),
-        (sum(when(col("in_sample"), col("prod")).otherwise(big(lit(0))))
-          * JoinEstRate).cast("long").as("est_rows"))
-      .select(col("n_join_keys"), col("exact_rows"),
-        col("sampled_keys"), col("est_rows"),
+        sum(when(!col("heavy") && col("in_sample"), 1L).otherwise(0L))
+          .as("sampled_keys"),
+        (sum(when(col("heavy"), col("prod")).otherwise(big(lit(0))))
+          + sum(when(!col("heavy") && col("in_sample"), col("prod"))
+            .otherwise(big(lit(0)))) * JoinEstRate)
+          .cast("long").as("est_rows"))
+      .select(col("n_join_keys"), col("n_heavy_keys"),
+        col("exact_rows"), col("sampled_keys"), col("est_rows"),
         // diff·10⁶ through DECIMAL — at real corpus sizes the product
         // overflows int64 long before the row counts themselves do
         expr("CAST(CAST(abs(est_rows - exact_rows) AS DECIMAL(38,0))" +
@@ -308,17 +337,24 @@ object JoinOps {
          |fb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f_b
          |  FROM lineitem GROUP BY l_orderkey),
          |j AS (SELECT k, CAST(f_a AS HUGEINT) * f_b AS prod,
+         |    CAST(f_a AS HUGEINT) * f_b >= $JoinEstHeavyMin AS heavy,
          |    ${Dedup.idUtf8Sql("CAST(k AS VARCHAR)")} % $JoinEstRate = 0
          |      AS in_sample
-         |  FROM fa JOIN fb USING (k))
-         |SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
-         |  CAST(sum(prod) AS BIGINT) AS exact_rows,
-         |  CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS sampled_keys,
-         |  CAST(sum(CASE WHEN in_sample THEN prod ELSE 0 END)
-         |    * $JoinEstRate AS BIGINT) AS est_rows,
-         |  CAST(abs(sum(CASE WHEN in_sample THEN prod ELSE 0 END)
-         |      * $JoinEstRate - sum(prod)) * 1000000 // sum(prod)
-         |    AS BIGINT) AS err_ppm
-         |FROM j""".stripMargin)
+         |  FROM fa JOIN fb USING (k)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+         |    CAST(sum(CASE WHEN heavy THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_heavy_keys,
+         |    sum(prod) AS exact_h,
+         |    CAST(sum(CASE WHEN NOT heavy AND in_sample THEN 1 ELSE 0
+         |      END) AS BIGINT) AS sampled_keys,
+         |    sum(CASE WHEN heavy THEN prod ELSE 0 END)
+         |      + sum(CASE WHEN NOT heavy AND in_sample THEN prod
+         |          ELSE 0 END) * $JoinEstRate AS est_h
+         |  FROM j)
+         |SELECT n_join_keys, n_heavy_keys,
+         |  CAST(exact_h AS BIGINT) AS exact_rows, sampled_keys,
+         |  CAST(est_h AS BIGINT) AS est_rows,
+         |  CAST(abs(est_h - exact_h) * 1000000 // exact_h AS BIGINT)
+         |    AS err_ppm
+         |FROM agg""".stripMargin)
 }

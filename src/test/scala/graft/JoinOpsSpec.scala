@@ -87,16 +87,51 @@ class JoinOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("f")).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     val keys = fa.keySet.intersect(fb.keySet)
-    val sampled = keys.filter(k =>
+    def prod(k: Long): BigInt = BigInt(fa(k)) * fb(k)
+    val heavy = keys.filter(k => prod(k) >= JoinOps.JoinEstHeavyMin)
+    val sampledLight = (keys -- heavy).filter(k =>
       poly(k.toString) % JoinOps.JoinEstRate == 0L)
     assert(r.getAs[Long]("n_join_keys") === keys.size.toLong)
-    assert(r.getAs[Long]("sampled_keys") === sampled.size.toLong)
-    val est = sampled.toSeq.map(k => BigInt(fa(k)) * fb(k)).sum *
-      JoinOps.JoinEstRate
+    assert(r.getAs[Long]("n_heavy_keys") === heavy.size.toLong)
+    assert(r.getAs[Long]("sampled_keys") === sampledLight.size.toLong)
+    val est = heavy.toSeq.map(prod).sum +
+      sampledLight.toSeq.map(prod).sum * JoinOps.JoinEstRate
     assert(r.getAs[Long]("est_rows") === est.toLong)
     // the estimator must be in the right ballpark on the fixture
     // (uniform-ish key frequencies: well under 2x off)
     assert(r.getAs[Long]("err_ppm") < 500000L,
       s"estimate off by ${r.getAs[Long]("err_ppm")} ppm")
+  }
+
+  test("join size estimate: the heavy-hitter floor catches skew the" +
+      " sample misses") {
+    import spark.implicits._
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) =>
+        (acc * 31 + (b & 0xff)) % Dedup.IdMod)
+    // a hot key OUTSIDE the 1/16 sample with a million-row product —
+    // the case a pure sample misses by 10^6 rows
+    val hot = (1L to 100L)
+      .find(k => poly(k.toString) % JoinOps.JoinEstRate != 0L).get
+    // light keys: f_a = f_b = 1 (product 1, all under the heavy floor)
+    val lightKeys = (1000L to 1999L)
+    val fa = (lightKeys.map(k => (k, 1L)) :+ ((hot, 1000L)))
+      .toDF("k", "f")
+    val fb = (lightKeys.map(k => (k, 1L)) :+ ((hot, 1000L)))
+      .toDF("k", "f")
+    val r = JoinOps.joinSizeEstimateCore(fa, fb).head
+    val exact = 1000L + 1000000L
+    assert(r.getAs[Long]("exact_rows") === exact)
+    assert(r.getAs[Long]("n_heavy_keys") === 1L)
+    // the hot key contributes EXACTLY; only the light tail is sampled
+    val sampledLight = lightKeys.count(k =>
+      poly(k.toString) % JoinOps.JoinEstRate == 0L)
+    val est = 1000000L + sampledLight * JoinOps.JoinEstRate
+    assert(r.getAs[Long]("est_rows") === est)
+    // without the floor the estimate would be the light tail alone
+    // (hot key unsampled): off by ~10^6; with it the error is the
+    // light tail's sampling noise only
+    assert(math.abs(est - exact) < 500L,
+      s"heavy floor failed: est $est vs exact $exact")
   }
 }
