@@ -298,7 +298,10 @@ object ScaleBench {
     "q_embed_sensitivity",
     // degree distribution: linkGraph's dst_host exchange + a
     // bucket-count aggregate — expect q_link_graph's exponent
-    "q_degree_dist")
+    "q_degree_dist",
+    // shingle profile: the memoized shingle stream's one sid exchange +
+    // a bucket-count aggregate — the dedup machinery floor
+    "q_shingle_profile")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

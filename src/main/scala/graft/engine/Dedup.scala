@@ -1756,6 +1756,40 @@ object Dedup {
         (col("n_chunks") - col("n_kept")).as("n_dup"))
   }
 
+  /** Shingle-frequency profile — the measurement that justifies (or
+    * indicts) the [[RareShingleMaxFreq]] blocking constant
+    * [[dedupNgramJaccard]] depends on: per power-of-two frequency
+    * bucket, how many DISTINCT shingles live there and how much
+    * instance MASS they carry, plus each bucket's blocking verdict
+    * (`blockable` = the whole bucket sits at or under the rare floor).
+    * Rare-shingle blocking is sound only while near-identical docs
+    * share LOW-frequency shingles — a corpus whose mass migrates into
+    * high buckets (template boilerplate, short repetitive docs) is one
+    * where the exact-side candidate generation degrades, and this
+    * table is the early warning. The bucket index reuses the
+    * integer-corrected floor(log2) (see `TextOps.degreeDist`); one sid
+    * exchange + a bucket-count aggregate.
+    */
+  def shingleProfile(spark: SparkSession, dir: String): DataFrame = {
+    val b0 = "CAST(floor(log2(freq)) AS INT)"
+    val bkt = s"$b0 + IF(freq >= shiftleft(CAST(1 AS BIGINT)," +
+      s" $b0 + 1), 1, 0) - IF(freq < shiftleft(CAST(1 AS BIGINT)," +
+      s" $b0), 1, 0)"
+    shingleIds(spark, dir)
+      .groupBy("sid").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(bkt).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("freq")).as("n_instances"),
+        min(col("freq")).as("min_freq"),
+        max(col("freq")).as("max_freq"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("freq_lo"),
+        col("n_shingles"), col("n_instances"), col("min_freq"),
+        col("max_freq"),
+        (col("max_freq") <= RareShingleMaxFreq).as("blockable"))
+  }
+
   /** Content-defined-chunking divisor: a token closes a chunk when its
     * portable hash lands in 1/[[CdcMod]] of the space, so the EXPECTED
     * chunk length is [[CdcMod]] tokens and boundaries are properties of
@@ -1911,6 +1945,7 @@ object Dedup {
     "q_corpus_overlap" -> corpusOverlap _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_cdc_dedup" -> cdcDedup _,
+    "q_shingle_profile" -> shingleProfile _,
     "q_dup_transitivity" -> dupTransitivity _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -2277,6 +2312,26 @@ object Dedup {
          |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
          |  CAST(max(n_chunk_tokens) AS BIGINT) AS max_chunk_tokens
          |FROM r GROUP BY doc_id""".stripMargin
+    },
+    "q_shingle_profile" -> {
+      val b0 = "CAST(floor(log2(freq)) AS INTEGER)"
+      s"""WITH $shingleSql,
+         |fr AS (SELECT sid, CAST(count(*) AS BIGINT) AS freq FROM ds
+         |  GROUP BY sid),
+         |bk AS (SELECT freq, $b0
+         |    + (CASE WHEN freq >= (CAST(1 AS BIGINT) << ($b0 + 1))
+         |        THEN 1 ELSE 0 END)
+         |    - (CASE WHEN freq < (CAST(1 AS BIGINT) << $b0)
+         |        THEN 1 ELSE 0 END) AS bucket
+         |  FROM fr)
+         |SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT)
+         |    AS freq_lo,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(freq) AS BIGINT) AS n_instances,
+         |  CAST(min(freq) AS BIGINT) AS min_freq,
+         |  CAST(max(freq) AS BIGINT) AS max_freq,
+         |  max(freq) <= $RareShingleMaxFreq AS blockable
+         |FROM bk GROUP BY bucket""".stripMargin
     },
     "q_dup_transitivity" ->
       s"""WITH $minhashCtes,

@@ -1062,6 +1062,44 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("shingle profile: buckets partition the shingle set and the" +
+      " blocking verdict matches the rare floor") {
+    val rows = Dedup.shingleProfile(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    rows.foreach { case (b, lo, _, _, mn, mx, blockable) =>
+      assert(lo === (1L << b))
+      // every member frequency lives inside its bucket's range
+      assert(mn >= lo && mx < 2 * lo, s"bucket $b holds [$mn,$mx]")
+      assert(blockable === (mx <= Dedup.RareShingleMaxFreq))
+    }
+    // buckets partition the distinct-SID set and the instance mass:
+    // totals recount from the raw corpus via the minhash pipeline's own
+    // shingle definition (3-token shingles, distinct per doc, keyed by
+    // the portable poly id exactly as the engine keys them — a raw
+    // string key would drift on the rare sid collision)
+    import org.apache.spark.sql.functions._
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) =>
+        (acc * 31 + (b & 0xff)) % Dedup.IdMod)
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    def addDoc(text: String): Unit = {
+      val t = text.split(" ", -1)
+      if (t.length >= 3)
+        t.sliding(3).map(w => poly(w.mkString(" "))).toSeq.distinct
+          .foreach(sid => counts(sid) += 1)
+    }
+    engine.Tables.documents(spark, sf)
+      .select(col("text")).collect().foreach(r => addDoc(r.getString(0)))
+    // planted multilingual rows join the corpus in shingleIds — replay
+    Dedup.MultilingualDedupRows.foreach { case (_, text) => addDoc(text) }
+    assert(rows.map(_._3).sum === counts.size.toLong,
+      "bucket shingle counts do not partition the distinct set")
+    assert(rows.map(_._4).sum === counts.values.sum,
+      "bucket instance mass does not partition the stream")
+  }
+
   test("degree distribution: exact bucket replay and power-of-two" +
       " boundary correctness") {
     import spark.implicits._
