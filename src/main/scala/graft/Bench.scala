@@ -113,8 +113,20 @@ object Bench {
           ioProbes += probeFile.map(ioProbe).getOrElse(0.0)
         }
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+        // Default action is count() — comparable across every round.
+        // SPARK_GRAFT_MATERIALIZE=1 switches to a full-column
+        // materialization (noop row drain), the audit mode that prices
+        // map-pass expression work count() legitimately prunes (Verify
+        // and any real sink pay it; the calibration-table find showed a
+        // pruned row can hide a 14x per-row expression blowup).
+        val materialize = sys.env.get("SPARK_GRAFT_MATERIALIZE")
+          .contains("1")
+        val ok = try {
+          val df = fn(spark, sfDir)
+          if (materialize) df.queryExecution.toRdd.foreach(_ => ())
+          else df.count()
+          true
+        } catch { case _: Throwable => false }
         // -1 marks a failed query explicitly — recording its time-to-throw
         // would make breakage look like speed
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -274,15 +274,28 @@ object Ext {
     * exempt: [[approxExact]] re-derives them as their own fully
     * hash-gated query, so only the sketches ride the rows-only check.
     */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    // Do NOT put countDistinct in the same agg as the sketches: the
+    // distinct-aggregate rewrite expands partials to (group, key) grain,
+    // so every heavy sketch buffer (the accuracy-10000 percentile
+    // summary) would be maintained once PER DISTINCT ORDER instead of
+    // once per group — measured 22 s vs 6 s at sf0.1, and the gap grows
+    // with key cardinality. The exact count runs as its own two-level
+    // aggregate (no Expand at all) and joins back on the 3-row group
+    // dimension.
+    val li = Tables.lineitem(spark, dir)
+    val sketches = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4)
           .as("p50_approx"),
         count(lit(1)).as("n"))
+    val exact = li.groupBy("l_returnflag", "l_orderkey").count()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
+    sketches.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_orders"),
+        col("exact_orders"), col("p50_approx"), col("n"))
+  }
 
   /** The exact half of [[approxStats]], split out as an oracle-checked
     * query: the sketch columns are legitimately engine-specific, but
