@@ -301,7 +301,11 @@ object ScaleBench {
     "q_degree_dist",
     // shingle profile: the memoized shingle stream's one sid exchange +
     // a bucket-count aggregate — the dedup machinery floor
-    "q_shingle_profile")
+    "q_shingle_profile",
+    // memorization audit: generated side is output-sized; the corpus
+    // side is the memoized sid stream's distinct projection — expect
+    // the q_decontaminate class (one linear sid join)
+    "q_memorization_audit")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

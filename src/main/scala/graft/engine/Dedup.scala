@@ -1756,6 +1756,85 @@ object Dedup {
         (col("n_chunks") - col("n_kept")).as("n_dup"))
   }
 
+  /** A "generated" output is called memorized when it carries a run of
+    * at least this many CONSECUTIVE corpus-matched shingles — the
+    * Lee-et-al span convention applied in the reverse direction
+    * (model output → training corpus instead of corpus → corpus).
+    */
+  val MemorizedRunMin = 8
+
+  /** Memorization / regurgitation audit — decontamination's MIRROR:
+    * decontamination asks "did benchmark text leak INTO the corpus?",
+    * this asks "does (model) OUTPUT text reproduce the corpus?" — the
+    * training-data-extraction check an eval pipeline runs over
+    * generations before publishing a model. The "generated" set is
+    * synthesized deterministically so both engines derive it
+    * identically: verbatim corpus copies (full regurgitation), a
+    * corpus-prefix + novel-tail splice (partial), and fully novel
+    * rows. Every generated doc's positional 3-token shingles LEFT-join
+    * the corpus shingle-id stream; the verdict columns are the novel
+    * fraction in exact ppm and the LONGEST CONSECUTIVE matched run
+    * (gaps-and-islands over positions inside a doc-bounded window) —
+    * a doc is `memorized` at ≥[[MemorizedRunMin]] consecutive matched
+    * shingles, the span convention, because scattered trigram hits are
+    * ordinary language while a long verbatim run is regurgitation.
+    *
+    * 100 TB shape: corpus side is the memoized (doc_id, sid) stream's
+    * distinct-sid projection (one linear exchange shared with every
+    * dedup consumer); generated side is output-sized; the join is a
+    * plain sid equi-join and the run window partitions per generated
+    * doc.
+    */
+  def memorizationAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 30)
+    val copies = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 7000000L).as("gen_id"),
+        concat_ws(" ", col("w")).as("text"))
+    val splices = docs.filter(col("doc_id") % 101 === 0)
+      .select((col("doc_id") + 8000000L).as("gen_id"),
+        concat(concat_ws(" ", slice(col("w"), 1, 15)),
+          lit(" " + (1 to 16).map(i => s"novel$i").mkString(" ")))
+          .as("text"))
+    val novel = Seq(
+      (9000001L, (1 to 40).map(i => s"fresh$i").mkString(" ")),
+      (9000002L, (1 to 33).map(i => s"unseen$i").mkString(" ")))
+      .toDF("gen_id", "text")
+    val gen = copies.unionByName(splices).unionByName(novel)
+      .select(col("gen_id"), split(col("text"), " ").as("t"))
+      .select(col("gen_id"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("p"),
+        col("t"))
+      .select(col("gen_id"), col("p"),
+        portableIdUtf8(concat_ws(" ",
+          element_at(col("t"), col("p")),
+          element_at(col("t"), col("p") + 1),
+          element_at(col("t"), col("p") + 2))).as("sid"))
+    val corpusSids = shingleIds(spark, dir).select("sid").distinct()
+      .withColumn("hit", lit(1))
+    val marked = gen.join(corpusSids, Seq("sid"), "left")
+      .select(col("gen_id"), col("p"), col("hit").isNotNull.as("m"))
+    // gaps-and-islands: consecutive matched positions share
+    // p − row_number(matched within doc); the longest island is the run
+    val isl = Window.partitionBy("gen_id").orderBy("p")
+    val runs = marked.filter(col("m"))
+      .withColumn("grp", col("p") - row_number().over(isl))
+      .groupBy("gen_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("gen_id").agg(max(col("run")).as("max_run"))
+    marked.groupBy("gen_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_matched"))
+      .join(runs, Seq("gen_id"), "left")
+      .select(col("gen_id"), col("n_shingles"), col("n_matched"),
+        expr("CAST((n_shingles - n_matched) * 1000000 DIV n_shingles" +
+          " AS BIGINT)").as("novelty_ppm"),
+        coalesce(col("max_run"), lit(0L)).as("max_matched_run"),
+        (coalesce(col("max_run"), lit(0L)) >= MemorizedRunMin)
+          .as("memorized"))
+  }
+
   /** Shingle-frequency profile — the measurement that justifies (or
     * indicts) the [[RareShingleMaxFreq]] blocking constant
     * [[dedupNgramJaccard]] depends on: per power-of-two frequency
@@ -1946,6 +2025,7 @@ object Dedup {
     "q_chunk_dedup" -> chunkDedup _,
     "q_cdc_dedup" -> cdcDedup _,
     "q_shingle_profile" -> shingleProfile _,
+    "q_memorization_audit" -> memorizationAudit _,
     "q_dup_transitivity" -> dupTransitivity _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -2312,6 +2392,52 @@ object Dedup {
          |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
          |  CAST(max(n_chunk_tokens) AS BIGINT) AS max_chunk_tokens
          |FROM r GROUP BY doc_id""".stripMargin
+    },
+    "q_memorization_audit" -> {
+      val novelTail = (1 to 16).map(i => s"novel$i").mkString(" ")
+      val fresh = (1 to 40).map(i => s"fresh$i").mkString(" ")
+      val unseen = (1 to 33).map(i => s"unseen$i").mkString(" ")
+      s"""WITH $shingleSql,
+         |gd AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 30),
+         |g0 AS (
+         |  SELECT CAST(doc_id + 7000000 AS BIGINT) AS gen_id,
+         |      array_to_string(w, ' ') AS text
+         |    FROM gd WHERE doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 8000000 AS BIGINT),
+         |      array_to_string(w[1:15], ' ') || ' ' || '$novelTail'
+         |    FROM gd WHERE doc_id % 101 = 0
+         |  UNION ALL
+         |  SELECT CAST(gen_id AS BIGINT), text FROM (VALUES
+         |    (9000001, '$fresh'), (9000002, '$unseen')) v(gen_id, text)),
+         |g AS (SELECT gen_id, string_split(text, ' ') AS t FROM g0),
+         |gp AS (SELECT gen_id, unnest(range(1, len(t) - 1)) AS p, t
+         |  FROM g),
+         |gs AS (SELECT gen_id, p,
+         |    ${idUtf8Sql("t[p] || ' ' || t[p+1] || ' ' || t[p+2]")}
+         |      AS sid
+         |  FROM gp),
+         |cs AS (SELECT DISTINCT sid FROM ds),
+         |mk AS (SELECT gen_id, p, cs.sid IS NOT NULL AS m
+         |  FROM gs LEFT JOIN cs ON gs.sid = cs.sid),
+         |rn AS (SELECT gen_id,
+         |    p - row_number() OVER (PARTITION BY gen_id ORDER BY p)
+         |      AS grp
+         |  FROM mk WHERE m),
+         |mr AS (SELECT gen_id, CAST(max(run) AS BIGINT) AS max_run
+         |  FROM (SELECT gen_id, grp, count(*) AS run FROM rn
+         |    GROUP BY gen_id, grp) GROUP BY gen_id),
+         |agg AS (SELECT gen_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_matched
+         |  FROM mk GROUP BY gen_id)
+         |SELECT a.gen_id, n_shingles, n_matched,
+         |  CAST((n_shingles - n_matched) * 1000000 // n_shingles
+         |    AS BIGINT) AS novelty_ppm,
+         |  coalesce(max_run, 0) AS max_matched_run,
+         |  coalesce(max_run, 0) >= $MemorizedRunMin AS memorized
+         |FROM agg a LEFT JOIN mr ON a.gen_id = mr.gen_id""".stripMargin
     },
     "q_shingle_profile" -> {
       val b0 = "CAST(floor(log2(freq)) AS INTEGER)"

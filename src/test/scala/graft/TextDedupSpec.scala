@@ -1062,6 +1062,33 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("memorization audit: verbatim, spliced, and novel generations" +
+      " classify exactly") {
+    val rows = Dedup.memorizationAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val copies = rows.filter(_._1 >= 7000000L).filter(_._1 < 8000000L)
+    val splices = rows.filter(_._1 >= 8000000L).filter(_._1 < 9000000L)
+    val novels = rows.filter(_._1 >= 9000000L)
+    assert(copies.nonEmpty && splices.nonEmpty && novels.size === 2)
+    // verbatim copies: every shingle matches, the run spans the doc
+    copies.values.foreach { case (ns, nm, ppm, run, mem) =>
+      assert(nm === ns && ppm === 0L && run === ns && mem)
+    }
+    // prefix splices: a 15-token corpus prefix yields exactly 13
+    // matched trigrams in one run (the 14th/15th straddle the novel
+    // tail), which clears the memorized floor
+    splices.values.foreach { case (_, nm, ppm, run, mem) =>
+      assert(nm === 13L && run === 13L && mem)
+      assert(ppm > 0L && ppm < 1000000L)
+    }
+    // novel generations: nothing matches, no run, not memorized
+    novels.values.foreach { case (ns, nm, ppm, run, mem) =>
+      assert(nm === 0L && ppm === 1000000L && run === 0L && !mem)
+      assert(ns > 0L)
+    }
+  }
+
   test("shingle profile: buckets partition the shingle set and the" +
       " blocking verdict matches the rare floor") {
     val rows = Dedup.shingleProfile(spark, sf).collect()
