@@ -305,7 +305,12 @@ object ScaleBench {
     // memorization audit: generated side is output-sized; the corpus
     // side is the memoized sid stream's distinct projection — expect
     // the q_decontaminate class (one linear sid join)
-    "q_memorization_audit")
+    "q_memorization_audit",
+    // dataset card: ONE corpus scan computes all per-doc verdicts (the
+    // native stats structs keep it single-pass) + the lang rollup +
+    // the memoized dup-pair table — expect the corpus-scan line plus
+    // the minhash machinery floor
+    "q_dataset_card")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -119,6 +119,101 @@ object Curation {
     * engines. One map pass + one global aggregate; no exchange beyond
     * the 1-row agg.
     */
+  /** The release DATA CARD — the Datasheets-for-Datasets record
+    * (Gebru et al. 2021) a model card's data section quotes, assembled
+    * in ONE pass over the corpus plus the memoized dup-pair table:
+    * corpus mass (docs/bytes/segmented tokens), language spread and the
+    * majority language, the quality-rule keep rate, typed-PII and
+    * content-flag incidence, verified near-dup pairs/docs (corpus-only:
+    * the dedup pipeline's planted multilingual rows are semi-joined
+    * away), and the order-independent content fingerprint that pins
+    * WHICH corpus the card describes (the
+    * [[graft.engine.SourceQueries.datasetManifest]] sum-mod-prime).
+    * Every rate is integer ppm; the single float surface is none.
+    *
+    * 100 TB shape: one corpus scan computes all per-doc verdicts
+    * (the native [[graft.functions.QualityStats]]/TokenSetStats
+    * structs + the RE2-safe PII patterns — zero exchanges) into one
+    * global aggregate; the language dimension is a lang-count rollup
+    * with a 1-row top pick; dup stats ride the memoized dup-sized pair
+    * table. Five 1-row broadcasts assemble the card (the sanctioned
+    * collect-scalar shape).
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hv = graft.functions.StringFunctions.utf8_poly_id(
+      concat(col("doc_id").cast("string"), lit(":"), col("text")),
+      Dedup.IdMod)
+    val nPii = PiiPatterns.map { case (_, re, _) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    }.reduce(_ + _)
+    val fs = graft.functions.StringFunctions.token_set_stats(
+      col("text"), TextOps.SegPerCharClass, TextOps.SegWsChars,
+      TextOps.ContentTaxonomy.map(_._2))
+    val per = docs.select(col("lang"),
+        octet_length(col("text")).cast("long").as("nb"),
+        TextOps.qualityStatsCol.as("q"), fs.as("f"),
+        (nPii > 0).as("pii"), hv.as("hv"))
+      .select(col("lang"), col("nb"), col("q.n_tok").as("ntok"),
+        (!(col("q.n_tok") < TextOps.RuleMinTokens ||
+          col("q.n_tok") > TextOps.RuleMaxTokens ||
+          col("q.n_stop") < TextOps.RuleMinStopInstances ||
+          (col("q.n_word") > 0 &&
+            (col("q.sum_wchars") <
+              col("q.n_word") * TextOps.RuleMinMeanLenX1 ||
+              col("q.sum_wchars") >
+                col("q.n_word") * TextOps.RuleMaxMeanLenX1)) ||
+          (col("q.nb") > 0 &&
+            (col("q.nb") - col("q.ndb")) * TextOps.RuleDupBigramDen >
+              col("q.nb")))).as("keep"),
+        TextOps.ContentTaxonomy.indices
+          .map(i => col("f.set_counts").getItem(i) >=
+            TextOps.ContentFlagMin)
+          .reduce(_ || _).as("flagged"),
+        col("pii"), col("hv"))
+    val base = per.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nb")).as("n_bytes"),
+      sum(col("ntok")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"),
+      sum(when(col("pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+      sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+      (sum(col("hv").cast("decimal(38,0)")) % Dedup.IdMod).cast("long")
+        .as("fp_corpus"))
+    val top = docs.groupBy("lang").agg(count(lit(1)).as("top_lang_docs"))
+      .orderBy(col("top_lang_docs").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("top_lang_docs"))
+    val ids = docs.select("doc_id")
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
+    val dupPairs = pairs.agg(count(lit(1)).as("n_dup_pairs"))
+    val dupDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .agg(countDistinct(col("d")).as("n_dup_docs"))
+    base.crossJoin(broadcast(top))
+      .crossJoin(broadcast(dupPairs))
+      .crossJoin(broadcast(dupDocs))
+      .select(col("n_docs"), col("n_bytes"), col("n_tokens"),
+        col("n_langs"), col("top_lang"), col("top_lang_docs"),
+        col("n_quality_keep"),
+        expr("CAST(n_quality_keep * 1000000 DIV n_docs AS BIGINT)")
+          .as("keep_ppm"),
+        col("n_pii_docs"),
+        expr("CAST(n_pii_docs * 1000000 DIV n_docs AS BIGINT)")
+          .as("pii_ppm"),
+        col("n_flagged"),
+        expr("CAST(n_flagged * 1000000 DIV n_docs AS BIGINT)")
+          .as("flagged_ppm"),
+        col("n_dup_pairs"), col("n_dup_docs"),
+        expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)")
+          .as("dup_ppm"),
+        col("fp_corpus"))
+  }
+
   def deletionAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1020,6 +1115,7 @@ object Curation {
     "q_text_scrub" -> textScrub _,
     "q_pii_audit" -> piiAudit _,
     "q_deletion_audit" -> deletionAudit _,
+    "q_dataset_card" -> datasetCard _,
     "q_doc_chunk" -> docChunk _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_weighted_sample" -> weightedSample _,
@@ -1300,6 +1396,86 @@ object Curation {
          |SELECT doc_id, $countCols, $red AS redacted,
          |  ($total) > 0 AS has_pii
          |FROM src""".stripMargin
+    },
+    "q_dataset_card" -> {
+      val sl = (TextOps.Stopwords ++ TextOps.CjkStopwords)
+        .map(w => s"'$w'").mkString(", ")
+      val piiCounts = PiiPatterns.map { case (_, re, _) =>
+        s"len(regexp_extract_all(text, '${re.replace("'", "''")}'))"
+      }.mkString(" + ")
+      val flagPred = TextOps.ContentTaxonomy.map { case (_, words) =>
+        val ws = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(t, x -> x IN ($ws))) >= ${TextOps.ContentFlagMin}"
+      }.mkString(" OR ")
+      s"""WITH ${Dedup.minhashCtes},
+         |ver AS (${Dedup.verifySql(Dedup.MinhashThreshold)}),
+         |cver AS (SELECT doc_a, doc_b FROM ver
+         |  WHERE doc_a IN (SELECT doc_id FROM documents)
+         |    AND doc_b IN (SELECT doc_id FROM documents)),
+         |dp AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs
+         |  FROM cver),
+         |dd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT doc_a AS d FROM cver
+         |    UNION ALL SELECT doc_b FROM cver)),
+         |per AS (SELECT lang, strlen(text) AS nb,
+         |    ${TextOps.segmentSql("text")} AS t,
+         |    ($piiCounts) > 0 AS pii,
+         |    ${Dedup.idUtf8Sql(
+               "CAST(doc_id AS VARCHAR) || ':' || text")} AS hv
+         |  FROM documents),
+         |pq AS (SELECT lang, nb, CAST(len(t) AS BIGINT) AS ntok,
+         |    len(list_filter(t, w -> w IN ($sl))) AS nstop,
+         |    list_filter(t, w -> NOT regexp_matches(w,
+         |      '^[${TextOps.SegPerCharClass}]$$')) AS wt,
+         |    list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1]) AS b2,
+         |    ($flagPred) AS flagged, pii, hv
+         |  FROM per),
+         |pv AS (SELECT lang, nb, ntok, flagged, pii, hv,
+         |    NOT (ntok < ${TextOps.RuleMinTokens}
+         |      OR ntok > ${TextOps.RuleMaxTokens}
+         |      OR nstop < ${TextOps.RuleMinStopInstances}
+         |      OR (len(wt) > 0 AND (
+         |        coalesce(list_sum(list_transform(wt,
+         |          w -> length(w))), 0)
+         |          < len(wt) * ${TextOps.RuleMinMeanLenX1}
+         |        OR coalesce(list_sum(list_transform(wt,
+         |          w -> length(w))), 0)
+         |          > len(wt) * ${TextOps.RuleMaxMeanLenX1}))
+         |      OR (len(b2) > 0 AND
+         |        (len(b2) - len(list_distinct(b2)))
+         |          * ${TextOps.RuleDupBigramDen} > len(b2)))
+         |      AS keep
+         |  FROM pq),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality_keep,
+         |    CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pii_docs,
+         |    CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_flagged,
+         |    CAST(sum(CAST(hv AS DECIMAL(38,0))) % ${Dedup.IdMod}
+         |      AS BIGINT) AS fp_corpus
+         |  FROM pv),
+         |top AS (SELECT lang AS top_lang,
+         |    CAST(count(*) AS BIGINT) AS top_lang_docs
+         |  FROM documents GROUP BY lang
+         |  ORDER BY count(*) DESC, lang LIMIT 1)
+         |SELECT n_docs, n_bytes, n_tokens, n_langs, top_lang,
+         |  top_lang_docs, n_quality_keep,
+         |  CAST(n_quality_keep * 1000000 // n_docs AS BIGINT)
+         |    AS keep_ppm,
+         |  n_pii_docs,
+         |  CAST(n_pii_docs * 1000000 // n_docs AS BIGINT) AS pii_ppm,
+         |  n_flagged,
+         |  CAST(n_flagged * 1000000 // n_docs AS BIGINT) AS flagged_ppm,
+         |  n_dup_pairs, n_dup_docs,
+         |  CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+         |  fp_corpus
+         |FROM base, top, dp, dd""".stripMargin
     },
     "q_deletion_audit" -> {
       def sqlLit(t: String): String =

@@ -2075,7 +2075,7 @@ object Dedup {
       |sets AS (SELECT doc_id, list_distinct(list(sid)) AS sids,
       |  count(*) AS n FROM ds GROUP BY doc_id)""".stripMargin
 
-  private def verifySql(threshold: Double): String =
+  private[graft] def verifySql(threshold: Double): String =
     s"""SELECT doc_a, doc_b,
        |  round(CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE) /
        |    (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids))), 6)
@@ -2102,7 +2102,7 @@ object Dedup {
   }.mkString(" UNION ALL ")
 
   /** Shared CTE body: shingles -> signatures -> bands -> candidates. */
-  private val minhashCtes: String = {
+  private[graft] val minhashCtes: String = {
     val sigKeyList = (0 until Bands * Rows).map(i => s"h$i").mkString(", ")
     // gb/fsig/star/sub mirror the Spark-side guard exactly (same
     // $LshBucketCap, same min-doc links, same second band family) so both

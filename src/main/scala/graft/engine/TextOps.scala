@@ -1346,7 +1346,7 @@ object TextOps {
     * the scoring pass tokenized every row ~30 times; the native struct
     * is CSE-able, so the scan runs ONCE per row).
     */
-  private def qualityStatsCol: Column =
+  private[graft] def qualityStatsCol: Column =
     graft.functions.StringFunctions.quality_stats(col("text"),
       SegPerCharClass, SegWsChars, Stopwords ++ CjkStopwords)
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.engine.{Curation, Tables}
+import graft.engine.{Curation, Dedup, SourceQueries, Tables, TextOps}
 
 /** Curation-operator invariants: chunk coverage, scrub completeness,
   * sampling determinism, shuffle permutation laws.
@@ -431,5 +431,39 @@ class CurationSpec extends SparkSpec {
     val corpus = byId.view.filterKeys(_ < 970001L)
     assert(corpus.values.forall(r => !r.getBoolean(6)),
       "fixture corpus must carry no PII")
+  }
+
+  test("dataset card: every column agrees with its standalone query") {
+    val card = Curation.datasetCard(spark, sf).head
+    val docs = Tables.documents(spark, sf)
+    assert(card.getAs[Long]("n_docs") === docs.count())
+    assert(card.getAs[Long]("n_langs") ===
+      docs.select("lang").distinct().count())
+    // dup stats must equal the corpus-filtered q_dedup_minhash output
+    val ids: Set[Long] =
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => ids(a) && ids(b) }
+    assert(card.getAs[Long]("n_dup_pairs") === pairs.length.toLong)
+    assert(card.getAs[Long]("n_dup_docs") ===
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    // quality keep count must equal q_quality_rules' corpus verdicts
+    // (rules run over documents ∪ planted; the card is corpus-only)
+    val keeps = TextOps.qualityRules(spark, sf).collect()
+      .filter(r => ids(r.getLong(0)))
+      .count(r => !r.isNullAt(8) && r.getBoolean(8))
+    assert(card.getAs[Long]("n_quality_keep") === keeps.toLong)
+    // the card's fingerprint is the manifest's partition fps, summed —
+    // (Σ (sᵢ mod M)) mod M = Σ sᵢ mod M, so the two artifacts pin the
+    // SAME corpus identity
+    val manifestFp = SourceQueries.datasetManifest(spark, sf).collect()
+      .map(r => BigInt(r.getAs[Long]("content_fp"))).sum %
+      Dedup.IdMod
+    assert(card.getAs[Long]("fp_corpus") === manifestFp.toLong)
+    // rate identities
+    assert(card.getAs[Long]("keep_ppm") ===
+      card.getAs[Long]("n_quality_keep") * 1000000L /
+        card.getAs[Long]("n_docs"))
   }
 }

@@ -506,6 +506,10 @@ class PlanSpec extends SparkSpec {
       // q_collocations folds the 1-row corpus-token total into the
       // lift ratio (same collect-scalar shape as q_bm25)
       "q_collocations",
+      // q_dataset_card assembles its one release row from the 1-row
+      // top-language pick and two dup-stat aggregates (collect-scalar
+      // kept in-plan, like q_index_forget's accounting row)
+      "q_dataset_card",
       // q_kmv_jaccard pairs sources with a `<` non-equi join where BOTH
       // sides are 1-row-per-source aggregates (sources² pair rows of
       // O(k) arrays — dimension-sized by construction, never corpus rows)
