@@ -310,7 +310,12 @@ object ScaleBench {
     // native stats structs keep it single-pass) + the lang rollup +
     // the memoized dup-pair table — expect the corpus-scan line plus
     // the minhash machinery floor
-    "q_dataset_card")
+    "q_dataset_card",
+    // streaming content gate: stateless map+filter over the synthesized
+    // ingest file (native TokenSetStats inside the streaming pipeline,
+    // zero state) — expect the streaming machinery floor plus a linear
+    // ingest-write term
+    "q_stream_content_gate")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -349,6 +349,60 @@ object StreamingQueries {
     s2.table(table)
   }
 
+  /** Read schema for the content-gate's synthesized ingest file
+    * (doc_id + text only — the gate needs nothing else).
+    */
+  private val gateSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+  /** Streaming content-taxonomy ingest gate — the safety REJECT path at
+    * the crawl mouth: each arriving document's per-category term-hit
+    * counts come from the native [[graft.functions.TokenSetStats]]
+    * expression (ONE scan per doc, and the proof that the custom
+    * codegen'd expressions compose with Structured Streaming's
+    * stateless pipeline — the same struct the batch `q_content_flags`
+    * rides), and documents whose any category reaches the instance
+    * floor are DROPPED before admission. The ingest file is synthesized
+    * as corpus ∪ the batch query's planted rows so the reject path is
+    * actually exercised (three planted rows must die at the gate; the
+    * one-mention row must pass). Stateless map+filter — zero streaming
+    * state at any corpus size; the sink holds the admitted set with
+    * the audit-trail hit totals.
+    */
+  def streamContentGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.TextOps
+    val table = s"graft_stream_cgate_${runSeq.incrementAndGet()}"
+    val in = graft.engine.TempArtifacts.tempDir("graft_cgate_in")
+    graft.engine.Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(TextOps.ContentPlantedRows.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$in/documents.parquet")
+    val s2 = spark.newSession() // stateless: no state sizing needed
+    val docs = s2.readStream.schema(gateSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$in/documents.parquet")
+    val fs = graft.functions.StringFunctions.token_set_stats(
+      col("text"), TextOps.SegPerCharClass, TextOps.SegWsChars,
+      TextOps.ContentTaxonomy.map(_._2))
+    val hits = TextOps.ContentTaxonomy.indices
+      .map(i => col("f.set_counts").getItem(i))
+    val flagged = hits.map(_ >= TextOps.ContentFlagMin).reduce(_ || _)
+    val gated = docs.select(col("doc_id"), fs.as("f"))
+      .select(col("doc_id"), hits.reduce(_ + _).as("n_total"),
+        flagged.as("flagged"))
+      .filter(!col("flagged"))
+      .select("doc_id", "n_total")
+    val q = gated.writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s2.table(table)
+  }
+
   /** Streaming bounded-state distinct count: per-hour distinct users via
     * the [[graft.functions.KmvSketch]] KMV aggregator over the portable
     * poly hash of the user id. Exact streaming `countDistinct` is
@@ -411,7 +465,8 @@ object StreamingQueries {
     "q_stream_enrich" -> streamEnrich _,
     "q_stream_join" -> streamStreamJoin _,
     "q_stream_upsert" -> streamUpsert _,
-    "q_stream_quality" -> streamQuality _)
+    "q_stream_quality" -> streamQuality _,
+    "q_stream_content_gate" -> streamContentGate _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
     * the same finite fixture, and complete mode converges to the batch
@@ -453,6 +508,27 @@ object StreamingQueries {
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, p.event_id AS purchase_id, p.ts AS purchase_ts, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "q_stream_upsert" ->
       """SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1""",
+    "q_stream_content_gate" -> {
+      import graft.engine.TextOps
+      val values = TextOps.ContentPlantedRows.map { case (id, t) =>
+        s"($id, '$t')"
+      }.mkString(", ")
+      val hitSum = TextOps.ContentTaxonomy.map { case (_, words) =>
+        val ws = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(t, x -> x IN ($ws)))"
+      }.mkString(" + ")
+      val flagPred = TextOps.ContentTaxonomy.map { case (_, words) =>
+        val ws = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(t, x -> x IN ($ws)))" +
+          s" >= ${TextOps.ContentFlagMin}"
+      }.mkString(" OR ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+         |tok AS (SELECT doc_id, ${TextOps.segmentSql("text")} AS t
+         |  FROM docs)
+         |SELECT doc_id, CAST($hitSum AS BIGINT) AS n_total
+         |FROM tok WHERE NOT ($flagPred)""".stripMargin
+    },
     "q_stream_quality" -> {
       import graft.engine.{Curation, TextOps}
       val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")

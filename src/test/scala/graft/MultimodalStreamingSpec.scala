@@ -591,4 +591,22 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(pairs(Multimodal.videoDecontaminate(spark, sf)) ===
       Set((986001L, 980001L, 0), (986002L, 980001L, 2)))
   }
+
+  test("streaming content gate: planted flagged rows die at ingest," +
+      " the one-mention row passes, corpus admitted whole") {
+    val admitted = graft.streaming.StreamingQueries
+      .streamContentGate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the three planted category-tripping rows must be REJECTED
+    Seq(995001L, 995002L, 995003L).foreach { id =>
+      assert(!admitted.contains(id), s"flagged row $id passed the gate")
+    }
+    // one stray mention is context, not topic — must pass, with its
+    // single hit on the audit trail
+    assert(admitted(995004L) === 1L)
+    assert(admitted.contains(995005L) && admitted.contains(995006L))
+    // the (clean) fixture corpus is admitted whole
+    val corpus = Tables.documents(spark, sf).count()
+    assert(admitted.size.toLong === corpus + 3)
+  }
 }
