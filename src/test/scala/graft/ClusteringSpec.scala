@@ -171,6 +171,32 @@ class ClusteringSpec extends SparkSpec {
       out.getAs[Long]("n_rows_after"))
   }
 
+  test("index forget: the patch is a fixed point — re-applying the same" +
+      " deletion batch changes nothing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, 0, "A"), (11L, 0, "A"), (12L, 0, "A"),
+      (20L, 0, "B"), (21L, 0, "B"), (22L, 0, "B"), (23L, 0, "B"),
+      (5L, 1, "C"), (6L, 1, "C"),
+      (30L, 1, "D"), (31L, 1, "D"), (32L, 1, "D"), (33L, 1, "D"))
+      .toDF("doc_id", "band", "bkey")
+    val idx = Seq(
+      (0, "A", 10L), (0, "B", 20L),
+      (1, "C", 5L), (1, "C", 6L), (1, "D", 30L))
+      .toDF("band", "bkey", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bkey", "doc_b").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted
+    val once = Dedup.forgetPatch(idx, corpus, 10L, 2)
+    // feed the PATCHED index back in with the same deletion batch: the
+    // deleted docs' band rows still mark the same buckets dirty, and
+    // rebuilding them from the same retained members must reproduce the
+    // patch exactly — deletion application is idempotent
+    val twice = Dedup.forgetPatch(
+      once.select("band", "bkey", "doc_b"), corpus, 10L, 2)
+    assert(rows(once).toSeq === rows(twice).toSeq)
+  }
+
   test("index forget: star buckets re-expand, re-key, and stay collapsed" +
       " exactly per the cap rule") {
     import spark.implicits._
