@@ -315,7 +315,10 @@ object ScaleBench {
     // ingest file (native TokenSetStats inside the streaming pipeline,
     // zero state) — expect the streaming machinery floor plus a linear
     // ingest-write term
-    "q_stream_content_gate")
+    "q_stream_content_gate",
+    // data contract: one corpus scan + one id-grouped aggregate into a
+    // 5-row literal unpivot — the q_null_audit class
+    "q_data_contract")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

@@ -434,7 +434,76 @@ object SourceQueries {
       |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
+  /** Allowed language codes for the [[dataContract]] enum constraint —
+    * the DECLARED vocabulary (matches the corpus generator's set and
+    * [[TextOps.LangMarkers]]' keys), not a derived distinct.
+    */
+  val ContractLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** Rows planted into [[dataContract]], one per violation class, so
+    * every constraint's failure path is exercised: a null text, an
+    * unknown language, an inconsistent n_chars, and a DUPLICATE id
+    * (920001 twice — BOTH instances count as violations).
+    */
+  private[graft] val ContractPlantedRows
+      : Seq[(java.lang.Long, String, String, java.lang.Long)] = Seq(
+    (920001L, "dup id row one", "en", 14L),
+    (920001L, "dup id row two", "en", 14L),
+    (920002L, null, "en", 0L),
+    (920003L, "unknown lang row", "xx", 16L),
+    (920004L, "bad count row", "de", 999L))
+
+  /** Ingest data-contract gate — the declared-constraint validation a
+    * pipeline runs BEFORE admitting a batch (the dbt-test /
+    * Great-Expectations shape): one row per constraint with checked and
+    * violation counts and the pass verdict. Constraints: primary-key
+    * non-null + UNIQUE (uniqueness via a two-level aggregate — never a
+    * distinct-rewrite Expand next to other aggregates), declared
+    * language enum, text presence, and the n_chars ≡ length(text)
+    * consistency the generator promises. Planted rows trip each class
+    * exactly once (the duplicate id twice — both instances count). One
+    * corpus scan + one id-grouped aggregate; the constraint dimension
+    * is a literal unpivot, so output is constraint-count-sized at any
+    * corpus size.
+    */
+  def dataContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langList = ContractLangs
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .unionByName(ContractPlantedRows
+        .toDF("doc_id", "text", "lang", "n_chars"))
+    val dupInstances = src.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+        .as("v_dup"))
+    val flat = src.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("v_text_null"),
+      sum(when(col("lang").isin(langList: _*), 0L).otherwise(1L))
+        .as("v_lang"),
+      // null text is the text_not_null constraint's violation, not a
+      // chars inconsistency — each planted row trips exactly one class
+      sum(when(col("text").isNull, 0L)
+        .when(col("n_chars") === length(col("text")), 0L)
+        .otherwise(1L)).as("v_chars"))
+    flat.crossJoin(broadcast(dupInstances))
+      .select(expr(
+        """stack(5,
+          |  'doc_id_not_null', v_id_null,
+          |  'doc_id_unique', v_dup,
+          |  'text_not_null', v_text_null,
+          |  'lang_in_enum', v_lang,
+          |  'n_chars_consistent', v_chars)
+          |AS (check_name, n_violations)""".stripMargin),
+        col("n").as("n_checked"))
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_data_contract" -> dataContract _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -451,6 +520,41 @@ object SourceQueries {
     * scan round-trip lost nothing.
     */
   val oracles: Map[String, String] = Map(
+    "q_data_contract" -> {
+      val langs = ContractLangs.map(l => s"'$l'").mkString(", ")
+      val values = ContractPlantedRows.map { case (id, t, l, nc) =>
+        val tv = if (t == null) "CAST(NULL AS VARCHAR)" else s"'$t'"
+        s"($id, $tv, '$l', $nc)"
+      }.mkString(", ")
+      s"""WITH src AS (SELECT doc_id, text, lang, n_chars FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $values)
+         |    v(doc_id, text, lang, n_chars)),
+         |d AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+         |    AS BIGINT) AS v_dup
+         |  FROM (SELECT doc_id, count(*) AS c FROM src GROUP BY doc_id)),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v_id_null,
+         |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v_text_null,
+         |    CAST(sum(CASE WHEN lang IN ($langs) THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS v_lang,
+         |    CAST(sum(CASE WHEN text IS NULL THEN 0
+         |      WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS v_chars
+         |  FROM src),
+         |u AS (
+         |  SELECT 'doc_id_not_null' AS check_name, v_id_null AS v
+         |    FROM f
+         |  UNION ALL SELECT 'doc_id_unique', v_dup FROM d
+         |  UNION ALL SELECT 'text_not_null', v_text_null FROM f
+         |  UNION ALL SELECT 'lang_in_enum', v_lang FROM f
+         |  UNION ALL SELECT 'n_chars_consistent', v_chars FROM f)
+         |SELECT check_name, n AS n_checked, v AS n_violations,
+         |  v = 0 AS pass
+         |FROM u, f""".stripMargin
+    },
+
     "q_jsonl_roundtrip" -> checksumSql,
     "q_csv_roundtrip" -> checksumSql,
     "q_orc_roundtrip" -> checksumSql,

@@ -376,4 +376,22 @@ class SourcesExtensionsSpec extends SparkSpec {
     val total = importances.map(_.getDouble(3)).sum
     assert(math.abs(total - 1.0) < 1e-3)
   }
+
+  test("data contract: each planted row trips exactly its constraint;" +
+      " the fixture corpus alone is contract-clean") {
+    val rows = SourceQueries.dataContract(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    val n = Tables.documents(spark, sf).count() + 5
+    rows.values.foreach { case (checked, _, _) => assert(checked === n) }
+    assert(rows("doc_id_not_null") === ((n, 0L, true)))
+    // BOTH instances of the duplicated id are violations
+    assert(rows("doc_id_unique") === ((n, 2L, false)))
+    assert(rows("text_not_null") === ((n, 1L, false)))
+    assert(rows("lang_in_enum") === ((n, 1L, false)))
+    assert(rows("n_chars_consistent") === ((n, 1L, false)))
+    // the violation totals are EXACTLY the planted ones — i.e. the raw
+    // corpus satisfies the declared contract
+    assert(rows.values.map(_._2).sum === 5L)
+  }
 }
