@@ -1914,9 +1914,11 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$WordRunPattern'))
          |    AS BIGINT) AS nw,
          |  CAST(len(${segmentSql("text")}) AS BIGINT) AS ns FROM src)
-         |SELECT lang, count(*) AS n_docs, sum(nb) AS n_bytes,
-         |  sum(nc) AS n_chars, sum(nw) AS n_words,
-         |  sum(ns) AS n_seg_tokens,
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(ns) AS BIGINT) AS n_seg_tokens,
          |  CASE WHEN sum(nw) > 0
          |    THEN round(CAST(sum(ns) AS DOUBLE) / sum(nw), 6) END
          |    AS fertility,
