@@ -180,6 +180,12 @@ object ScaleBench {
     // frozen-classifier scoring: a zero-exchange map pass (features +
     // one linear margin per row) — the q_quality_rules class
     "q_quality_score",
+    // frozen deploy-LR confusion: the star join's fact-side exchanges
+    // (orders/lineitem/events rollups) dominate and scale by s; past
+    // the star, scoring is a map pass and everything downstream is one
+    // exchange of <= (2*clamp+1)*4 partial-count rows — expect the
+    // q_basetable_star exponent
+    "q_lr_confusion",
     // duplication report: NOTE the bench's count() action lets Catalyst
     // ELIMINATE the left join-back (the span side's keys are provably
     // unique from its Aggregate, and only the group count survives

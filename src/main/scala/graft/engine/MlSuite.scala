@@ -10,7 +10,7 @@ import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
 import org.apache.spark.mllib.evaluation.{BinaryClassificationMetrics, MulticlassMetrics}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -505,12 +505,274 @@ object MlSuite {
     } finally { assembled.unpersist(): Unit }
   }
 
+  // --------------------------------------------------------------------
+  // Frozen-LR deployment gate (q_lr_confusion): the hash-gated half of
+  // the reference's M7/M11/M12 chain. `ml_train_eval` fits and evaluates
+  // through Spark ML (rows-only by design); THIS surface re-expresses the
+  // same LogisticRegression → MulticlassMetrics flow in the shippable
+  // shape — an explicit fixed feature program, a deterministic hash
+  // split, frozen coefficients, and confusion/score-bucket arithmetic
+  // that is pure column algebra — so the DuckDB oracle can replay it
+  // bit-for-bit (the `q_quality_score` pattern, extended from a 4-weight
+  // text scorer to the reference's full one-hot + continuous matrix).
+  // --------------------------------------------------------------------
+
+  /** TPC-H's five market segments and the fixtures' 25 nation names —
+    * the FIXED one-hot vocabularies (the reference pins its dummy
+    * columns the same way, `Databricks Notebook.py:342–462`: a fixed
+    * value list, not a fitted StringIndexer, is what a deployed scorer
+    * ships with).
+    */
+  val DeploySegments: Seq[String] = Seq("AUTOMOBILE", "BUILDING",
+    "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  val DeployNations: Seq[String] = (0 until 25).map(i => s"NATION_$i")
+
+  /** Feature-column names in FROZEN order (must match [[DeployLrW]]):
+    * 5 segment dummies, 25 nation dummies, 6 continuous basetable
+    * metrics — the same one-hot+continuous matrix `ml_train_eval`'s
+    * RFormula assembles, written as explicit named columns so both
+    * engines evaluate the identical program.
+    */
+  val DeployFeatureNames: Seq[String] =
+    DeploySegments.map(s => s"d_seg_${s.toLowerCase}") ++
+      DeployNations.indices.map(i => s"d_nat_$i") ++
+      Seq("f_orders", "f_spend", "f_items", "f_qty", "f_events", "f_aev")
+
+  /** Deterministic 70/30 split key: Knuth multiplicative hash of
+    * c_custkey mod a prime (the [[Curation.weightedSample]] family) —
+    * rerun-stable and engine-portable, unlike `randomSplit`'s
+    * partition-sensitive sampler (which remains the fit-side machinery
+    * under MlSpec's determinism gate). Kept as ONE SQL string so Spark
+    * (`expr`) and DuckDB parse the identical arithmetic.
+    */
+  val DeploySplitUSql = "(c_custkey * 2654435761) % 1000000007"
+  val DeployTestSql = s"($DeploySplitUSql) % 10 >= 7"
+
+  /** The (feature_i, label, is_test) frame both the trainer and the
+    * frozen scorer ride — shared builder so train-time and score-time
+    * features cannot drift (the [[TextOps.qualityFeatures]] contract).
+    * All features double-typed: dummies are fixed-vocabulary CASE
+    * columns; continuous columns are the star's exact aggregates cast
+    * once (`sum_qty` is an exact decimal sum; `total_spend`/
+    * `avg_event_value` are the star's round-2/round-6 doubles).
+    */
+  def deployFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val base = basetableLabeled(spark, dir)
+    val segCols = DeploySegments.map(s =>
+      when(col("c_mktsegment") === s, 1.0).otherwise(0.0)
+        .as(s"d_seg_${s.toLowerCase}"))
+    val natCols = DeployNations.zipWithIndex.map { case (n, i) =>
+      when(col("n_name") === n, 1.0).otherwise(0.0).as(s"d_nat_$i")
+    }
+    val contCols = Seq(
+      col("n_orders").cast("double").as("f_orders"),
+      col("total_spend").as("f_spend"),
+      col("n_items").cast("double").as("f_items"),
+      col("sum_qty").cast("double").as("f_qty"),
+      col("n_events").cast("double").as("f_events"),
+      col("avg_event_value").as("f_aev"))
+    base.select(col("c_custkey") +: col("label") +:
+      expr(DeployTestSql).as("is_test") +:
+      (segCols ++ natCols ++ contCols): _*)
+  }
+
+  /** Reference-parameter LR (maxIter=10, regParam=0.01 —
+    * `Databricks Notebook.py:805`) fit on the deterministic train
+    * split of [[deployFeatures]]. This is the provenance of the
+    * [[DeployLrW]] literals (one documented fit at sf0.01); MlSpec
+    * asserts retraining yields a working model, the frozen constants
+    * are the shipped artifact.
+    */
+  def fitDeployLr(spark: SparkSession, dir: String): LogisticRegressionModel = {
+    val train = new VectorAssembler()
+      .setInputCols(DeployFeatureNames.toArray).setOutputCol("features")
+      .transform(deployFeatures(spark, dir).filter(!col("is_test")))
+    new LogisticRegression().setMaxIter(10).setRegParam(0.01)
+      .fit(train)
+  }
+
+  /** Frozen deploy-LR weights in [[DeployFeatureNames]] order, from one
+    * [[fitDeployLr]] run at sf0.01 (seeded split, reference params) —
+    * pinned as literals so scoring is a pure oracle-checkable column
+    * program, exactly like [[TextOps.QualityLrW]].
+    */
+  val DeployLrIntercept: Double = -5.280393846870005
+  val DeployLrW: Seq[Double] = Seq(
+    // d_seg_automobile .. d_seg_machinery
+    -0.06951369372281493, 0.11579661356171625, -0.04093724038261322,
+    0.04078584069469275, -0.048512233816879385,
+    // d_nat_0 .. d_nat_24
+    -0.1506573061841852, 0.2354537705416473, 0.0027345100053793544,
+    -0.015918218789275337, 0.07716690186886883, -0.13690375514485645,
+    -0.21121358272850008, -0.32210447209923954, -0.1114641075635916,
+    0.027103291239600605, 0.0791608423809302, 0.1264852900247231,
+    -0.12722013359636486, 0.06724729078636149, -0.016288302344570387,
+    -0.2469978956586011, 0.008472237448658656, 0.15607460956608313,
+    0.0577171061050779, 0.16615113655525368, 0.45062880488674806,
+    0.02281471411896825, -0.02616145543137197, -0.0487774228114939,
+    -0.057710767111766724,
+    // f_orders, f_spend, f_items, f_qty, f_events, f_aev
+    -0.0062568828067181646, -6.692890096186802e-9,
+    -9.575625356504845e-4, 2.028906147189589e-5, 0.06519506955787076,
+    0.08784341639475142)
+
+  /** margin = intercept + Σ wᵢ·fᵢ in ONE fixed left-to-right expression
+    * (identical IEEE op sequence in both engines — the
+    * [[TextOps.marginSql]] contract).
+    */
+  private[engine] def deployMarginSql: String =
+    DeployLrW.zip(DeployFeatureNames)
+      .foldLeft(DeployLrIntercept.toString) {
+        case (acc, (w, n)) => s"$acc + ($w) * $n"
+      }
+
+  /** Margin-bucket clamp (floor of the rounded margin, clamped to
+    * ±[[DeployBucketClamp]]) — bounds the score-histogram row count by
+    * construction regardless of corpus size.
+    */
+  val DeployBucketClamp = 8
+
+  /** M7+M11/M12, deployment half — the FROZEN LR scored over the
+    * deterministic test split, reduced to the reference's
+    * MulticlassMetrics table (`Databricks Notebook.py:849–862`) as pure
+    * arithmetic: confusion cells, accuracy, per-class precision/recall/
+    * F1 (each ONE mirrored division of exact integer cells), plus a
+    * clamped margin histogram. Output: tidy (metric, value) rows.
+    *
+    * Scale shape: one star-join scan → one exchange of ≤ (2·clamp+1)·4
+    * (bucket, pred, actual) partial-count rows; the metric and
+    * histogram branches of the final union aggregate that same tiny
+    * exchange (identical subplan → Spark's exchange reuse runs the scan
+    * once). No collect, no window, no cartesian.
+    */
+  def lrConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val scored = deployFeatures(spark, dir)
+      .filter(col("is_test"))
+      .select(
+        (col("label") > 0.5).as("actual"),
+        round(expr(deployMarginSql), 6).as("margin"))
+      .select(col("actual"), col("margin"),
+        (col("margin") > 0.0).as("pred"),
+        least(greatest(floor(col("margin")), lit(-DeployBucketClamp.toDouble)),
+          lit(DeployBucketClamp.toDouble)).cast("long").as("bucket"))
+    val g = scored.groupBy("bucket", "pred", "actual")
+      .agg(count(lit(1)).as("n"))
+    def cell(p: Boolean, a: Boolean): Column =
+      coalesce(sum(when(col("pred") === p && col("actual") === a,
+        col("n"))), lit(0L))
+    val cells = g.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_test"),
+      cell(p = true, a = true).as("tp"),
+      cell(p = true, a = false).as("fp"),
+      cell(p = false, a = false).as("tn"),
+      cell(p = false, a = true).as("fn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+    // identical struct types inside `array`: alias both fields and keep
+    // every value nullable (the ratio cells are) via the when(true) wrap
+    def kv(name: String, v: Column): Column = struct(
+      lit(name).as("metric"),
+      when(lit(true), v.cast("double")).as("value"))
+    val metricRows = cells.select(explode(array(
+      kv("n_test", col("n_test")),
+      kv("tp", col("tp")), kv("fp", col("fp")),
+      kv("tn", col("tn")), kv("fn", col("fn")),
+      kv("accuracy", ratio(col("tp") + col("tn"), col("n_test"))),
+      kv("precision_1", ratio(col("tp"), col("tp") + col("fp"))),
+      kv("recall_1", ratio(col("tp"), col("tp") + col("fn"))),
+      kv("f1_1", ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn"))),
+      kv("precision_0", ratio(col("tn"), col("tn") + col("fn"))),
+      kv("recall_0", ratio(col("tn"), col("tn") + col("fp"))),
+      kv("f1_0", ratio(lit(2L) * col("tn"),
+        lit(2L) * col("tn") + col("fn") + col("fp")))
+    )).as("kv")).select(col("kv.metric"), col("kv.value"))
+    val bucketRows = g.groupBy("bucket")
+      .agg(sum(col("n")).as("n"))
+      .select(
+        concat(lit("bucket_"), col("bucket").cast("string")).as("metric"),
+        col("n").cast("double").as("value"))
+    metricRows.union(bucketRows)
+  }
+
+  /** DuckDB mirror of [[lrConfusion]]: the same star CTE the
+    * `q_basetable_star` oracle uses, the same fixed feature program,
+    * split hash, frozen margin, and single-division metric arithmetic.
+    */
+  private def lrConfusionSql: String = {
+    val segExprs = DeploySegments.map(s =>
+      s"CASE WHEN c_mktsegment = '$s' THEN 1.0 ELSE 0.0 END " +
+        s"AS d_seg_${s.toLowerCase}")
+    val natExprs = DeployNations.zipWithIndex.map { case (n, i) =>
+      s"CASE WHEN n_name = '$n' THEN 1.0 ELSE 0.0 END AS d_nat_$i"
+    }
+    val contExprs = Seq(
+      "CAST(n_orders AS DOUBLE) AS f_orders",
+      "COALESCE(total_spend, 0.0) AS f_spend",
+      "CAST(n_items AS DOUBLE) AS f_items",
+      "CAST(sum_qty AS DOUBLE) AS f_qty",
+      "CAST(n_events AS DOUBLE) AS f_events",
+      "COALESCE(avg_event_value, 0.0) AS f_aev")
+    val featList = (segExprs ++ natExprs ++ contExprs).mkString(",\n  ")
+    val c = DeployBucketClamp
+    s"""WITH star AS (${Pipeline.starSql}),
+       |lab AS (SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase'),
+       |f AS (SELECT star.c_custkey,
+       |  CASE WHEN lab.user_id IS NOT NULL THEN 1 ELSE 0 END AS label,
+       |  $featList
+       |  FROM star LEFT JOIN lab ON star.c_custkey = lab.user_id
+       |  WHERE $DeployTestSql),
+       |scored AS (SELECT label = 1 AS actual,
+       |    round($deployMarginSql, 6) AS margin FROM f),
+       |s2 AS (SELECT actual, margin > 0.0 AS pred,
+       |    CAST(least(greatest(floor(margin), ${-c}.0), $c.0) AS BIGINT)
+       |      AS bucket FROM scored),
+       |cells AS (SELECT count(*) AS n_test,
+       |  CAST(COALESCE(sum(CASE WHEN pred AND actual THEN 1 END), 0)
+       |    AS BIGINT) AS tp,
+       |  CAST(COALESCE(sum(CASE WHEN pred AND NOT actual THEN 1 END), 0)
+       |    AS BIGINT) AS fp,
+       |  CAST(COALESCE(sum(CASE WHEN NOT pred AND NOT actual THEN 1 END), 0)
+       |    AS BIGINT) AS tn,
+       |  CAST(COALESCE(sum(CASE WHEN NOT pred AND actual THEN 1 END), 0)
+       |    AS BIGINT) AS fn FROM s2)
+       |SELECT metric, value FROM cells, LATERAL (VALUES
+       |  ('n_test', CAST(n_test AS DOUBLE)),
+       |  ('tp', CAST(tp AS DOUBLE)), ('fp', CAST(fp AS DOUBLE)),
+       |  ('tn', CAST(tn AS DOUBLE)), ('fn', CAST(fn AS DOUBLE)),
+       |  ('accuracy', CASE WHEN n_test > 0 THEN
+       |    round(CAST(tp + tn AS DOUBLE) / CAST(n_test AS DOUBLE), 6) END),
+       |  ('precision_1', CASE WHEN tp + fp > 0 THEN
+       |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END),
+       |  ('recall_1', CASE WHEN tp + fn > 0 THEN
+       |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END),
+       |  ('f1_1', CASE WHEN 2 * tp + fp + fn > 0 THEN
+       |    round(CAST(2 * tp AS DOUBLE) /
+       |      CAST(2 * tp + fp + fn AS DOUBLE), 6) END),
+       |  ('precision_0', CASE WHEN tn + fn > 0 THEN
+       |    round(CAST(tn AS DOUBLE) / CAST(tn + fn AS DOUBLE), 6) END),
+       |  ('recall_0', CASE WHEN tn + fp > 0 THEN
+       |    round(CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE), 6) END),
+       |  ('f1_0', CASE WHEN 2 * tn + fn + fp > 0 THEN
+       |    round(CAST(2 * tn AS DOUBLE) /
+       |      CAST(2 * tn + fn + fp AS DOUBLE), 6) END)
+       |  ) t(metric, value)
+       |UNION ALL
+       |SELECT 'bucket_' || CAST(bucket AS VARCHAR) AS metric,
+       |  CAST(count(*) AS DOUBLE) AS value FROM s2 GROUP BY bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_train_eval" -> mlTrainEval _,
     "ml_describe" -> describeModel _,
     "ml_cross_validate" -> crossValidate _,
-    "ml_quality_classifier" -> qualityClassifier _)
+    "ml_quality_classifier" -> qualityClassifier _,
+    "q_lr_confusion" -> lrConfusion _)
 
-  /** Not DuckDB-expressible — no oracle entries (driver rows-only check). */
-  val oracles: Map[String, String] = Map.empty
+  /** The ML fits are not DuckDB-expressible (rows-only checks);
+    * `q_lr_confusion` — the frozen-model deployment half — is.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_lr_confusion" -> lrConfusionSql)
 }

@@ -224,7 +224,7 @@ object Pipeline {
     "q_full_pipeline" -> fullPipeline _)
 
   /** Shared star SQL (also embedded in the null-audit oracle). */
-  private val starSql: String =
+  private[engine] val starSql: String =
     """SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name,
       | COALESCE(om.n_orders, 0) AS n_orders, om.total_spend, om.last_order,
       | COALESCE(im.n_items, 0) AS n_items, COALESCE(im.sum_qty, 0) AS sum_qty,

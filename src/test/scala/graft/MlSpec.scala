@@ -110,6 +110,36 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("deploy LR: frozen confusion gate is consistent and the model transfers") {
+    val rows = MlSuite.lrConfusion(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val Seq(n, tp, fp, tn, fn) =
+      Seq("n_test", "tp", "fp", "tn", "fn").map(rows(_))
+    assert(n > 0 && tp + fp + tn + fn === n, "confusion cells partition the split")
+    val bucketSum = rows.collect {
+      case (k, v) if k.startsWith("bucket_") => v
+    }.sum
+    assert(bucketSum === n, "margin histogram partitions the split")
+    // the metric arithmetic is a pure function of the integer cells
+    assert(rows("accuracy") ===
+      math.rint((tp + tn) / n * 1e6) / 1e6)
+    // the FROZEN sf0.01-trained weights transfer to this fixture — the
+    // synthetic label (customer produced a purchase event) is linearly
+    // separable from the event-count features at every SF
+    assert(rows("accuracy") >= 0.9, s"frozen accuracy ${rows("accuracy")}")
+    // split hash lands near 30% test at any SF
+    val feats = MlSuite.deployFeatures(spark, sf)
+    val total = feats.count().toDouble
+    val frac = feats.filter(col("is_test")).count() / total
+    assert(frac > 0.2 && frac < 0.4, s"test fraction $frac")
+    // retraining reproduces a working model (the frozen constants'
+    // provenance path still runs end to end)
+    val m = MlSuite.fitDeployLr(spark, sf)
+    assert(m.coefficients.size === MlSuite.DeployFeatureNames.size)
+    assert(!m.intercept.isNaN)
+  }
+
   test("quality classifier: learnable, deterministic, and the frozen scorer agrees with the rules") {
     import org.apache.spark.sql.functions._
     def rows(s: org.apache.spark.sql.SparkSession) =
