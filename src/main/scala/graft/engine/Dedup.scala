@@ -178,6 +178,14 @@ object Dedup {
     * gated on multilingual text in every dedup query, not just the
     * dedicated fingerprint query.
     */
+  /** Shared unsegmented prefix of the planted CJK near-dup pair: 52
+    * codepoints, no whitespace. With the differing 2-codepoint suffix the
+    * v2 codepoint-3-gram Jaccard is ≈0.9 — inside the planted-near-dup
+    * band the minhash parameters are tuned for.
+    */
+  private[graft] val CjkNearDupBase: String =
+    "機械学習の大規模データ処理は分散計算基盤の上で実行されるが巨大な文書集合の重複検出には帯域分割された署名索引が不可欠であり"
+
   private[graft] val MultilingualDedupRows: Seq[(Long, String)] = {
     val base = "zürich café naïve résumé touché crème brûlée déjà vu piñata " +
       "日本語 テキスト 解析 変換 処理 データ 🚀 ロケット 発射 準備 " +
@@ -185,8 +193,22 @@ object Dedup {
     Seq(
       (910001L, base + " конец"),
       (910002L, base + " финал"),
-      (910003L, "véritablement autre document 完全に異なる内容 другой текст совсем 😀 ici"))
+      (910003L, "véritablement autre document 完全に異なる内容 другой текст совсем 😀 ici"),
+      // UNSEGMENTED CJK near-dup pair for the v2 shingle grid
+      // ([[ShingleGridVersion]]): no whitespace anywhere — under the v1
+      // grid each doc is ONE token (no 3-grams, invisible to LSH); under
+      // v2 the per-codepoint segmentation makes them codepoint-3-gram
+      // near-dups. 910005 additionally spells its voiced kana DECOMPOSED
+      // (base char + U+3099) — byte-distinct from 910004's prefix until
+      // the grid's NFC pass folds them, so the pair gates NFC +
+      // segmentation together end to end through minhash → verify.
+      (910004L, CjkNearDupBase + "定期的な再構築処理で終了"),
+      // decomposed voiced kana: \u304c -> \u304b+\u3099, \u3067 -> \u3066+\u3099
+      (910005L, CjkNearDupBase
+        .replace("が", "が").replace("で", "で")
+        + "定期的な再構築処理で完了"))
   }
+
 
   /** The dedup family's document source: fixture corpus plus the planted
     * multilingual rows. The oracle mirror is [[docsCte]], whose VALUES
@@ -207,17 +229,36 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** doc_id -> distinct word-3-gram shingle rows.
-    *
-    * Tokenization note: the shingle word grid is WHITESPACE split by
-    * design and stays so when the text-analysis chain moved to
-    * [[TextOps.segmentTokens]] — the shingle vocabulary is a FINGERPRINT
-    * definition (every persisted index, incremental probe, and oracle
-    * replays the same byte stream), so changing it invalidates corpora
-    * fingerprinted under the old grid. A multilingual deployment makes
-    * the one-line swap here (segmentTokens is drop-in and makes CJK
-    * shingles per-codepoint 3-grams) and refingerprints; `q_substring_
-    * dedup` already runs its exact-substring grid on the segmentation.
+  /** Shingle-grid FORMAT VERSION. The shingle vocabulary is a
+    * FINGERPRINT definition: every persisted band index, incremental
+    * probe, and oracle replays the same byte stream, so the token grid
+    * can never change silently — it changes by bumping this version,
+    * which re-keys the [[shingleIds]] memo and renames the persisted
+    * [[corpusBandIndex]] table, forcing an explicit rebuild (the
+    * [[indexForget]]-style maintenance machinery; an old-version index is
+    * simply never read). Versions:
+    *   - v1 — whitespace split (the original grid; blind to unsegmented
+    *     CJK, which is a single token and yields no 3-grams),
+    *   - v2 (CURRENT) — NFC normalization + script-aware
+    *     [[TextOps.segmentTokens]]: Latin text tokenizes exactly as v1
+    *     (minus empty tokens from doubled spaces), CJK becomes
+    *     per-codepoint tokens, so unsegmented CJK near-dups are
+    *     codepoint-3-gram near-dups and composed/decomposed spellings
+    *     fingerprint identically.
+    * The v1 path is kept callable ([[shingleTokens]]) for the
+    * index-version compatibility test.
+    */
+  val ShingleGridVersion = 2
+
+  /** The token grid per index version (see [[ShingleGridVersion]]). */
+  private[graft] def shingleTokens(version: Int): Column = version match {
+    case 1 => split(col("text"), " ")
+    case 2 => TextOps.segmentTokens(
+      graft.functions.StringFunctions.nfc_normalize(col("text")))
+    case v => throw new IllegalArgumentException(s"unknown shingle grid v$v")
+  }
+
+  /** doc_id -> distinct 3-gram shingle rows under the given grid version.
     *
     * Implemented as three shifted `slice`s zipped back together rather than
     * `transform(sequence(...), i -> element_at(...))` — the indexed-HOF
@@ -225,8 +266,9 @@ object Dedup {
     * (4.4s vs 0.6s for 260k shingles). Docs under 3 tokens yield empty
     * slices, hence no shingles — no guard needed.
     */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val t = split(col("text"), " ")
+  private def shingles(spark: SparkSession, dir: String,
+      version: Int = ShingleGridVersion): DataFrame = {
+    val t = shingleTokens(version)
     val len3 = greatest(size(t) - lit(2), lit(0))
     val grams = zip_with(
       slice(t, lit(1), len3),
@@ -251,8 +293,16 @@ object Dedup {
     * instead.
     */
   private def shingleIds(spark: SparkSession, dir: String): DataFrame =
-    SessionMemo.getOrCompute(spark, s"dedup.shingleIds:$dir") {
-      shingles(spark, dir)
+    shingleIdsAt(spark, dir, ShingleGridVersion)
+
+  /** Version-keyed variant (memo key carries the grid version, so two
+    * grids never alias one cached table — the compat test reads v1 and
+    * v2 side by side).
+    */
+  private[graft] def shingleIdsAt(spark: SparkSession, dir: String,
+      version: Int): DataFrame =
+    SessionMemo.getOrCompute(spark, s"dedup.shingleIds:v$version:$dir") {
+      shingles(spark, dir, version)
         .select(col("doc_id"), portableIdUtf8(col("shingle")).as("sid"))
         .cache()
     }
@@ -589,8 +639,12 @@ object Dedup {
 
   private def corpusBandIndex(spark: SparkSession, dir: String): String =
     SessionMemo.getOrComputeCleanup(spark,
-        s"dedup.corpusBandIndex:$dir") {
-      val table = s"graft_corpus_band_index_${math.abs(dir.hashCode.toLong)}"
+        s"dedup.corpusBandIndex:v$ShingleGridVersion:$dir") {
+      // the grid version is part of the PERSISTED table name: an index
+      // built under an older grid is never read by a newer engine — the
+      // migration is an explicit rebuild, not a silent mixed-grid probe
+      val table = s"graft_corpus_band_index_v${ShingleGridVersion}_" +
+        s"${math.abs(dir.hashCode.toLong)}"
       val bands = bandRows(signatures(spark, dir)).drop("bkey2")
       val corpus = bands.filter(col("doc_id") % IncrementalDeltaMod > 0)
         .withColumn("bsize",
@@ -2064,12 +2118,17 @@ object Dedup {
        |  UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))""".stripMargin
   }
 
+  /** DuckDB twin of [[shingles]] at [[ShingleGridVersion]] (v2): NFC +
+    * script-aware segmentation, then 3-grams — kept in lockstep with the
+    * engine builder so every dedup oracle replays the same grid.
+    */
   private val shingleSql =
     s"""$docsCte,
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(t) - 1),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
+      |  FROM (SELECT doc_id,
+      |      ${TextOps.segmentSql("nfc_normalize(text)")} AS t FROM docs)
       |  WHERE len(t) >= 3),
       |ds AS (SELECT doc_id, ${idUtf8Sql("shingle")} AS sid FROM sh),
       |sets AS (SELECT doc_id, list_distinct(list(sid)) AS sids,

@@ -226,6 +226,44 @@ class TextDedupSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") >= 0.9)
   }
 
+  test("v2 shingle grid catches the unsegmented CJK pair the v1 grid is blind to") {
+    // the composed/decomposed + whitespace-free planted pair: under the
+    // current (v2) NFC+segmentation grid it must surface as a confirmed
+    // near-dup; under the legacy v1 whitespace grid each doc is ONE
+    // token and yields zero shingles — the blindness the version bump
+    // fixes, demonstrated side by side through the version-keyed builder
+    val Seq(a, b) = Dedup.MultilingualDedupRows
+      .filter(r => r._1 == 910004L || r._1 == 910005L).map(_._1)
+    val hit = Dedup.dedupMinhash(spark, sf)
+      .filter(col("doc_a") === a && col("doc_b") === b).collect()
+    assert(hit.length === 1, "planted CJK pair missing under the v2 grid")
+    assert(hit(0).getAs[Double]("jaccard") >= 0.9)
+    val v1 = Dedup.shingleIdsAt(spark, sf, 1)
+      .filter(col("doc_id").isin(a, b)).count()
+    assert(v1 === 0L, "v1 whitespace grid should yield no shingles here")
+    val v2 = Dedup.shingleIdsAt(spark, sf, 2)
+      .filter(col("doc_id").isin(a, b)).count()
+    assert(v2 > 0L)
+    // NFC folding: the decomposed doc's shingle VOCABULARY overlaps the
+    // composed doc's (shared prefix grams fingerprint identically)
+    val sids = Dedup.shingleIdsAt(spark, sf, 2)
+      .filter(col("doc_id").isin(a, b))
+      .groupBy("sid").count().filter(col("count") === 2).count()
+    assert(sids > 40L, s"only $sids shared shingle ids — NFC fold broken?")
+  }
+
+  test("persisted band index is version-named: old-grid indexes are never read") {
+    // build (or reuse) the current index via the bucketed probe, then
+    // assert the catalog table the session holds embeds the grid version
+    Dedup.dedupIncrementalBucketed(spark, sf).collect()
+    val tables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_corpus_band_index"))
+    assert(tables.nonEmpty)
+    assert(tables.forall(_.startsWith(
+      s"graft_corpus_band_index_v${Dedup.ShingleGridVersion}_")),
+      s"unversioned index table name: ${tables.mkString(",")}")
+  }
+
   test("split leakage: accounts for every pair, flags cross-split dups") {
     val pairs = Dedup.dedupMinhash(spark, sf)
     val leak = Dedup.splitLeakage(spark, sf).collect()
@@ -1111,8 +1149,13 @@ class TextDedupSpec extends SparkSpec {
         (acc * 31 + (b & 0xff)) % Dedup.IdMod)
     val counts = scala.collection.mutable.Map.empty[Long, Long]
       .withDefaultValue(0L)
+    // v2 grid replay: NFC + script-aware segmentation (the engine's
+    // shingleTokens at ShingleGridVersion), reimplemented driver-side
+    val segRe = engine.TextOps.SegPattern.r
     def addDoc(text: String): Unit = {
-      val t = text.split(" ", -1)
+      val norm = java.text.Normalizer.normalize(
+        text, java.text.Normalizer.Form.NFC)
+      val t = segRe.findAllIn(norm).toArray
       if (t.length >= 3)
         t.sliding(3).map(w => poly(w.mkString(" "))).toSeq.distinct
           .foreach(sid => counts(sid) += 1)
