@@ -180,6 +180,11 @@ object ScaleBench {
     // frozen-classifier scoring: a zero-exchange map pass (features +
     // one linear margin per row) — the q_quality_rules class
     "q_quality_score",
+    // adaptive join: the measured-decision loop — at fixture regimes the
+    // decision is broadcast, so the cost is the fact scan + dim count
+    // probe + broadcast agg; scales as the fact side (the probe is one
+    // map-side-combined aggregate, skipped entirely in this regime)
+    "q_adaptive_join",
     // frozen deploy-LR confusion: the star join's fact-side exchanges
     // (orders/lineitem/events rollups) dominate and scale by s; past
     // the star, scoring is a map pass and everything downstream is one
@@ -404,6 +409,17 @@ object ScaleBench {
         col("c_mktsegment"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // part: keys shift in lockstep with lineitem's l_partkey shift, so
+    // every copy preserves the original's fact→dim join structure
+    val prt = Tables.part(spark, base)
+    (0 until s).map { k =>
+      if (k == 0) prt
+      else prt.select(
+        (col("p_partkey") + k * 10000000L).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
     Tables.nation(spark, base)
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     dir

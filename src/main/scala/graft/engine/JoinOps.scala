@@ -298,13 +298,48 @@ object JoinOps {
           " * 1000000 DIV exact_rows AS BIGINT)").as("err_ppm"))
   }
 
+  /** The diagnostics→plan loop as a driver query (`q_adaptive_join`):
+    * [[graft.operators.AdaptiveJoin]] measures the dim size (and, when
+    * that doesn't already settle it, the `q_skew_profile` max-key
+    * statistic) and PICKS broadcast / salted / sort-merge — here over
+    * lineitem ⋈ part, where the measured part count decides BROADCAST
+    * (PlanSpec gates the chosen shape; JoinOpsSpec proves the decision
+    * flips across all three regimes on synthetic inputs and that every
+    * regime returns the plain-join answer). The oracle is the plain
+    * join — strategy invariance IS the correctness gate.
+    */
+  def adaptiveJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    val dim = Tables.part(spark, dir).select(
+      col("p_partkey").as("l_partkey"), col("p_brand"))
+    val (_, joined) = graft.operators.AdaptiveJoin.adaptiveJoin(
+      fact, dim, "l_partkey", Ext.SaltRowCap, col("l_orderkey"))
+    joined.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"),
+          2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("double"), 2).as("sum_price"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bloom_join" -> bloomJoin _,
     "q_semi_anti" -> semiAnti _,
     "q_join_size_estimate" -> joinSizeEstimate _,
+    "q_adaptive_join" -> adaptiveJoinQuery _,
     "q_mv_refresh" -> mvRefresh _)
 
   val oracles: Map[String, String] = Map(
+    "q_adaptive_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE),
+        |    2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)

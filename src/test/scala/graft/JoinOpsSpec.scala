@@ -134,4 +134,51 @@ class JoinOpsSpec extends SparkSpec {
     assert(math.abs(est - exact) < 500L,
       s"heavy floor failed: est $est vs exact $exact")
   }
+
+  test("adaptive join: measured inputs flip the strategy; every regime" +
+      " answers the plain join") {
+    import spark.implicits._
+    import graft.operators.AdaptiveJoin
+    import graft.operators.AdaptiveJoin._
+    // decide() flip points are exact functions of the two measurements
+    assert(decide(dimRows = 10, factMaxKeyRows = 0, rowCap = 32,
+      broadcastMaxRows = 10) === BroadcastDim)
+    assert(decide(11, 33, 32, 10) === SaltedMerge)
+    assert(decide(11, 32, 32, 10) === SortMerge)
+    // fixture regime: part is measured under the broadcast budget ->
+    // BroadcastDim, and the executed plan carries the broadcast join
+    val fact = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+    val dim = Tables.part(spark, sf)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val (s0, j0) = AdaptiveJoin.adaptiveJoin(fact, dim, "l_partkey",
+      32L, col("l_orderkey"))
+    assert(s0 === BroadcastDim)
+    assert(j0.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "broadcast regime plan gate")
+    // synthetic regimes: shrink the broadcast budget so the same-size
+    // frames cross it, and control skew via one hot key
+    val hotFact = ((1 to 640).map(i => (1L, i.toLong)) ++
+      (2L to 200L).map(k => (k, k))).toDF("k", "spread")
+    val coldFact = (1L to 800L).map(k => (k, k)).toDF("k", "spread")
+    val bigDim = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "attr")
+    val (s1, j1) = AdaptiveJoin.adaptiveJoin(hotFact, bigDim, "k", 32L,
+      col("spread"), broadcastMaxRows = 10L)
+    assert(s1 === SaltedMerge)
+    val p1 = j1.queryExecution.executedPlan.toString
+    assert(p1.contains("SortMergeJoin") && p1.contains("__salt"),
+      s"salted regime plan gate:\n$p1")
+    val (s2, j2) = AdaptiveJoin.adaptiveJoin(coldFact, bigDim, "k", 32L,
+      col("spread"), broadcastMaxRows = 10L)
+    assert(s2 === SortMerge)
+    val p2 = j2.queryExecution.executedPlan.toString
+    assert(p2.contains("SortMergeJoin") && !p2.contains("__salt"),
+      s"sort-merge regime plan gate:\n$p2")
+    // strategy invariance: each regime equals the plain join
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "spread", "attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(canon(j1) === canon(hotFact.join(bigDim, Seq("k"))))
+    assert(canon(j2) === canon(coldFact.join(bigDim, Seq("k"))))
+  }
 }
