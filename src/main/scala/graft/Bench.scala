@@ -187,10 +187,75 @@ object Bench {
     if (line.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
         "is near the 2000-char stdout-tail budget; shorten keys in shortKey")
-    writeLocalRecords(results, probes.toSeq, ioProbes.toSeq, sfName, total)
+    val materializeMode = sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("1")
+    writeLocalRecords(results, probes.toSeq, ioProbes.toSeq, sfName, total,
+      materializeMode)
     println(calibLine)
     println(line)
+    // ---- standing materialized-cost gate (round-14, VERDICT r13 #5) ----
+    // In audit mode, compare each query's full-column materialization
+    // cost against the committed count-mode BENCH_LOCAL.json at the same
+    // sf: count() legitimately prunes map-pass projection work, but a
+    // NEW pathological materialized/count ratio (the class the r13 audit
+    // caught at 13x: per-row expression work invisible to the bench
+    // action) must fail the run, not wait for a human diff. The bar is
+    // generous — ratio > MaterializedRatioBar with at least
+    // MaterializedAbsFloor seconds of materialized cost (tiny queries
+    // are all scheduling noise) — so it only trips on genuine blowups.
+    if (materializeMode) {
+      val ref = countModeReference(sfName)
+      val offenders = results.collect {
+        case (name, m) if !MaterializedExempt(name) &&
+            m >= MaterializedAbsFloor &&
+            ref.get(name).exists(c => c > 0 && m / c > MaterializedRatioBar) =>
+          (name, m, ref(name))
+      }
+      offenders.foreach { case (n, m, c) =>
+        System.err.println(f"[bench] MATERIALIZED BLOWUP $n: $m%.2f s vs " +
+          f"count-mode $c%.2f s (${m / c}%.1fx > ${MaterializedRatioBar}x)")
+      }
+      if (offenders.nonEmpty) sys.exit(2)
+    }
   }
+
+  /** Materialized-cost gate thresholds: flag only ratios that indicate a
+    * real per-row expression pathology, not scheduling noise on
+    * sub-second queries.
+    */
+  val MaterializedRatioBar = 8.0
+  val MaterializedAbsFloor = 2.0
+
+  /** Adjudicated honest-exact rows the ratio gate must not re-flag:
+    * their materialized cost IS the operator (count() legitimately
+    * eliminates the whole aggregate), and each has a documented scale
+    * path. Every addition here needs the same justification discipline
+    * as PlanSpec's sanctioned lists.
+    */
+  val MaterializedExempt: Set[String] = Set(
+    // exact interpolated per-group percentiles: the aggregation buffer
+    // collects each group's values by definition — this query is the
+    // exact ACCEPTANCE gate for the approx-quantile scale path
+    // (q_approx_stats / quantileBins cutpoints), which is what a 100 TB
+    // run executes
+    "q_percentile")
+
+  /** Per-query count-mode seconds from the committed BENCH_LOCAL.json
+    * (the audit's reference side); empty map if unreadable or the sf
+    * differs — the gate then passes vacuously rather than comparing
+    * across scales.
+    */
+  private def countModeReference(sfName: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+      if (!txt.contains(s""""sf":"$sfName"""")) Map.empty
+      else {
+        val qs = txt.substring(txt.indexOf("\"queries\":{") + 11)
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(
+          qs.substring(0, qs.indexOf("}")))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 
   /** The round-1 anchor set: the 59 queries BENCH_r01.json measured on
     * this host — every later round re-measures them under the same keys,
@@ -327,15 +392,19 @@ object Bench {
     */
   private def writeLocalRecords(results: Seq[(String, Double)],
       probes: Seq[Double], ioProbes: Seq[Double], sfName: String,
-      total: Double): Unit = {
+      total: Double, materializeMode: Boolean = false): Unit = {
     def f(v: Double): String = f"$v%.3f"
     val calib = probes.map(f).mkString("[", ",", "]")
     val io = ioProbes.map(f).mkString("[", ",", "]")
     try {
       val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
         .mkString("{", ",", "}")
+      // audit mode writes its OWN artifact — materialized numbers must
+      // never clobber the count-mode record they are compared against
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(
+          if (materializeMode) "BENCH_MATERIALIZED.json"
+          else "BENCH_LOCAL.json"),
         s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
           s""""calib_series":$calib,"io_series":$io,""" +
           s""""queries":$qs,"sf":"$sfName"}""" + "\n")

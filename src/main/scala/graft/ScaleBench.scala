@@ -213,6 +213,12 @@ object ScaleBench {
     // sid set — both sides' sid exchanges scale linearly with tokens;
     // the island fold is delta-sized
     "q_substring_incremental",
+    // the persisted-index twin: the corpus sid set reads co-located
+    // from the bucketBy(sid) table (build cost paid once per session,
+    // ScaleBench's cold pass); the timed steady state is the
+    // delta-side exchange + bucket-pruned probe only — expect under
+    // q_substring_incremental at every scale
+    "q_substring_incremental_bucketed",
     // XML round-trip: write + rowTag-split read of the scaled events
     // table — both sides are zero-exchange scans, so the exponent
     // prices the (row-at-a-time) XML serde itself; expect alpha ~ 1
@@ -266,6 +272,13 @@ object ScaleBench {
     // pass + one dup-sized full join — expect the exact pass's
     // exponent (q_dedup_ngram_jaccard's row) to dominate
     "q_lsh_recall",
+    // sampled recall canary: exact truth restricted to the 1/4 doc
+    // panel (~1/16 of the full pair volume); the LSH side reuses the
+    // memoized full pass, so the marginal cost is the panel's exact
+    // pass — expect well under q_lsh_recall at every scale (production
+    // grows the panel modulus with the corpus to pin the panel size,
+    // making the canary flat per batch)
+    "q_lsh_recall_sampled",
     // anchor text: map-side synth + regexp explode + ONE dst_host
     // exchange; the majority window runs over distinct (host, text)
     // labels, not link instances — the q_link_graph class

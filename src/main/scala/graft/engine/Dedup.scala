@@ -314,6 +314,16 @@ object Dedup {
 
   /** Exact-jaccard verification of candidate pairs via set arrays. */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    verifyPairsFull(cand, sets, threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** [[verifyPairs]] keeping the exact integer intersection/union sizes
+    * — the threshold sweep re-derives its keep decisions from (ni, un)
+    * with pure rational arithmetic instead of re-running the verify
+    * pass (the memoized full table makes the sweep pair-rollup-sized).
+    */
+  private def verifyPairsFull(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val sa = sets.select(col("doc_id").as("doc_a"), col("sids").as("sa"),
       col("n").as("na"))
@@ -322,9 +332,12 @@ object Dedup {
     val ni = size(array_intersect(col("sa"), col("sb"))).cast("long")
     val j = ni.cast("double") / (col("na") + col("nb") - ni)
     cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .withColumn("jaccard", round(j, 6))
-      .filter(j >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("ni", ni)
+      .withColumn("un", (col("na") + col("nb") - col("ni")).cast("long"))
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / col("un"), 6))
+      .filter(col("ni").cast("double") / col("un") >= threshold)
+      .select("doc_a", "doc_b", "jaccard", "ni", "un")
   }
 
   /** MinHash + LSH near-dup pairs: signature -> band buckets -> bucket
@@ -333,9 +346,9 @@ object Dedup {
     * cardinality stays near 1 for non-dup docs.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    SessionMemo.getOrCompute(spark, s"dedup.minhashPairs:$dir") {
-      dedupMinhashPairs(spark, dir).cache()
-    }
+    // a plain projection of the memoized+cached full pair table — no
+    // second cache needed
+    dedupMinhashPairs(spark, dir)
 
   /** Sweep points for [[dedupSensitivity]], as integer percent so the
     * per-threshold keep decision is the exact rational comparison
@@ -362,30 +375,52 @@ object Dedup {
     */
   def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sets = idSets(shingleIds(spark, dir))
-    val sa = sets.select(col("doc_id").as("doc_a"), col("sids").as("sa"),
-      col("n").as("na"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("sids").as("sb"),
-      col("n").as("nb"))
-    val ni = size(array_intersect(col("sa"), col("sb"))).cast("long")
-    val pairs = lshCandidates(spark, dir)
-      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), ni.as("ni"),
-        (col("na") + col("nb") - ni).cast("long").as("un"))
-    val swept = pairs
-      .select(col("doc_a"), col("doc_b"), col("ni"), col("un"),
-        explode(typedLit(SweepThresholds)).as("threshold_pct"))
-      .filter(col("ni") * 100 >= col("threshold_pct") * col("un"))
-    val nPairs = swept.groupBy("threshold_pct")
-      .agg(count(lit(1)).as("p"))
-    val nDocs = swept
-      .select(col("threshold_pct"),
-        explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .groupBy("threshold_pct").agg(countDistinct(col("d")).as("g"))
-    // left joins from the literal threshold dimension keep zero-pair
-    // thresholds visible (a sweep whose tightest point silently
-    // disappears reads as coverage, not as "nothing survives 0.95")
-    SweepThresholds.toDF("threshold_pct")
+    // Ride the memoized verified-pair table ([[dedupMinhashFull]])
+    // instead of re-running candidates+verify: every sweep point sits
+    // AT or ABOVE the banding threshold, and the ≥0.6 double filter is
+    // exact for the sweep's rationals (ni·100 ≥ 60·un ⟺ ni/un ≥ 0.6;
+    // a double quotient cannot cross the literal-0.6 boundary below
+    // un ~ 1/ulp). The r14 materialized-cost gate caught the recompute
+    // at 8.6x — this is the fix's second half (the first removed the
+    // explode×5 re-intersect).
+    val pairs = dedupMinhashFull(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("ni"), col("un"))
+    // Sweep via MAX-PASSING-BUCKET + cumulative rollup, not explode×5 +
+    // per-threshold recount: the explode form re-evaluated the per-pair
+    // array_intersect once per threshold row (project collapse pushes
+    // the intersect past the explode; lambda-bearing HOFs are excluded
+    // from codegen CSE) and re-counted distinct docs per threshold —
+    // the round-14 materialized-cost gate caught it at 8.7x over the
+    // count-mode reading. A pair passing threshold t passes every lower
+    // one (the sweep is monotone), so each pair contributes ONE row
+    // keyed by the max threshold it passes, and n_pairs(t) / n_dup_docs
+    // (t) are suffix sums over 5 bucket rows — one intersect per pair,
+    // dup-sized exchanges, identical output.
+    val maxBucket = SweepThresholds.sorted.foldLeft(lit(null)
+        .cast("int")) { (acc, t) =>
+      when(col("ni") * 100 >= lit(t) * col("un"), lit(t)).otherwise(acc)
+    }
+    val pairBuckets = pairs
+      .select(col("doc_a"), col("doc_b"), maxBucket.as("bt"))
+      .filter(col("bt").isNotNull)
+    val dim = SweepThresholds.toDF("threshold_pct")
+    val pairCnt = pairBuckets.groupBy("bt").agg(count(lit(1)).as("p"))
+    val nPairs = dim.join(pairCnt, col("bt") >= col("threshold_pct"),
+        "left")
+      .groupBy("threshold_pct")
+      .agg(coalesce(sum(col("p")), lit(0L)).as("p"))
+    // a doc is dup at t iff its BEST pair passes t: per-doc max bucket,
+    // then the same suffix rollup (keeps zero-pair thresholds visible)
+    val docCnt = pairBuckets
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"),
+        col("bt"))
+      .groupBy("d").agg(max(col("bt")).as("bt"))
+      .groupBy("bt").agg(count(lit(1)).as("g"))
+    val nDocs = dim.join(docCnt, col("bt") >= col("threshold_pct"),
+        "left")
+      .groupBy("threshold_pct")
+      .agg(coalesce(sum(col("g")), lit(0L)).as("g"))
+    dim
       .join(nPairs, Seq("threshold_pct"), "left")
       .join(nDocs, Seq("threshold_pct"), "left")
       .select(col("threshold_pct").cast("long").as("threshold_pct"),
@@ -473,10 +508,20 @@ object Dedup {
     * `q_dedup_clusters` consume it in one session — without the memo the
     * clustering query re-runs the whole signature/band/verify pipeline.
     */
-  private def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ds = shingleIds(spark, dir)
-    verifyPairs(lshCandidates(spark, dir), idSets(ds), MinhashThreshold)
-  }
+  private def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashFull(spark, dir).select("doc_a", "doc_b", "jaccard")
+
+  /** The memoized verified-pair table WITH exact (ni, un) — shared by
+    * the minhash consumers (3-column projection) and the threshold
+    * sweep (which re-decides keeps from the integers, never re-running
+    * the verify pass).
+    */
+  private def dedupMinhashFull(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"dedup.minhashPairsFull:$dir") {
+      val ds = shingleIds(spark, dir)
+      verifyPairsFull(lshCandidates(spark, dir), idSets(ds),
+        MinhashThreshold).cache()
+    }
 
   /** 12-hash minhash signature per doc — one aggregation pass over the
     * memoized shingle-id table, shared by the full LSH pass and the
@@ -871,6 +916,64 @@ object Dedup {
           .as("lsh_recall"),
         (col("n_lsh") - col("n_common")).as("n_lsh_only"),
         (col("n_exact") - col("n_common")).as("n_exact_only"))
+  }
+
+  /** Panel modulus for [[lshRecallSampled]]: 1/4 of docs by portable
+    * hash ⇒ ~1/16 of the truth-side pair volume. A production
+    * deployment grows the modulus with the corpus to hold the audited
+    * panel near-constant (the `probeFixedDelta` pattern) — the canary's
+    * cost is then flat per batch regardless of corpus growth.
+    */
+  val LshRecallPanelMod = 4L
+
+  /** The PRODUCTION recall canary (`q_lsh_recall`'s sampled variant,
+    * r13 verdict #6): the full canary prices BOTH pipelines — exact
+    * truth over the whole corpus is exactly the cost LSH exists to
+    * avoid, so at corpus scale the audit runs on a deterministic DOC
+    * PANEL (portable-hash sample, no RNG: ablations re-audit the
+    * identical panel). Truth = the exact rare-shingle pass computed
+    * WITHIN the panel (panel rarity ≤ corpus rarity, so panel blocking
+    * is a superset of the full pass's blocking restricted to the panel
+    * — the measured truth is never weaker); LSH side = the memoized
+    * full pass filtered to panel pairs (production already pays it).
+    * Both-in-panel pairs are a uniform pair sample, so the recall
+    * estimate is unbiased for pair-level recall.
+    */
+  def lshRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    def inPanel(c: Column): Column =
+      pmod(c * 2654435761L, lit(1000000007L)) % LshRecallPanelMod === 0
+    val sds = shingleIds(spark, dir).filter(inPanel(col("doc_id")))
+    val rare = sds.groupBy("sid").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= RareShingleMaxFreq)
+      .select("sid")
+    val rds = sds.join(broadcast(rare), Seq("sid"))
+    val cand = rds.as("x").join(rds.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val exact = verifyPairs(cand, idSets(sds), MinhashThreshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("e"))
+    val lsh = dedupMinhash(spark, dir)
+      .filter(inPanel(col("doc_a")) && inPanel(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("l"))
+    val rec = exact.join(lsh, Seq("doc_a", "doc_b"), "full")
+      .select(coalesce(col("e"), lit(0L)).as("e"),
+        coalesce(col("l"), lit(0L)).as("l"))
+      // coalesce the sums too: a small panel can yield ZERO pairs, and
+      // an empty-input aggregate sums to null, not 0
+      .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("e") * col("l")), lit(0L)).as("n_common"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        when(col("n_exact") > 0,
+          round(col("n_common").cast("double") / col("n_exact"), 6))
+          .as("lsh_recall"),
+        (col("n_lsh") - col("n_common")).as("n_lsh_only"),
+        (col("n_exact") - col("n_common")).as("n_exact_only"))
+    // panel size rides along as the 1-row scalar-feedback cross join
+    // (the sanctioned bounded shape — see PlanSpec's sanctioned list)
+    rec.crossJoin(
+      sds.select("doc_id").distinct().agg(count(lit(1)).as("n_panel_docs")))
   }
 
   /** Containment threshold for [[dedupContainment]]: flag a pair when the
@@ -1598,6 +1701,53 @@ object Dedup {
       .withColumnRenamed("doc_id", "doc_new")
   }
 
+  /** Persisted corpus SID index for the exact-substring ingest gate —
+    * the [[corpusBandIndex]] pattern applied to [[substringIncremental]]'s
+    * corpus side (r13 verdict #7): the standing corpus's distinct window
+    * sids, written `bucketBy(sid)` + `saveAsTable` once per session, so
+    * every delta batch's semi-join probes the index CO-LOCATED — no
+    * corpus-side exchange, no corpus window recompute per batch. The
+    * name carries a format version (same invalidation policy as
+    * [[ShingleGridVersion]]: the substring grid is segmentation-keyed,
+    * and changing it must rename, not silently mix).
+    */
+  private def substrSidIndex(spark: SparkSession, dir: String): String =
+    SessionMemo.getOrComputeCleanup(spark,
+        s"dedup.substrSidIndex:$dir") {
+      val table = s"graft_substr_sid_index_v1_" +
+        s"${math.abs(dir.hashCode.toLong)}"
+      val corpusSids = substrWindows(
+          Tables.documents(spark, dir).select("doc_id", "text"))
+        .filter(col("doc_id") % IncrementalDeltaMod > 0)
+        .select("sid").distinct()
+      val path = TempArtifacts.tempDir(s"graft_substr_sid_$table")
+      corpusSids.write.bucketBy(CorpusIndexBuckets, "sid")
+        .option("path", s"$path/$table").mode("overwrite")
+        .saveAsTable(table)
+      BandIndex(table, path)
+    } { bi =>
+      scala.util.Try(
+        spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")): Unit
+      TempArtifacts.delete(bi.path)
+    }.table
+
+  /** [[substringIncremental]] through the persisted bucketed sid index —
+    * bit-identical output (same oracle SQL), different physical shape:
+    * the corpus side is a bucket-pruned table scan, only the delta's
+    * windows shuffle (plan-gated: zero corpus-side Exchange).
+    */
+  def substringIncrementalBucketed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val idx = spark.table(substrSidIndex(spark, dir))
+    val marked = substrWindows(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .filter(col("doc_id") % IncrementalDeltaMod === 0)
+      .join(idx, Seq("sid"), "left_semi")
+      .select("doc_id", "pos")
+    substrIslands(marked)
+      .withColumnRenamed("doc_id", "doc_new")
+  }
+
   /** Per-source duplication REPORT over the exact-substring spans — the
     * Lee-et-al-style "how much of the corpus is verbatim-duplicated
     * text" table a dedup run publishes before/after acting: per source,
@@ -2087,6 +2237,7 @@ object Dedup {
     "q_dedup_sensitivity" -> dedupSensitivity _,
     "q_dup_source_matrix" -> dupSourceMatrix _,
     "q_lsh_recall" -> lshRecall _,
+    "q_lsh_recall_sampled" -> lshRecallSampled _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_incremental_bucketed" -> dedupIncrementalBucketed _,
     "q_index_forget" -> indexForget _,
@@ -2101,6 +2252,7 @@ object Dedup {
     "q_substring_scrub" -> substringScrub _,
     "q_dedup_report" -> dedupReport _,
     "q_substring_incremental" -> substringIncremental _,
+    "q_substring_incremental_bucketed" -> substringIncrementalBucketed _,
     "q_split_leakage" -> splitLeakage _,
     "q_dedup_weights" -> dedupWeights _,
     "q_utf8_fingerprint" -> utf8Fingerprint _)
@@ -2574,6 +2726,43 @@ object Dedup {
          |  n_lsh - n_common AS n_lsh_only,
          |  n_exact - n_common AS n_exact_only
          |FROM agg""".stripMargin,
+    "q_lsh_recall_sampled" ->
+      s"""WITH $minhashCtes,
+         |lshp AS (${verifySql(MinhashThreshold)}),
+         |panel AS (SELECT DISTINCT doc_id FROM ds
+         |  WHERE (doc_id * 2654435761) % 1000000007 % $LshRecallPanelMod
+         |    = 0),
+         |sds AS (SELECT doc_id, sid FROM ds JOIN panel USING (doc_id)),
+         |ssets AS (SELECT doc_id, list_distinct(list(sid)) AS sids,
+         |  count(*) AS n FROM sds GROUP BY doc_id),
+         |rare AS (SELECT sid FROM sds GROUP BY sid
+         |  HAVING count(*) <= $RareShingleMaxFreq),
+         |rds AS (SELECT doc_id, sid FROM sds JOIN rare USING (sid)),
+         |cande AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM rds x JOIN rds y ON x.sid = y.sid AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_a, doc_b, 1 AS e FROM cande
+         |  JOIN ssets sa ON sa.doc_id = doc_a
+         |  JOIN ssets sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.sids, sb.sids)) AS DOUBLE) /
+         |    (sa.n + sb.n - len(list_intersect(sa.sids, sb.sids)))
+         |    >= $MinhashThreshold),
+         |ls AS (SELECT doc_a, doc_b, 1 AS l FROM lshp
+         |  JOIN panel pa ON pa.doc_id = lshp.doc_a
+         |  JOIN panel pb ON pb.doc_id = lshp.doc_b),
+         |fj AS (SELECT COALESCE(e, 0) AS e, COALESCE(l, 0) AS l
+         |  FROM ex FULL JOIN ls USING (doc_a, doc_b)),
+         |agg AS (SELECT CAST(COALESCE(sum(e), 0) AS BIGINT) AS n_exact,
+         |    CAST(COALESCE(sum(l), 0) AS BIGINT) AS n_lsh,
+         |    CAST(COALESCE(sum(e * l), 0) AS BIGINT) AS n_common FROM fj),
+         |pn AS (SELECT CAST(count(*) AS BIGINT) AS n_panel_docs FROM panel)
+         |SELECT n_exact, n_lsh, n_common,
+         |  CASE WHEN n_exact > 0
+         |    THEN round(CAST(n_common AS DOUBLE) / n_exact, 6) END
+         |    AS lsh_recall,
+         |  n_lsh - n_common AS n_lsh_only,
+         |  n_exact - n_common AS n_exact_only,
+         |  n_panel_docs
+         |FROM agg, pn""".stripMargin,
     "q_dup_source_matrix" ->
       s"""WITH $minhashCtes,
          |ver AS (${verifySql(MinhashThreshold)}),
@@ -2716,6 +2905,21 @@ object Dedup {
         .stripMargin
     },
     "q_substring_incremental" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         |$substrWindowSqlCtes,
+         |cs AS (SELECT DISTINCT sid FROM sh
+         |  WHERE doc_id % $IncrementalDeltaMod > 0),
+         |mk AS (SELECT doc_id, pos FROM sh
+         |  WHERE doc_id % $IncrementalDeltaMod = 0
+         |    AND sid IN (SELECT sid FROM cs)),
+         |$substrIslandSqlCtes
+         |SELECT doc_id AS doc_new, span_start, span_end,
+         |  span_end - span_start + 1 AS span_tokens, n_windows
+         |FROM sp WHERE span_end - span_start + 1 >= $SubstrMinSpan"""
+        .stripMargin,
+    // bit-identical semantics through the persisted bucketed index —
+    // the SAME oracle (the q_dedup_incremental_bucketed pattern)
+    "q_substring_incremental_bucketed" ->
       s"""WITH src AS (SELECT doc_id, text FROM documents),
          |$substrWindowSqlCtes,
          |cs AS (SELECT DISTINCT sid FROM sh

@@ -190,6 +190,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substring ingest gate probes the bucketed sid index with no corpus-side exchange") {
+    // the q_dedup_incremental_bucketed contract applied to the
+    // exact-substring gate: repeat batches pay delta-sized work; the
+    // standing corpus's sid set reads CO-LOCATED from the bucketBy(sid)
+    // table. Broadcast+AQE off so the semi-join shape is concrete.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Dedup.substringIncrementalBucketed(spark, sf)
+      val p = df.queryExecution.executedPlan
+      def isIndexScan(s: SparkPlan): Boolean = s match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("graft_substr_sid_index"))
+        case _ => false
+      }
+      val smj = p.collect { case j: SortMergeJoinExec => j }
+        .filter(_.collectFirst { case s if isIndexScan(s) => s }.isDefined)
+      assert(smj.nonEmpty, s"sid probe did not plan as SortMergeJoin:\n$p")
+      val idxSide = smj.head.children
+        .find(_.collectFirst { case s if isIndexScan(s) => s }.isDefined)
+      assert(idxSide.isDefined)
+      assert(idxSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus sid index side shuffles:\n${idxSide.get}")
+      // bit-identical to the recompute twin
+      def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(canon(df.select("doc_new", "span_start", "span_end")) ===
+        canon(Dedup.substringIncremental(spark, sf)
+          .select("doc_new", "span_start", "span_end")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("incremental ANN probes a partition-pruned cell index, corpus shuffle-free") {
     // the per-batch contract: the probe reads ONLY the probed cells'
     // partitions of the persisted index (literal partition filter), and
@@ -516,7 +556,13 @@ class PlanSpec extends SparkSpec {
       // q_kmv_jaccard pairs sources with a `<` non-equi join where BOTH
       // sides are 1-row-per-source aggregates (sources² pair rows of
       // O(k) arrays — dimension-sized by construction, never corpus rows)
-      "q_kmv_jaccard")
+      "q_kmv_jaccard",
+      // q_dedup_sensitivity's suffix-sum rollup joins the 5-row literal
+      // threshold dimension to ≤5 bucket-count aggregate rows with a
+      // `>=` non-equi join (5×5 bounded by the sweep size, never corpus
+      // rows); q_lsh_recall_sampled folds its 1-row panel-size aggregate
+      // (collect-scalar kept in-plan, the q_bm25 shape)
+      "q_dedup_sensitivity", "q_lsh_recall_sampled")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("ml_")) {
         val p = plan(fn(spark, sf))
