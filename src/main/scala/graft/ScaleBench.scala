@@ -219,6 +219,10 @@ object ScaleBench {
     // delta-side exchange + bucket-pruned probe only — expect under
     // q_substring_incremental at every scale
     "q_substring_incremental_bucketed",
+    // XML quarantine: the same write+read as q_xml_roundtrip plus the
+    // 3 planted malformed part files and one conditional aggregate —
+    // expect q_xml_roundtrip's serde-bound exponent
+    "q_xml_quarantine",
     // XML round-trip: write + rowTag-split read of the scaled events
     // table — both sides are zero-exchange scans, so the exponent
     // prices the (row-at-a-time) XML serde itself; expect alpha ~ 1

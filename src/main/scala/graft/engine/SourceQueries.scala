@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -93,6 +93,75 @@ object SourceQueries {
     val tmp = tempSinkDir("graft-xml")
     JsonCsvSources.writeXml(eventsProjection(spark, dir), tmp)
     checksum(JsonCsvSources.readXml(spark, tmp, Some(eventsLite)))
+  }
+
+  /** Planted malformed `<row>` elements for [[xmlQuarantine]] — the
+    * crawl-reality cases a real XML feed ships: type garbage in a typed
+    * field, a truncated element, and an empty row. Deterministic
+    * literals, mirrored into the oracle count from the same constant.
+    */
+  private[graft] val XmlMalformedRows: Seq[String] = Seq(
+    // every planted row breaks a LONG field: integer parse failures
+    // reliably set the corrupt column (the XML parser coerces some
+    // malformed floats leniently, so a bad `value` alone is not a
+    // deterministic quarantine trigger across parser versions)
+    "<row><event_id>not_a_number</event_id><user_id>1</user_id>" +
+      "<event_type>click</event_type><value>1.0</value></row>",
+    "<row><event_id>9.9.9</event_id><user_id>7</user_id>" +
+      "<event_type>view</event_type><value>2.0</value></row>",
+    "<row><event_id>99</event_id><user_id>oops</user_id>" +
+      "<event_type>purchase</event_type><value>2.5</value></row>")
+
+  /** XML ingest with a MALFORMED-RECORD QUARANTINE (r13 verdict #8) —
+    * the mouth the other sources already have: real feeds carry broken
+    * rows, and the scalable answer is PERMISSIVE parse + corrupt-record
+    * column + in-plan split, never job abort and never silent drop. The
+    * sink dir is salted with [[XmlMalformedRows]] (planted type-garbage
+    * elements); the read schema appends `_corrupt_record`, clean rows
+    * flow to the usual checksum aggregate — which must equal the
+    * UNPOLLUTED table's checksum, proving the quarantine is exact — and
+    * the quarantined rows roll up to one counted `__quarantined` row
+    * (count mirrored from the planting constant in the oracle). One
+    * scan, zero extra exchanges beyond the checksum's own.
+    */
+  def xmlQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-xml-q")
+    JsonCsvSources.writeXml(eventsProjection(spark, dir), tmp)
+    // salt the sink with malformed part files (driver-side, a few
+    // hundred bytes — fixture planting, same class as the multimodal
+    // payload plants). ONE row per file: after a parse failure the
+    // rowTag splitter reports the rest of the file as part of the same
+    // corrupt record, so co-planted rows would collapse into one
+    XmlMalformedRows.zipWithIndex.foreach { case (r, i) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, s"part-malformed-$i.xml"), r)
+    }
+    val withCorrupt = StructType(
+      eventsLite.fields :+ StructField("_corrupt_record", StringType))
+    val read = spark.read.option("rowTag", "row")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).xml(tmp)
+    // ONE conditional-aggregate pass, not a clean/bad branch pair:
+    // Spark disallows plans whose scan references ONLY the corrupt
+    // column (a filtered quarantine-count branch is exactly that after
+    // pruning; the documented alternative is cache(), wrong at corpus
+    // scale). Quarantined rows re-key to one '__quarantined' group and
+    // every clean-side aggregate is corrupt-null-guarded, so clean
+    // groups see exactly the unpolluted values (null-sum/min/max for
+    // the quarantine group by SQL semantics, 0 distinct users).
+    val isBad = col("_corrupt_record").isNotNull
+    def cleanOnly(c: Column): Column = when(!isBad, c)
+    read
+      .groupBy(when(isBad, lit("__quarantined"))
+        .otherwise(col("event_type")).as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(cleanOnly(col("user_id"))).as("n_users"),
+        round(sum(cleanOnly(col("value")).cast("decimal(12,2)"))
+          .cast("double"), 2).as("sum_value"),
+        min(cleanOnly(col("event_id"))).as("min_id"),
+        max(cleanOnly(col("event_id"))).as("max_id"))
   }
 
   /** ORC twin of [[jsonlRoundtrip]]: the columnar non-parquet interchange
@@ -508,6 +577,7 @@ object SourceQueries {
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_xml_roundtrip" -> xmlRoundtrip _,
+    "q_xml_quarantine" -> xmlQuarantine _,
     "q_partitioned_export" -> partitionedExport _,
     "q_dataset_manifest" -> datasetManifest _,
     "q_multiline_roundtrip" -> multilineRoundtrip _,
@@ -559,6 +629,17 @@ object SourceQueries {
     "q_csv_roundtrip" -> checksumSql,
     "q_orc_roundtrip" -> checksumSql,
     "q_xml_roundtrip" -> checksumSql,
+    // clean side must equal the unpolluted checksum; the quarantine row
+    // carries the planting constant
+    "q_xml_quarantine" -> (checksumSql +
+      s"""
+         |UNION ALL
+         |SELECT '__quarantined' AS event_type,
+         |  CAST(${XmlMalformedRows.size} AS BIGINT) AS n,
+         |  CAST(0 AS BIGINT) AS n_users,
+         |  CAST(NULL AS DOUBLE) AS sum_value,
+         |  CAST(NULL AS BIGINT) AS min_id,
+         |  CAST(NULL AS BIGINT) AS max_id""".stripMargin),
     "q_partitioned_export" -> {
       val langs = ExportLangs.map(l => s"'$l'").mkString(", ")
       s"""SELECT lang, count(*) AS n_docs,

@@ -141,6 +141,24 @@ class SourcesExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("XML quarantine: planted malformed rows counted, clean checksum unpolluted") {
+    import graft.engine.SourceQueries
+    val rows = SourceQueries.xmlQuarantine(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // every planted row quarantined, none silently dropped or parsed
+    assert(rows("__quarantined").getLong(1) ===
+      SourceQueries.XmlMalformedRows.size.toLong)
+    assert(rows("__quarantined").getLong(2) === 0L, "no users from garbage")
+    assert(rows("__quarantined").isNullAt(3) && rows("__quarantined").isNullAt(4))
+    // the clean groups equal the UNPOLLUTED round-trip's checksum —
+    // quarantine is exact, bidirectionally (nothing leaks in or out)
+    val cleanRt = SourceQueries.xmlRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val cleanQ = rows.view.filterKeys(_ != "__quarantined").values
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cleanQ === cleanRt)
+  }
+
   test("text-lines sink round-trips documents row for row") {
     val out = tmpDir("textlines")
     val src = Tables.documents(spark, sf)
