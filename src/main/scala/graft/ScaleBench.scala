@@ -494,6 +494,23 @@ object ScaleBench {
         System.err.println(
           f"[scalebench] ${s}%2dx probe_fixed_delta               $steady%.2f s")
       }
+      // same isolation for the substring sid index: delta frozen to the
+      // 1x copy, indexed corpus scales — the flat row is the per-batch
+      // ingest-cost claim
+      if (names.contains("q_substring_incremental_bucketed")) {
+        def probeOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.engine.Dedup.substrProbeFixedDelta(spark, dir, 1000000L)
+            .count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeOnce()
+        val steady = probeOnce()
+        times.getOrElseUpdate("substr_probe_fixed_delta",
+          scala.collection.mutable.Map.empty)(s) = steady
+        System.err.println(
+          f"[scalebench] ${s}%2dx substr_probe_fixed_delta        $steady%.2f s")
+      }
       // each scale tears down its memoized shingle tables, models, and
       // persisted indexes so the next starts from the same (cold) state
       SessionMemo.evictSession(spark)
@@ -506,6 +523,9 @@ object ScaleBench {
     val sep = "| --- |" + Scales.map(_ => " --- |").mkString + " --- |"
     val reported = names ++
       (if (times.contains("probe_fixed_delta")) Seq("probe_fixed_delta")
+       else Nil) ++
+      (if (times.contains("substr_probe_fixed_delta"))
+         Seq("substr_probe_fixed_delta")
        else Nil)
     val rows = reported.map { name =>
       val t = times(name)

@@ -1748,6 +1748,26 @@ object Dedup {
       .withColumnRenamed("doc_id", "doc_new")
   }
 
+  /** Probe-cost isolation for the substring sid index (the
+    * [[probeFixedDelta]] pattern): the ingest probe with the delta
+    * FROZEN to the 1x copy while the indexed corpus scales — the
+    * near-flat row is the evidence that repeat batches pay
+    * delta-sized work only (the steady-state bucketed row cannot show
+    * it: its delta grows with the corpus by construction).
+    */
+  private[graft] def substrProbeFixedDelta(spark: SparkSession,
+      dir: String, cap: Long): DataFrame = {
+    val idx = spark.table(substrSidIndex(spark, dir))
+    val marked = substrWindows(
+        Tables.documents(spark, dir).select("doc_id", "text")
+          .filter(col("doc_id") < cap))
+      .filter(col("doc_id") % IncrementalDeltaMod === 0)
+      .join(idx, Seq("sid"), "left_semi")
+      .select("doc_id", "pos")
+    substrIslands(marked)
+      .withColumnRenamed("doc_id", "doc_new")
+  }
+
   /** Per-source duplication REPORT over the exact-substring spans — the
     * Lee-et-al-style "how much of the corpus is verbatim-duplicated
     * text" table a dedup run publishes before/after acting: per source,

@@ -393,6 +393,11 @@ object MlSuite {
       new CrossValidator()
         .setEstimator(lr).setEstimatorParamMaps(grid)
         .setEvaluator(auc).setNumFolds(3).setSeed(Seed)
+        // 4-way, measured: 8-way interleaving read 13.1/14.7 s on two
+        // same-head sweeps vs 11.8 s at 4-way — past 4 concurrent fits
+        // the fold-fits' own tasks contend for the same cores and the
+        // scheduler-latency win inverts; values are seed-pinned
+        // regardless of interleaving (MlSpec's micro-unit CV gate)
         .setParallelism(4)
         .fit(train)
     }.asInstanceOf[CrossValidatorModel]
