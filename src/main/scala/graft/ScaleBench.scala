@@ -191,6 +191,10 @@ object ScaleBench {
     // exchange of <= (2*clamp+1)*4 partial-count rows — expect the
     // q_basetable_star exponent
     "q_lr_confusion",
+    // frozen deploy-GBT confusion: same star + epilogue with the margin
+    // swapped for 10 codegen'd CASE trees — expect q_lr_confusion's
+    // star-bound exponent
+    "q_gbt_confusion",
     // duplication report: NOTE the bench's count() action lets Catalyst
     // ELIMINATE the left join-back (the span side's keys are provably
     // unique from its Aggregate, and only the group count survives

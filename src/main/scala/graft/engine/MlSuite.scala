@@ -621,6 +621,70 @@ object MlSuite {
     -9.575625356504845e-4, 2.028906147189589e-5, 0.06519506955787076,
     0.08784341639475142)
 
+  /** Reference-M9 GBT in deployment shape: boosted trees over the SAME
+    * [[deployFeatures]] program and hash split as the LR gate (depth 3 ×
+    * 10 iterations, seed 7 — a deployment-sized ensemble; the rows-only
+    * `ml_train_eval` still fits the reference's default-sized GBT).
+    * Provenance of the [[DeployGbtTreeSql]]/[[DeployGbtTreeW]] literals.
+    */
+  def fitDeployGbt(spark: SparkSession,
+      dir: String): org.apache.spark.ml.classification.GBTClassificationModel = {
+    val train = new VectorAssembler()
+      .setInputCols(DeployFeatureNames.toArray).setOutputCol("features")
+      .transform(deployFeatures(spark, dir).filter(!col("is_test")))
+    new GBTClassifier().setMaxIter(10).setMaxDepth(3).setSeed(Seed)
+      .fit(train)
+  }
+
+  /** A fitted tree rendered as ONE canonical SQL CASE expression over
+    * the named [[deployFeatures]] columns (Spark CART semantics:
+    * `feature <= threshold` goes left). The rendered TEXT is the frozen
+    * artifact — `expr()` on the Spark side and verbatim splice on the
+    * DuckDB side parse the identical program, so the tree walk cannot
+    * drift between engines.
+    */
+  private[graft] def treeToSql(n: org.apache.spark.ml.tree.Node): String =
+    n match {
+      case i: org.apache.spark.ml.tree.InternalNode =>
+        val sp = i.split match {
+          case c: org.apache.spark.ml.tree.ContinuousSplit => c
+          case other => throw new IllegalStateException(
+            s"deploy features are all continuous; got $other")
+        }
+        s"(CASE WHEN ${DeployFeatureNames(sp.featureIndex)} <= " +
+          s"${sp.threshold} THEN ${treeToSql(i.leftChild)} ELSE " +
+          s"${treeToSql(i.rightChild)} END)"
+      case l: org.apache.spark.ml.tree.LeafNode => l.prediction.toString
+      case other =>
+        throw new IllegalStateException(s"unknown node type $other")
+    }
+
+  /** Frozen deploy-GBT: per-tree weights and CASE texts from one
+    * [[fitDeployGbt]] run at sf0.01 (filled by the extractor; the same
+    * freeze discipline as [[DeployLrW]]).
+    */
+  val DeployGbtTreeW: Seq[Double] = Seq(1.0, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1)
+  val DeployGbtTreeSql: Seq[String] = Seq(
+    "(CASE WHEN f_events <= 24.5 THEN -1.0 ELSE 1.0 END)",
+    "(CASE WHEN f_events <= 24.5 THEN (CASE WHEN f_items <= 33.5 THEN -0.47681168808847 ELSE -0.47681168808847013 END) ELSE 0.4768116880884695 END)",
+    "(CASE WHEN f_events <= 24.5 THEN -0.43819358104272044 ELSE (CASE WHEN f_events <= 52.5 THEN 0.4381935810427206 ELSE 0.43819358104272066 END) END)",
+    "(CASE WHEN f_events <= 24.5 THEN (CASE WHEN f_orders <= 15.5 THEN -0.40514968028459875 ELSE -0.40514968028459863 END) ELSE 0.40514968028459974 END)",
+    "(CASE WHEN f_events <= 24.5 THEN (CASE WHEN d_seg_machinery <= 0.5 THEN (CASE WHEN d_nat_2 <= 0.5 THEN -0.3765841318352999 ELSE -0.37658413183529854 END) ELSE -0.3765841318352999 END) ELSE (CASE WHEN f_aev <= 41.00831 THEN 0.3765841318352989 ELSE 0.376584131835299 END) END)",
+    "(CASE WHEN f_aev <= 18.62541 THEN -0.351664789581015 ELSE 0.35166478958101777 END)",
+    "(CASE WHEN f_events <= 24.5 THEN (CASE WHEN d_seg_building <= 0.5 THEN -0.3297498465553015 ELSE -0.32974984655530026 END) ELSE (CASE WHEN f_orders <= 3.5 THEN 0.3297498465552987 ELSE 0.3297498465552988 END) END)",
+    "(CASE WHEN f_aev <= 18.62541 THEN -0.3103372455197992 ELSE 0.3103372455197981 END)",
+    "(CASE WHEN f_events <= 24.5 THEN (CASE WHEN d_nat_7 <= 0.5 THEN -0.29302916491254644 ELSE -0.29302916491254266 END) ELSE 0.2930291649125434 END)",
+    "(CASE WHEN f_events <= 24.5 THEN (CASE WHEN d_nat_8 <= 0.5 THEN -0.27750666438358734 ELSE -0.27750666438358224 END) ELSE (CASE WHEN d_nat_7 <= 0.5 THEN 0.2775066643835825 ELSE 0.2775066643835835 END) END)")
+
+  /** GBT margin = Σ wᵢ·treeᵢ(x) in one fixed left-to-right expression
+    * (the [[deployMarginSql]] contract, leaf sums instead of linear
+    * terms). Prediction: margin > 0 — the model's own decision rule.
+    */
+  private[engine] def gbtMarginSql: String =
+    DeployGbtTreeW.zip(DeployGbtTreeSql).foldLeft("0.0") {
+      case (acc, (w, t)) => s"$acc + ($w) * $t"
+    }
+
   /** margin = intercept + Σ wᵢ·fᵢ in ONE fixed left-to-right expression
     * (identical IEEE op sequence in both engines — the
     * [[TextOps.marginSql]] contract).
@@ -650,12 +714,20 @@ object MlSuite {
     * exchange (identical subplan → Spark's exchange reuse runs the scan
     * once). No collect, no window, no cartesian.
     */
-  def lrConfusion(spark: SparkSession, dir: String): DataFrame = {
+  def lrConfusion(spark: SparkSession, dir: String): DataFrame =
+    confusionTable(spark, dir, deployMarginSql)
+
+  /** The frozen-model confusion/histogram skeleton, parameterized by the
+    * margin expression — shared by the LR and GBT deployment gates (one
+    * margin string, both engines).
+    */
+  private def confusionTable(spark: SparkSession, dir: String,
+      marginSql: String): DataFrame = {
     val scored = deployFeatures(spark, dir)
       .filter(col("is_test"))
       .select(
         (col("label") > 0.5).as("actual"),
-        round(expr(deployMarginSql), 6).as("margin"))
+        round(expr(marginSql), 6).as("margin"))
       .select(col("actual"), col("margin"),
         (col("margin") > 0.0).as("pred"),
         least(greatest(floor(col("margin")), lit(-DeployBucketClamp.toDouble)),
@@ -700,11 +772,11 @@ object MlSuite {
     metricRows.union(bucketRows)
   }
 
-  /** DuckDB mirror of [[lrConfusion]]: the same star CTE the
+  /** DuckDB mirror of [[confusionTable]]: the same star CTE the
     * `q_basetable_star` oracle uses, the same fixed feature program,
     * split hash, frozen margin, and single-division metric arithmetic.
     */
-  private def lrConfusionSql: String = {
+  private def confusionSql(marginSql: String): String = {
     val segExprs = DeploySegments.map(s =>
       s"CASE WHEN c_mktsegment = '$s' THEN 1.0 ELSE 0.0 END " +
         s"AS d_seg_${s.toLowerCase}")
@@ -729,7 +801,7 @@ object MlSuite {
        |  FROM star LEFT JOIN lab ON star.c_custkey = lab.user_id
        |  WHERE $DeployTestSql),
        |scored AS (SELECT label = 1 AS actual,
-       |    round($deployMarginSql, 6) AS margin FROM f),
+       |    round($marginSql, 6) AS margin FROM f),
        |s2 AS (SELECT actual, margin > 0.0 AS pred,
        |    CAST(least(greatest(floor(margin), ${-c}.0), $c.0) AS BIGINT)
        |      AS bucket FROM scored),
@@ -773,11 +845,20 @@ object MlSuite {
     "ml_describe" -> describeModel _,
     "ml_cross_validate" -> crossValidate _,
     "ml_quality_classifier" -> qualityClassifier _,
-    "q_lr_confusion" -> lrConfusion _)
+    "q_lr_confusion" -> lrConfusion _,
+    "q_gbt_confusion" -> gbtConfusion _)
+
+  /** M9+M11/M12, deployment half — the FROZEN boosted-tree ensemble
+    * scored over the deterministic test split (see [[lrConfusion]]; the
+    * margin is [[gbtMarginSql]]'s weighted leaf sum).
+    */
+  def gbtConfusion(spark: SparkSession, dir: String): DataFrame =
+    confusionTable(spark, dir, gbtMarginSql)
 
   /** The ML fits are not DuckDB-expressible (rows-only checks);
     * `q_lr_confusion` — the frozen-model deployment half — is.
     */
   val oracles: Map[String, String] = Map(
-    "q_lr_confusion" -> lrConfusionSql)
+    "q_lr_confusion" -> confusionSql(deployMarginSql),
+    "q_gbt_confusion" -> confusionSql(gbtMarginSql))
 }

@@ -140,6 +140,44 @@ class MlSpec extends SparkSpec {
     assert(!m.intercept.isNaN)
   }
 
+  test("deploy GBT: frozen tree gate is consistent and the render round-trips") {
+    val rows = MlSuite.gbtConfusion(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val Seq(n, tp, fp, tn, fn) =
+      Seq("n_test", "tp", "fp", "tn", "fn").map(rows(_))
+    assert(n > 0 && tp + fp + tn + fn === n)
+    assert(rows.collect {
+      case (k, v) if k.startsWith("bucket_") => v
+    }.sum === n, "margin histogram partitions the split")
+    assert(rows("accuracy") >= 0.9, s"frozen GBT accuracy ${rows("accuracy")}")
+    // frozen artifact shape: 10 boosted trees, first weight 1.0, the
+    // rest the 0.1 step size — the GBT weighting contract the margin
+    // fold relies on
+    assert(MlSuite.DeployGbtTreeW.length === 10)
+    assert(MlSuite.DeployGbtTreeW.head === 1.0)
+    assert(MlSuite.DeployGbtTreeW.tail.forall(_ === 0.1))
+    assert(MlSuite.DeployGbtTreeSql.length === 10)
+    // the renderer round-trips: a freshly fitted tree renders to a CASE
+    // text that Spark parses and that scores EXACTLY like the model's
+    // own transform (margin sign agreement on every test row)
+    val m = MlSuite.fitDeployGbt(spark, sf)
+    val treeSqls = m.trees.map(t => MlSuite.treeToSql(t.rootNode))
+    val margin = m.treeWeights.zip(treeSqls)
+      .foldLeft("0.0") { case (acc, (w, t)) => s"$acc + ($w) * $t" }
+    val test = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(MlSuite.DeployFeatureNames.toArray)
+      .setOutputCol("features")
+      .transform(MlSuite.deployFeatures(spark, sf).filter(col("is_test")))
+    val byCase = test.withColumn("m", expr(margin))
+      .select((col("m") > 0.0).cast("int").as("p"), col("c_custkey"))
+    val byModel = m.transform(test)
+      .select(col("prediction").cast("int").as("pm"), col("c_custkey"))
+    val disagree = byCase.join(byModel, Seq("c_custkey"))
+      .filter(col("p") =!= col("pm")).count()
+    assert(disagree === 0L, s"$disagree rendered-tree sign disagreements")
+  }
+
   test("quality classifier: learnable, deterministic, and the frozen scorer agrees with the rules") {
     import org.apache.spark.sql.functions._
     def rows(s: org.apache.spark.sql.SparkSession) =
