@@ -195,6 +195,8 @@ object ScaleBench {
     // swapped for 10 codegen'd CASE trees — expect q_lr_confusion's
     // star-bound exponent
     "q_gbt_confusion",
+    // frozen deploy-RF hard-vote confusion: same class again
+    "q_rf_confusion",
     // duplication report: NOTE the bench's count() action lets Catalyst
     // ELIMINATE the left join-back (the span side's keys are provably
     // unique from its Aggregate, and only the group count survives

@@ -685,6 +685,45 @@ object MlSuite {
       case (acc, (w, t)) => s"$acc + ($w) * $t"
     }
 
+  /** Reference-M8 random forest in deployment shape (same sizing and
+    * split as [[fitDeployGbt]]); provenance of [[DeployRfTreeSql]].
+    */
+  def fitDeployRf(spark: SparkSession,
+      dir: String): RandomForestClassificationModel = {
+    val train = new VectorAssembler()
+      .setInputCols(DeployFeatureNames.toArray).setOutputCol("features")
+      .transform(deployFeatures(spark, dir).filter(!col("is_test")))
+    new RandomForestClassifier().setNumTrees(10).setMaxDepth(3)
+      .setSeed(Seed).fit(train)
+  }
+
+  /** Frozen deploy-RF tree CASE texts (leaves are the tree's PREDICTED
+    * CLASS, 0.0/1.0) from one [[fitDeployRf]] run at sf0.01.
+    */
+  val DeployRfTreeSql: Seq[String] = Seq(
+    "(CASE WHEN d_nat_24 <= 0.5 THEN (CASE WHEN f_qty <= 1394.5 THEN 0.0 ELSE (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) END) ELSE (CASE WHEN f_items <= 27.5 THEN (CASE WHEN f_items <= 23.5 THEN 0.0 ELSE 1.0 END) ELSE 0.0 END) END)",
+    "(CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END)",
+    "0.0",
+    "(CASE WHEN f_orders <= 16.5 THEN (CASE WHEN f_aev <= 18.62541 THEN 0.0 ELSE 1.0 END) ELSE (CASE WHEN f_orders <= 17.5 THEN 0.0 ELSE (CASE WHEN d_nat_9 <= 0.5 THEN 0.0 ELSE 1.0 END) END) END)",
+    "(CASE WHEN f_spend <= 1694944.7 THEN (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) ELSE (CASE WHEN f_aev <= 18.62541 THEN 0.0 ELSE 1.0 END) END)",
+    "(CASE WHEN d_nat_10 <= 0.5 THEN (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) ELSE (CASE WHEN f_aev <= 18.62541 THEN 0.0 ELSE 1.0 END) END)",
+    "(CASE WHEN d_nat_17 <= 0.5 THEN 0.0 ELSE (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) END)",
+    "(CASE WHEN d_seg_building <= 0.5 THEN (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) ELSE (CASE WHEN d_nat_4 <= 0.5 THEN (CASE WHEN f_aev <= 18.62541 THEN 0.0 ELSE 1.0 END) ELSE (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) END) END)",
+    "(CASE WHEN f_qty <= 1350.0 THEN (CASE WHEN d_nat_11 <= 0.5 THEN (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) ELSE 0.0 END) ELSE (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) END)",
+    "(CASE WHEN d_nat_15 <= 0.5 THEN (CASE WHEN f_events <= 24.5 THEN 0.0 ELSE 1.0 END) ELSE (CASE WHEN f_spend <= 4389408.425 THEN 0.0 ELSE 1.0 END) END)")
+
+  /** RF margin = hard-majority vote: Σ treeᵢ(x) − n/2; prediction is
+    * margin > 0 (a 5–5 tie votes class 0, deterministically). Hard
+    * voting is the shippable rule a SQL deployment uses — Spark's own
+    * transform soft-votes summed leaf class-probability vectors, so the
+    * two can differ on near-tie rows; MlSpec bounds that disagreement
+    * instead of pretending equality.
+    */
+  private[engine] def rfMarginSql: String =
+    DeployRfTreeSql.foldLeft((-DeployRfTreeSql.size / 2.0).toString) {
+      case (acc, t) => s"$acc + $t"
+    }
+
   /** margin = intercept + Σ wᵢ·fᵢ in ONE fixed left-to-right expression
     * (identical IEEE op sequence in both engines — the
     * [[TextOps.marginSql]] contract).
@@ -846,7 +885,8 @@ object MlSuite {
     "ml_cross_validate" -> crossValidate _,
     "ml_quality_classifier" -> qualityClassifier _,
     "q_lr_confusion" -> lrConfusion _,
-    "q_gbt_confusion" -> gbtConfusion _)
+    "q_gbt_confusion" -> gbtConfusion _,
+    "q_rf_confusion" -> rfConfusion _)
 
   /** M9+M11/M12, deployment half — the FROZEN boosted-tree ensemble
     * scored over the deterministic test split (see [[lrConfusion]]; the
@@ -855,10 +895,17 @@ object MlSuite {
   def gbtConfusion(spark: SparkSession, dir: String): DataFrame =
     confusionTable(spark, dir, gbtMarginSql)
 
+  /** M8+M11/M12, deployment half — the FROZEN forest hard-majority vote
+    * over the deterministic test split (see [[rfMarginSql]]).
+    */
+  def rfConfusion(spark: SparkSession, dir: String): DataFrame =
+    confusionTable(spark, dir, rfMarginSql)
+
   /** The ML fits are not DuckDB-expressible (rows-only checks);
     * `q_lr_confusion` — the frozen-model deployment half — is.
     */
   val oracles: Map[String, String] = Map(
     "q_lr_confusion" -> confusionSql(deployMarginSql),
-    "q_gbt_confusion" -> confusionSql(gbtMarginSql))
+    "q_gbt_confusion" -> confusionSql(gbtMarginSql),
+    "q_rf_confusion" -> confusionSql(rfMarginSql))
 }

@@ -178,6 +178,42 @@ class MlSpec extends SparkSpec {
     assert(disagree === 0L, s"$disagree rendered-tree sign disagreements")
   }
 
+  test("deploy RF: frozen hard-vote gate is consistent and tracks the model") {
+    val rows = MlSuite.rfConfusion(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val Seq(n, tp, fp, tn, fn) =
+      Seq("n_test", "tp", "fp", "tn", "fn").map(rows(_))
+    assert(n > 0 && tp + fp + tn + fn === n)
+    assert(rows.collect {
+      case (k, v) if k.startsWith("bucket_") => v
+    }.sum === n)
+    assert(rows("accuracy") >= 0.9, s"frozen RF accuracy ${rows("accuracy")}")
+    assert(MlSuite.DeployRfTreeSql.length === 10)
+    // hard voting vs Spark's soft (probability-sum) voting: a refit
+    // forest's rendered hard vote must agree with the model's own
+    // transform on >= 95% of test rows (they differ only on near-ties)
+    val m = MlSuite.fitDeployRf(spark, sf)
+    val treeSqls = m.trees.map(t => MlSuite.treeToSql(t.rootNode))
+    val margin = treeSqls.foldLeft((-treeSqls.length / 2.0).toString) {
+      case (acc, t) => s"$acc + $t"
+    }
+    val test = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(MlSuite.DeployFeatureNames.toArray)
+      .setOutputCol("features")
+      .transform(MlSuite.deployFeatures(spark, sf).filter(col("is_test")))
+    val joined = m.transform(test)
+      .withColumn("hard", (expr(margin) > 0.0).cast("int"))
+      .select(col("hard"), col("prediction").cast("int").as("soft"))
+      .cache()
+    try {
+      val total = joined.count()
+      val agree = joined.filter(col("hard") === col("soft")).count()
+      assert(total > 0 && agree * 100L >= total * 95L,
+        s"hard/soft vote agreement $agree/$total below 95%")
+    } finally { joined.unpersist(): Unit }
+  }
+
   test("quality classifier: learnable, deterministic, and the frozen scorer agrees with the rules") {
     import org.apache.spark.sql.functions._
     def rows(s: org.apache.spark.sql.SparkSession) =
