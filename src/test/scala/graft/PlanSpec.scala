@@ -190,6 +190,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("frozen-confusion union reuses the tiny cell exchange (one star scan)") {
+    // the q_lr_confusion scale contract: the metric branch and the
+    // histogram branch both aggregate the SAME <= (2*clamp+1)*4-row
+    // (bucket, pred, actual) exchange — AQE's runtime exchange reuse
+    // must dedupe it so the star join runs once, not per branch
+    import graft.engine.MlSuite
+    val df = MlSuite.lrConfusion(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).nonEmpty,
+      s"confusion union branches do not share the cell exchange:\n$p")
+  }
+
   test("substring ingest gate probes the bucketed sid index with no corpus-side exchange") {
     // the q_dedup_incremental_bucketed contract applied to the
     // exact-substring gate: repeat batches pay delta-sized work; the
