@@ -185,6 +185,11 @@ object ScaleBench {
     // probe + broadcast agg; scales as the fact side (the probe is one
     // map-side-combined aggregate, skipped entirely in this regime)
     "q_adaptive_join",
+    // the regime-flip triple: three strategies over the same events
+    // join — broadcast + salted SMJ + plain SMJ, each one fact-side
+    // pass (the salted regime adds the hot-key profile aggregate);
+    // expect ~3x the single-join line, scaling with events
+    "q_adaptive_join_regimes",
     // frozen deploy-LR confusion: the star join's fact-side exchanges
     // (orders/lineitem/events rollups) dominate and scale by s; past
     // the star, scoring is a map pass and everything downstream is one

@@ -324,11 +324,49 @@ object JoinOps {
           .cast("double"), 2).as("sum_price"))
   }
 
+  /** The adaptive decision FLIP, driver-replayable (`q_adaptive_join`
+    * proves one regime's answer; THIS query proves all three): the same
+    * events ⋈ customer join run once per forced threshold regime —
+    * budget wide open (→ broadcast), budget zero with the fixture's
+    * measured hot-key frequency over the cap (→ salted), budget zero
+    * with the cap wide open (→ sort-merge). The output carries the
+    * CHOSEN strategy label per regime, so the oracle's hardcoded labels
+    * gate the decision function itself, and the identical aggregate
+    * rows gate strategy invariance — both in the driver artifact, not
+    * just in a spec.
+    */
+  def adaptiveJoinRegimes(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), col("event_id"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val regimes = Seq(
+      // (label, broadcastMaxRows, rowCap): Long.MaxValue budget always
+      // broadcasts; a zero budget forces the skew probe, whose verdict
+      // the rowCap then flips
+      ("small_dim", Long.MaxValue, Ext.SaltRowCap),
+      ("big_dim_skewed", 0L, Ext.SaltRowCap),
+      ("big_dim_uniform", 0L, Long.MaxValue))
+    regimes.map { case (label, budget, cap) =>
+      val (strategy, joined) = graft.operators.AdaptiveJoin.adaptiveJoin(
+        fact, dim, "user_id", cap, col("event_id"), budget)
+      joined.agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2)
+            .as("sum_value"))
+        .select(lit(label).as("regime"),
+          lit(strategy.label).as("strategy"),
+          col("n_events"), col("n_users"), col("sum_value"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bloom_join" -> bloomJoin _,
     "q_semi_anti" -> semiAnti _,
     "q_join_size_estimate" -> joinSizeEstimate _,
     "q_adaptive_join" -> adaptiveJoinQuery _,
+    "q_adaptive_join_regimes" -> adaptiveJoinRegimes _,
     "q_mv_refresh" -> mvRefresh _)
 
   val oracles: Map[String, String] = Map(
@@ -340,6 +378,18 @@ object JoinOps {
         |    2) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+    "q_adaptive_join_regimes" ->
+      """WITH agg AS (SELECT count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users,
+        |    round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_value
+        |  FROM events JOIN customer ON user_id = c_custkey)
+        |SELECT 'small_dim' AS regime, 'broadcast' AS strategy,
+        |  n_events, n_users, sum_value FROM agg
+        |UNION ALL SELECT 'big_dim_skewed', 'salted',
+        |  n_events, n_users, sum_value FROM agg
+        |UNION ALL SELECT 'big_dim_uniform', 'sort_merge',
+        |  n_events, n_users, sum_value FROM agg""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
