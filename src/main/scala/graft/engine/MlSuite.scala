@@ -556,6 +556,11 @@ object MlSuite {
   /** The (feature_i, label, is_test) frame both the trainer and the
     * frozen scorer ride — shared builder so train-time and score-time
     * features cannot drift (the [[TextOps.qualityFeatures]] contract).
+    * Note the fixtures' label ("customer produced a purchase event") is
+    * linearly separable from the event-count features by construction,
+    * so the frozen gates read accuracy 1.0 — the gates' subject is the
+    * frozen-arithmetic replay (margins, cells, single-division
+    * metrics), not task difficulty.
     * All features double-typed: dummies are fixed-vocabulary CASE
     * columns; continuous columns are the star's exact aggregates cast
     * once (`sum_qty` is an exact decimal sum; `total_spend`/
