@@ -234,6 +234,9 @@ object ScaleBench {
     // 3 planted malformed part files and one conditional aggregate —
     // expect q_xml_roundtrip's serde-bound exponent
     "q_xml_quarantine",
+    // JSONL quarantine: same shape over the line-delimited mouth —
+    // expect the q_jsonl_roundtrip line
+    "q_jsonl_quarantine",
     // XML round-trip: write + rowTag-split read of the scaled events
     // table — both sides are zero-exchange scans, so the exponent
     // prices the (row-at-a-time) XML serde itself; expect alpha ~ 1

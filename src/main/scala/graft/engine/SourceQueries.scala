@@ -112,6 +112,52 @@ object SourceQueries {
     "<row><event_id>99</event_id><user_id>oops</user_id>" +
       "<event_type>purchase</event_type><value>2.5</value></row>")
 
+  /** Planted malformed JSONL lines for [[jsonlQuarantine]]: broken
+    * syntax, a truncated object, and type garbage in a LONG field.
+    */
+  private[graft] val JsonlMalformedRows: Seq[String] = Seq(
+    "{not json at all",
+    """{"event_id": 12, "user_id": 3, "event_type": "click",""",
+    """{"event_id": "oops", "user_id": 5, "event_type": "view", "value": 1.0}""")
+
+  /** JSONL twin of [[xmlQuarantine]] — the same PERMISSIVE +
+    * corrupt-column + one-conditional-aggregate-pass quarantine over the
+    * line-delimited mouth (a corrupt LINE is self-delimiting, so the
+    * planted rows can share one part file, unlike XML's rowTag splitter).
+    */
+  def jsonlQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-jsonl-q")
+    JsonCsvSources.writeJsonl(eventsProjection(spark, dir), tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "part-malformed.json"),
+      JsonlMalformedRows.mkString("\n"))
+    val withCorrupt = StructType(
+      eventsLite.fields :+ StructField("_corrupt_record", StringType))
+    val read = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).json(tmp)
+    quarantineChecksum(read)
+  }
+
+  /** The shared quarantine aggregate (see [[xmlQuarantine]] for why ONE
+    * conditional pass and not a clean/bad branch pair).
+    */
+  private def quarantineChecksum(read: DataFrame): DataFrame = {
+    val isBad = col("_corrupt_record").isNotNull
+    def cleanOnly(c: Column): Column = when(!isBad, c)
+    read
+      .groupBy(when(isBad, lit("__quarantined"))
+        .otherwise(col("event_type")).as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(cleanOnly(col("user_id"))).as("n_users"),
+        round(sum(cleanOnly(col("value")).cast("decimal(12,2)"))
+          .cast("double"), 2).as("sum_value"),
+        min(cleanOnly(col("event_id"))).as("min_id"),
+        max(cleanOnly(col("event_id"))).as("max_id"))
+  }
+
   /** XML ingest with a MALFORMED-RECORD QUARANTINE (r13 verdict #8) —
     * the mouth the other sources already have: real feeds carry broken
     * rows, and the scalable answer is PERMISSIVE parse + corrupt-record
@@ -150,18 +196,7 @@ object SourceQueries {
     // every clean-side aggregate is corrupt-null-guarded, so clean
     // groups see exactly the unpolluted values (null-sum/min/max for
     // the quarantine group by SQL semantics, 0 distinct users).
-    val isBad = col("_corrupt_record").isNotNull
-    def cleanOnly(c: Column): Column = when(!isBad, c)
-    read
-      .groupBy(when(isBad, lit("__quarantined"))
-        .otherwise(col("event_type")).as("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        countDistinct(cleanOnly(col("user_id"))).as("n_users"),
-        round(sum(cleanOnly(col("value")).cast("decimal(12,2)"))
-          .cast("double"), 2).as("sum_value"),
-        min(cleanOnly(col("event_id"))).as("min_id"),
-        max(cleanOnly(col("event_id"))).as("max_id"))
+    quarantineChecksum(read)
   }
 
   /** ORC twin of [[jsonlRoundtrip]]: the columnar non-parquet interchange
@@ -578,6 +613,7 @@ object SourceQueries {
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_xml_quarantine" -> xmlQuarantine _,
+    "q_jsonl_quarantine" -> jsonlQuarantine _,
     "q_partitioned_export" -> partitionedExport _,
     "q_dataset_manifest" -> datasetManifest _,
     "q_multiline_roundtrip" -> multilineRoundtrip _,
@@ -631,6 +667,15 @@ object SourceQueries {
     "q_xml_roundtrip" -> checksumSql,
     // clean side must equal the unpolluted checksum; the quarantine row
     // carries the planting constant
+    "q_jsonl_quarantine" -> (checksumSql +
+      s"""
+         |UNION ALL
+         |SELECT '__quarantined' AS event_type,
+         |  CAST(${JsonlMalformedRows.size} AS BIGINT) AS n,
+         |  CAST(0 AS BIGINT) AS n_users,
+         |  CAST(NULL AS DOUBLE) AS sum_value,
+         |  CAST(NULL AS BIGINT) AS min_id,
+         |  CAST(NULL AS BIGINT) AS max_id""".stripMargin),
     "q_xml_quarantine" -> (checksumSql +
       s"""
          |UNION ALL

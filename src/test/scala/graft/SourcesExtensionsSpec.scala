@@ -159,6 +159,20 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(cleanQ === cleanRt)
   }
 
+  test("JSONL quarantine: planted malformed lines counted, clean checksum unpolluted") {
+    import graft.engine.SourceQueries
+    val rows = SourceQueries.jsonlQuarantine(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("__quarantined").getLong(1) ===
+      SourceQueries.JsonlMalformedRows.size.toLong)
+    assert(rows("__quarantined").getLong(2) === 0L)
+    val cleanRt = SourceQueries.jsonlRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val cleanQ = rows.view.filterKeys(_ != "__quarantined").values
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cleanQ === cleanRt)
+  }
+
   test("text-lines sink round-trips documents row for row") {
     val out = tmpDir("textlines")
     val src = Tables.documents(spark, sf)
