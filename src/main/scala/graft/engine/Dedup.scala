@@ -940,8 +940,16 @@ object Dedup {
     * estimate is unbiased for pair-level recall.
     */
   def lshRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    // doc_id is reduced mod the prime BEFORE the Knuth multiply (advice
+    // r14): the raw product wraps Spark's Long past doc_id ~3.4e9 (pmod
+    // of a wrapped negative stays defined but diverges from DuckDB,
+    // whose BIGINT multiply RAISES on overflow). Reduced first, the
+    // product is < 1e9 * 2.7e9 < Long.Max in both engines, and
+    // ((id mod p) * k) mod p ≡ (id * k) mod p, so the panel is
+    // unchanged at fixture ids and now well-defined at any id.
     def inPanel(c: Column): Column =
-      pmod(c * 2654435761L, lit(1000000007L)) % LshRecallPanelMod === 0
+      pmod(pmod(c, lit(1000000007L)) * 2654435761L,
+        lit(1000000007L)) % LshRecallPanelMod === 0
     val sds = shingleIds(spark, dir).filter(inPanel(col("doc_id")))
     val rare = sds.groupBy("sid").agg(count(lit(1)).as("freq"))
       .filter(col("freq") <= RareShingleMaxFreq)
@@ -1514,6 +1522,15 @@ object Dedup {
     * segmentation — the front half of [[substringSpans]] and the
     * incremental probe.
     */
+  /** Format version of the persisted substring SID grid (the
+    * [[ShingleGridVersion]] policy applied to [[substrSidIndex]], advice
+    * r14): the grid is keyed by [[substrWindows]]'s segmentation +
+    * window hash, so any change to either MUST bump this — the version
+    * is wired into BOTH the SessionMemo key and the physical table name,
+    * making a stale-format index unreadable rather than silently mixed.
+    */
+  val SubstrGridVersion = 1
+
   private def substrWindows(docs: DataFrame): DataFrame = {
     val w = SubstrW
     docs
@@ -1713,8 +1730,8 @@ object Dedup {
     */
   private def substrSidIndex(spark: SparkSession, dir: String): String =
     SessionMemo.getOrComputeCleanup(spark,
-        s"dedup.substrSidIndex:$dir") {
-      val table = s"graft_substr_sid_index_v1_" +
+        s"dedup.substrSidIndex:v$SubstrGridVersion:$dir") {
+      val table = s"graft_substr_sid_index_v${SubstrGridVersion}_" +
         s"${math.abs(dir.hashCode.toLong)}"
       val corpusSids = substrWindows(
           Tables.documents(spark, dir).select("doc_id", "text"))
@@ -2750,8 +2767,8 @@ object Dedup {
       s"""WITH $minhashCtes,
          |lshp AS (${verifySql(MinhashThreshold)}),
          |panel AS (SELECT DISTINCT doc_id FROM ds
-         |  WHERE (doc_id * 2654435761) % 1000000007 % $LshRecallPanelMod
-         |    = 0),
+         |  WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007
+         |    % $LshRecallPanelMod = 0),
          |sds AS (SELECT doc_id, sid FROM ds JOIN panel USING (doc_id)),
          |ssets AS (SELECT doc_id, list_distinct(list(sid)) AS sids,
          |  count(*) AS n FROM sds GROUP BY doc_id),
