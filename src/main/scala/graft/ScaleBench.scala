@@ -190,6 +190,14 @@ object ScaleBench {
     // pass (the salted regime adds the hot-key profile aggregate);
     // expect ~3x the single-join line, scaling with events
     "q_adaptive_join_regimes",
+    // adaptive aggregation regimes: the same per-event-type aggregate
+    // through the Expand distinct plan AND the hand-lowered two-level
+    // shape, plus two skew probes — four events passes total, each
+    // map-side combined into key-bounded exchanges (expect alpha ~ 1
+    // tracking the events scan; the salted level-2 exchange ships one
+    // row per (event_type, user) — user cardinality scales by s, the
+    // linear regime)
+    "q_adaptive_agg",
     // frozen deploy-LR confusion: the star join's fact-side exchanges
     // (orders/lineitem/events rollups) dominate and scale by s; past
     // the star, scoring is a map pass and everything downstream is one
@@ -456,26 +464,20 @@ object ScaleBench {
     dir
   }
 
-  def main(args: Array[String]): Unit = {
-    // optional args: run only the named queries (incremental re-measure
-    // after adding a family; no args = the full list)
-    val names = if (args.nonEmpty) QueryNames.filter(args.toSet) else QueryNames
-    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        scala.util.Try(cpus.toInt).getOrElse(32))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** Run the ladder for `names` over `scales`, steady-state seconds per
+    * (query, scale). Extracted so the drift gate can RE-MEASURE its
+    * offenders at the two endpoint scales before failing the run —
+    * transient host contention inflates one ladder pass, not two
+    * independent ones, so a drift that survives the re-measure is a
+    * plan regression, not noise.
+    */
+  private def runLadder(spark: SparkSession, base: String,
+      names: Seq[String], scales: Seq[Int])
+      : Map[String, Map[Int, Double]] = {
     val queries = SparkEntry.queries
-    // (query -> scale -> steady-state seconds)
     val times = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[Int, Double]]
-    for (s <- Scales) {
+    for (s <- scales) {
       val dir = synth(spark, base, s)
       for (name <- names) {
         def once(): Double = {
@@ -531,7 +533,91 @@ object ScaleBench {
       spark.catalog.clearCache()
       TempArtifacts.delete(dir)
     }
+    times.view.mapValues(_.toMap).toMap
+  }
+
+  /** Endpoint exponent over whatever scales a ladder measured. */
+  private[graft] def alphaOf(t: Map[Int, Double]): Double = {
+    val lo = t.keys.min; val hi = t.keys.max
+    math.log(t(hi) / t(lo)) / math.log(hi.toDouble / lo)
+  }
+
+  def main(args: Array[String]): Unit = {
+    // optional args: run only the named queries (incremental re-measure
+    // after adding a family; no args = the full list)
+    val names = if (args.nonEmpty) QueryNames.filter(args.toSet) else QueryNames
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val commitMode = sys.env.get("SPARK_GRAFT_SCALE_COMMIT").contains("1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        scala.util.Try(cpus.toInt).getOrElse(32))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var times = runLadder(spark, base, names, Scales)
+    // ---- standing alpha-drift gate (VERDICT r14 #1) ----
+    // Compare every measured endpoint exponent against the committed
+    // SCALE_GATE.json; a query drifting more than [[ScaleGate.DriftTol]]
+    // ABOVE its committed alpha is re-measured once at the endpoint
+    // scales (contention defense), and a drift that survives fails the
+    // run with exit 3 — the exact standing-gate move that made the
+    // materialized-cost audit pay off in round 14.
+    val committed = if (commitMode) Map.empty[String, Double]
+      else ScaleGate.readCommitted(ScaleGate.DefaultPath, Scales)
+    if (!commitMode && committed.nonEmpty) {
+      val alphas = times.view.mapValues(alphaOf).toMap
+      val suspects = ScaleGate.offenders(committed, alphas,
+        times.view.mapValues(t => t(t.keys.max)).toMap)
+      val confirmed = if (suspects.isEmpty) Nil else {
+        System.err.println(s"[scalegate] ${suspects.size} suspect(s) — " +
+          "re-measuring endpoints before failing: " +
+          suspects.map(_._1).mkString(", "))
+        // the fixed-delta probe rows are measured as side effects of
+        // their triggering query — map them back for the re-run
+        val probeTriggers = Map(
+          "probe_fixed_delta" -> "q_dedup_incremental_bucketed",
+          "substr_probe_fixed_delta" -> "q_substring_incremental_bucketed")
+        val rerunNames = suspects.map(_._1)
+          .map(n => probeTriggers.getOrElse(n, n))
+          .distinct.filter(SparkEntry.queries.contains)
+        val again = runLadder(spark, base, rerunNames,
+          Seq(Scales.head, Scales.last))
+        // keep the better (lower) of the two independent endpoint
+        // measurements — contention only ever inflates. Merge endpoints
+        // into the full ladder so every scale column stays reportable.
+        times = times.map { case (n, t) =>
+          n -> (again.get(n) match {
+            case Some(t2) if alphaOf(t2) < alphaOf(t) => t ++ t2
+            case _ => t
+          })
+        }
+        ScaleGate.offenders(committed,
+          times.view.mapValues(alphaOf).toMap,
+          times.view.mapValues(t => t(t.keys.max)).toMap)
+      }
+      confirmed.foreach { case (n, meas, comm) =>
+        System.err.println(f"[scalegate] ALPHA DRIFT $n: measured " +
+          f"$meas%.2f vs committed $comm%.2f " +
+          f"(+${meas - comm}%.2f > +${ScaleGate.DriftTol}%.2f)")
+      }
+      if (confirmed.nonEmpty) { spark.stop(); sys.exit(3) }
+      System.err.println(s"[scalegate] OK — ${committed.size} committed " +
+        s"alphas, 0 confirmed drifts")
+    } else if (!commitMode) {
+      System.err.println("[scalegate] WARNING: gate VACUOUS — no " +
+        s"committed alphas for scales ${Scales.mkString(",")} in " +
+        s"${ScaleGate.DefaultPath}; run with SPARK_GRAFT_SCALE_COMMIT=1 " +
+        "on a quiet host to establish them")
+    }
     spark.stop()
+    if (commitMode)
+      ScaleGate.writeCommitted(ScaleGate.DefaultPath, Scales,
+        times.view.mapValues(alphaOf).toMap,
+        times.view.mapValues(t => t(t.keys.max)).toMap)
     val header = "| query | " +
       Scales.map(s => s"${s}x (s)").mkString(" | ") + " | alpha |"
     val sep = "| --- |" + Scales.map(_ => " --- |").mkString + " --- |"
@@ -543,11 +629,9 @@ object ScaleBench {
        else Nil)
     val rows = reported.map { name =>
       val t = times(name)
-      val alpha = math.log(t(Scales.last) / t(Scales.head)) /
-        math.log(Scales.last.toDouble / Scales.head)
       s"| $name | " +
         Scales.map(s => f"${t(s)}%.2f").mkString(" | ") +
-        f" | $alpha%.2f |"
+        f" | ${alphaOf(t)}%.2f |"
     }
     println((header +: sep +: rows).mkString("\n"))
   }

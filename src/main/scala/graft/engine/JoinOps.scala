@@ -302,7 +302,8 @@ object JoinOps {
     * [[graft.operators.AdaptiveJoin]] measures the dim size (and, when
     * that doesn't already settle it, the `q_skew_profile` max-key
     * statistic) and PICKS broadcast / salted / sort-merge — here over
-    * lineitem ⋈ part, where the measured part count decides BROADCAST
+    * lineitem ⋈ part, where part's measured byte size (row count ×
+    * sampled avg row width) decides BROADCAST
     * (PlanSpec gates the chosen shape; JoinOpsSpec proves the decision
     * flips across all three regimes on synthetic inputs and that every
     * regime returns the plain-join answer). The oracle is the plain
@@ -341,9 +342,9 @@ object JoinOps {
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val regimes = Seq(
-      // (label, broadcastMaxRows, rowCap): Long.MaxValue budget always
-      // broadcasts; a zero budget forces the skew probe, whose verdict
-      // the rowCap then flips
+      // (label, broadcastMaxBytes, rowCap): Long.MaxValue byte budget
+      // always broadcasts; a zero budget forces the skew probe, whose
+      // verdict the rowCap then flips
       ("small_dim", Long.MaxValue, Ext.SaltRowCap),
       ("big_dim_skewed", 0L, Ext.SaltRowCap),
       ("big_dim_uniform", 0L, Long.MaxValue))
@@ -361,12 +362,50 @@ object JoinOps {
     }.reduce(_ unionByName _)
   }
 
+  /** The adaptive-AGGREGATION decision flip, driver-replayable
+    * (`q_adaptive_agg`, VERDICT r14 #2 — `q_adaptive_join_regimes`'
+    * twin on the groupBy side): the same per-event-type aggregate
+    * (count + sum + TWO exact distincts: users and active days) run
+    * once per forced threshold regime — cap wide open (→ Catalyst's
+    * multi-distinct Expand plan, every input row replicated once per
+    * aggregate family) and cap zero with the fixture's measured
+    * hot-key frequency over it (→ the hand-lowered per-family shape,
+    * [[graft.operators.AdaptiveAgg]]: one two-level pass per distinct
+    * family, the distinct column spreading the hot key, joined back on
+    * the group key). Output carries the CHOSEN strategy label per
+    * regime so the oracle's hardcoded labels gate the decision
+    * function, and the identical aggregate rows gate strategy
+    * invariance — both in the driver artifact. PlanSpec gates the
+    * physical split: the per-family plan must carry NO Expand, the
+    * Expand plan must.
+    */
+  def adaptiveAggRegimes(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"), col("value"))
+    val regimes = Seq(
+      // cap wide open: no key can exceed it → Expand; cap zero: the
+      // measured max-key statistic always exceeds it → per-family
+      ("uniform", Long.MaxValue),
+      ("hot_key", 0L))
+    regimes.map { case (label, cap) =>
+      val (strategy, agg) = graft.operators.AdaptiveAgg.adaptiveAgg(
+        fact, "event_type", Seq("user_id", "day"), "value", cap)
+      agg.select(lit(label).as("regime"),
+        lit(strategy.label).as("strategy"),
+        col("event_type"), col("n_rows"),
+        col("n_user_id").as("n_users"), col("n_day").as("n_days"),
+        col("sum_value"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bloom_join" -> bloomJoin _,
     "q_semi_anti" -> semiAnti _,
     "q_join_size_estimate" -> joinSizeEstimate _,
     "q_adaptive_join" -> adaptiveJoinQuery _,
     "q_adaptive_join_regimes" -> adaptiveJoinRegimes _,
+    "q_adaptive_agg" -> adaptiveAggRegimes _,
     "q_mv_refresh" -> mvRefresh _)
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +429,18 @@ object JoinOps {
         |  n_events, n_users, sum_value FROM agg
         |UNION ALL SELECT 'big_dim_uniform', 'sort_merge',
         |  n_events, n_users, sum_value FROM agg""".stripMargin,
+    "q_adaptive_agg" ->
+      """WITH agg AS (SELECT event_type, count(*) AS n_rows,
+        |    count(DISTINCT user_id) AS n_users,
+        |    count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |    round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_value
+        |  FROM events GROUP BY event_type)
+        |SELECT 'uniform' AS regime, 'expand' AS strategy,
+        |  event_type, n_rows, n_users, n_days, sum_value FROM agg
+        |UNION ALL SELECT 'hot_key', 'per_family',
+        |  event_type, n_rows, n_users, n_days, sum_value FROM agg"""
+        .stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)

@@ -42,19 +42,70 @@ object AdaptiveJoin {
   case object SaltedMerge extends Strategy { val label = "salted" }
   case object SortMerge extends Strategy { val label = "sort_merge" }
 
-  /** Broadcast budget in DIM ROWS (the diagnostics are row-denominated;
-    * a deployment divides its byte budget by the dim's avg row width).
-    * 500k rows ≈ tens of MB for dimension-shaped rows — the
-    * autoBroadcastJoinThreshold regime.
+  /** Broadcast budget in BYTES (VERDICT r14 #3 — the round-denominated
+    * budget a wide-row dim could blow is gone): the measured dim row
+    * count times one sampled avg-row-width estimate is compared against
+    * this. 32 MB sits in the autoBroadcastJoinThreshold regime — small
+    * enough to replicate to every executor without pressuring task
+    * memory, big enough that real dimension tables qualify.
     */
-  val BroadcastMaxRows = 500000L
+  val BroadcastMaxBytes = 32L * 1024 * 1024
 
-  /** Pure decision function over the two measured statistics — exposed
-    * separately so the spec can pin the flip points exactly.
+  /** Rows sampled for the avg-row-width estimate: enough to average
+    * over string-length variance, cheap enough to be one LIMIT job.
     */
-  def decide(dimRows: Long, factMaxKeyRows: Long, rowCap: Long,
-      broadcastMaxRows: Long = BroadcastMaxRows): Strategy =
-    if (dimRows <= broadcastMaxRows) BroadcastDim
+  val WidthSampleRows = 1000
+
+  /** Estimated in-memory bytes per row as a codegen'd Column over the
+    * frame's schema: fixed widths for fixed-width types, measured UTF-8
+    * bytes (+offset word) for strings, element-width × size for arrays
+    * of fixed-width elements, a documented 16-byte fallback otherwise.
+    * An ESTIMATE by design — the decision it feeds has order-of-
+    * magnitude slack (32 MB budget vs GB-scale dims), so per-field
+    * header precision doesn't move the flip.
+    */
+  private[graft] def rowBytes(df: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    def width(f: StructField): Column = f.dataType match {
+      case ByteType | BooleanType => lit(1L)
+      case ShortType => lit(2L)
+      case IntegerType | FloatType | DateType => lit(4L)
+      case LongType | DoubleType | TimestampType | TimestampNTZType =>
+        lit(8L)
+      case _: DecimalType => lit(16L)
+      case StringType => octet_length(col(f.name)).cast("long") + 8L
+      case ArrayType(et, _) =>
+        val ew = et match {
+          case ByteType | BooleanType => 1L
+          case ShortType => 2L
+          case IntegerType | FloatType => 4L
+          case LongType | DoubleType => 8L
+          case _ => 16L
+        }
+        coalesce(size(col(f.name)).cast("long"), lit(0L)) * ew + 8L
+      case _ => lit(16L)
+    }
+    df.schema.fields.map(width).reduceOption(_ + _).getOrElse(lit(0L))
+  }
+
+  /** One sampled avg-row-width measurement: LIMIT [[WidthSampleRows]]
+    * rows through [[rowBytes]] into a single driver double. Production
+    * reads catalog/AQE `sizeInBytes` when the table has statistics;
+    * this is the engine-checkable stand-in with the same contract.
+    */
+  def sampledAvgRowBytes(df: DataFrame): Double = {
+    val r = df.limit(WidthSampleRows)
+      .agg(avg(rowBytes(df)).as("w")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Pure decision function over the measured statistics — exposed
+    * separately so the spec can pin the flip points exactly, now in
+    * BYTES on the broadcast side.
+    */
+  def decide(dimBytes: Long, factMaxKeyRows: Long, rowCap: Long,
+      broadcastMaxBytes: Long = BroadcastMaxBytes): Strategy =
+    if (dimBytes <= broadcastMaxBytes) BroadcastDim
     else if (factMaxKeyRows > rowCap) SaltedMerge
     else SortMerge
 
@@ -64,15 +115,17 @@ object AdaptiveJoin {
     */
   def adaptiveJoin(fact: DataFrame, dim: DataFrame, key: String,
       rowCap: Long, spread: Column,
-      broadcastMaxRows: Long = BroadcastMaxRows): (Strategy, DataFrame) = {
-    val dimRows = dim.count()
+      broadcastMaxBytes: Long = BroadcastMaxBytes): (Strategy, DataFrame) = {
+    // the byte statistic = measured row count x sampled avg width (two
+    // bounded jobs; production reads catalog/AQE stats instead)
+    val dimBytes = (dim.count() * sampledAvgRowBytes(dim)).toLong
     // skew probe only when it can change the decision (big dim):
     // one map-side-combined aggregate reduced to a single driver row
     val factMax =
-      if (dimRows <= broadcastMaxRows) 0L
+      if (dimBytes <= broadcastMaxBytes) 0L
       else fact.groupBy(key).agg(count(lit(1)).as("__n"))
         .agg(max(col("__n"))).head().getLong(0)
-    val strategy = decide(dimRows, factMax, rowCap, broadcastMaxRows)
+    val strategy = decide(dimBytes, factMax, rowCap, broadcastMaxBytes)
     val joined = strategy match {
       case BroadcastDim => fact.join(broadcast(dim), Seq(key))
       case SaltedMerge =>

@@ -140,11 +140,24 @@ class JoinOpsSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.AdaptiveJoin
     import graft.operators.AdaptiveJoin._
-    // decide() flip points are exact functions of the two measurements
-    assert(decide(dimRows = 10, factMaxKeyRows = 0, rowCap = 32,
-      broadcastMaxRows = 10) === BroadcastDim)
+    // decide() flip points are exact functions of the two measurements,
+    // byte-denominated on the broadcast side (VERDICT r14 #3)
+    assert(decide(dimBytes = 10, factMaxKeyRows = 0, rowCap = 32,
+      broadcastMaxBytes = 10) === BroadcastDim)
     assert(decide(11, 33, 32, 10) === SaltedMerge)
     assert(decide(11, 32, 32, 10) === SortMerge)
+    // the sampled width estimate sees actual string payloads: a frame
+    // of 8-byte longs + ~1000-byte strings must measure ~1000x wider
+    // than a long-only frame, so a 500k-row wide dim correctly blows a
+    // budget its row count alone would have passed (the r14 advice
+    // scenario)
+    val narrow = AdaptiveJoin.sampledAvgRowBytes(
+      spark.range(100).toDF("id"))
+    val wide = AdaptiveJoin.sampledAvgRowBytes(
+      spark.range(100).select(col("id"),
+        concat_ws("", (1 to 250).map(_ => lit("abcd")): _*).as("s")))
+    assert(narrow >= 8.0 && narrow < 32.0, s"narrow width $narrow")
+    assert(wide > 1000.0 && wide < 1100.0, s"wide width $wide")
     // fixture regime: part is measured under the broadcast budget ->
     // BroadcastDim, and the executed plan carries the broadcast join
     val fact = Tables.lineitem(spark, sf)
@@ -163,13 +176,13 @@ class JoinOpsSpec extends SparkSpec {
     val coldFact = (1L to 800L).map(k => (k, k)).toDF("k", "spread")
     val bigDim = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "attr")
     val (s1, j1) = AdaptiveJoin.adaptiveJoin(hotFact, bigDim, "k", 32L,
-      col("spread"), broadcastMaxRows = 10L)
+      col("spread"), broadcastMaxBytes = 10L)
     assert(s1 === SaltedMerge)
     val p1 = j1.queryExecution.executedPlan.toString
     assert(p1.contains("SortMergeJoin") && p1.contains("__salt"),
       s"salted regime plan gate:\n$p1")
     val (s2, j2) = AdaptiveJoin.adaptiveJoin(coldFact, bigDim, "k", 32L,
-      col("spread"), broadcastMaxRows = 10L)
+      col("spread"), broadcastMaxBytes = 10L)
     assert(s2 === SortMerge)
     val p2 = j2.queryExecution.executedPlan.toString
     assert(p2.contains("SortMergeJoin") && !p2.contains("__salt"),
@@ -180,5 +193,34 @@ class JoinOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
     assert(canon(j1) === canon(hotFact.join(bigDim, Seq("k"))))
     assert(canon(j2) === canon(coldFact.join(bigDim, Seq("k"))))
+  }
+
+  test("adaptive agg: measured max-key flips the strategy; both shapes" +
+      " answer the plain aggregate") {
+    import spark.implicits._
+    import graft.operators.AdaptiveAgg
+    import graft.operators.AdaptiveAgg._
+    // decide() flip point is exact: strictly over the cap hand-lowers
+    assert(decide(maxKeyRows = 32, rowCap = 32) === ExpandPlan)
+    assert(decide(33, 32) === PerFamily)
+    // one hot key (640 rows) against a uniform tail; both distinct
+    // payloads repeat so n_u/n_d < n_rows in the hot group
+    val fact = ((1 to 640).map(i =>
+      ("hot", (i % 7).toLong, (i % 3).toLong, 1.5)) ++
+      (1 to 200).map(i => (s"cold$i", i.toLong, i.toLong, 2.0)))
+      .toDF("k", "u", "d", "v")
+    val (s1, a1) = AdaptiveAgg.adaptiveAgg(fact, "k", Seq("u", "d"),
+      "v", 32L)
+    assert(s1 === PerFamily)
+    val (s2, a2) = AdaptiveAgg.adaptiveAgg(fact, "k", Seq("u", "d"),
+      "v", 1000L)
+    assert(s2 === ExpandPlan)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sorted.toSeq
+    val plain = canon(a2)
+    assert(canon(a1) === plain, "strategy invariance")
+    assert(plain.find(_._1 == "hot").get ===
+      (("hot", 640L, 7L, 3L, 960.0)))
   }
 }

@@ -803,6 +803,37 @@ class PlanSpec extends SparkSpec {
       s"lang predicate does not reach PartitionFilters:\n$p")
   }
 
+  test("adaptive agg: per-family plans Expand-free; the multi-distinct " +
+      "default carries Expand") {
+    // the whole point of the per-family shape is removing Catalyst's
+    // multi-distinct Expand (one input replica per aggregate family)
+    // from the first exchange: its plan must aggregate on
+    // (event_type, family column) first with NO Expand node and join
+    // the family results back BROADCAST, while Catalyst's default for
+    // two distinct families must show the Expand it exists to avoid.
+    // (A SINGLE distinct family needs no hand-lowering — Catalyst's
+    // single-distinct rewrite already plans the two-level shape; this
+    // gate pins the multi-distinct boundary where the trade is real.)
+    import graft.operators.AdaptiveAgg
+    val fact = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"), col("value"))
+    val perFam = plan(AdaptiveAgg.buildAgg(fact, "event_type",
+      Seq("user_id", "day"), "value", AdaptiveAgg.PerFamily))
+    assert(!perFam.contains("Expand"),
+      s"per-family shape must not Expand:\n$perFam")
+    assert(perFam.split("\n").exists(l =>
+        l.contains("Keys") && l.contains("event_type") &&
+        l.contains("user_id")),
+      s"level-1 aggregate must key on (event_type, user_id):\n$perFam")
+    assert(perFam.contains("BroadcastHashJoin"),
+      s"family join-back must broadcast:\n$perFam")
+    val expand = plan(AdaptiveAgg.buildAgg(fact, "event_type",
+      Seq("user_id", "day"), "value", AdaptiveAgg.ExpandPlan))
+    assert(expand.contains("Expand"),
+      s"two-distinct-family default should Expand:\n$expand")
+  }
+
   test("salted join: the salt reaches the physical join keys") {
     // the whole point of q_salted_join is that one hot user spreads over
     // its profiled fan-out of reducers — that only happens if __salt is
