@@ -58,6 +58,10 @@ object ScaleBench {
     // not depth); the upsert's per-batch merge scales with batch size
     "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
     "q_compact", "q_stream_upsert", "q_event_sequences",
+    // streaming RTBF: the upsert's microbatch MERGE floor plus one
+    // tombstone batch (deletion-set-sized) — expect q_stream_upsert's
+    // flat-floor line
+    "q_stream_forget",
     "q_robust_outliers", "q_watermark_audit",
     // streaming KMV distinct: salted copies add USERS (ids shift per
     // copy) inside the same fixed hour windows, so the sketch side is
@@ -250,6 +254,10 @@ object ScaleBench {
     // prices the (row-at-a-time) XML serde itself; expect alpha ~ 1
     // like q_compact's rewrite
     "q_xml_roundtrip",
+    // Avro round-trip: same write+read shape over the row-major binary
+    // serde — expect the q_orc_roundtrip class (columnar write cost
+    // swapped for Avro's record encoder, still scan-linear)
+    "q_avro_roundtrip",
     // tokenizer fertility: two regexp counts + two lengths per row into
     // one lang-grouped 5-long partial-sum exchange (map-side combined,
     // langs-count output rows) — the corpus scan is the only linear
@@ -368,7 +376,12 @@ object ScaleBench {
     "q_stream_content_gate",
     // data contract: one corpus scan + one id-grouped aggregate into a
     // 5-row literal unpivot — the q_null_audit class
-    "q_data_contract")
+    "q_data_contract",
+    // ingest report: the XML+JSONL quarantine mouths (serde-bound, the
+    // q_xml_roundtrip class) + the contract scan + the evolution
+    // write/merge-read — four already-gated passes into
+    // constraint-count-sized rows; expect roughly their sum, alpha ~ 1
+    "q_ingest_report")
 
   private[graft] def synth(spark: SparkSession, base: String, s: Int): String = {
     val dir = TempArtifacts.tempDir(s"graft_scale_${s}x")

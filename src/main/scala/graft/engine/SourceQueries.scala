@@ -125,7 +125,14 @@ object SourceQueries {
     * line-delimited mouth (a corrupt LINE is self-delimiting, so the
     * planted rows can share one part file, unlike XML's rowTag splitter).
     */
-  def jsonlQuarantine(spark: SparkSession, dir: String): DataFrame = {
+  def jsonlQuarantine(spark: SparkSession, dir: String): DataFrame =
+    quarantineChecksum(jsonlQuarantineRead(spark, dir))
+
+  /** The raw PERMISSIVE JSONL read behind [[jsonlQuarantine]], split out
+    * so [[ingestReport]] can aggregate it with the full-schema pin.
+    */
+  private def jsonlQuarantineRead(spark: SparkSession,
+      dir: String): DataFrame = {
     val tmp = tempSinkDir("graft-jsonl-q")
     JsonCsvSources.writeJsonl(eventsProjection(spark, dir), tmp)
     java.nio.file.Files.writeString(
@@ -133,11 +140,10 @@ object SourceQueries {
       JsonlMalformedRows.mkString("\n"))
     val withCorrupt = StructType(
       eventsLite.fields :+ StructField("_corrupt_record", StringType))
-    val read = spark.read
+    spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt).json(tmp)
-    quarantineChecksum(read)
   }
 
   /** The shared quarantine aggregate (see [[xmlQuarantine]] for why ONE
@@ -171,6 +177,22 @@ object SourceQueries {
     * scan, zero extra exchanges beyond the checksum's own.
     */
   def xmlQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    // ONE conditional-aggregate pass, not a clean/bad branch pair:
+    // Spark disallows plans whose scan references ONLY the corrupt
+    // column (a filtered quarantine-count branch is exactly that after
+    // pruning; the documented alternative is cache(), wrong at corpus
+    // scale). Quarantined rows re-key to one '__quarantined' group and
+    // every clean-side aggregate is corrupt-null-guarded, so clean
+    // groups see exactly the unpolluted values (null-sum/min/max for
+    // the quarantine group by SQL semantics, 0 distinct users).
+    quarantineChecksum(xmlQuarantineRead(spark, dir))
+  }
+
+  /** The raw PERMISSIVE XML read behind [[xmlQuarantine]], split out so
+    * [[ingestReport]] can aggregate it with the full-schema pin.
+    */
+  private def xmlQuarantineRead(spark: SparkSession,
+      dir: String): DataFrame = {
     val tmp = tempSinkDir("graft-xml-q")
     JsonCsvSources.writeXml(eventsProjection(spark, dir), tmp)
     // salt the sink with malformed part files (driver-side, a few
@@ -184,19 +206,10 @@ object SourceQueries {
     }
     val withCorrupt = StructType(
       eventsLite.fields :+ StructField("_corrupt_record", StringType))
-    val read = spark.read.option("rowTag", "row")
+    spark.read.option("rowTag", "row")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt).xml(tmp)
-    // ONE conditional-aggregate pass, not a clean/bad branch pair:
-    // Spark disallows plans whose scan references ONLY the corrupt
-    // column (a filtered quarantine-count branch is exactly that after
-    // pruning; the documented alternative is cache(), wrong at corpus
-    // scale). Quarantined rows re-key to one '__quarantined' group and
-    // every clean-side aggregate is corrupt-null-guarded, so clean
-    // groups see exactly the unpolluted values (null-sum/min/max for
-    // the quarantine group by SQL semantics, 0 distinct users).
-    quarantineChecksum(read)
   }
 
   /** ORC twin of [[jsonlRoundtrip]]: the columnar non-parquet interchange
@@ -207,6 +220,18 @@ object SourceQueries {
     val tmp = tempSinkDir("graft-orc")
     JsonCsvSources.writeOrc(eventsProjection(spark, dir), tmp)
     checksum(JsonCsvSources.readOrc(spark, tmp))
+  }
+
+  /** Avro twin of [[orcRoundtrip]] (VERDICT r14 #4 — the last mainstream
+    * interchange format the S8 family was missing): events → Avro sink →
+    * scan → checksum. Avro self-describes its schema like ORC; being
+    * row-major it is the landing format, not the analytical one — the
+    * checksum equality proves a landing→convert hop is lossless.
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-avro")
+    JsonCsvSources.writeAvro(eventsProjection(spark, dir), tmp)
+    checksum(JsonCsvSources.readAvro(spark, tmp))
   }
 
   /** Partitioned export + PRUNED read-back: documents written
@@ -606,11 +631,75 @@ object SourceQueries {
         (col("n_violations") === 0L).as("pass"))
   }
 
+  /** Mouth-level ingest HEALTH REPORT (`q_ingest_report`, VERDICT r14
+    * #5) — the dataset card's ingest sibling: one artifact a batch
+    * admission gate reads, unioning every ingest-integrity signal this
+    * engine computes into (section, item, n_checked, n_flagged, pass)
+    * rows —
+    *   - `mouth`: the XML and JSONL quarantine runs' totals (checked =
+    *     clean + planted-bad rows, flagged = quarantined);
+    *   - `contract`: [[dataContract]]'s per-constraint verdicts,
+    *     re-keyed verbatim;
+    *   - `store`: [[schemaEvolution]]'s generation coverage — rows
+    *     written before the `lang` column existed are the flagged set
+    *     (a real admission datum: consumers that require the column
+    *     must filter or backfill those generations).
+    * Oracle = recount from the unpolluted tables (the quarantine
+    * two-direction pattern); SourcesExtensionsSpec proves each report
+    * row equals its standalone query. Output is
+    * constraint-count-sized; the cost is the three underlying passes,
+    * each already scale-shaped (their own ScaleBench rows).
+    */
+  def ingestReport(spark: SparkSession, dir: String): DataFrame = {
+    // FULL-SCHEMA PIN (found the hard way building this report): a
+    // PERMISSIVE reader judges corruption only against the columns the
+    // plan actually reads, so when the report's count-shaped aggregate
+    // let Catalyst prune the payload columns, the planted type-garbage
+    // rows PARSED CLEAN (measured: XML flagged 0/3, JSONL 2/3 — exactly
+    // the rows whose broken column was pruned). An admission verdict
+    // must be judged against the full declared schema, so the flagged
+    // count folds in `0 * hash(every declared column)` — semantically
+    // zero, but it pins each column into the scan. The standalone
+    // quarantine queries don't need the pin only because their checksum
+    // aggregates every column already.
+    // the pin is a clean-row WITNESS: clean rows are counted through a
+    // hash of every payload column (xxhash64 never returns null, so
+    // count(when(clean, hash)) == clean count), which the optimizer
+    // cannot eliminate — a first-cut `0 * hash` pin was constant-folded
+    // away (0 * non-nullable → 0), resurrecting the corrupt-only scan
+    // Spark rejects
+    def mouth(read: DataFrame, item: String): DataFrame = read.agg(
+        count(lit(1)).as("n_checked"),
+        (count(lit(1)) - count(when(col("_corrupt_record").isNull,
+          xxhash64(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))))).as("n_flagged"))
+      .select(lit("mouth").as("section"), lit(item).as("item"),
+        col("n_checked"), col("n_flagged"),
+        (col("n_flagged") === 0L).as("pass"))
+    val contract = dataContract(spark, dir)
+      .select(lit("contract").as("section"),
+        col("check_name").as("item"), col("n_checked"),
+        col("n_violations").as("n_flagged"), col("pass"))
+    val evo = schemaEvolution(spark, dir).agg(
+        sum(col("n_docs")).as("n_checked"),
+        (sum(col("n_docs")) - sum(col("n_langful"))).as("n_flagged"))
+      .select(lit("store").as("section"),
+        lit("documents_pre_lang").as("item"),
+        col("n_checked"), col("n_flagged"),
+        (col("n_flagged") === 0L).as("pass"))
+    mouth(xmlQuarantineRead(spark, dir), "events_xml")
+      .unionByName(mouth(jsonlQuarantineRead(spark, dir), "events_jsonl"))
+      .unionByName(contract)
+      .unionByName(evo)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ingest_report" -> ingestReport _,
     "q_data_contract" -> dataContract _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
+    "q_avro_roundtrip" -> avroRoundtrip _,
     "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_xml_quarantine" -> xmlQuarantine _,
     "q_jsonl_quarantine" -> jsonlQuarantine _,
@@ -622,11 +711,10 @@ object SourceQueries {
     "q_zorder_layout" -> zorderLayout _,
     "q_schema_evolution" -> schemaEvolution _)
 
-  /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
-    * scan round-trip lost nothing.
+  /** The q_data_contract oracle, factored out so [[ingestReport]]'s
+    * oracle can embed the identical per-constraint recount.
     */
-  val oracles: Map[String, String] = Map(
-    "q_data_contract" -> {
+  private val contractOracleSql: String = {
       val langs = ContractLangs.map(l => s"'$l'").mkString(", ")
       val values = ContractPlantedRows.map { case (id, t, l, nc) =>
         val tv = if (t == null) "CAST(NULL AS VARCHAR)" else s"'$t'"
@@ -659,11 +747,35 @@ object SourceQueries {
          |SELECT check_name, n AS n_checked, v AS n_violations,
          |  v = 0 AS pass
          |FROM u, f""".stripMargin
-    },
+  }
+
+  /** Oracles aggregate the ORIGINAL parquet — equality proves the sink →
+    * scan round-trip lost nothing.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_data_contract" -> contractOracleSql,
+    "q_ingest_report" ->
+      s"""WITH contract AS ($contractOracleSql)
+         |SELECT 'contract' AS section, check_name AS item,
+         |  n_checked, n_violations AS n_flagged, pass
+         |FROM contract
+         |UNION ALL SELECT 'mouth', 'events_xml',
+         |  CAST(count(*) + ${XmlMalformedRows.size} AS BIGINT),
+         |  CAST(${XmlMalformedRows.size} AS BIGINT), false FROM events
+         |UNION ALL SELECT 'mouth', 'events_jsonl',
+         |  CAST(count(*) + ${JsonlMalformedRows.size} AS BIGINT),
+         |  CAST(${JsonlMalformedRows.size} AS BIGINT), false FROM events
+         |UNION ALL SELECT 'store', 'documents_pre_lang',
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) = 0
+         |FROM documents""".stripMargin,
 
     "q_jsonl_roundtrip" -> checksumSql,
     "q_csv_roundtrip" -> checksumSql,
     "q_orc_roundtrip" -> checksumSql,
+    "q_avro_roundtrip" -> checksumSql,
     "q_xml_roundtrip" -> checksumSql,
     // clean side must equal the unpolluted checksum; the quarantine row
     // carries the planting constant

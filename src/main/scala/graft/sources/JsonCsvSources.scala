@@ -89,6 +89,29 @@ object JsonCsvSources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Avro scan — the ROW-oriented interchange format Kafka/streaming
+    * ingests actually hand a batch engine (schema'd, splittable,
+    * append-friendly; Spark 4 ships the datasource in spark-sql, no
+    * external artifact). Row-major means no column pruning at the
+    * reader — an Avro feed should be converted to parquet/ORC once on
+    * landing, which is exactly the round-trip this source exists for.
+    */
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
+
+  /** Avro sink (one container file per partition, schema embedded). */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroFormat).save(path)
+
+  /** This distribution bundles the Avro datasource CLASSES in spark-sql
+    * but not the `avro` shortname's DataSourceRegister service entry
+    * (that file ships in the separate spark-avro artifact), so the
+    * format is addressed by its public class name — Spark's documented
+    * lookup fallback. Swap for "avro" on a distribution that carries
+    * the module's service registration.
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   /** XML scan (Spark 4 ships the XML source natively) — the interchange
     * format legacy feeds and document corpora (Wikipedia dumps, PubMed,
     * sitemap/feed crawls) actually arrive in. Default (non-multiline)

@@ -246,6 +246,23 @@ object StreamingQueries {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .repartition(UpsertSpoolFiles)
       .write.mode("overwrite").parquet(spool)
+    driveUpsertStream(s2, spool, target)
+    spark.read.schema(upsertStoreSchema).parquet(target)
+      .select(col("user_id"), col("bucket"), col("last_ts"),
+        col("last_event_id"), col("last_event_type"),
+        round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
+          .as("last_value"),
+        col("n_versions"))
+  }
+
+  /** The microbatch MERGE loop behind [[streamUpsert]] AND
+    * [[streamForget]] (they share one store discipline — RTBF rides the
+    * same associative merge as ingest): replays the spool one file per
+    * trigger through the bucket-partitioned latest-per-key merge into
+    * `target`.
+    */
+  private def driveUpsertStream(s2: SparkSession, spool: String,
+      target: String): Unit = {
     val merge = (batch: DataFrame, _: Long) => {
       val sp = batch.sparkSession
       sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -284,14 +301,97 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1).parquet(spool)
       .writeStream.foreachBatch(merge).start()
     q.processAllAvailable()
-    q.stop()
+    q.stop(): Unit
+  }
+
+  /** Every user_id divisible by this is served a right-to-be-forgotten
+    * tombstone in [[streamForget]] — deterministic, so the oracle
+    * derives the same deletion set from the events table.
+    */
+  val ForgetMod = 10L
+
+  /** Tombstone marker + timestamp: the ts sits ABOVE every possible
+    * event timestamp, so a tombstone always wins the latest-per-key
+    * argmax — deletion dominates no matter which microbatch delivers it,
+    * which is exactly what makes the drained store TOMBSTONE-ORDER-
+    * INVARIANT (proved in MultimodalStreamingSpec by replaying with the
+    * tombstone file first vs last).
+    */
+  val TombstoneType = "__forget"
+  private val TombstoneTs =
+    java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+
+  /** Streaming right-to-be-forgotten (`q_stream_forget`, VERDICT r14
+    * #6 — the streaming half of `q_index_forget`, connecting governance
+    * to live ingest): deletion requests arrive ON THE STREAM as
+    * tombstone rows and ride [[streamUpsert]]'s bucket-partitioned
+    * foreachBatch MERGE unchanged — delete-on-match is expressed INSIDE
+    * the associative latest-per-key argmax by giving tombstones the
+    * maximal timestamp, so the merge erases the user's payload the
+    * moment the tombstone's batch lands (the store row collapses to the
+    * tombstone constants; the touched partition is physically
+    * rewritten). The read-back drops tombstone winners, leaving exactly
+    * the retained users' latest rows. Oracle = the batch latest-per-key
+    * over retained keys. Per-batch cost is batch size + touched
+    * partitions, and a deletion batch costs the same as any ingest
+    * batch — RTBF without a second store discipline.
+    */
+  def streamForget(spark: SparkSession, dir: String): DataFrame =
+    streamForgetAt(spark, dir, tombstonesFirst = false)
+
+  private[graft] def streamForgetAt(spark: SparkSession, dir: String,
+      tombstonesFirst: Boolean,
+      targetOverride: Option[String] = None): DataFrame = {
+    val s2 = sizedStreamSession(spark, dir)
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val spool = graft.engine.TempArtifacts.tempDir("graft-forget-spool")
+    val target = targetOverride.getOrElse(
+      graft.engine.TempArtifacts.tempDir("graft-forget-store"))
+    def writeEvents(): Unit =
+      graft.engine.Tables.events(s2, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(UpsertSpoolFiles)
+        .write.mode("append").parquet(spool)
+    // tombstones: one per to-be-forgotten user (negative event_id keeps
+    // the id space disjoint), staged to a side dir and MOVED into the
+    // spool under a controlled name so the replay-order contrast in the
+    // spec is deterministic
+    def writeTombstones(): Unit = {
+      val stage = graft.engine.TempArtifacts.tempDir("graft-forget-stage")
+      graft.engine.Tables.events(s2, dir)
+        .select("user_id").distinct()
+        .filter(pmod(col("user_id"), lit(ForgetMod)) === 0)
+        .select((-col("user_id")).as("event_id"),
+          lit(TombstoneTs).as("ts"), col("user_id"),
+          lit(TombstoneType).as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val name = if (tombstonesFirst) "0-tombstones.parquet"
+        else "z-tombstones.parquet"
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(spool, name)): Unit
+      graft.engine.TempArtifacts.delete(stage)
+    }
+    if (tombstonesFirst) { writeTombstones(); writeEvents() }
+    else { writeEvents(); writeTombstones() }
+    driveUpsertStream(s2, spool, target)
     spark.read.schema(upsertStoreSchema).parquet(target)
+      .filter(col("last_event_type") =!= TombstoneType)
       .select(col("user_id"), col("bucket"), col("last_ts"),
         col("last_event_id"), col("last_event_type"),
         round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
           .as("last_value"),
         col("n_versions"))
   }
+
+  /** Raw store read-back for the spec's physical-erasure assertion (no
+    * tombstone filter — the spec must see what the store retains).
+    */
+  private[graft] def forgetStoreRaw(spark: SparkSession,
+      target: String): DataFrame =
+    spark.read.schema(upsertStoreSchema).parquet(target)
 
   /** Streaming ingest curation: the stateless quality gate a production
     * ingest runs on every arriving document — token count, quality score
@@ -465,6 +565,7 @@ object StreamingQueries {
     "q_stream_enrich" -> streamEnrich _,
     "q_stream_join" -> streamStreamJoin _,
     "q_stream_upsert" -> streamUpsert _,
+    "q_stream_forget" -> streamForget _,
     "q_stream_quality" -> streamQuality _,
     "q_stream_content_gate" -> streamContentGate _)
 
@@ -508,6 +609,10 @@ object StreamingQueries {
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, p.event_id AS purchase_id, p.ts AS purchase_ts, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "q_stream_upsert" ->
       """SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1""",
+    // retained keys only — tombstoned users (user_id % ForgetMod = 0)
+    // must be ABSENT, which the hash equality proves
+    "q_stream_forget" ->
+      s"""SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1 AND user_id % $ForgetMod <> 0""",
     "q_stream_content_gate" -> {
       import graft.engine.TextOps
       val values = TextOps.ContentPlantedRows.map { case (id, t) =>

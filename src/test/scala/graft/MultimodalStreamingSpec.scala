@@ -609,4 +609,51 @@ class MultimodalStreamingSpec extends SparkSpec {
     val corpus = Tables.documents(spark, sf).count()
     assert(admitted.size.toLong === corpus + 3)
   }
+
+  test("stream forget: tombstone-order-invariant, physically erased, " +
+      "equals the batch latest-per-key over retained keys") {
+    import graft.streaming.StreamingQueries
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getLong(3), r.getString(4), r.getDouble(5),
+        r.getLong(6))).sortBy(_._1).toSeq
+    // tombstones delivered LAST vs FIRST must drain to the same store:
+    // deletion wins the argmax by timestamp, not by arrival order
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("forget-store-spec").toString
+    val last = canon(StreamingQueries.streamForgetAt(spark, sf,
+      tombstonesFirst = false, Some(storeDir)))
+    val first = canon(StreamingQueries.streamForgetAt(spark, sf,
+      tombstonesFirst = true))
+    assert(first === last, "tombstone order changed the drained store")
+    // physical erasure: the raw store (no read-back filter) retains NO
+    // payload row for a forgotten user — only tombstone receipts whose
+    // columns are the tombstone constants
+    val raw = StreamingQueries.forgetStoreRaw(spark, storeDir)
+      .filter(pmod(col("user_id"), lit(StreamingQueries.ForgetMod)) === 0)
+      .collect()
+    assert(raw.nonEmpty, "fixture must contain forgotten users")
+    raw.foreach { r =>
+      assert(r.getAs[String]("last_event_type") ===
+        StreamingQueries.TombstoneType,
+        s"payload survived for forgotten user ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Double]("last_value") === 0.0)
+    }
+    // retained side equals the batch latest-per-key argmax over events
+    val ord = struct(col("ts"), col("event_id"))
+    val batch = canon(Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(StreamingQueries.ForgetMod)) =!= 0)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value")), ord).as("m"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"),
+        pmod(col("user_id"), lit(16L)).as("bucket"),
+        col("m.ts").as("last_ts"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_event_type"),
+        round(col("m.value").cast("decimal(12,2)").cast("double"), 2)
+          .as("last_value"),
+        col("n_versions")))
+    assert(last === batch)
+  }
 }

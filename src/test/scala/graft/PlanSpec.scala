@@ -564,8 +564,9 @@ class PlanSpec extends SparkSpec {
       // kept in-plan, like q_index_forget's accounting row)
       "q_dataset_card",
       // q_data_contract folds its 1-row uniqueness aggregate into the
-      // constraint unpivot (collect-scalar kept in-plan)
-      "q_data_contract",
+      // constraint unpivot (collect-scalar kept in-plan); q_ingest_report
+      // embeds that same contract pass verbatim
+      "q_data_contract", "q_ingest_report",
       // q_kmv_jaccard pairs sources with a `<` non-equi join where BOTH
       // sides are 1-row-per-source aggregates (sources² pair rows of
       // O(k) arrays — dimension-sized by construction, never corpus rows)

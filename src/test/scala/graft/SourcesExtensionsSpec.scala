@@ -91,6 +91,44 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(back.exceptAll(src).count() === 0)
   }
 
+  test("Avro round-trip preserves rows, schema, and exact values") {
+    val out = tmpDir("avro")
+    val src = Tables.nation(spark, sf)
+    JsonCsvSources.writeAvro(src, out)
+    val back = JsonCsvSources.readAvro(spark, out)
+    assert(back.count() === src.count())
+    assert(back.schema === src.schema)
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("ingest report rows each equal their standalone query") {
+    val report = SourceQueries.ingestReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // mouths vs the standalone quarantine checksums
+    for ((item, q) <- Seq(
+        "events_xml" -> SourceQueries.queries("q_xml_quarantine"),
+        "events_jsonl" -> SourceQueries.queries("q_jsonl_quarantine"))) {
+      val rows = q(spark, sf).collect()
+      val bad = rows.filter(_.getString(0) == "__quarantined")
+        .map(_.getLong(1)).sum
+      val total = rows.map(_.getLong(1)).sum
+      assert(report(("mouth", item)) === ((total, bad, bad == 0L)), item)
+    }
+    // contract rows verbatim
+    SourceQueries.queries("q_data_contract")(spark, sf).collect()
+      .foreach { r =>
+        assert(report(("contract", r.getString(0))) ===
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3))), r.getString(0))
+      }
+    // store row vs the standalone schema-evolution rollup
+    val evo = SourceQueries.queries("q_schema_evolution")(spark, sf)
+      .agg(sum("n_docs"), sum("n_langful")).head()
+    val (nd, nl) = (evo.getLong(0), evo.getLong(1))
+    assert(report(("store", "documents_pre_lang")) ===
+      ((nd, nd - nl, nd == nl)))
+  }
+
   test("partitioned parquet sink lays out partition directories") {
     val out = tmpDir("part")
     JsonCsvSources.writeParquetPartitioned(
