@@ -222,6 +222,11 @@ object MlSuite {
       // describeModel still resolves real feature names.
       val slicer = new VectorSlicer().setInputCol("features")
         .setOutputCol("selectedFeatures").setIndices(selIdx.sorted)
+      // cache (not localCheckpoint): measured both under the CV loop —
+      // checkpoint-truncated lineage reads 13.6 s vs 12.8 s cached, i.e.
+      // lineage shipping is NOT where ml_cross_validate's time goes
+      // (see BASELINE.md "Round-15 ML attribution"), so the simpler
+      // cache + count materialization stays.
       def sel(df: DataFrame): DataFrame = slicer.transform(df)
         .drop("features", "features_disc")
         .withColumnRenamed("selectedFeatures", "features")

@@ -74,9 +74,10 @@ object AdaptiveAgg {
   def adaptiveAgg(fact: DataFrame, key: String, distinctCols: Seq[String],
       valueCol: String, rowCap: Long): (Strategy, DataFrame) = {
     // the q_skew_profile statistic: one map-side-combined aggregate
-    // reduced to a single driver row
+    // reduced to a single driver row (coalesce: max over an EMPTY input
+    // is NULL — an empty fact has no hot key)
     val maxKeyRows = fact.groupBy(key).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head().getLong(0)
+      .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
     val strategy = decide(maxKeyRows, rowCap)
     (strategy, buildAgg(fact, key, distinctCols, valueCol, strategy))
   }

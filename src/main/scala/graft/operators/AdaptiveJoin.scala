@@ -121,10 +121,11 @@ object AdaptiveJoin {
     val dimBytes = (dim.count() * sampledAvgRowBytes(dim)).toLong
     // skew probe only when it can change the decision (big dim):
     // one map-side-combined aggregate reduced to a single driver row
+    // coalesce: max over an EMPTY fact is NULL — no rows, no hot key
     val factMax =
       if (dimBytes <= broadcastMaxBytes) 0L
       else fact.groupBy(key).agg(count(lit(1)).as("__n"))
-        .agg(max(col("__n"))).head().getLong(0)
+        .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
     val strategy = decide(dimBytes, factMax, rowCap, broadcastMaxBytes)
     val joined = strategy match {
       case BroadcastDim => fact.join(broadcast(dim), Seq(key))
