@@ -249,6 +249,9 @@ object ScaleBench {
     // JSONL quarantine: same shape over the line-delimited mouth —
     // expect the q_jsonl_roundtrip line
     "q_jsonl_quarantine",
+    // CSV quarantine: same skeleton over the third text mouth — expect
+    // the q_csv_roundtrip serde line
+    "q_csv_quarantine",
     // XML round-trip: write + rowTag-split read of the scaled events
     // table — both sides are zero-exchange scans, so the exponent
     // prices the (row-at-a-time) XML serde itself; expect alpha ~ 1

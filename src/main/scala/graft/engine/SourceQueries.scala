@@ -128,6 +128,40 @@ object SourceQueries {
   def jsonlQuarantine(spark: SparkSession, dir: String): DataFrame =
     quarantineChecksum(jsonlQuarantineRead(spark, dir))
 
+  /** Planted malformed CSV lines for [[csvQuarantine]]: type garbage in
+    * the LONG key fields and in the DOUBLE value (CSV has no syntax
+    * layer to break — a malformed CSV row IS a type-mismatch row).
+    */
+  private[graft] val CsvMalformedRows: Seq[String] = Seq(
+    "oops,3,click,1.0",
+    "12,bad,view,2.0",
+    "13,5,purchase,not_a_double")
+
+  /** CSV twin of [[xmlQuarantine]]/[[jsonlQuarantine]] — the third real
+    * text mouth, same PERMISSIVE + corrupt-column + one-conditional-
+    * aggregate skeleton. The planted part file carries its own header
+    * line (the `header` option skips the first line of EVERY file).
+    */
+  def csvQuarantine(spark: SparkSession, dir: String): DataFrame =
+    quarantineChecksum(csvQuarantineRead(spark, dir))
+
+  private def csvQuarantineRead(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tmp = tempSinkDir("graft-csv-q")
+    JsonCsvSources.writeCsv(eventsProjection(spark, dir), tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "part-malformed.csv"),
+      ("event_id,user_id,event_type,value" +: CsvMalformedRows)
+        .mkString("\n"))
+    val withCorrupt = StructType(
+      eventsLite.fields :+ StructField("_corrupt_record", StringType))
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(tmp)
+  }
+
   /** The raw PERMISSIVE JSONL read behind [[jsonlQuarantine]], split out
     * so [[ingestReport]] can aggregate it with the full-schema pin.
     */
@@ -636,8 +670,8 @@ object SourceQueries {
     * admission gate reads, unioning every ingest-integrity signal this
     * engine computes into (section, item, n_checked, n_flagged, pass)
     * rows —
-    *   - `mouth`: the XML and JSONL quarantine runs' totals (checked =
-    *     clean + planted-bad rows, flagged = quarantined);
+    *   - `mouth`: the XML, JSONL, and CSV quarantine runs' totals
+    *     (checked = clean + planted-bad rows, flagged = quarantined);
     *   - `contract`: [[dataContract]]'s per-constraint verdicts,
     *     re-keyed verbatim;
     *   - `store`: [[schemaEvolution]]'s generation coverage — rows
@@ -689,6 +723,7 @@ object SourceQueries {
         (col("n_flagged") === 0L).as("pass"))
     mouth(xmlQuarantineRead(spark, dir), "events_xml")
       .unionByName(mouth(jsonlQuarantineRead(spark, dir), "events_jsonl"))
+      .unionByName(mouth(csvQuarantineRead(spark, dir), "events_csv"))
       .unionByName(contract)
       .unionByName(evo)
   }
@@ -703,6 +738,7 @@ object SourceQueries {
     "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_xml_quarantine" -> xmlQuarantine _,
     "q_jsonl_quarantine" -> jsonlQuarantine _,
+    "q_csv_quarantine" -> csvQuarantine _,
     "q_partitioned_export" -> partitionedExport _,
     "q_dataset_manifest" -> datasetManifest _,
     "q_multiline_roundtrip" -> multilineRoundtrip _,
@@ -765,6 +801,9 @@ object SourceQueries {
          |UNION ALL SELECT 'mouth', 'events_jsonl',
          |  CAST(count(*) + ${JsonlMalformedRows.size} AS BIGINT),
          |  CAST(${JsonlMalformedRows.size} AS BIGINT), false FROM events
+         |UNION ALL SELECT 'mouth', 'events_csv',
+         |  CAST(count(*) + ${CsvMalformedRows.size} AS BIGINT),
+         |  CAST(${CsvMalformedRows.size} AS BIGINT), false FROM events
          |UNION ALL SELECT 'store', 'documents_pre_lang',
          |  CAST(count(*) AS BIGINT),
          |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
@@ -784,6 +823,15 @@ object SourceQueries {
          |UNION ALL
          |SELECT '__quarantined' AS event_type,
          |  CAST(${JsonlMalformedRows.size} AS BIGINT) AS n,
+         |  CAST(0 AS BIGINT) AS n_users,
+         |  CAST(NULL AS DOUBLE) AS sum_value,
+         |  CAST(NULL AS BIGINT) AS min_id,
+         |  CAST(NULL AS BIGINT) AS max_id""".stripMargin),
+    "q_csv_quarantine" -> (checksumSql +
+      s"""
+         |UNION ALL
+         |SELECT '__quarantined' AS event_type,
+         |  CAST(${CsvMalformedRows.size} AS BIGINT) AS n,
          |  CAST(0 AS BIGINT) AS n_users,
          |  CAST(NULL AS DOUBLE) AS sum_value,
          |  CAST(NULL AS BIGINT) AS min_id,

@@ -195,6 +195,39 @@ class JoinOpsSpec extends SparkSpec {
     assert(canon(j2) === canon(coldFact.join(bigDim, Seq("k"))))
   }
 
+  test("adaptive agg: the Expand plan measurably ships more shuffle " +
+      "bytes than per-family") {
+    // the operator's whole justification is wire volume: Catalyst's
+    // multi-distinct Expand replicates every input row once per
+    // aggregate family through the first exchange. Measure it — run
+    // both shapes AQE-off and sum each executed plan's exchange
+    // dataSize metrics; the Expand plan must ship strictly more.
+    import graft.operators.AdaptiveAgg
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fact = Tables.events(spark, sf)
+        .select(col("event_type"), col("user_id"),
+          to_date(col("ts")).as("day"), col("value"))
+      def shuffledBytes(df: org.apache.spark.sql.DataFrame): Long = {
+        // drive THIS QueryExecution's plan (count() would build and
+        // execute a separate one, leaving these metrics untouched)
+        df.queryExecution.toRdd.foreach(_ => ())
+        df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s.metrics("dataSize").value
+        }.sum
+      }
+      val expand = shuffledBytes(AdaptiveAgg.buildAgg(fact, "event_type",
+        Seq("user_id", "day"), "value", AdaptiveAgg.ExpandPlan))
+      val perFam = shuffledBytes(AdaptiveAgg.buildAgg(fact, "event_type",
+        Seq("user_id", "day"), "value", AdaptiveAgg.PerFamily))
+      info(s"expand shuffled $expand bytes, per-family $perFam bytes")
+      assert(expand > perFam,
+        s"Expand ($expand B) should out-ship per-family ($perFam B)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("adaptive agg: measured max-key flips the strategy; both shapes" +
       " answer the plain aggregate") {
     import spark.implicits._

@@ -108,7 +108,8 @@ class SourcesExtensionsSpec extends SparkSpec {
     // mouths vs the standalone quarantine checksums
     for ((item, q) <- Seq(
         "events_xml" -> SourceQueries.queries("q_xml_quarantine"),
-        "events_jsonl" -> SourceQueries.queries("q_jsonl_quarantine"))) {
+        "events_jsonl" -> SourceQueries.queries("q_jsonl_quarantine"),
+        "events_csv" -> SourceQueries.queries("q_csv_quarantine"))) {
       val rows = q(spark, sf).collect()
       val bad = rows.filter(_.getString(0) == "__quarantined")
         .map(_.getLong(1)).sum
