@@ -194,6 +194,11 @@ object ScaleBench {
     // pass (the salted regime adds the hot-key profile aggregate);
     // expect ~3x the single-join line, scaling with events
     "q_adaptive_join_regimes",
+    // adaptive window regimes: the plain per-key window (one exchange +
+    // per-key sort) plus the range-prefix shape (range exchange +
+    // (pid,key) exchange + broadcast offsets) over the same events —
+    // both scale with the events scan; output is row-sized by design
+    "q_adaptive_window",
     // adaptive aggregation regimes: the same per-event-type aggregate
     // through the Expand distinct plan AND the hand-lowered two-level
     // shape, plus two skew probes — four events passes total, each

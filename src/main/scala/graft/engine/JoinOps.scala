@@ -399,7 +399,35 @@ object JoinOps {
     }.reduce(_ unionByName _)
   }
 
+  /** The adaptive-WINDOW decision flip, driver-replayable
+    * (`q_adaptive_window` — the skew trilogy's third leg, same
+    * forced-regime contract as `q_adaptive_join_regimes` and
+    * `q_adaptive_agg`): per-event-type `row_number()` ordered by the
+    * unique (ts, event_id), run once per forced cap regime — wide open
+    * (→ plain per-key Window) and zero (→ the range-partitioned
+    * two-phase prefix rank, [[graft.operators.AdaptiveWindow]], whose
+    * hot-key sort is split across tasks). Labels hardcoded in the
+    * oracle gate the decision; identical rank rows gate strategy
+    * invariance. Output is every event's rank (row-count-sized — the
+    * operator's OUTPUT is the ranking; the oracle hashes all of it).
+    */
+  def adaptiveWindowRegimes(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val regimes = Seq(("uniform", Long.MaxValue), ("hot_key", 0L))
+    regimes.map { case (label, cap) =>
+      val (strategy, ranked) = graft.operators.AdaptiveWindow
+        .adaptiveRank(fact, "event_type", Seq("ts", "event_id"), "rnk",
+          cap)
+      ranked.select(lit(label).as("regime"),
+        lit(strategy.label).as("strategy"),
+        col("event_id"), col("event_type"),
+        col("rnk").cast("long").as("rnk"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_adaptive_window" -> adaptiveWindowRegimes _,
     "q_bloom_join" -> bloomJoin _,
     "q_semi_anti" -> semiAnti _,
     "q_join_size_estimate" -> joinSizeEstimate _,
@@ -429,6 +457,15 @@ object JoinOps {
         |  n_events, n_users, sum_value FROM agg
         |UNION ALL SELECT 'big_dim_uniform', 'sort_merge',
         |  n_events, n_users, sum_value FROM agg""".stripMargin,
+    "q_adaptive_window" ->
+      """WITH r AS (SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rnk
+        |  FROM events)
+        |SELECT 'uniform' AS regime, 'plain_window' AS strategy,
+        |  event_id, event_type, rnk FROM r
+        |UNION ALL SELECT 'hot_key', 'range_prefix',
+        |  event_id, event_type, rnk FROM r""".stripMargin,
     "q_adaptive_agg" ->
       """WITH agg AS (SELECT event_type, count(*) AS n_rows,
         |    count(DISTINCT user_id) AS n_users,

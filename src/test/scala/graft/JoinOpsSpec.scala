@@ -228,6 +228,41 @@ class JoinOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("adaptive window: measured max-key flips; range-prefix splits " +
+      "the hot key across partitions and matches the plain window") {
+    import spark.implicits._
+    import graft.operators.AdaptiveWindow
+    import graft.operators.AdaptiveWindow._
+    assert(decide(maxKeyRows = 32, rowCap = 32) === PlainWindow)
+    assert(decide(33, 32) === RangePrefix)
+    // one dominant key (800 of 900 rows) with a unique order column
+    val fact = ((1 to 800).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"cold${i % 10}", (1000 + i).toLong)))
+      .toDF("k", "o")
+    val (s1, r1) = AdaptiveWindow.adaptiveRank(fact, "k", Seq("o"),
+      "rnk", 32L)
+    assert(s1 === RangePrefix)
+    val (s2, r2) = AdaptiveWindow.adaptiveRank(fact, "k", Seq("o"),
+      "rnk", 100000L)
+    assert(s2 === PlainWindow)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    assert(canon(r1) === canon(r2), "strategy invariance")
+    // the whole point: the dominant key's rows must land in SEVERAL
+    // range partitions (no single task sorts the hot key). Pinned
+    // partition count — at 900 fixture rows AQE's size-targeted
+    // coalesce folds everything into one partition (correct at tiny
+    // size: a "hot" key under the advisory partition size needs no
+    // splitting); the property under test is the range PARTITIONER's
+    // willingness to split a key, which explicit numPartitions shows.
+    val hotSplit = fact.repartitionByRange(4, col("k"), col("o"))
+      .withColumn("p", spark_partition_id())
+      .filter(col("k") === "hot").select("p").distinct().count()
+    assert(hotSplit >= 2,
+      s"hot key confined to $hotSplit of 4 range partitions")
+  }
+
   test("adaptive agg: measured max-key flips the strategy; both shapes" +
       " answer the plain aggregate") {
     import spark.implicits._

@@ -835,6 +835,36 @@ class PlanSpec extends SparkSpec {
       s"two-distinct-family default should Expand:\n$expand")
   }
 
+  test("adaptive window: range-prefix windows key on (__pid, key) " +
+      "under a range exchange; plain sorts whole keys") {
+    // the hot-key defense is physical: the range-prefix shape must
+    // range-partition on (key, ord...) and run its row_number window
+    // PARTITIONED BY (__pid, key) — so no task sorts a whole key —
+    // with the offsets frame joined back broadcast; the plain shape's
+    // window must key on event_type alone
+    import graft.operators.AdaptiveWindow
+    val fact = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val rp = plan(AdaptiveWindow.buildRank(fact, "event_type",
+      Seq("ts", "event_id"), "rnk", AdaptiveWindow.RangePrefix))
+    assert(rp.contains("RANGE_PARTITIONED") ||
+        rp.contains("rangepartitioning"),
+      s"range-prefix shape lost its range exchange:\n$rp")
+    val rpWin = rp.split("\n").filter(l =>
+      l.contains("row_number") && l.contains("windowspecdefinition"))
+    assert(rpWin.exists(l => l.contains("__pid") &&
+        l.contains("event_type")),
+      s"range-prefix window must partition by (__pid, key):\n$rp")
+    assert(rp.contains("BroadcastHashJoin"),
+      s"offsets join-back must broadcast:\n$rp")
+    val pl = plan(AdaptiveWindow.buildRank(fact, "event_type",
+      Seq("ts", "event_id"), "rnk", AdaptiveWindow.PlainWindow))
+    val plWin = pl.split("\n").filter(l =>
+      l.contains("row_number") && l.contains("windowspecdefinition"))
+    assert(plWin.nonEmpty && plWin.forall(!_.contains("__pid")),
+      s"plain window should key on event_type alone:\n$pl")
+  }
+
   test("salted join: the salt reaches the physical join keys") {
     // the whole point of q_salted_join is that one hot user spreads over
     // its profiled fan-out of reducers — that only happens if __salt is
