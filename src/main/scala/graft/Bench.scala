@@ -234,6 +234,24 @@ object Bench {
     */
   val LoadedBootCalibBar = 1.15
 
+  /** The divert comparison's FIXED reference: the best-ever quiet-host
+    * calib median (BENCH_CALIB.jsonl history, stable across rounds
+    * 11–15). VERDICT r15 #2/what's-wrong #4: comparing against the
+    * committed record's OWN calib lets a loaded record that slips
+    * through ratchet the acceptance window looser on every commit —
+    * anchoring to the best-ever quiet value makes the gate
+    * commit-history-invariant.
+    */
+  val QuietCalibRef = 0.145
+
+  /** The divert predicate, factored pure so the spec pins its
+    * threshold SOURCE: a run is loaded iff its calib median exceeds
+    * [[LoadedBootCalibBar]] × [[QuietCalibRef]] — never the committed
+    * record's calib.
+    */
+  def isLoadedCalib(runCalibMedian: Double): Boolean =
+    runCalibMedian > QuietCalibRef * LoadedBootCalibBar
+
   private def median(xs: Seq[Double]): Double = {
     if (xs.isEmpty) return 0.0
     val s = xs.sorted
@@ -445,23 +463,25 @@ object Bench {
     // with a stderr note instead of overwriting the record. Delete
     // BENCH_LOCAL.json to force a fresh record at a new sf.
     val diverted = !materializeMode && {
-      readBenchRecord("BENCH_LOCAL.json") match {
-        case Some((refSf, _, refCalib)) if refCalib.nonEmpty =>
-          val refMed = median(refCalib)
-          val runMed = median(probes)
-          if (refSf != sfName) {
-            System.err.println(s"[bench] NOTE: sf '$sfName' run diverted " +
-              s"to BENCH_LOADED.json (committed record is sf '$refSf')")
-            true
-          } else if (refMed > 0 && runMed > refMed * LoadedBootCalibBar) {
-            System.err.println(f"[bench] NOTE: loaded-boot run (calib " +
-              f"median $runMed%.3f s > ${LoadedBootCalibBar}%.2fx the " +
-              f"committed $refMed%.3f s) diverted to BENCH_LOADED.json; " +
-              "re-run on a quiet host to refresh the record")
-            true
-          } else false
+      val runMed = median(probes)
+      val sfMismatch = readBenchRecord("BENCH_LOCAL.json") match {
+        case Some((refSf, _, _)) if refSf != sfName =>
+          System.err.println(s"[bench] NOTE: sf '$sfName' run diverted " +
+            s"to BENCH_LOADED.json (committed record is sf '$refSf')")
+          true
         case _ => false
       }
+      // loaded-boot gate against the FIXED best-ever quiet calib —
+      // never the committed record's own calib, which a loaded commit
+      // would ratchet looser (VERDICT r15 #2)
+      if (!sfMismatch && isLoadedCalib(runMed)) {
+        System.err.println(f"[bench] NOTE: loaded-boot run (calib " +
+          f"median $runMed%.3f s > ${LoadedBootCalibBar}%.2fx the " +
+          f"quiet reference $QuietCalibRef%.3f s) diverted to " +
+          "BENCH_LOADED.json; re-run on a quiet host to refresh " +
+          "the record")
+        true
+      } else sfMismatch
     }
     try {
       val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }

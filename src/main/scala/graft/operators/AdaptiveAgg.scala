@@ -74,10 +74,11 @@ object AdaptiveAgg {
   def adaptiveAgg(fact: DataFrame, key: String, distinctCols: Seq[String],
       valueCol: String, rowCap: Long): (Strategy, DataFrame) = {
     // the q_skew_profile statistic: one map-side-combined aggregate
-    // reduced to a single driver row (coalesce: max over an EMPTY input
-    // is NULL — an empty fact has no hot key)
-    val maxKeyRows = fact.groupBy(key).agg(count(lit(1)).as("__n"))
-      .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+    // reduced to a single driver row, memoized per (source, key) so
+    // sibling adaptive operators on the same column share ONE scan
+    // (graft.engine.AdaptiveStats)
+    val maxKeyRows = graft.engine.AdaptiveStats.keyStats(fact, key)
+      .maxKeyRows
     val strategy = decide(maxKeyRows, rowCap)
     (strategy, buildAgg(fact, key, distinctCols, valueCol, strategy))
   }
@@ -99,18 +100,31 @@ object AdaptiveAgg {
       case PerFamily =>
         // family 1 carries the algebraic aggregates through its
         // two-level pass; each further family is its own column-pruned
-        // dedup pass joined back on the (group-cardinality-sized) key
+        // dedup pass joined back on the (group-cardinality-sized) key.
+        // NULL semantics must match ExpandPlan's exactly (advice-r15):
+        // count(DISTINCT c) excludes NULL values, so level 2 counts
+        // only non-NULL distinct-value groups — count(col(c)) — while
+        // count(*) and sum still see every row of the NULL group.
         val head = fact
           .groupBy(col(key), col(distinctCols.head))
           .agg(count(lit(1)).as("__n"), sum(dec).as("__sum"))
           .groupBy(key).agg(
             sum(col("__n")).as("n_rows"),
-            count(lit(1)).as(s"n_${distinctCols.head}"),
+            count(col(distinctCols.head)).as(s"n_${distinctCols.head}"),
             round(sum(col("__sum")).cast("double"), 2).as("sum_value"))
+        // join-back is NULL-SAFE (<=>) and LEFT-anchored on the head
+        // family: a NULL group key is a real group to count(*) and to
+        // every count(DISTINCT), so an equality join would silently
+        // drop it (advice-r15). Key sets are identical by construction
+        // (both sides group the same fact by the same key), so LEFT
+        // never manufactures NULL counts — it only pins the anchor.
         val joined = distinctCols.tail.foldLeft(head) { (acc, c) =>
-          acc.join(broadcast(
-            fact.groupBy(col(key), col(c)).agg(count(lit(1)).as("__x"))
-              .groupBy(key).agg(count(lit(1)).as(s"n_$c"))), Seq(key))
+          val fam = fact.groupBy(col(key), col(c))
+            .agg(count(lit(1)).as("__x"))
+            .groupBy(key).agg(count(col(c)).as(s"n_$c"))
+            .withColumnRenamed(key, "__famkey")
+          acc.join(broadcast(fam), col(key) <=> col("__famkey"), "left")
+            .drop("__famkey")
         }
         // surface columns in the ExpandPlan order so both shapes share
         // one schema contract

@@ -88,15 +88,49 @@ object AdaptiveJoin {
     df.schema.fields.map(width).reduceOption(_ + _).getOrElse(lit(0L))
   }
 
-  /** One sampled avg-row-width measurement: LIMIT [[WidthSampleRows]]
-    * rows through [[rowBytes]] into a single driver double. Production
-    * reads catalog/AQE `sizeInBytes` when the table has statistics;
-    * this is the engine-checkable stand-in with the same contract.
+  /** One sampled avg-row-width measurement: a fixed-seed RANDOM sample
+    * (advice-r15 — `limit()` takes the FIRST rows, and when row width
+    * correlates with file order, e.g. a dim sorted by a text column,
+    * the first-rows estimate is biased and can flip the broadcast
+    * decision) capped at ~[[WidthSampleRows]] rows through [[rowBytes]]
+    * into a single driver double. `totalRows` sizes the fraction; the
+    * trailing `limit` is the hard bound when the fraction overshoots.
     */
-  def sampledAvgRowBytes(df: DataFrame): Double = {
-    val r = df.limit(WidthSampleRows)
+  def sampledAvgRowBytes(df: DataFrame, totalRows: Long): Double = {
+    val fraction =
+      if (totalRows <= 0L) 1.0
+      else math.min(1.0, WidthSampleRows * 2.0 / totalRows)
+    val r = df.sample(withReplacement = false, fraction, seed = 7L)
+      .limit(WidthSampleRows * 4)
       .agg(avg(rowBytes(df)).as("w")).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Dim size in BYTES, the broadcast-budget statistic, in preference
+    * order (VERDICT r15 #7):
+    *   1. the optimizer's own `sizeInBytes` estimate
+    *      (`optimizedPlan.stats` — file-size-derived for scans, exact
+    *      for local relations, column-pruning-scaled through projects):
+    *      the production decision READS statistics, it doesn't scan.
+    *   2. when the estimate is absent (the `defaultSizeInBytes`
+    *      sentinel — an unresolvable subtree propagates Long.MaxValue),
+    *      fall back to a measured row count × fixed-seed sampled avg
+    *      row width — two bounded jobs, memoized per canonical dim
+    *      plan so repeated decisions over one dim never re-scan.
+    * Both paths feed the same [[decide]] contract; JoinOpsSpec pins
+    * that they agree on the fixture dims.
+    */
+  def dimBytes(dim: DataFrame): Long = {
+    val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the unknown-stats sentinel is defaultSizeInBytes = Long.MaxValue;
+    // anything in that regime (or overflowing BigInt) means "no idea"
+    if (est >= 0 && est < Long.MaxValue / 4) est.toLong
+    else graft.engine.SessionMemo.getOrCompute(dim.sparkSession,
+      s"adaptive_dimbytes:${dim.queryExecution.optimizedPlan
+        .canonicalized.semanticHash()}") {
+      val n = dim.count()
+      java.lang.Long.valueOf((n * sampledAvgRowBytes(dim, n)).toLong)
+    }.longValue()
   }
 
   /** Pure decision function over the measured statistics — exposed
@@ -116,17 +150,17 @@ object AdaptiveJoin {
   def adaptiveJoin(fact: DataFrame, dim: DataFrame, key: String,
       rowCap: Long, spread: Column,
       broadcastMaxBytes: Long = BroadcastMaxBytes): (Strategy, DataFrame) = {
-    // the byte statistic = measured row count x sampled avg width (two
-    // bounded jobs; production reads catalog/AQE stats instead)
-    val dimBytes = (dim.count() * sampledAvgRowBytes(dim)).toLong
-    // skew probe only when it can change the decision (big dim):
-    // one map-side-combined aggregate reduced to a single driver row
-    // coalesce: max over an EMPTY fact is NULL — no rows, no hot key
+    // the byte statistic: optimizer stats when known, measured
+    // count × sampled width otherwise ([[dimBytes]], memoized)
+    val dimSize = dimBytes(dim)
+    // skew probe only when it can change the decision (big dim): one
+    // map-side-combined aggregate reduced to a single driver row,
+    // memoized per (source, key) — shared with AdaptiveAgg/Window
+    // (graft.engine.AdaptiveStats)
     val factMax =
-      if (dimBytes <= broadcastMaxBytes) 0L
-      else fact.groupBy(key).agg(count(lit(1)).as("__n"))
-        .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
-    val strategy = decide(dimBytes, factMax, rowCap, broadcastMaxBytes)
+      if (dimSize <= broadcastMaxBytes) 0L
+      else graft.engine.AdaptiveStats.keyStats(fact, key).maxKeyRows
+    val strategy = decide(dimSize, factMax, rowCap, broadcastMaxBytes)
     val joined = strategy match {
       case BroadcastDim => fact.join(broadcast(dim), Seq(key))
       case SaltedMerge =>

@@ -120,6 +120,21 @@ class CoreOpsSpec extends SparkSpec {
       s"projected bench stdout line $projected chars ≥ 2000 budget")
   }
 
+  test("bench divert gate anchors to the fixed quiet calib reference") {
+    // VERDICT r15 #2: the divert threshold's SOURCE must be the
+    // best-ever quiet calib constant, not the committed record's own
+    // calib (which a loaded commit would ratchet looser). Pin the
+    // reference value and the predicate's flip point around it.
+    assert(Bench.QuietCalibRef === 0.145)
+    val bar = Bench.QuietCalibRef * Bench.LoadedBootCalibBar
+    assert(!Bench.isLoadedCalib(bar - 1e-9), "at the bar is quiet")
+    assert(Bench.isLoadedCalib(bar + 1e-9), "over the bar is loaded")
+    // a historically-quiet run (the r14 record's ~0.154 median) stays
+    // inside; the r15 driver-boot run (~0.165+) is diverted
+    assert(!Bench.isLoadedCalib(0.154))
+    assert(Bench.isLoadedCalib(0.170))
+  }
+
   test("group top-k equals the window-ranked form row for row") {
     import org.apache.spark.sql.expressions.Window
     val got = Ext.groupTopK(spark, sf)

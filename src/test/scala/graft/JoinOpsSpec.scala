@@ -152,10 +152,11 @@ class JoinOpsSpec extends SparkSpec {
     // budget its row count alone would have passed (the r14 advice
     // scenario)
     val narrow = AdaptiveJoin.sampledAvgRowBytes(
-      spark.range(100).toDF("id"))
+      spark.range(100).toDF("id"), 100L)
     val wide = AdaptiveJoin.sampledAvgRowBytes(
       spark.range(100).select(col("id"),
-        concat_ws("", (1 to 250).map(_ => lit("abcd")): _*).as("s")))
+        concat_ws("", (1 to 250).map(_ => lit("abcd")): _*).as("s")),
+      100L)
     assert(narrow >= 8.0 && narrow < 32.0, s"narrow width $narrow")
     assert(wide > 1000.0 && wide < 1100.0, s"wide width $wide")
     // fixture regime: part is measured under the broadcast budget ->
@@ -250,17 +251,109 @@ class JoinOpsSpec extends SparkSpec {
         .sorted.toSeq
     assert(canon(r1) === canon(r2), "strategy invariance")
     // the whole point: the dominant key's rows must land in SEVERAL
-    // range partitions (no single task sorts the hot key). Pinned
-    // partition count — at 900 fixture rows AQE's size-targeted
-    // coalesce folds everything into one partition (correct at tiny
-    // size: a "hot" key under the advisory partition size needs no
-    // splitting); the property under test is the range PARTITIONER's
-    // willingness to split a key, which explicit numPartitions shows.
-    val hotSplit = fact.repartitionByRange(4, col("k"), col("o"))
-      .withColumn("p", spark_partition_id())
+    // __pid splits (no single task sorts the hot key). __pid is the
+    // deterministic literal-boundary expression (advice-r15) — assert
+    // directly on its value distribution: 800 hot rows against a
+    // ~640-tuple sample target guarantees boundaries INSIDE the hot
+    // key's (k, o) run.
+    val hotSplit = fact.withColumn("p", graft.operators.AdaptiveWindow
+        .splitId(fact, Seq(col("k"), col("o")), 900L))
       .filter(col("k") === "hot").select("p").distinct().count()
     assert(hotSplit >= 2,
-      s"hot key confined to $hotSplit of 4 range partitions")
+      s"hot key confined to $hotSplit deterministic splits")
+    // determinism is the correctness invariant the old range-exchange
+    // shape LACKED: with exchange reuse disabled, the offsets subtree
+    // and the probe side evaluate __pid independently — frozen literal
+    // boundaries must still agree (the advice-r15 scenario)
+    val prevReuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val (s3, r3) = AdaptiveWindow.adaptiveRank(fact, "k", Seq("o"),
+        "rnk", 32L)
+      assert(s3 === RangePrefix)
+      assert(canon(r3) === canon(r2),
+        "range-prefix ranks drifted with exchange reuse OFF")
+    } finally spark.conf.set("spark.sql.exchange.reuse", prevReuse)
+  }
+
+  test("adaptive trilogy shares ONE diagnostic scan per (table, key)") {
+    // VERDICT r15 #3: at 100 TB the max-key diagnostic is itself a
+    // full-scan job; N adaptive operators on one (table, key) must not
+    // pay N scans. AdaptiveStats counts each diagnostic computation
+    // (each is exactly one Spark job — a single head()); two different
+    // operators over DIFFERENTLY-PROJECTED views of the same source +
+    // key must add exactly one.
+    import spark.implicits._
+    val base = (1 to 300).map(i =>
+      (s"k${i % 9}", i.toLong, i * 2L, s"p$i")).toDF("k", "o", "v", "x")
+    // different projections of the same source; same key column —
+    // the canonical single-column memo key must unify them
+    val viewA = base.select(col("k"), col("o"), col("v"))
+    val viewB = base.select(col("k"), col("o"), col("x"))
+    val before = graft.engine.AdaptiveStats.scans.get()
+    val (_, rankDf) = graft.operators.AdaptiveWindow.adaptiveRank(
+      viewA, "k", Seq("o"), "rnk", 1L)
+    val (_, aggDf) = graft.operators.AdaptiveAgg.adaptiveAgg(
+      viewB, "k", Seq("x"), "o", 1L)
+    assert(rankDf.columns.contains("rnk") && aggDf.columns
+      .contains("n_rows")) // both operators actually built
+    val scans = graft.engine.AdaptiveStats.scans.get() - before
+    assert(scans === 1L,
+      s"$scans diagnostic scans for one (table, key) — " +
+        "the trilogy is not sharing the memoized statistic")
+  }
+
+  test("adaptive agg: PerFamily matches ExpandPlan on NULL keys and " +
+      "NULL distinct values") {
+    // advice-r15: count(DISTINCT c) excludes NULLs and a NULL group
+    // key is a real group — the hand-lowered shape must preserve both
+    import spark.implicits._
+    import graft.operators.AdaptiveAgg
+    val fact = Seq[(Option[String], Option[Long], Option[Long], Double)](
+      (Some("a"), Some(1L), Some(10L), 1.0),
+      (Some("a"), None, Some(10L), 2.0),      // NULL distinct value
+      (Some("a"), Some(2L), None, 3.0),
+      (None, Some(1L), Some(20L), 4.0),       // NULL group key
+      (None, None, None, 5.0),
+      (Some("b"), None, None, 6.0))           // all-NULL distinct family
+      .toDF("k", "u", "d", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val expand = canon(AdaptiveAgg.buildAgg(fact, "k", Seq("u", "d"),
+      "v", AdaptiveAgg.ExpandPlan))
+    val perFam = canon(AdaptiveAgg.buildAgg(fact, "k", Seq("u", "d"),
+      "v", AdaptiveAgg.PerFamily))
+    assert(perFam === expand, "NULL semantics diverge between shapes")
+    // and the values are the ANSI ones: NULL key group counted, NULL
+    // distinct values excluded
+    assert(expand.find(_._1.isEmpty).get ===
+      ((None, 2L, 1L, 1L, 9.0)))
+    assert(expand.find(_._1.contains("a")).get ===
+      ((Some("a"), 3L, 2L, 1L, 6.0)))
+    assert(expand.find(_._1.contains("b")).get ===
+      ((Some("b"), 1L, 0L, 0L, 6.0)))
+  }
+
+  test("adaptive join: optimizer-stats path and sampled path agree on " +
+      "the fixture dims") {
+    // VERDICT r15 #7: the production decision reads statistics, it
+    // doesn't scan — but both estimators must land the same side of
+    // the 32 MB budget on real dims, or the upgrade changed decisions
+    import graft.operators.AdaptiveJoin
+    for (dim <- Seq(
+        Tables.part(spark, sf)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Tables.customer(spark, sf)
+          .select(col("c_custkey"), col("c_mktsegment")))) {
+      val statsBytes = AdaptiveJoin.dimBytes(dim)
+      val n = dim.count()
+      val sampled = (n * AdaptiveJoin.sampledAvgRowBytes(dim, n)).toLong
+      assert(AdaptiveJoin.decide(statsBytes, 0L, 32L) ===
+        AdaptiveJoin.decide(sampled, 0L, 32L),
+        s"stats path ($statsBytes B) and sampled path ($sampled B) " +
+          "disagree on the broadcast decision")
+    }
   }
 
   test("adaptive agg: measured max-key flips the strategy; both shapes" +

@@ -836,20 +836,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("adaptive window: range-prefix windows key on (__pid, key) " +
-      "under a range exchange; plain sorts whole keys") {
-    // the hot-key defense is physical: the range-prefix shape must
-    // range-partition on (key, ord...) and run its row_number window
-    // PARTITIONED BY (__pid, key) — so no task sorts a whole key —
-    // with the offsets frame joined back broadcast; the plain shape's
-    // window must key on event_type alone
+      "with NO range exchange; plain sorts whole keys") {
+    // the hot-key defense is physical: the range-prefix shape must run
+    // its row_number window PARTITIONED BY (__pid, key) — so no task
+    // sorts a whole key — with the offsets frame joined back broadcast.
+    // Since the advice-r15 determinism fix, __pid is a codegen'd
+    // expression over frozen boundary literals, NOT a range exchange:
+    // the plan must carry ZERO rangepartitioning (one full-data
+    // exchange fewer than the old shape, and no exchange-reuse
+    // correctness dependence). The plain shape's window must key on
+    // event_type alone.
     import graft.operators.AdaptiveWindow
     val fact = Tables.events(spark, sf)
       .select(col("event_id"), col("event_type"), col("ts"))
     val rp = plan(AdaptiveWindow.buildRank(fact, "event_type",
       Seq("ts", "event_id"), "rnk", AdaptiveWindow.RangePrefix))
-    assert(rp.contains("RANGE_PARTITIONED") ||
-        rp.contains("rangepartitioning"),
-      s"range-prefix shape lost its range exchange:\n$rp")
+    assert(!rp.contains("rangepartitioning") &&
+        !rp.contains("RANGE_PARTITIONED"),
+      s"range-prefix shape must not range-exchange (deterministic " +
+        s"literal-boundary __pid instead):\n$rp")
     val rpWin = rp.split("\n").filter(l =>
       l.contains("row_number") && l.contains("windowspecdefinition"))
     assert(rpWin.exists(l => l.contains("__pid") &&

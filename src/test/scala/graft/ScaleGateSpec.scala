@@ -112,8 +112,11 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     // every ladder query (plus the two fixed-delta probe rows) must
     // carry a committed alpha, so a new ScaleBench query without a
     // commit run fails HERE, not silently-vacuously at gate time
+    // resolve relative to the working directory (Test/fork runs in the
+    // project root) — an absolute checkout path breaks any other
+    // workspace and could silently read a stale file (advice-r15)
     val committed = ScaleGate.readCommitted(
-      s"/root/repo/${ScaleGate.DefaultPath}", Seq(1, 2, 5, 10))
+      ScaleGate.DefaultPath, Seq(1, 2, 5, 10))
     val expected = ScaleBench.QueryNames.toSet +
       "probe_fixed_delta" + "substr_probe_fixed_delta"
     val missing = expected -- committed.keySet
