@@ -57,6 +57,10 @@ object ScaleBench {
     // programs should hold alpha ≈ 1 (per-user histories scale in count,
     // not depth); the upsert's per-batch merge scales with batch size
     "q_scd2", "q_sessionize", "q_event_window", "q_asof_join",
+    // SQL-text frame-spec windows: RANGE INTERVAL + ROWS frames over
+    // one shared sort — expect alpha ≈ 1 (per-user histories scale in
+    // count; WindowExec frame state is bounded sliding windows)
+    "q_sql_window_frames",
     "q_compact", "q_stream_upsert", "q_event_sequences",
     // streaming RTBF: the upsert's microbatch MERGE floor plus one
     // tombstone batch (deletion-set-sized) — expect q_stream_upsert's
