@@ -66,6 +66,16 @@ object ScaleBench {
     // tombstone batch (deletion-set-sized) — expect q_stream_upsert's
     // flat-floor line
     "q_stream_forget",
+    // versioned (copy-on-write) store: per-generation cost is delta +
+    // touched-bucket sized like the destructive MERGE, minus its
+    // localCheckpoint barrier (a generation never overwrites what it
+    // reads); the snapshot read is manifest-resolved pruning over
+    // <=Buckets dirs — expect the q_stream_upsert microbatch floor
+    "q_time_travel",
+    // the RTBF audit adds one tombstone generation and reads TWO
+    // snapshots (pre/post) through the same manifest pruning — expect
+    // q_time_travel's line plus one bounded read-back
+    "q_forget_audit",
     "q_robust_outliers", "q_watermark_audit",
     // streaming KMV distinct: salted copies add USERS (ids shift per
     // copy) inside the same fixed hour windows, so the sketch side is

@@ -393,6 +393,163 @@ object StreamingQueries {
       target: String): DataFrame =
     spark.read.schema(upsertStoreSchema).parquet(target)
 
+  // ---- versioned store: time travel + retention-then-erasure RTBF ----
+
+  /** Generations the time-travel replay splits the events table into,
+    * and the snapshot generation `q_time_travel` reads back. The split
+    * is ntile over the (ts, event_id) total order — DETERMINISTIC and
+    * DuckDB-expressible, so the oracle reconstructs exactly the events
+    * any generation has absorbed. (The global-order window is spool
+    * SYNTHESIS — harness work standing in for an already-batched
+    * production stream; the store itself never sorts anything.)
+    */
+  val TimeTravelGens = 4
+  val TimeTravelReadGen = 1
+
+  /** Spool the events table as one parquet file per deterministic batch
+    * (`__batch` = ntile(nBatches) over (ts, event_id), 0-based), with
+    * STRICTLY INCREASING modification times so the file stream source —
+    * which orders new files by mtime — replays batch 0, 1, ... in order;
+    * optionally a trailing tombstone batch (`__batch` = nBatches) for
+    * the RTBF lifecycle. Each file also CARRIES its batch id so the
+    * merge loop can verify delivery order instead of trusting it.
+    */
+  private def writeVersionedSpool(s2: SparkSession, dir: String,
+      nBatches: Int, withTombstones: Boolean): String = {
+    val spool = graft.engine.TempArtifacts.tempDir("graft-vstore-spool")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val batched = graft.engine.Tables.events(s2, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withColumn("__batch", (ntile(nBatches).over(w) - 1).cast("int"))
+    val totalFiles = nBatches + (if (withTombstones) 1 else 0)
+    val baseMs = System.currentTimeMillis() - (totalFiles + 1) * 60000L
+    def emit(df: DataFrame, b: Int): Unit = {
+      val stage = graft.engine.TempArtifacts.tempDir("graft-vstore-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(spool, f"b$b%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(baseMs + b * 60000L): Unit
+      graft.engine.TempArtifacts.delete(stage)
+    }
+    (0 until nBatches).foreach { b =>
+      emit(batched.filter(col("__batch") === b), b)
+    }
+    if (withTombstones)
+      emit(graft.engine.Tables.events(s2, dir)
+        .select("user_id").distinct()
+        .filter(pmod(col("user_id"), lit(ForgetMod)) === 0)
+        .select((-col("user_id")).as("event_id"),
+          lit(TombstoneTs).as("ts"), col("user_id"),
+          lit(TombstoneType).as("event_type"), lit(0.0).as("value"),
+          lit(nBatches).cast("int").as("__batch")), nBatches)
+    spool
+  }
+
+  private val versionedSpoolSchema = StructType(
+    upsertSpoolSchema.fields :+ StructField("__batch", IntegerType))
+
+  /** Replay a versioned spool through foreachBatch into the
+    * copy-on-write store: one file per trigger, one GENERATION per
+    * microbatch. The generation id is `startGen + batchId`, and each
+    * batch's carried `__batch` column must agree — a coalesced,
+    * reordered, or replayed delivery fails loudly instead of silently
+    * corrupting the manifest chain. `startGen` lets a NEW stream
+    * continue a store an earlier stream built (the store outlives any
+    * one query — VersionedStoreSpec proves the continuation leaves
+    * committed generations byte-identical).
+    */
+  private[graft] def driveVersionedStream(s2: SparkSession, spool: String,
+      root: String, startGen: Int = 0): Unit = {
+    val merge = (batch: DataFrame, batchId: Long) => {
+      val gen = startGen + batchId.toInt
+      val carried = batch.select("__batch").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // an EMPTY batch (empty fixture replay) carries no ids but must
+      // still advance the generation chain so every snapshot exists
+      require(carried.isEmpty || carried == Seq(gen - startGen),
+        s"microbatch $batchId delivered batch ids $carried — the " +
+          "one-file-per-trigger order contract is broken")
+      VersionedStore.mergeGeneration(
+        batch.select(col("user_id"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"), lit(1L).as("n_versions"),
+          pmod(coalesce(col("user_id"), lit(-1L)),
+            lit(VersionedStore.Buckets.toLong)).as("bucket")),
+        gen, root)
+    }
+    val q = s2.readStream.schema(versionedSpoolSchema)
+      .option("maxFilesPerTrigger", 1).parquet(spool)
+      .writeStream.foreachBatch(merge).start()
+    q.processAllAvailable()
+    q.stop(): Unit
+  }
+
+  /** Time-travel read (`q_time_travel`, VERDICT r15 #5): replay the
+    * events table as [[TimeTravelGens]] deterministic generations into
+    * the [[VersionedStore]] and read the store AS OF generation
+    * [[TimeTravelReadGen]] — the snapshot after generations
+    * 0..[[TimeTravelReadGen]] only, later generations invisible. The
+    * oracle recomputes the snapshot as the batch latest-per-key argmax
+    * over exactly the events the read generation's prefix absorbed, and
+    * the `gen` column (which generation last wrote each bucket — the
+    * manifest's carry-forward map surfaced per row) hash-gates the
+    * metadata layer itself, not just the data.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = sizedStreamSession(spark, dir)
+    val root = graft.engine.TempArtifacts.tempDir("graft-vstore-tt")
+    val spool = writeVersionedSpool(s2, dir, TimeTravelGens,
+      withTombstones = false)
+    driveVersionedStream(s2, spool, root)
+    VersionedStore.readAsOf(spark, root, TimeTravelReadGen)
+      .select(col("user_id"), col("bucket"), col("gen"), col("last_ts"),
+        col("last_event_id"), col("last_event_type"),
+        round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
+          .as("last_value"),
+        col("n_versions"))
+  }
+
+  /** Retention-then-erasure audit (`q_forget_audit`, VERDICT r15 #5 —
+    * the governance query the versioned store exists for): tombstones
+    * for every `user_id % ForgetMod == 0` arrive as the LAST generation,
+    * and ONE result fingerprints both sides of the RTBF lifecycle — the
+    * pre-deletion snapshot (generation [[TimeTravelGens]]-1) still
+    * contains every to-be-forgotten user (auditable retention: "prove
+    * you HAD the data when the request arrived"), while the
+    * post-deletion snapshot (generation [[TimeTravelGens]]) provably
+    * excludes them (erasure: the tombstone wins the argmax and the
+    * read contract drops tombstone winners). Both phases aggregate to
+    * per-bucket row counts, forgotten-key counts, and an exact modular
+    * fingerprint over (user_id, last_event_id) — the hash gate proves
+    * presence AND absence, not just cardinalities.
+    */
+  def forgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = sizedStreamSession(spark, dir)
+    val root = graft.engine.TempArtifacts.tempDir("graft-vstore-fa")
+    val spool = writeVersionedSpool(s2, dir, TimeTravelGens,
+      withTombstones = true)
+    driveVersionedStream(s2, spool, root)
+    def phase(name: String, gen: Int): DataFrame =
+      VersionedStore.readAsOf(spark, root, gen)
+        .filter(col("last_event_type") =!= TombstoneType)
+        .groupBy(lit(name).as("phase"), col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(pmod(col("user_id"), lit(ForgetMod)) === 0, 1L)
+            .otherwise(0L)).as("n_forget"),
+          (sum(graft.functions.StringFunctions.utf8_poly_id(
+            concat(col("user_id").cast("string"), lit(":"),
+              col("last_event_id").cast("string")),
+            graft.engine.Dedup.IdMod).cast("decimal(38,0)")) %
+            graft.engine.Dedup.IdMod).cast("long").as("fp"))
+    phase("pre", TimeTravelGens - 1)
+      .unionByName(phase("post", TimeTravelGens))
+  }
+
   /** Streaming ingest curation: the stateless quality gate a production
     * ingest runs on every arriving document — token count, quality score
     * and language marker computed map-side ON THE STREAM, rows failing
@@ -567,7 +724,9 @@ object StreamingQueries {
     "q_stream_upsert" -> streamUpsert _,
     "q_stream_forget" -> streamForget _,
     "q_stream_quality" -> streamQuality _,
-    "q_stream_content_gate" -> streamContentGate _)
+    "q_stream_content_gate" -> streamContentGate _,
+    "q_time_travel" -> timeTravel _,
+    "q_forget_audit" -> forgetAudit _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
     * the same finite fixture, and complete mode converges to the batch
@@ -633,6 +792,50 @@ object StreamingQueries {
          |  FROM docs)
          |SELECT doc_id, CAST($hitSum AS BIGINT) AS n_total
          |FROM tok WHERE NOT ($flagPred)""".stripMargin
+    },
+    // the snapshot AS OF generation TimeTravelReadGen = the latest-per-key
+    // argmax over exactly the ntile-prefix of events generations
+    // 0..TimeTravelReadGen absorbed; `gen` re-derives the manifest's
+    // carry-forward map (which generation last wrote each bucket)
+    "q_time_travel" ->
+      s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value,
+         |    ntile($TimeTravelGens) OVER (ORDER BY ts, event_id) - 1
+         |      AS bat FROM events),
+         |cut AS (SELECT * FROM b WHERE bat <= $TimeTravelReadGen),
+         |g AS (SELECT user_id % 16 AS bucket, CAST(max(bat) AS INT)
+         |    AS gen FROM cut GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt FROM cut)
+         |SELECT r.user_id, CAST(r.user_id % 16 AS BIGINT) AS bucket,
+         |  g.gen, r.ts AS last_ts, r.event_id AS last_event_id,
+         |  r.event_type AS last_event_type,
+         |  round(CAST(CAST(r.value AS DECIMAL(12,2)) AS DOUBLE), 2)
+         |    AS last_value,
+         |  cnt AS n_versions
+         |FROM r JOIN g ON r.user_id % 16 = g.bucket
+         |WHERE rn = 1""".stripMargin,
+    // pre = latest-per-key over ALL events (the snapshot one generation
+    // before the tombstones — forgotten users PRESENT, n_forget > 0);
+    // post = the same minus tombstoned users (forgotten users ABSENT);
+    // the modular fingerprint proves presence/absence row-exactly
+    "q_forget_audit" -> {
+      val poly = graft.engine.Dedup.idUtf8Sql(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+      val m = graft.engine.Dedup.IdMod
+      s"""WITH l AS (SELECT user_id, event_id, row_number() OVER
+         |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+         |      AS rn FROM events),
+         |k AS (SELECT user_id, event_id FROM l WHERE rn = 1),
+         |ph AS (SELECT 'pre' AS phase, user_id, event_id FROM k
+         |  UNION ALL SELECT 'post' AS phase, user_id, event_id FROM k
+         |    WHERE user_id % $ForgetMod <> 0)
+         |SELECT phase, CAST(user_id % 16 AS BIGINT) AS bucket,
+         |  count(*) AS n_users,
+         |  CAST(sum(CASE WHEN user_id % $ForgetMod = 0 THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_forget,
+         |  CAST(sum(CAST($poly AS DECIMAL(38,0))) % $m AS BIGINT) AS fp
+         |FROM ph GROUP BY phase, bucket""".stripMargin
     },
     "q_stream_quality" -> {
       import graft.engine.{Curation, TextOps}

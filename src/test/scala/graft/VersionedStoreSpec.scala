@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingQueries, VersionedStore}
+
+/** Generation isolation, manifest carry-forward, immutability, and the
+  * RTBF retention-then-erasure lifecycle of the copy-on-write
+  * [[VersionedStore]] (VERDICT r15 #5).
+  */
+class VersionedStoreSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String =
+    graft.engine.TempArtifacts.tempDir(s"graft-vstore-spec-$tag")
+
+  /** Batch rows in the store's merge shape: (user_id, event_id, type,
+    * value) with ts derived from event_id so later events always win the
+    * (ts, event_id) argmax.
+    */
+  private def batch(xs: (Long, Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    xs.toSeq.toDF("user_id", "event_id", "event_type", "value")
+      .select(col("user_id"),
+        timestamp_micros(col("event_id") * 1000000L).as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"), lit(1L).as("n_versions"),
+        pmod(col("user_id"), lit(VersionedStore.Buckets.toLong))
+          .as("bucket"))
+  }
+
+  private def snapshot(root: String, g: Int): Seq[(Long, Long, Int)] =
+    VersionedStore.readAsOf(spark, root, g)
+      .select("user_id", "last_event_id", "gen")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
+  test("snapshots are generation-isolated and manifests carry forward") {
+    val root = freshRoot("iso")
+    // gen 0 touches buckets 1 and 2; gen 1 touches ONLY bucket 2
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    VersionedStore.mergeGeneration(batch((2L, 20L, "c", 3.0)), 1, root)
+    // carry-forward: bucket 1 resolves to the gen-0 dir at snapshot 1
+    val m1 = VersionedStore.readManifest(root, 1)
+    assert(m1.buckets === Map(1L -> 0, 2L -> 1))
+    // snapshot 0: both users at their gen-0 events
+    assert(snapshot(root, 0) === Seq((1L, 10L, 0), (2L, 11L, 0)))
+    // snapshot 1: user 2 advanced (gen=1), user 1 untouched (gen=0 dir)
+    assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
+    // n_versions accumulates across generations
+    val nv = VersionedStore.readAsOf(spark, root, 1)
+      .filter(col("user_id") === 2L)
+      .select("n_versions").collect()(0).getLong(0)
+    assert(nv === 2L)
+  }
+
+  test("generation numbering is gap- and replay-proof") {
+    val root = freshRoot("guard")
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeGeneration(batch((1L, 1L, "a", 0.0)), 1, root)
+    }
+    VersionedStore.mergeGeneration(batch((1L, 1L, "a", 0.0)), 0, root)
+    intercept[IllegalArgumentException] { // replay of gen 0
+      VersionedStore.mergeGeneration(batch((1L, 2L, "b", 0.0)), 0, root)
+    }
+    intercept[IllegalArgumentException] { // gap to gen 2
+      VersionedStore.mergeGeneration(batch((1L, 2L, "b", 0.0)), 2, root)
+    }
+  }
+
+  private def fileDigest(dir: java.io.File): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet")).map { f =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val h = md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+      f.getPath -> h.map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  /** Craft a spool file in the versioned replay's on-disk contract:
+    * (event_id, ts, user_id, event_type, value, __batch) with a
+    * controlled mtime so the file source replays in order.
+    */
+  private def spoolFile(spool: String, b: Int, mtimeMs: Long,
+      xs: (Long, Long, String, Double)*): Unit = {
+    import spark.implicits._
+    val stage = graft.engine.TempArtifacts.tempDir("graft-vspec-stage")
+    xs.toSeq.toDF("user_id", "event_id", "event_type", "value")
+      .select(col("event_id"),
+        timestamp_micros(col("event_id") * 1000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit(b).cast("int").as("__batch"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = java.nio.file.Paths.get(spool, f"b$b%03d.parquet")
+    java.nio.file.Files.move(part.toPath, dest)
+    dest.toFile.setLastModified(mtimeMs): Unit
+    graft.engine.TempArtifacts.delete(stage)
+  }
+
+  test("a second stream continues the store; committed generations stay " +
+      "byte-identical") {
+    val root = freshRoot("cont")
+    val base = System.currentTimeMillis() - 600000L
+    val spoolA = graft.engine.TempArtifacts.tempDir("graft-vspec-spool-a")
+    spoolFile(spoolA, 0, base, (1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0))
+    StreamingQueries.driveVersionedStream(spark, spoolA, root)
+    val gen0Before = fileDigest(
+      new java.io.File(s"$root/data/gen=0"))
+    assert(gen0Before.nonEmpty)
+    // continuation: a NEW stream (fresh checkpoint, batch ids restart at
+    // 0) appends generations 1..2 to the same store
+    val spoolB = graft.engine.TempArtifacts.tempDir("graft-vspec-spool-b")
+    spoolFile(spoolB, 0, base + 60000L, (1L, 20L, "c", 3.0))
+    spoolFile(spoolB, 1, base + 120000L, (3L, 30L, "d", 4.0))
+    StreamingQueries.driveVersionedStream(spark, spoolB, root,
+      startGen = 1)
+    assert(VersionedStore.latestGen(root) === Some(2))
+    // copy-on-write: generation 0's files are untouched by the appends
+    assert(fileDigest(new java.io.File(s"$root/data/gen=0"))
+      === gen0Before)
+    // and the old snapshot still reads exactly its own state
+    assert(snapshot(root, 0) === Seq((1L, 10L, 0), (2L, 11L, 0)))
+    assert(snapshot(root, 2) ===
+      Seq((1L, 20L, 1), (2L, 11L, 0), (3L, 30L, 2)))
+  }
+
+  test("RTBF lifecycle: retention at gen g, erasure at gen g+1, tombstone " +
+      "payload physically inert") {
+    val root = freshRoot("rtbf")
+    // users 10 and 20 are forgettable (ForgetMod = 10); 7 is retained
+    VersionedStore.mergeGeneration(
+      batch((10L, 1L, "a", 1.0), (20L, 2L, "b", 2.0), (7L, 3L, "c", 3.0)),
+      0, root)
+    val tomb = batch(
+      (10L, -10L, StreamingQueries.TombstoneType, 0.0),
+      (20L, -20L, StreamingQueries.TombstoneType, 0.0))
+      .withColumn("last_ts",
+        lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+    VersionedStore.mergeGeneration(tomb, 1, root)
+    def retained(g: Int): Set[Long] =
+      VersionedStore.readAsOf(spark, root, g)
+        .filter(col("last_event_type") =!= StreamingQueries.TombstoneType)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+    // retention: the pre-deletion snapshot still contains both users
+    assert(retained(0) === Set(7L, 10L, 20L))
+    // erasure: the post-deletion snapshot excludes them
+    assert(retained(1) === Set(7L))
+    // the live generation's rows for forgotten users hold ONLY tombstone
+    // constants — payload physically replaced, not merely filtered
+    val raw = VersionedStore.readAsOf(spark, root, 1)
+      .filter(col("user_id").isin(10L, 20L)).collect()
+    assert(raw.length === 2)
+    raw.foreach { r: Row =>
+      assert(r.getAs[String]("last_event_type")
+        === StreamingQueries.TombstoneType)
+      assert(r.getAs[Double]("last_value") === 0.0)
+      assert(r.getAs[Long]("last_event_id") < 0)
+    }
+  }
+}
