@@ -76,6 +76,11 @@ object ScaleBench {
     // snapshots (pre/post) through the same manifest pruning — expect
     // q_time_travel's line plus one bounded read-back
     "q_forget_audit",
+    // OPTIMIZE + VACUUM: the replay's microbatch floor plus ONE
+    // live-store-sized compaction rewrite and a file-listing vacuum
+    // (bucket-count-bounded metadata walk) — expect q_time_travel's
+    // line plus a linear rewrite term
+    "q_store_vacuum",
     "q_robust_outliers", "q_watermark_audit",
     // streaming KMV distinct: salted copies add USERS (ids shift per
     // copy) inside the same fixed hour windows, so the sketch side is

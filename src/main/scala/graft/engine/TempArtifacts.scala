@@ -14,7 +14,7 @@ private[graft] object TempArtifacts {
   private val pending =
     new java.util.concurrent.ConcurrentHashMap[String, Path]
 
-  private[engine] def rm(f: java.io.File): Unit = {
+  private[graft] def rm(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(rm))
     f.delete(): Unit
   }

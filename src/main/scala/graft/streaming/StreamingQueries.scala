@@ -514,6 +514,36 @@ object StreamingQueries {
         col("n_versions"))
   }
 
+  /** Store lifecycle (`q_store_vacuum`): the OPTIMIZE + VACUUM half of
+    * the versioned store — replay the [[TimeTravelGens]] generations,
+    * COMPACT (rewrite every live bucket into one new generation, a
+    * logical no-op), then VACUUM with the compaction as horizon (drop
+    * all earlier manifests and every data dir they alone referenced).
+    * The result is the post-vacuum latest snapshot INCLUDING the `gen`
+    * column: the oracle is the batch argmax over ALL events with
+    * `gen` pinned to the compaction generation — hash equality proves
+    * compaction preserved every row and every `n_versions` count AND
+    * that every bucket now reads from the compact generation, i.e. the
+    * file-level surgery changed nothing logical. The space/manifest
+    * reclamation itself is spec-read (VersionedStoreSpec), not
+    * hashable.
+    */
+  def storeVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = sizedStreamSession(spark, dir)
+    val root = graft.engine.TempArtifacts.tempDir("graft-vstore-vac")
+    val spool = writeVersionedSpool(s2, dir, TimeTravelGens,
+      withTombstones = false)
+    driveVersionedStream(s2, spool, root)
+    val g = VersionedStore.compact(s2, root)
+    VersionedStore.vacuum(root, g)
+    VersionedStore.readAsOf(spark, root, g)
+      .select(col("user_id"), col("bucket"), col("gen"), col("last_ts"),
+        col("last_event_id"), col("last_event_type"),
+        round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
+          .as("last_value"),
+        col("n_versions"))
+  }
+
   /** Retention-then-erasure audit (`q_forget_audit`, VERDICT r15 #5 —
     * the governance query the versioned store exists for): tombstones
     * for every `user_id % ForgetMod == 0` arrive as the LAST generation,
@@ -726,7 +756,8 @@ object StreamingQueries {
     "q_stream_quality" -> streamQuality _,
     "q_stream_content_gate" -> streamContentGate _,
     "q_time_travel" -> timeTravel _,
-    "q_forget_audit" -> forgetAudit _)
+    "q_forget_audit" -> forgetAudit _,
+    "q_store_vacuum" -> storeVacuum _)
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
     * the same finite fixture, and complete mode converges to the batch
@@ -814,6 +845,20 @@ object StreamingQueries {
          |    AS last_value,
          |  cnt AS n_versions
          |FROM r JOIN g ON r.user_id % 16 = g.bucket
+         |WHERE rn = 1""".stripMargin,
+    // post-compaction + vacuum latest snapshot = the plain batch argmax
+    // over ALL events with every bucket's writer generation pinned to
+    // the compaction id — OPTIMIZE/VACUUM must be logically invisible
+    "q_store_vacuum" ->
+      s"""SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket,
+         |  CAST($TimeTravelGens AS INT) AS gen, ts AS last_ts,
+         |  event_id AS last_event_id, event_type AS last_event_type,
+         |  round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2)
+         |    AS last_value,
+         |  cnt AS n_versions
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS cnt FROM events)
          |WHERE rn = 1""".stripMargin,
     // pre = latest-per-key over ALL events (the snapshot one generation
     // before the tombstones — forgotten users PRESENT, n_forget > 0);

@@ -81,7 +81,7 @@ object VersionedStore {
   private def manifestDir(root: String) = s"$root/_manifest"
   private def manifestPath(root: String, gen: Int) =
     f"${manifestDir(root)}/gen-$gen%05d.json"
-  private[streaming] def bucketPath(root: String, writerGen: Int,
+  private[graft] def bucketPath(root: String, writerGen: Int,
       bucket: Long) = s"$root/data/gen=$writerGen/bucket=$bucket"
 
   /** Highest committed generation, or None for an empty store. */
@@ -179,6 +179,80 @@ object VersionedStore {
     * result carries the `gen` partition column (which generation last
     * wrote each bucket) and `bucket` alongside the payload.
     */
+  /** Compaction (the OPTIMIZE half of the store lifecycle): commit a
+    * new generation that rewrites EVERY live bucket's current data into
+    * one generation dir — logically a no-op (same rows, same
+    * `n_versions`), physically the move that makes all earlier
+    * generation dirs unreferenced by every manifest from here on, so a
+    * later [[vacuum]] can reclaim them. The read side is the manifest's
+    * pruned `<=Buckets` dirs and the write is one pass over the LIVE
+    * data — at 100 TB this is the periodic maintenance job a streaming
+    * store schedules off-peak, cost bounded by live-store size, never
+    * by generation count. Returns the compaction generation id.
+    */
+  def compact(spark: SparkSession, root: String): Int = {
+    val latest = latestGen(root).getOrElse(
+      throw new IllegalArgumentException(s"empty store at $root"))
+    val m = readManifest(root, latest)
+    val g = latest + 1
+    if (m.buckets.nonEmpty)
+      readAsOf(spark, root, latest).drop("gen")
+        .write.mode("errorifexists").partitionBy("bucket")
+        .parquet(s"$root/data/gen=$g")
+    writeManifest(root, Manifest(g, m.buckets.keys.map(_ -> g).toMap))
+    g
+  }
+
+  /** Vacuum (the retention half): drop every manifest OLDER than
+    * `horizon` and every `gen=<g>/bucket=<b>` data dir that no
+    * surviving manifest references. Deletion is at BUCKET-dir
+    * granularity because a generation dir can be partially live — a
+    * bucket written at generation 0 and never touched again is still
+    * referenced by the newest manifest's carry-forward entry and MUST
+    * survive a vacuum that drops generation 0's manifest (the Delta
+    * VACUUM subtlety: retention is defined over snapshots, not over
+    * write times). Snapshots `>= horizon` read identically after the
+    * vacuum; snapshots `< horizon` fail loudly (their manifest is
+    * gone). Returns (bucket dirs deleted, manifests deleted).
+    */
+  def vacuum(root: String, horizon: Int): (Int, Int) = {
+    val latest = latestGen(root).getOrElse(
+      throw new IllegalArgumentException(s"empty store at $root"))
+    require(horizon >= 0 && horizon <= latest,
+      s"vacuum horizon $horizon outside committed generations 0..$latest")
+    // .toSeq first: mapping a Map to swapped pairs would collapse
+    // entries whose writer generation collides (all-same-gen after a
+    // compaction — exactly the common case)
+    val live: Set[(Int, Long)] = (horizon to latest).flatMap { g =>
+      readManifest(root, g).buckets.toSeq.map { case (b, gw) => (gw, b) }
+    }.toSet
+    val dataDir = new java.io.File(s"$root/data")
+    var dirsDeleted = 0
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .foreach { genDir =>
+        val g = genDir.getName.stripPrefix("gen=").toInt
+        Option(genDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .foreach { bDir =>
+            val b = bDir.getName.stripPrefix("bucket=").toLong
+            if (!live((g, b))) {
+              graft.engine.TempArtifacts.rm(bDir)
+              dirsDeleted += 1
+            }
+          }
+        if (Option(genDir.listFiles()).getOrElse(Array.empty)
+            .forall(!_.isDirectory))
+          graft.engine.TempArtifacts.rm(genDir)
+      }
+    var manifestsDeleted = 0
+    (0 until horizon).foreach { g =>
+      val p = java.nio.file.Paths.get(manifestPath(root, g))
+      if (java.nio.file.Files.deleteIfExists(p)) manifestsDeleted += 1
+    }
+    (dirsDeleted, manifestsDeleted)
+  }
+
   def readAsOf(spark: SparkSession, root: String, gen: Int): DataFrame = {
     val m = readManifest(root, gen)
     val paths = m.buckets.toSeq.sortBy(_._1)

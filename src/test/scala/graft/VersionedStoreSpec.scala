@@ -130,6 +130,57 @@ class VersionedStoreSpec extends SparkSpec {
       Seq((1L, 20L, 1), (2L, 11L, 0), (3L, 30L, 2)))
   }
 
+  test("vacuum keeps carry-forward-referenced dirs and drops the rest") {
+    val root = freshRoot("vac")
+    // gen 0 writes buckets 1 and 2; gen 1 rewrites ONLY bucket 2 — so
+    // manifest 1 references gen0/bucket=1 (carry-forward) + gen1/bucket=2
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    VersionedStore.mergeGeneration(batch((2L, 20L, "c", 3.0)), 1, root)
+    val before = snapshot(root, 1)
+    val (dirs, manifests) = VersionedStore.vacuum(root, 1)
+    // gen0/bucket=2 was referenced ONLY by the dropped manifest 0
+    assert(dirs === 1)
+    assert(manifests === 1)
+    // the carried-forward gen0/bucket=1 dir survives the vacuum even
+    // though generation 0's manifest is gone
+    assert(new java.io.File(
+      VersionedStore.bucketPath(root, 0, 1L)).isDirectory)
+    assert(!new java.io.File(
+      VersionedStore.bucketPath(root, 0, 2L)).exists())
+    // surviving snapshot reads identically; vacuumed one fails loudly
+    assert(snapshot(root, 1) === before)
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, 0)
+    }
+  }
+
+  test("compaction is logically invisible and unreferences history") {
+    val root = freshRoot("opt")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    VersionedStore.mergeGeneration(
+      batch((1L, 20L, "c", 3.0), (3L, 21L, "d", 4.0)), 1, root)
+    val before = VersionedStore.readAsOf(spark, root, 1)
+      .drop("gen").collect().map(_.toString).sorted.toSeq
+    val g = VersionedStore.compact(spark, root)
+    assert(g === 2)
+    // logical no-op: same rows, same n_versions, every bucket now at g
+    val after = VersionedStore.readAsOf(spark, root, g)
+    assert(after.drop("gen").collect().map(_.toString).sorted.toSeq
+      === before)
+    assert(after.select("gen").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(g))
+    // with the compaction as horizon, vacuum reclaims ALL older dirs
+    val (dirs, manifests) = VersionedStore.vacuum(root, g)
+    assert(dirs === 4) // gen0: buckets 1,2; gen1: buckets 1,3
+    assert(manifests === 2)
+    assert(!new java.io.File(s"$root/data/gen=0").exists())
+    assert(!new java.io.File(s"$root/data/gen=1").exists())
+    assert(VersionedStore.readAsOf(spark, root, g)
+      .drop("gen").collect().map(_.toString).sorted.toSeq === before)
+  }
+
   test("RTBF lifecycle: retention at gen g, erasure at gen g+1, tombstone " +
       "payload physically inert") {
     val root = freshRoot("rtbf")
