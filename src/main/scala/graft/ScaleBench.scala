@@ -81,6 +81,10 @@ object ScaleBench {
     // (bucket-count-bounded metadata walk) — expect q_time_travel's
     // line plus a linear rewrite term
     "q_store_vacuum",
+    // CDC between generations: two manifest-pruned snapshot scans into
+    // one user-keyed full-outer exchange — live-store-sized, expect
+    // q_forget_audit's line
+    "q_change_feed",
     "q_robust_outliers", "q_watermark_audit",
     // streaming KMV distinct: salted copies add USERS (ids shift per
     // copy) inside the same fixed hour windows, so the sketch side is

@@ -253,6 +253,44 @@ object VersionedStore {
     (dirsDeleted, manifestsDeleted)
   }
 
+  /** Change-data-feed diff of two snapshot reads (both in [[readSchema]]
+    * shape): net row-level changes a downstream consumer must apply to
+    * move from the `from` snapshot to the `to` snapshot —
+    * `insert` (key absent at from), `delete` (tombstone winner at to;
+    * an insert-then-delete inside the window nets to NO row), `update`
+    * (the latest event moved OR `n_versions` grew — an out-of-order
+    * arrival can grow the count without moving the argmax, and CDC must
+    * surface it). One full-outer key join of two manifest-pruned scans:
+    * cost is live-store-sized, never generation-count-sized.
+    */
+  def changesBetween(from: DataFrame, to: DataFrame,
+      tombstoneType: String): DataFrame = {
+    val f = from.select(col("user_id"), col("bucket"),
+      col("last_event_id").as("from_event_id"),
+      col("n_versions").as("from_nv"))
+    val t = to.select(col("user_id"), col("bucket"),
+      col("last_event_id").as("to_eid"),
+      col("last_event_type").as("to_type"),
+      col("n_versions").as("to_nv"))
+    f.join(t, Seq("user_id", "bucket"), "full_outer")
+      .withColumn("change",
+        when(col("to_type") === tombstoneType,
+          when(col("from_event_id").isNull, lit(null: String))
+            .otherwise("delete"))
+          .when(col("from_event_id").isNull, "insert")
+          .when(col("to_eid") =!= col("from_event_id") ||
+            col("to_nv") =!= col("from_nv"), "update")
+          .otherwise(lit(null: String)))
+      .filter(col("change").isNotNull)
+      .select(col("user_id"), col("bucket"), col("change"),
+        col("from_event_id"),
+        when(col("change") === "delete", lit(null: java.lang.Long))
+          .otherwise(col("to_eid")).as("to_event_id"),
+        when(col("change") === "delete", lit(null: java.lang.Long))
+          .otherwise(col("to_nv") - coalesce(col("from_nv"), lit(0L)))
+          .as("nv_delta"))
+  }
+
   def readAsOf(spark: SparkSession, root: String, gen: Int): DataFrame = {
     val m = readManifest(root, gen)
     val paths = m.buckets.toSeq.sortBy(_._1)

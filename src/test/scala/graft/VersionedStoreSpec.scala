@@ -181,6 +181,46 @@ class VersionedStoreSpec extends SparkSpec {
       .drop("gen").collect().map(_.toString).sorted.toSeq === before)
   }
 
+  test("change feed: insert/update/delete classified, out-of-order " +
+      "arrivals surfaced, insert-then-delete nets out") {
+    val root = freshRoot("cdf")
+    // from-snapshot state: users 1, 2, 10 (10 is forgettable)
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0),
+        (10L, 12L, "c", 3.0)), 0, root)
+    // window: user 1 advances; user 2 gets an OUT-OF-ORDER event (id 5
+    // sorts below 11 — argmax unmoved, n_versions grows); user 3 and
+    // user 30 appear for the first time
+    VersionedStore.mergeGeneration(
+      batch((1L, 20L, "d", 4.0), (2L, 5L, "e", 5.0),
+        (3L, 21L, "f", 6.0), (30L, 22L, "g", 7.0)), 1, root)
+    // tombstones: user 10 (existed at from) and user 30 (inserted after
+    // from — must net out of the feed entirely)
+    val tomb = batch(
+      (10L, -10L, StreamingQueries.TombstoneType, 0.0),
+      (30L, -30L, StreamingQueries.TombstoneType, 0.0))
+      .withColumn("last_ts",
+        lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+    VersionedStore.mergeGeneration(tomb, 2, root)
+    val feed = VersionedStore.changesBetween(
+      VersionedStore.readAsOf(spark, root, 0),
+      VersionedStore.readAsOf(spark, root, 2),
+      StreamingQueries.TombstoneType)
+      .collect().map { r =>
+        (r.getLong(0), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))
+      }.sortBy(_._1).toSeq
+    assert(feed === Seq(
+      (1L, "update", Some(10L), Some(20L), Some(1L)),
+      (2L, "update", Some(11L), Some(11L), Some(1L)), // out-of-order
+      (3L, "insert", None, Some(21L), Some(1L)),
+      (10L, "delete", Some(12L), None, None)))
+    // user 30 (insert-then-delete) must be absent — proven by the exact
+    // sequence equality above
+  }
+
   test("RTBF lifecycle: retention at gen g, erasure at gen g+1, tombstone " +
       "payload physically inert") {
     val root = freshRoot("rtbf")
