@@ -61,6 +61,18 @@ object ScaleBench {
     // one shared sort — expect alpha ≈ 1 (per-user histories scale in
     // count; WindowExec frame state is bounded sliding windows)
     "q_sql_window_frames",
+    // recursive CTE (top-down frontier walk): O(reachable keys) total
+    // recursion volume; the synthesized copies shift custkeys by
+    // disjoint ranges whose parent chains exit the key set, so the
+    // walk's OUTPUT stays base-tree-sized while each iteration's
+    // frontier⋈customer join probes the s-scaled table — the exponent
+    // prices the per-iteration join scans. (The bottom-up ancestry
+    // shape this replaced tripped Spark's 1M recursion row limit at 5x
+    // on its first ladder run — the ladder doing its job.)
+    "q_sql_recursive",
+    // correlated LATERAL top-k: decorrelated into a ranked window over
+    // the orders⋈customer join — expect the join's linear exponent
+    "q_sql_lateral",
     "q_compact", "q_stream_upsert", "q_event_sequences",
     // streaming RTBF: the upsert's microbatch MERGE floor plus one
     // tombstone batch (deletion-set-sized) — expect q_stream_upsert's

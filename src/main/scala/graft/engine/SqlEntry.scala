@@ -356,6 +356,66 @@ object SqlEntry {
     spark.sql(qKmvSql)
   }
 
+  /** Recursive CTE through the SQL front door (`q_sql_recursive`):
+    * hierarchy flattening — the BOM-explosion / org-chart pattern — over
+    * a synthetic binary parent edge (`parent(c) = floor(c/2)`) on
+    * customer keys. The walk is TOP-DOWN from the root: each iteration
+    * joins the previous FRONTIER to the edge table, so every reachable
+    * key is produced exactly once and total recursion volume is
+    * O(keys) across all iterations — the scale-correct direction. (The
+    * bottom-up ancestry walk — every key carrying its own chain to the
+    * root — generates rows × depth and tripped Spark's default 1M
+    * recursion ROW limit at 5x fixture scale on its first ladder run;
+    * at 100 TB that shape is wrong no matter the limit.) Portability:
+    * integer division is spelled `CAST(floor(x / 2) AS BIGINT)` because
+    * `x DIV 2` (Spark) and `x // 2` (DuckDB) are not common text, while
+    * `/` is float division on BOTH engines. Iterations = tree height
+    * (~log2 of the connected key range), far inside Spark's 100-level
+    * default; Spark executes the loop as UnionLoopExec with the
+    * frontier⋈edges join planned per iteration.
+    */
+  private val qRecursiveSql =
+    """WITH RECURSIVE walk(custkey, depth) AS (
+      |  SELECT CAST(1 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT c_custkey, depth + 1
+      |  FROM walk JOIN customer
+      |    ON CAST(floor(c_custkey / 2) AS BIGINT) = custkey)
+      |SELECT depth, count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |    AS bal
+      |FROM walk JOIN customer ON custkey = c_custkey
+      |GROUP BY depth""".stripMargin
+
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qRecursiveSql)
+  }
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    * (`q_sql_lateral`): top-2 orders per nation through the lateral
+    * join Spark decorrelates into a ranked window under the hood — the
+    * planner surface this query pins is exactly that decorrelation
+    * (DomainJoin elimination), the same answer a hand-written
+    * row_number() top-k would give but arriving via the SQL shape
+    * analysts actually write. The (o_totalprice DESC, o_orderkey) sort
+    * is a total order, so the LIMIT is deterministic on both engines.
+    */
+  private val qLateralSql =
+    """SELECT n_name, t.o_orderkey, t.o_totalprice
+      |FROM nation, LATERAL (
+      |  SELECT o_orderkey,
+      |    round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2)
+      |      AS o_totalprice
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_nationkey = n_nationkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qLateralSql)
+  }
+
   def sqlWindowTopN(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(qWindowTopNSql)
@@ -419,6 +479,8 @@ object SqlEntry {
     "q_sql_window_frames" -> sqlWindowFrames _,
     "q_sql_rollup" -> sqlRollup _,
     "q_sql_unshipped_parts" -> sqlNotIn _,
+    "q_sql_recursive" -> sqlRecursive _,
+    "q_sql_lateral" -> sqlLateral _,
     "q_sql_kmv_rollup" -> sqlKmv _)
 
   /** The SQL is already ANSI — the oracle is the same text (DuckDB's
@@ -439,6 +501,11 @@ object SqlEntry {
     "q_sql_window_frames" -> qWindowFramesSql.replace("\n", " "),
     "q_sql_rollup" -> qRollupSql.replace("\n", " "),
     "q_sql_unshipped_parts" -> qNotInSql.replace("\n", " "),
+    // WITH RECURSIVE and correlated LATERAL are common text on both
+    // engines (integer division spelled CAST(floor(x/2) AS BIGINT)
+    // because DIV / // are not)
+    "q_sql_recursive" -> qRecursiveSql.replace("\n", " "),
+    "q_sql_lateral" -> qLateralSql.replace("\n", " "),
     // shared with the Dataset-API twin: same columns, same values
     "q_sql_kmv_rollup" -> Ext.oracles("q_kmv_distinct"))
 }
