@@ -221,6 +221,36 @@ class VersionedStoreSpec extends SparkSpec {
     // sequence equality above
   }
 
+  test("the shared store is ingested once per (session, fixture): the " +
+      "second consumer runs zero ingest jobs") {
+    // first consumer pays the replay (builds the memo)
+    graft.streaming.StreamingQueries.timeTravel(spark, sf).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // building the second consumer's FRAME must launch no jobs at all
+      // (the memoized root resolves without touching Spark); executing
+      // it then costs only its own read-side jobs, not a re-ingest —
+      // pinned by the job count staying far under the ~40 jobs a
+      // 5-microbatch replay (spool write + per-batch merges) launches.
+      // the listener bus is async — drain before each read
+      val df = graft.streaming.StreamingQueries.forgetAudit(spark, sf)
+      Thread.sleep(1000)
+      val jobsAfterPlan = jobs.get()
+      assert(jobsAfterPlan === 0,
+        s"planning the second consumer launched $jobsAfterPlan jobs")
+      df.count()
+      Thread.sleep(1000)
+      assert(jobs.get() < 15,
+        s"second consumer ran ${jobs.get()} jobs — re-ingested?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("RTBF lifecycle: retention at gen g, erasure at gen g+1, tombstone " +
       "payload physically inert") {
     val root = freshRoot("rtbf")
