@@ -265,14 +265,26 @@ object VersionedStore {
     */
   def changesBetween(from: DataFrame, to: DataFrame,
       tombstoneType: String): DataFrame = {
-    val f = from.select(col("user_id"), col("bucket"),
+    val f = from.select(col("user_id").as("f_user_id"),
+      col("bucket").as("f_bucket"),
       col("last_event_id").as("from_event_id"),
       col("n_versions").as("from_nv"))
-    val t = to.select(col("user_id"), col("bucket"),
+    val t = to.select(col("user_id").as("t_user_id"),
+      col("bucket").as("t_bucket"),
       col("last_event_id").as("to_eid"),
       col("last_event_type").as("to_type"),
       col("n_versions").as("to_nv"))
-    f.join(t, Seq("user_id", "bucket"), "full_outer")
+    // null-safe (<=>) key equality: the store REPRESENTS a null-key row
+    // (the upsert discipline routes it to a real bucket), and a plain
+    // equi-join would silently orphan both sides' null-key rows — the
+    // from side vanishing, the to side misreading as an insert (the
+    // NULL-key class the AdaptiveAgg join-back fix closed in r15/r16)
+    f.join(t, col("f_user_id") <=> col("t_user_id") &&
+        col("f_bucket") <=> col("t_bucket"), "full_outer")
+      .select(coalesce(col("f_user_id"), col("t_user_id")).as("user_id"),
+        coalesce(col("f_bucket"), col("t_bucket")).as("bucket"),
+        col("from_event_id"), col("from_nv"), col("to_eid"),
+        col("to_type"), col("to_nv"))
       .withColumn("change",
         when(col("to_type") === tombstoneType,
           when(col("from_event_id").isNull, lit(null: String))

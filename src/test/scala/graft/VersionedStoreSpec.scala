@@ -221,6 +221,32 @@ class VersionedStoreSpec extends SparkSpec {
     // sequence equality above
   }
 
+  test("change feed: a NULL-key row diffs as an update, not as an " +
+      "orphaned insert") {
+    val root = freshRoot("cdfnull")
+    // the upsert discipline routes a null key to a REAL bucket; the
+    // store therefore REPRESENTS null-key rows and the feed's join
+    // must match them null-safely across snapshots
+    def nullRow(eid: Long): org.apache.spark.sql.DataFrame =
+      batch((7L, eid + 100, "x", 1.0)).limit(0).unionByName(
+        batch((7L, eid + 100, "x", 1.0)).select(
+          lit(null: java.lang.Long).as("user_id"), col("last_ts"),
+          lit(eid).as("last_event_id"), col("last_event_type"),
+          col("last_value"), col("n_versions"), lit(15L).as("bucket")))
+    VersionedStore.mergeGeneration(
+      batch((7L, 1L, "a", 1.0)).unionByName(nullRow(2L)), 0, root)
+    VersionedStore.mergeGeneration(nullRow(3L), 1, root)
+    val feed = VersionedStore.changesBetween(
+      VersionedStore.readAsOf(spark, root, 0),
+      VersionedStore.readAsOf(spark, root, 1),
+      StreamingQueries.TombstoneType).collect()
+      .map(r => (Option(r.get(0)), r.getString(2),
+        r.get(3).asInstanceOf[Long], r.get(4).asInstanceOf[Long]))
+    // exactly ONE change: the null-key row advanced 2 -> 3; user 7 is
+    // untouched and must not appear
+    assert(feed.toSeq === Seq((None, "update", 2L, 3L)))
+  }
+
   test("the shared store is ingested once per (session, fixture): the " +
       "second consumer runs zero ingest jobs") {
     // first consumer pays the replay (builds the memo)
