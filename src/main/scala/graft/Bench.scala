@@ -211,7 +211,7 @@ object Bench {
         "is near the 2000-char stdout-tail budget; shorten keys in shortKey")
     val materializeMode = sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("1")
     writeLocalRecords(results, probes.toSeq, ioProbes.toSeq, sfName, total,
-      materializeMode)
+      nThreads, materializeMode)
     println(calibLine)
     println(line)
     // ---- standing materialized-cost gate (round-14, VERDICT r13 #5) ----
@@ -301,8 +301,8 @@ object Bench {
     * silent parse failure would vacuously disable the materialized
     * gate. None if the file is absent or unparseable.
     */
-  private def readBenchRecord(
-      path: String): Option[(String, Map[String, Double], Seq[Double])] =
+  private def readBenchRecord(path: String)
+      : Option[(String, Map[String, Double], Seq[Double], Int)] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readAllBytes(
@@ -315,7 +315,9 @@ object Bench {
       val calib = scala.jdk.CollectionConverters
         .IteratorHasAsScala(root.path("calib_series").elements()).asScala
         .map(_.asDouble).toSeq
-      if (sf.isEmpty) None else Some((sf, qs, calib))
+      // records before round 17 carry no cpus field -> 0 = unknown
+      if (sf.isEmpty) None
+      else Some((sf, qs, calib, root.path("cpus").asInt(0)))
     } catch { case _: Throwable => None }
 
   /** Per-query count-mode seconds from the committed BENCH_LOCAL.json
@@ -324,8 +326,8 @@ object Bench {
     */
   private def countModeReference(sfName: String): Map[String, Double] =
     readBenchRecord("BENCH_LOCAL.json") match {
-      case Some((sf, qs, _)) if sf == sfName && qs.nonEmpty => qs
-      case Some((sf, _, _)) =>
+      case Some((sf, qs, _, _)) if sf == sfName && qs.nonEmpty => qs
+      case Some((sf, _, _, _)) =>
         System.err.println(s"[bench] WARNING: materialized-cost gate is " +
           s"VACUOUS — BENCH_LOCAL.json records sf '$sf', this run is " +
           s"'$sfName'; run count-mode at the same sf first")
@@ -472,7 +474,8 @@ object Bench {
     */
   private def writeLocalRecords(results: Seq[(String, Double)],
       probes: Seq[Double], ioProbes: Seq[Double], sfName: String,
-      total: Double, materializeMode: Boolean = false): Unit = {
+      total: Double, nThreads: Int,
+      materializeMode: Boolean = false): Unit = {
     def f(v: Double): String = f"$v%.3f"
     val calib = probes.map(f).mkString("[", ",", "]")
     val io = ioProbes.map(f).mkString("[", ",", "]")
@@ -487,9 +490,21 @@ object Bench {
     val diverted = !materializeMode && {
       val runMed = median(probes)
       val sfMismatch = readBenchRecord("BENCH_LOCAL.json") match {
-        case Some((refSf, _, _)) if refSf != sfName =>
+        case Some((refSf, _, _, _)) if refSf != sfName =>
           System.err.println(s"[bench] NOTE: sf '$sfName' run diverted " +
             s"to BENCH_LOADED.json (committed record is sf '$refSf')")
+          true
+        // cpus mismatch (round-17): [[QuietCalibRef]] and every
+        // committed query time are defined at the record's probe thread
+        // count — a run at FEWER threads reads a LOWER calib median (the
+        // probe contends less), sails past the loaded-boot gate, and
+        // clobbers the record with uniformly slower apples-to-oranges
+        // times. cpus=0 (a pre-round-17 record) compares permissively.
+        case Some((_, _, _, refCpus))
+            if refCpus > 0 && refCpus != nThreads =>
+          System.err.println(s"[bench] NOTE: ${nThreads}-thread run " +
+            s"diverted to BENCH_LOADED.json (committed record is " +
+            s"$refCpus threads — same-parallelism runs only)")
           true
         case _ => false
       }
@@ -517,7 +532,7 @@ object Bench {
           else "BENCH_LOCAL.json"),
         s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
           s""""calib_series":$calib,"io_series":$io,""" +
-          s""""queries":$qs,"sf":"$sfName"}""" + "\n")
+          s""""queries":$qs,"sf":"$sfName","cpus":$nThreads}""" + "\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_CALIB.jsonl"),
         s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfName",""" +

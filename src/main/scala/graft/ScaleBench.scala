@@ -97,6 +97,24 @@ object ScaleBench {
     // one user-keyed full-outer exchange — live-store-sized, expect
     // q_forget_audit's line
     "q_change_feed",
+    // timestamp-resolved snapshot read: q_time_travel's manifest pruning
+    // plus a descending driver-side manifest walk (retained-generation-
+    // bounded metadata, zero data cost) — the shared-ingest line
+    "q_time_travel_ts",
+    // interior CDC pair: two manifest-pruned reads of the SAME memoized
+    // store into one key exchange — q_change_feed's read shape minus
+    // the ingest (whichever sibling sorts first pays it)
+    "q_change_feed_pair",
+    // OCC race: two ntile merges + one compaction + the rebased commit
+    // over a private store — per-generation cost is delta + touched-
+    // bucket sized, and the rebase itself is MANIFEST-ONLY (bounded
+    // metadata, no data rewrite), so expect q_store_vacuum's
+    // write-bound replay line
+    "q_concurrent_commit",
+    // add-column evolution: two ntile merges + one mixed-writer-schema
+    // snapshot read (grouped scans union by name, no inference) — the
+    // q_concurrent_commit class minus the compaction rewrite
+    "q_store_schema_evolution",
     "q_robust_outliers", "q_watermark_audit",
     // streaming KMV distinct: salted copies add USERS (ids shift per
     // copy) inside the same fixed hour windows, so the sketch side is
@@ -617,48 +635,37 @@ object ScaleBench {
     var times = runLadder(spark, base, names, Scales)
     // ---- standing alpha-drift gate (VERDICT r14 #1) ----
     // Compare every measured endpoint exponent against the committed
-    // SCALE_GATE.json; a query drifting more than [[ScaleGate.DriftTol]]
-    // ABOVE its committed alpha is re-measured once at the endpoint
-    // scales (contention defense), and a drift that survives fails the
-    // run with exit 3 — the exact standing-gate move that made the
+    // SCALE_GATE.json; suspected drifts go through the standing
+    // noisy-host adjudication (VERDICT r16 #2, ScaleGate.adjudicate):
+    // up to TWO fresh 1x-floor-AND-endpoint re-measures of the suspects
+    // only, min-alpha kept, exit 3 only for a drift that reproduces in
+    // every re-run — the exact standing-gate move that made the
     // materialized-cost audit pay off in round 14.
     val committed = if (commitMode) Map.empty[String, Double]
       else ScaleGate.readCommitted(ScaleGate.DefaultPath, Scales)
     if (!commitMode && committed.nonEmpty) {
-      val alphas = times.view.mapValues(alphaOf).toMap
-      val suspects = ScaleGate.offenders(committed, alphas,
-        times.view.mapValues(t => t(t.keys.max)).toMap)
-      val confirmed = if (suspects.isEmpty) Nil else {
-        System.err.println(s"[scalegate] ${suspects.size} suspect(s) — " +
-          "re-measuring endpoints before failing: " +
-          suspects.map(_._1).mkString(", "))
-        // the fixed-delta probe rows are measured as side effects of
-        // their triggering query — map them back for the re-run
-        val probeTriggers = Map(
-          "probe_fixed_delta" -> "q_dedup_incremental_bucketed",
-          "substr_probe_fixed_delta" -> "q_substring_incremental_bucketed")
-        val rerunNames = suspects.map(_._1)
+      // the fixed-delta probe rows are measured as side effects of
+      // their triggering query — map them back for any re-run
+      val probeTriggers = Map(
+        "probe_fixed_delta" -> "q_dedup_incremental_bucketed",
+        "substr_probe_fixed_delta" -> "q_substring_incremental_bucketed")
+      val remeasure = (suspectNames: Seq[String]) => {
+        System.err.println(s"[scalegate] ${suspectNames.size} " +
+          "suspect(s) — re-measuring fresh 1x floor AND endpoint: " +
+          suspectNames.mkString(", "))
+        val rerunNames = suspectNames
           .map(n => probeTriggers.getOrElse(n, n))
           .distinct.filter(SparkEntry.queries.contains)
-        val again = runLadder(spark, base, rerunNames,
-          Seq(Scales.head, Scales.last))
-        // keep the better (lower) of the two independent endpoint
-        // measurements — contention only ever inflates. Merge endpoints
-        // into the full ladder so every scale column stays reportable.
-        times = times.map { case (n, t) =>
-          n -> (again.get(n) match {
-            case Some(t2) if alphaOf(t2) < alphaOf(t) => t ++ t2
-            case _ => t
-          })
-        }
-        ScaleGate.offenders(committed,
-          times.view.mapValues(alphaOf).toMap,
-          times.view.mapValues(t => t(t.keys.max)).toMap)
+        runLadder(spark, base, rerunNames, Seq(Scales.head, Scales.last))
       }
+      val (merged, confirmed) =
+        ScaleGate.adjudicate(committed, times, alphaOf, remeasure)
+      times = merged
       confirmed.foreach { case (n, meas, comm) =>
         System.err.println(f"[scalegate] ALPHA DRIFT $n: measured " +
           f"$meas%.2f vs committed $comm%.2f " +
-          f"(+${meas - comm}%.2f > +${ScaleGate.DriftTol}%.2f)")
+          f"(+${meas - comm}%.2f > +${ScaleGate.DriftTol}%.2f) — " +
+          "reproduced in every re-run")
       }
       if (confirmed.nonEmpty) { spark.stop(); sys.exit(3) }
       System.err.println(s"[scalegate] OK — ${committed.size} committed " +

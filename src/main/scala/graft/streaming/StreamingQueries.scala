@@ -406,6 +406,23 @@ object StreamingQueries {
   val TimeTravelGens = 4
   val TimeTravelReadGen = 1
 
+  /** Fixed fixture commit clock for versioned-store replays: generation
+    * g commits at [[StoreCommitBase]] + g × [[StoreCommitStepMs]]
+    * (2023-11-14T22:13:20Z + g minutes). Deterministic so
+    * `q_time_travel_ts`'s AS-OF instant is a literal whose
+    * ts→generation resolution the oracle can pin; production commits
+    * use the driver clock (mergeGeneration's default).
+    */
+  val StoreCommitBase = 1700000000000L
+  val StoreCommitStepMs = 60000L
+
+  /** AS-OF generation the timestamp read must resolve to — interior (2)
+    * and distinct from [[TimeTravelReadGen]] (1), so `q_time_travel_ts`
+    * hashes a DIFFERENT snapshot than `q_time_travel` and a
+    * resolution-rule bug cannot hide behind the other query's result.
+    */
+  val TimeTravelTsGen = 2
+
   /** Spool the events table as one parquet file per deterministic batch
     * (`__batch` = ntile(nBatches) over (ts, event_id), 0-based), with
     * STRICTLY INCREASING modification times so the file stream source —
@@ -480,7 +497,9 @@ object StreamingQueries {
           col("value").as("last_value"), lit(1L).as("n_versions"),
           pmod(coalesce(col("user_id"), lit(-1L)),
             lit(VersionedStore.Buckets.toLong)).as("bucket")),
-        gen, root)
+        gen, root,
+        // deterministic fixture commit clock — see [[StoreCommitBase]]
+        commitTs = StoreCommitBase + gen * StoreCommitStepMs)
     }
     val q = s2.readStream.schema(versionedSpoolSchema)
       .option("maxFilesPerTrigger", 1).parquet(spool)
@@ -526,11 +545,37 @@ object StreamingQueries {
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     val root = sharedForgetStore(spark, dir)
     VersionedStore.readAsOf(spark, root, TimeTravelReadGen)
-      .select(col("user_id"), col("bucket"), col("gen"), col("last_ts"),
-        col("last_event_id"), col("last_event_type"),
-        round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
-          .as("last_value"),
-        col("n_versions"))
+      .select(snapCols: _*)
+  }
+
+  /** Snapshot-read projection shared by the versioned-store consumers:
+    * payload + the manifest metadata columns (`gen`, `bucket`), value
+    * rounded through the exact-decimal discipline every money/value
+    * oracle in the repo uses.
+    */
+  private def snapCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("user_id"), col("bucket"), col("gen"), col("last_ts"),
+    col("last_event_id"), col("last_event_type"),
+    round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
+      .as("last_value"),
+    col("n_versions"))
+
+  /** Timestamp time travel (`q_time_travel_ts`, VERDICT r16 #4): read
+    * the shared store AS OF a wall-clock instant landing exactly
+    * mid-gap between the generation-[[TimeTravelTsGen]] and
+    * generation-(ts+1) commits — Delta's at-or-before rule must resolve
+    * it DOWN to generation [[TimeTravelTsGen]]. Same projection as
+    * `q_time_travel`, but an INTERIOR generation distinct from its
+    * read, so the hash gate proves the ts→generation resolution itself,
+    * not just the snapshot read; the boundary case (an instant exactly
+    * ON a commit) is spec-pinned in VersionedStoreSpec.
+    */
+  def timeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    val root = sharedForgetStore(spark, dir)
+    VersionedStore.readAsOfTimestamp(spark, root,
+      StoreCommitBase + TimeTravelTsGen * StoreCommitStepMs +
+        StoreCommitStepMs / 2)
+      .select(snapCols: _*)
   }
 
   /** Store lifecycle (`q_store_vacuum`): the OPTIMIZE + VACUUM half of
@@ -555,12 +600,7 @@ object StreamingQueries {
     driveVersionedStream(s2, spool, root)
     val g = VersionedStore.compact(s2, root)
     VersionedStore.vacuum(root, g)
-    VersionedStore.readAsOf(spark, root, g)
-      .select(col("user_id"), col("bucket"), col("gen"), col("last_ts"),
-        col("last_event_id"), col("last_event_type"),
-        round(col("last_value").cast("decimal(12,2)").cast("double"), 2)
-          .as("last_value"),
-        col("n_versions"))
+    VersionedStore.readAsOf(spark, root, g).select(snapCols: _*)
   }
 
   /** Change-data-feed read (`q_change_feed`): the net row-level changes
@@ -587,6 +627,108 @@ object StreamingQueries {
       VersionedStore.readAsOf(spark, root, TimeTravelReadGen),
       VersionedStore.readAsOf(spark, root, TimeTravelGens),
       TombstoneType)
+  }
+
+  /** Interior change feed (`q_change_feed_pair`, VERDICT r16 #8): diff
+    * two PRE-tombstone generations (0 → [[TimeTravelTsGen]]) of the
+    * same shared store, so pure insert/update coverage stands on its
+    * own instead of riding the RTBF spool's trailing tombstone batch —
+    * deletes are impossible in this window and the hash gate proves
+    * none appear. `changesBetween` is already generation-agnostic; this
+    * pins an arbitrary interior pair through the driver gate. Feed
+    * COMPOSABILITY (changes(a→b) ∘ changes(b→c) = changes(a→c) net of
+    * intermediate flips) is spec-pinned in VersionedStoreSpec.
+    * Marginal cost: two manifest-pruned reads of the memoized store —
+    * the α ≤ 0 steady-read class of its three siblings.
+    */
+  def changeFeedPair(spark: SparkSession, dir: String): DataFrame = {
+    val root = sharedForgetStore(spark, dir)
+    VersionedStore.changesBetween(
+      VersionedStore.readAsOf(spark, root, 0),
+      VersionedStore.readAsOf(spark, root, TimeTravelTsGen),
+      TombstoneType)
+  }
+
+  /** Deterministic three-way ntile split of the events table in the
+    * store's merge shape — the batch synthesis for the OCC and
+    * schema-evolution stores. The global-order window is batch
+    * SYNTHESIS (harness work standing in for an already-batched
+    * production feed, the writeVersionedSpool caveat); the store itself
+    * never sorts anything.
+    */
+  private def ntileBatch(spark: SparkSession, dir: String, parts: Int,
+      b: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    graft.engine.Tables.events(spark, dir)
+      .withColumn("__b", ntile(parts).over(w) - 1)
+      .filter(col("__b") === b)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"), lit(1L).as("n_versions"),
+        pmod(coalesce(col("user_id"), lit(-1L)),
+          lit(VersionedStore.Buckets.toLong)).as("bucket"))
+  }
+
+  /** Optimistic-concurrency race (`q_concurrent_commit`, VERDICT r16
+    * #1): the canonical two-job production collision — OPTIMIZE
+    * (compaction) landing BETWEEN an ingest batch's merge and its
+    * commit — driven DETERMINISTICALLY through `commitBatch`'s
+    * beforeClaim hook (commit hooks, not sleeps). Events split into
+    * three ntile batches; generations 0 and 1 commit serially; batch
+    * 2's commit is interrupted at its first claim by a compaction that
+    * takes generation 2, so the ingest loses the race, rebases
+    * (manifest-only — a compaction is a logical no-op, so the staged
+    * merge output is exactly what a serial re-merge would produce) and
+    * commits as generation 3. The result is the final snapshot; the
+    * oracle is the batch argmax over ALL events with each bucket's
+    * `gen` pinned to 3 where batch 2 touched it and to the compaction's
+    * 2 where it carried forward — hash equality proves the interleaved
+    * schedule equals the serial one, manifest layer included.
+    */
+  def concurrentCommit(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.engine.TempArtifacts.tempDir("graft-vstore-occ")
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 3, 0), 0, root,
+      commitTs = StoreCommitBase)
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 3, 1), 1, root,
+      commitTs = StoreCommitBase + StoreCommitStepMs)
+    var raced = false
+    val g = VersionedStore.commitBatch(ntileBatch(spark, dir, 3, 2), root,
+      commitTs = StoreCommitBase + 3 * StoreCommitStepMs,
+      beforeClaim = _ =>
+        if (!raced) {
+          raced = true
+          VersionedStore.compact(spark, root,
+            commitTs = StoreCommitBase + 2 * StoreCommitStepMs): Unit
+        })
+    require(g == 3,
+      s"the raced ingest must rebase to generation 3, committed $g")
+    VersionedStore.readAsOf(spark, root, g).select(snapCols: _*)
+  }
+
+  /** Add-column schema evolution (`q_store_schema_evolution`, VERDICT
+    * r16 #6): generation 0 ingests the first ntile half of events under
+    * the base payload schema; generation 1 ingests the second half with
+    * an ADDED `last_event_upper` column. The snapshot read resolves the
+    * mixed writer schemas through the manifest's writer_cols metadata —
+    * generation-0 carry-forward buckets and generation-0 argmax winners
+    * inside touched buckets both read the added column back as NULL (no
+    * schema inference, no fixed-schema misread). The oracle recomputes
+    * per-row: winners from the first half carry NULL, winners from the
+    * second carry upper(event_type) — hash equality proves the
+    * null-padding landed on exactly the pre-evolution rows.
+    */
+  def storeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.engine.TempArtifacts.tempDir("graft-vstore-evo")
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 2, 0), 0, root,
+      commitTs = StoreCommitBase)
+    VersionedStore.mergeGeneration(
+      ntileBatch(spark, dir, 2, 1)
+        .withColumn("last_event_upper", upper(col("last_event_type"))),
+      1, root, commitTs = StoreCommitBase + StoreCommitStepMs)
+    VersionedStore.readAsOf(spark, root, 1)
+      .select(snapCols :+ col("last_event_upper"): _*)
   }
 
   /** Retention-then-erasure audit (`q_forget_audit`, VERDICT r15 #5 —
@@ -797,9 +939,62 @@ object StreamingQueries {
     "q_stream_quality" -> streamQuality _,
     "q_stream_content_gate" -> streamContentGate _,
     "q_time_travel" -> timeTravel _,
+    "q_time_travel_ts" -> timeTravelTs _,
     "q_forget_audit" -> forgetAudit _,
     "q_store_vacuum" -> storeVacuum _,
-    "q_change_feed" -> changeFeed _)
+    "q_change_feed" -> changeFeed _,
+    "q_change_feed_pair" -> changeFeedPair _,
+    "q_concurrent_commit" -> concurrentCommit _,
+    "q_store_schema_evolution" -> storeSchemaEvolution _)
+
+  /** Null-safe bucket derivation in DuckDB terms — the oracle twin of
+    * the stores' routing `pmod(coalesce(user_id, -1), UpsertBuckets)`
+    * (ADVICE r16: today's fixture has no NULL user_id, but the
+    * implementation and specs explicitly guarantee null-key routing, so
+    * the oracles must encode the same contract instead of drifting
+    * latently; DuckDB's % keeps the dividend's sign, hence the
+    * double-mod). The modulus interpolates the shared layout constant.
+    */
+  private def bucketSql(expr: String): String =
+    s"CAST(((coalesce($expr, -1) % $UpsertBuckets) + $UpsertBuckets) " +
+      s"% $UpsertBuckets AS BIGINT)"
+
+  /** The versioned snapshot AS OF generation `readGen` in DuckDB terms:
+    * the latest-per-key argmax over exactly the ntile-prefix of events
+    * generations 0..readGen absorbed; `gen` re-derives the manifest's
+    * carry-forward map (which generation last wrote each bucket).
+    * Shared by `q_time_travel` (generation pinned) and
+    * `q_time_travel_ts` (generation RESOLVED from a timestamp — same
+    * snapshot algebra, different read path under test).
+    */
+  private def timeTravelSnapshotSql(readGen: Int): String =
+    s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value,
+       |    ntile($TimeTravelGens) OVER (ORDER BY ts, event_id) - 1
+       |      AS bat FROM events),
+       |cut AS (SELECT * FROM b WHERE bat <= $readGen),
+       |g AS (SELECT ${bucketSql("user_id")} AS bucket,
+       |    CAST(max(bat) AS INT) AS gen FROM cut GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS cnt FROM cut)
+       |SELECT r.user_id, ${bucketSql("r.user_id")} AS bucket,
+       |  g.gen, r.ts AS last_ts, r.event_id AS last_event_id,
+       |  r.event_type AS last_event_type,
+       |  round(CAST(CAST(r.value AS DECIMAL(12,2)) AS DOUBLE), 2)
+       |    AS last_value,
+       |  cnt AS n_versions
+       |FROM r JOIN g ON ${bucketSql("r.user_id")} = g.bucket
+       |WHERE rn = 1""".stripMargin
+
+  /** Latest-per-key (event_id, n_versions) state over the ntile prefix
+    * 0..maxBat — one side of a change-feed diff.
+    */
+  private def cdfSideSql(maxBat: Int): String =
+    s"""SELECT user_id, event_id, cnt FROM (
+       |    SELECT user_id, event_id, row_number() OVER (PARTITION BY
+       |        user_id ORDER BY ts DESC, event_id DESC) AS rn,
+       |      count(*) OVER (PARTITION BY user_id) AS cnt
+       |    FROM b WHERE bat <= $maxBat) WHERE rn = 1""".stripMargin
 
   /** Identical to the batch `q_event_window` oracle: the stream replays
     * the same finite fixture, and complete mode converges to the batch
@@ -840,11 +1035,11 @@ object StreamingQueries {
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, p.event_id AS purchase_id, p.ts AS purchase_ts, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "q_stream_upsert" ->
-      """SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1""",
+      s"""SELECT user_id, ${bucketSql("user_id")} AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1""",
     // retained keys only — tombstoned users (user_id % ForgetMod = 0)
     // must be ABSENT, which the hash equality proves
     "q_stream_forget" ->
-      s"""SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1 AND user_id % $ForgetMod <> 0""",
+      s"""SELECT user_id, ${bucketSql("user_id")} AS bucket, ts AS last_ts, event_id AS last_event_id, event_type AS last_event_type, round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value, cnt AS n_versions FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM events) WHERE rn = 1 AND user_id % $ForgetMod <> 0""",
     "q_stream_content_gate" -> {
       import graft.engine.TextOps
       val values = TextOps.ContentPlantedRows.map { case (id, t) =>
@@ -866,46 +1061,31 @@ object StreamingQueries {
          |SELECT doc_id, CAST($hitSum AS BIGINT) AS n_total
          |FROM tok WHERE NOT ($flagPred)""".stripMargin
     },
-    // the snapshot AS OF generation TimeTravelReadGen = the latest-per-key
-    // argmax over exactly the ntile-prefix of events generations
-    // 0..TimeTravelReadGen absorbed; `gen` re-derives the manifest's
-    // carry-forward map (which generation last wrote each bucket)
-    "q_time_travel" ->
-      s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value,
-         |    ntile($TimeTravelGens) OVER (ORDER BY ts, event_id) - 1
-         |      AS bat FROM events),
-         |cut AS (SELECT * FROM b WHERE bat <= $TimeTravelReadGen),
-         |g AS (SELECT user_id % 16 AS bucket, CAST(max(bat) AS INT)
-         |    AS gen FROM cut GROUP BY 1),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ts DESC, event_id DESC) AS rn,
-         |    count(*) OVER (PARTITION BY user_id) AS cnt FROM cut)
-         |SELECT r.user_id, CAST(r.user_id % 16 AS BIGINT) AS bucket,
-         |  g.gen, r.ts AS last_ts, r.event_id AS last_event_id,
-         |  r.event_type AS last_event_type,
-         |  round(CAST(CAST(r.value AS DECIMAL(12,2)) AS DOUBLE), 2)
-         |    AS last_value,
-         |  cnt AS n_versions
-         |FROM r JOIN g ON r.user_id % 16 = g.bucket
-         |WHERE rn = 1""".stripMargin,
+    // the snapshot AS OF generation TimeTravelReadGen (see
+    // timeTravelSnapshotSql); q_time_travel_ts resolves an AS-OF
+    // INSTANT to generation TimeTravelTsGen through the manifest commit
+    // timestamps and must reproduce the same snapshot algebra at that
+    // interior generation
+    "q_time_travel" -> timeTravelSnapshotSql(TimeTravelReadGen),
+    "q_time_travel_ts" -> timeTravelSnapshotSql(TimeTravelTsGen),
     // net changes between the from-prefix and the full replay +
     // tombstones: inserts = users first seen after the cut, deletes =
     // tombstoned users that existed at the cut (insert-then-delete
     // nets out), updates = argmax moved OR version count grew
+    // net changes between the from-prefix and the to-prefix; the join is
+    // IS NOT DISTINCT FROM (the oracle twin of the implementation's <=>
+    // null-safe key equality, ADVICE r16). q_change_feed's `to` is the
+    // full replay + tombstones (all three change types); the _pair
+    // variant diffs the interior (0 -> TimeTravelTsGen) pre-tombstone
+    // window, where the delete branch is vacuously absent by fixture
+    // construction (no tombstones committed yet) — the oracle keeps the
+    // tombstone-free CASE so a delete appearing would hash-fail loudly
     "q_change_feed" ->
       s"""WITH b AS (SELECT event_id, ts, user_id,
          |    ntile($TimeTravelGens) OVER (ORDER BY ts, event_id) - 1
          |      AS bat FROM events),
-         |f AS (SELECT user_id, event_id, cnt FROM (
-         |    SELECT user_id, event_id, row_number() OVER (PARTITION BY
-         |        user_id ORDER BY ts DESC, event_id DESC) AS rn,
-         |      count(*) OVER (PARTITION BY user_id) AS cnt
-         |    FROM b WHERE bat <= $TimeTravelReadGen) WHERE rn = 1),
-         |t AS (SELECT user_id, event_id, cnt FROM (
-         |    SELECT user_id, event_id, row_number() OVER (PARTITION BY
-         |        user_id ORDER BY ts DESC, event_id DESC) AS rn,
-         |      count(*) OVER (PARTITION BY user_id) AS cnt
-         |    FROM b) WHERE rn = 1),
+         |f AS (${cdfSideSql(TimeTravelReadGen)}),
+         |t AS (${cdfSideSql(TimeTravelGens - 1)}),
          |j AS (SELECT coalesce(f.user_id, t.user_id) AS user_id,
          |    f.event_id AS from_event_id, f.cnt AS from_nv,
          |    t.event_id AS to_eid, t.cnt AS to_nv,
@@ -916,19 +1096,39 @@ object StreamingQueries {
          |      WHEN t.event_id <> f.event_id OR t.cnt <> f.cnt
          |        THEN 'update'
          |      ELSE NULL END AS change
-         |  FROM f FULL OUTER JOIN t ON f.user_id = t.user_id)
-         |SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket, change,
+         |  FROM f FULL OUTER JOIN t
+         |    ON f.user_id IS NOT DISTINCT FROM t.user_id)
+         |SELECT user_id, ${bucketSql("user_id")} AS bucket, change,
          |  from_event_id,
          |  CASE WHEN change = 'delete' THEN NULL ELSE to_eid END
          |    AS to_event_id,
          |  CASE WHEN change = 'delete' THEN NULL
          |    ELSE to_nv - coalesce(from_nv, 0) END AS nv_delta
          |FROM j WHERE change IS NOT NULL""".stripMargin,
+    "q_change_feed_pair" ->
+      s"""WITH b AS (SELECT event_id, ts, user_id,
+         |    ntile($TimeTravelGens) OVER (ORDER BY ts, event_id) - 1
+         |      AS bat FROM events),
+         |f AS (${cdfSideSql(0)}),
+         |t AS (${cdfSideSql(TimeTravelTsGen)}),
+         |j AS (SELECT coalesce(f.user_id, t.user_id) AS user_id,
+         |    f.event_id AS from_event_id, f.cnt AS from_nv,
+         |    t.event_id AS to_eid, t.cnt AS to_nv,
+         |    CASE WHEN f.user_id IS NULL THEN 'insert'
+         |      WHEN t.event_id <> f.event_id OR t.cnt <> f.cnt
+         |        THEN 'update'
+         |      ELSE NULL END AS change
+         |  FROM f FULL OUTER JOIN t
+         |    ON f.user_id IS NOT DISTINCT FROM t.user_id)
+         |SELECT user_id, ${bucketSql("user_id")} AS bucket, change,
+         |  from_event_id, to_eid AS to_event_id,
+         |  to_nv - coalesce(from_nv, 0) AS nv_delta
+         |FROM j WHERE change IS NOT NULL""".stripMargin,
     // post-compaction + vacuum latest snapshot = the plain batch argmax
     // over ALL events with every bucket's writer generation pinned to
     // the compaction id — OPTIMIZE/VACUUM must be logically invisible
     "q_store_vacuum" ->
-      s"""SELECT user_id, CAST(user_id % 16 AS BIGINT) AS bucket,
+      s"""SELECT user_id, ${bucketSql("user_id")} AS bucket,
          |  CAST($TimeTravelGens AS INT) AS gen, ts AS last_ts,
          |  event_id AS last_event_id, event_type AS last_event_type,
          |  round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2)
@@ -937,6 +1137,52 @@ object StreamingQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY ts DESC, event_id DESC) AS rn,
          |  count(*) OVER (PARTITION BY user_id) AS cnt FROM events)
+         |WHERE rn = 1""".stripMargin,
+    // interleaved OPTIMIZE-vs-ingest schedule: the plain batch argmax
+    // over ALL events (= the serial outcome), with each bucket's writer
+    // generation pinned to the REBASED ingest (3) where the racing
+    // batch (ntile third 2) touched it and to the compaction (2) where
+    // it carried forward — the manifest layer under test, per bucket
+    "q_concurrent_commit" ->
+      s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value,
+         |    ntile(3) OVER (ORDER BY ts, event_id) - 1 AS bat
+         |  FROM events),
+         |g AS (SELECT ${bucketSql("user_id")} AS bucket,
+         |    CAST(CASE WHEN max(bat) = 2 THEN 3 ELSE 2 END AS INT)
+         |      AS gen
+         |  FROM b GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt FROM b)
+         |SELECT r.user_id, ${bucketSql("r.user_id")} AS bucket,
+         |  g.gen, r.ts AS last_ts, r.event_id AS last_event_id,
+         |  r.event_type AS last_event_type,
+         |  round(CAST(CAST(r.value AS DECIMAL(12,2)) AS DOUBLE), 2)
+         |    AS last_value,
+         |  cnt AS n_versions
+         |FROM r JOIN g ON ${bucketSql("r.user_id")} = g.bucket
+         |WHERE rn = 1""".stripMargin,
+    // add-column evolution: winners from the pre-evolution half carry
+    // NULL in the added column, winners from the evolved half carry
+    // upper(event_type) — per-row proof of where the null-padding landed
+    "q_store_schema_evolution" ->
+      s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value,
+         |    ntile(2) OVER (ORDER BY ts, event_id) - 1 AS bat
+         |  FROM events),
+         |g AS (SELECT ${bucketSql("user_id")} AS bucket,
+         |    CAST(max(bat) AS INT) AS gen FROM b GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt FROM b)
+         |SELECT r.user_id, ${bucketSql("r.user_id")} AS bucket,
+         |  g.gen, r.ts AS last_ts, r.event_id AS last_event_id,
+         |  r.event_type AS last_event_type,
+         |  round(CAST(CAST(r.value AS DECIMAL(12,2)) AS DOUBLE), 2)
+         |    AS last_value,
+         |  cnt AS n_versions,
+         |  CASE WHEN r.bat = 1 THEN upper(r.event_type) END
+         |    AS last_event_upper
+         |FROM r JOIN g ON ${bucketSql("r.user_id")} = g.bucket
          |WHERE rn = 1""".stripMargin,
     // pre = latest-per-key over ALL events (the snapshot one generation
     // before the tombstones — forgotten users PRESENT, n_forget > 0);
@@ -953,7 +1199,7 @@ object StreamingQueries {
          |ph AS (SELECT 'pre' AS phase, user_id, event_id FROM k
          |  UNION ALL SELECT 'post' AS phase, user_id, event_id FROM k
          |    WHERE user_id % $ForgetMod <> 0)
-         |SELECT phase, CAST(user_id % 16 AS BIGINT) AS bucket,
+         |SELECT phase, ${bucketSql("user_id")} AS bucket,
          |  count(*) AS n_users,
          |  CAST(sum(CASE WHEN user_id % $ForgetMod = 0 THEN 1 ELSE 0
          |    END) AS BIGINT) AS n_forget,

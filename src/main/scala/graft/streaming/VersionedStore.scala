@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Generational (time-travel) keyed store — the versioned sibling of
   * [[StreamingQueries.streamUpsert]]'s bucket-partitioned MERGE store
@@ -16,8 +18,9 @@ import org.apache.spark.sql.types._
   *
   * Layout under a store root:
   * {{{
-  *   root/data/gen=<g>/bucket=<b>/part-*.parquet   // immutable once written
-  *   root/_manifest/gen-<g>.json                    // {"gen":g,"buckets":{"b":gw,...}}
+  *   root/data/gen=<g>/bucket=<b>/part-*.parquet   // immutable once committed
+  *   root/data/.staged-<uuid>/bucket=<b>/...        // uncommitted write-ahead data
+  *   root/_manifest/gen-<g>.json                    // the commit record (see below)
   * }}}
   *
   * The generation-`g` manifest maps EVERY live bucket to the generation
@@ -25,7 +28,49 @@ import org.apache.spark.sql.types._
   * partition pruning: resolve `<=Buckets` paths, scan exactly those.
   * Untouched buckets carry forward by reference — no data is copied, the
   * Delta-checkpoint move that keeps a batch's write cost proportional to
-  * its touched partitions, never to the store.
+  * its touched partitions, never to the store. Beyond the bucket map a
+  * manifest records (VERDICT r16 #1/#4/#6):
+  *   - `commit_ts`: the commit wall-clock (monotonicity-guarded), so
+  *     [[readAsOfTimestamp]] can resolve "AS OF yesterday 17:00" to a
+  *     generation by Delta's rule (latest commit at-or-before the ask);
+  *   - `kind`: `ingest` or `compact` — the OCC conflict rule needs to
+  *     know a racing winner was a logical no-op;
+  *   - `schema`: the snapshot's payload schema as of this generation,
+  *     and `writer_cols`: the payload column NAMES each referenced
+  *     writer generation's files actually contain — together they let
+  *     [[readAsOf]] null-pad carried-forward pre-evolution buckets
+  *     (add-column evolution) without schema inference, and they
+  *     survive [[vacuum]] because every LIVE manifest carries the
+  *     entries for every generation it references.
+  *
+  * Commit protocol (VERDICT r16 #1 — optimistic concurrency, the
+  * Delta-style answer to OPTIMIZE racing a live ingest): data first,
+  * manifest last. A writer merges against the latest snapshot, writes
+  * the merged touched buckets to an UNCOMMITTED `.staged-*` dir (dot
+  * prefix: invisible to Spark scans), then claims generation `g` by
+  * renaming the staged dir to `gen=<g>` and writing manifest `g`
+  * create-if-absent. A failed claim means a concurrent commit won `g`:
+  * [[commitBatch]] re-reads the new latest manifest and REBASES — the
+  * copy-on-write layout makes the rebase manifest-only when every
+  * winner either touched disjoint buckets or was a compaction (a
+  * logical no-op), because in both cases the loser's staged merge
+  * output is still byte-for-byte what a serial re-merge against the
+  * winner's snapshot would produce; a winner that logically changed an
+  * overlapping bucket is a SEMANTIC conflict and fails loudly
+  * ([[BucketConflictException]]). Compaction restarts instead of
+  * rebasing — its staged data is a full snapshot rewrite, stale the
+  * moment anyone else commits. The claim itself is serialized by a
+  * JVM-wide lock: Spark has one driver per cluster, so same-driver
+  * jobs (the canonical OPTIMIZE-vs-streaming-upsert race) are exactly
+  * covered; cross-driver deployments need the manifest write to be a
+  * storage-level put-if-absent (object-store conditional PUT / HDFS
+  * create), which `FileSystem.create(overwrite=false)` already
+  * expresses — the lock is then a per-driver fast path, not the
+  * correctness boundary. A crash between rename and manifest write
+  * leaves a `gen=<g>` dir with no manifest; that dir is by definition
+  * uncommitted, and the next claim of `g` deletes the orphan and
+  * proceeds (the retry-after-crash path a plain `errorifexists` write
+  * used to fail).
   *
   * Scale design (100 TB): manifests are bucket-count-sized JSON written
   * driver-side — bounded by the layout constant like the touched-bucket
@@ -35,27 +80,38 @@ import org.apache.spark.sql.types._
   * overwrites what it reads (existing buckets are read from OLDER
   * generation dirs), the merge needs no `localCheckpoint` barrier — the
   * read-own-overwrite hazard the destructive MERGE defends against
-  * cannot occur by construction. Retention is a separate vacuum concern:
-  * a generation older than the retention horizon can be dropped by
-  * deleting its dir and every manifest that references it, exactly
-  * Delta's VACUUM contract.
+  * cannot occur by construction. All metadata I/O goes through the
+  * Hadoop [[FileSystem]] API (VERDICT r16 #7), so the store runs on
+  * any Spark-visible filesystem (HDFS, S3A, local) — at 100 TB the
+  * store lives on object storage and `java.io.File` would not resolve.
+  * Retention is a separate vacuum concern: a generation older than the
+  * retention horizon can be dropped by deleting its dir and every
+  * manifest that references it, exactly Delta's VACUUM contract.
   *
-  * What versioning buys (the two driver queries):
-  *   - `q_time_travel`: read AS OF generation g — reproducible training
-  *     runs pin the snapshot they read.
+  * What versioning buys (the driver queries):
+  *   - `q_time_travel` / `q_time_travel_ts`: read AS OF a generation or
+  *     a timestamp — reproducible training runs pin the snapshot they
+  *     read.
   *   - `q_forget_audit`: retention-then-erasure RTBF — generation g
   *     still contains a deleted user (auditable retention) while g+1
   *     provably excludes them (the [[StreamingQueries.streamForget]]
   *     tombstone merge), with both snapshots fingerprinted in one result.
+  *   - `q_concurrent_commit`: a compaction landing BETWEEN ingest
+  *     generations, the loser rebasing — and the final snapshot
+  *     hash-equal to the serial schedule's.
+  *   - `q_store_schema_evolution`: a generation that ADDS a payload
+  *     column, earlier carried-forward buckets reading back null-padded.
   */
 object VersionedStore {
   /** Bucket count, shared with the destructive store so the two stores
-    * agree on routing (and the oracles on `user_id % 16`).
+    * agree on routing (and the oracles on the same modulus).
     */
   val Buckets: Int = StreamingQueries.UpsertBuckets
 
   /** Store payload columns (bucket rides as the partition dir; `gen` is
-    * the generation partition dir above it).
+    * the generation partition dir above it). This is the BASE schema —
+    * a store whose generations evolved carries its actual schema in the
+    * manifest chain.
     */
   private[streaming] val payloadSchema = StructType(Seq(
     StructField("user_id", LongType),
@@ -65,18 +121,40 @@ object VersionedStore {
     StructField("last_value", DoubleType),
     StructField("n_versions", LongType)))
 
-  /** Read-side schema: payload + the two partition columns parsed from
-    * the dir names (`gen=<g>/bucket=<b>`).
+  /** Read-side base schema: payload + the two partition columns parsed
+    * from the dir names (`gen=<g>/bucket=<b>`).
     */
   private[streaming] val readSchema: StructType =
     StructType(payloadSchema.fields ++ Seq(
       StructField("gen", IntegerType),
       StructField("bucket", LongType)))
 
-  /** Full-snapshot manifest for one generation: every live bucket mapped
-    * to the generation whose dir holds its current data.
+  /** A same-bucket write/write race between two LOGICAL changes — the
+    * one conflict optimistic concurrency cannot rebase away. Delta
+    * calls this a ConcurrentAppend/WriteConflict; the resolution is the
+    * caller's (re-read, re-merge its SOURCE rows, re-submit).
     */
-  final case class Manifest(gen: Int, buckets: Map[Long, Int])
+  final class BucketConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Full-snapshot manifest for one generation: every live bucket mapped
+    * to the generation whose dir holds its current data, plus the commit
+    * metadata documented on the object scaladoc. `writerCols` carries
+    * payload column names for every writer generation the bucket map
+    * references (absent entries mean "the full `schema`" — the
+    * pre-evolution manifest format).
+    */
+  final case class Manifest(gen: Int, buckets: Map[Long, Int],
+      commitTs: Long = -1L, kind: String = "ingest",
+      schema: StructType = payloadSchema,
+      writerCols: Map[Int, Seq[String]] = Map.empty) {
+    /** Snapshot read schema as of this generation. */
+    def snapshotSchema: StructType = StructType(schema.fields ++ Seq(
+      StructField("gen", IntegerType), StructField("bucket", LongType)))
+    /** Column names writer generation `gw`'s files contain. */
+    def colsOf(gw: Int): Seq[String] =
+      writerCols.getOrElse(gw, schema.fieldNames.toSeq)
+  }
 
   private def manifestDir(root: String) = s"$root/_manifest"
   private def manifestPath(root: String, gen: Int) =
@@ -84,101 +162,367 @@ object VersionedStore {
   private[graft] def bucketPath(root: String, writerGen: Int,
       bucket: Long) = s"$root/data/gen=$writerGen/bucket=$bucket"
 
+  /** Hadoop configuration for metadata I/O: the active session's (it
+    * carries fs.* credentials/endpoints for object stores) when one
+    * exists, else vanilla defaults (local fs) — metadata ops stay
+    * callable without a session.
+    */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
+  /** Serializes [claim gen dir + write manifest] so two same-driver
+    * committers cannot interleave inside the commit point (see the
+    * object scaladoc's protocol note on cross-driver deployments).
+    */
+  private val commitLock = new Object
+
   /** Highest committed generation, or None for an empty store. */
-  def latestGen(root: String): Option[Int] = {
-    val d = new java.io.File(manifestDir(root))
-    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .map(_.getName)
+  def latestGen(root: String): Option[Int] =
+    committedGens(root).lastOption
+
+  /** All committed generations, ascending (vacuum may have dropped a
+    * prefix). Bounded by retained-generation count — the same
+    * driver-side metadata walk Delta's log replay does.
+    */
+  def committedGens(root: String): Seq[Int] = {
+    val (fs, dir) = fsOf(manifestDir(root))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("gen-") && n.endsWith(".json") =>
         n.stripPrefix("gen-").stripSuffix(".json").toInt }
-      .sorted.lastOption
+      .sorted
   }
 
   def readManifest(root: String, gen: Int): Manifest = {
-    val p = java.nio.file.Paths.get(manifestPath(root, gen))
-    require(java.nio.file.Files.isRegularFile(p),
+    val (fs, p) = fsOf(manifestPath(root, gen))
+    require(fs.exists(p),
       s"versioned store has no generation $gen manifest under $root")
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.readTree(java.nio.file.Files.readAllBytes(p))
+    val node = om.readTree(buf)
     val buckets = scala.jdk.CollectionConverters
       .IteratorHasAsScala(node.path("buckets").fields()).asScala
       .map(e => e.getKey.toLong -> e.getValue.asInt).toMap
-    Manifest(node.path("gen").asInt, buckets)
+    val schema =
+      if (node.has("schema"))
+        DataType.fromJson(node.get("schema").toString)
+          .asInstanceOf[StructType]
+      else payloadSchema
+    val writerCols = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.path("writer_cols").fields()).asScala
+      .map { e =>
+        e.getKey.toInt -> scala.jdk.CollectionConverters
+          .IteratorHasAsScala(e.getValue.elements()).asScala
+          .map(_.asText).toSeq
+      }.toMap
+    Manifest(node.path("gen").asInt, buckets,
+      node.path("commit_ts").asLong(-1L),
+      if (node.has("kind")) node.get("kind").asText else "ingest",
+      schema, writerCols)
   }
 
+  private def manifestBytes(m: Manifest): Array[Byte] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("gen", m.gen)
+    root.put("kind", m.kind)
+    root.put("commit_ts", m.commitTs)
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema",
+      om.readTree(m.schema.json))
+    val wc = root.putObject("writer_cols")
+    m.writerCols.toSeq.sortBy(_._1).foreach { case (g, cols) =>
+      val arr = wc.putArray(g.toString)
+      cols.foreach(arr.add)
+    }
+    val bk = root.putObject("buckets")
+    m.buckets.toSeq.sortBy(_._1).foreach { case (b, g) =>
+      bk.put(b.toString, g): Unit
+    }
+    (om.writeValueAsString(root) + "\n").getBytes("UTF-8")
+  }
+
+  /** Write manifest `m` create-if-absent — the commit point. Throws on
+    * an already-committed generation (the caller treats it as a lost
+    * race or a replay, never overwrites).
+    */
   private def writeManifest(root: String, m: Manifest): Unit = {
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(manifestDir(root)))
-    val body = m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, g) => s""""$b":$g""" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(manifestPath(root, m.gen)),
-      s"""{"gen":${m.gen},"buckets":$body}""" + "\n"): Unit
+    val (fs, dir) = fsOf(manifestDir(root))
+    fs.mkdirs(dir): Unit
+    val (_, p) = fsOf(manifestPath(root, m.gen))
+    val out = fs.create(p, false) // put-if-absent: never rewrite a commit
+    try out.write(manifestBytes(m)) finally out.close()
   }
 
-  /** Commit one generation: merge `batchRows` (payload columns plus a
-    * `bucket` routing column, `n_versions` pre-set to 1) with the
-    * touched buckets' CURRENT data (read by reference from older
-    * generation dirs — copy-on-write, so the read side is never the
-    * write target) under the latest-per-key (ts, event_id) argmax, write
-    * the merged touched buckets into this generation's immutable dir,
-    * and commit the carry-forward manifest. `gen` must be exactly
-    * `previous + 1` — a gap or a replay corrupts the manifest chain and
-    * fails loudly instead.
+  /** Resolve a commit timestamp: an explicit fixture clock must stay
+    * monotonic against the chain; the default is the driver clock,
+    * clamped forward so a fast successive commit never ties or regresses
+    * (Delta's in-commit-timestamp monotonicity rule).
+    */
+  private def resolveTs(prevTs: Long, provided: Long): Long =
+    if (provided >= 0L) {
+      require(provided > prevTs,
+        s"commit timestamp $provided must exceed the previous commit's " +
+          s"$prevTs — the AS OF resolution order depends on it")
+      provided
+    } else math.max(prevTs + 1L, System.currentTimeMillis())
+
+  private def stagedPath(root: String): String =
+    s"$root/data/.staged-${java.util.UUID.randomUUID().toString}"
+
+  /** Claim generation `m.gen`: rename the staged data dir (if any) to
+    * the generation dir and write the manifest, atomically with respect
+    * to other same-driver committers. False = a committed manifest
+    * already holds the generation (lost race — caller rebases/retries).
+    * A generation DIR without a manifest is a crashed commit's orphan:
+    * uncommitted by definition, deleted here so the retry can proceed
+    * (the ADVICE-r16 recovery path).
+    */
+  private def tryClaimAndCommit(root: String, staged: Option[String],
+      m: Manifest): Boolean = commitLock.synchronized {
+    val (fs, mPath) = fsOf(manifestPath(root, m.gen))
+    if (fs.exists(mPath)) false
+    else {
+      val (_, genDir) = fsOf(s"$root/data/gen=${m.gen}")
+      if (fs.exists(genDir)) fs.delete(genDir, true): Unit
+      staged.foreach { s =>
+        val (_, sp) = fsOf(s)
+        require(fs.rename(sp, genDir),
+          s"rename $s -> $genDir failed with no committed manifest " +
+            s"holding generation ${m.gen}")
+      }
+      writeManifest(root, m)
+      true
+    }
+  }
+
+  /** Merged payload schema for a commit: the batch must carry every
+    * previous payload column at its exact type (renames/drops/type
+    * changes fail loudly — only ADD-column evolution is supported,
+    * VERDICT r16 #6); genuinely new columns append in batch order.
+    */
+  private[streaming] def mergedSchema(prev: StructType,
+      batch: StructType): StructType = {
+    val bp = batch.fields.filterNot(_.name == "bucket")
+    val byName = bp.map(f => f.name -> f).toMap
+    prev.fields.foreach { f =>
+      byName.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"schema evolution: batch drops column '${f.name}' — only " +
+            "add-column evolution is supported")
+        case Some(b) => require(b.dataType == f.dataType,
+          s"schema evolution: batch changes column '${f.name}' from " +
+            s"${f.dataType.catalogString} to ${b.dataType.catalogString}" +
+            " — type changes are not supported")
+      }
+    }
+    val prevNames = prev.fieldNames.toSet
+    StructType(prev.fields ++
+      bp.filterNot(f => prevNames(f.name)).map(f => f.copy(nullable = true)))
+  }
+
+  /** Latest-per-key merge of a batch with the touched buckets' current
+    * data, in `schema` column order (+ trailing `bucket`). Both sides
+    * union by name with null padding, so a pre-evolution existing side
+    * reads back null in the batch's added columns and the argmax struct
+    * carries whichever side wins.
+    */
+  private def mergeTouched(existing: DataFrame, batch: DataFrame,
+      schema: StructType): DataFrame = {
+    val valueCols = schema.fieldNames.toSeq
+      .filterNot(Set("user_id", "n_versions"))
+    val ord = struct(col("last_ts"), col("last_event_id"))
+    existing.unionByName(batch, allowMissingColumns = true)
+      .groupBy("user_id", "bucket")
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("m"),
+        sum(col("n_versions")).as("n_versions"))
+      .select(col("user_id") +:
+        valueCols.map(c => col(s"m.$c").as(c)) ++:
+        Seq(col("n_versions"), col("bucket")): _*)
+  }
+
+  /** The current data of `touched` buckets under manifest `m` (empty
+    * frame in `schema` + bucket shape when none exist yet).
+    */
+  private def existingFor(sp: SparkSession, root: String, m: Manifest,
+      touched: Seq[Long], schema: StructType): DataFrame = {
+    val present = touched.filter(m.buckets.contains)
+    if (present.isEmpty)
+      sp.createDataFrame(sp.sparkContext.emptyRDD[Row],
+        StructType(schema.fields :+ StructField("bucket", LongType)))
+    else readBuckets(sp, root, m, Some(present.toSet)).drop("gen")
+  }
+
+  /** Manifest for committing `touched` buckets at generation `g` on top
+    * of `base`, with writer-cols pruned to the generations the new
+    * bucket map still references (keeps manifests bounded AND makes the
+    * schema metadata vacuum-proof — a live manifest always carries the
+    * entries for everything it references).
+    */
+  private def nextManifest(base: Manifest, g: Int, touched: Seq[Long],
+      schema: StructType, gCols: Seq[String], commitTs: Long,
+      kind: String): Manifest = {
+    val buckets = base.buckets ++ touched.map(_ -> g)
+    val referenced = buckets.values.toSet
+    val writerCols = (base.writerCols ++
+      base.buckets.values.toSet.diff(base.writerCols.keySet)
+        .map(gw => gw -> base.colsOf(gw)).toMap +
+      (g -> gCols))
+      .filter { case (gw, _) => referenced(gw) }
+    Manifest(g, buckets, resolveTs(base.commitTs, commitTs), kind,
+      schema, writerCols)
+  }
+
+  /** Commit one generation under the STRICT chain contract: `gen` must
+    * be exactly `previous + 1` — the streaming replay path, where a gap
+    * or a reordered delivery corrupts the generation accounting and must
+    * fail loudly, never rebase. (Concurrent writers use [[commitBatch]],
+    * which rebases instead.) `batchRows` carry the payload columns plus
+    * a `bucket` routing column, `n_versions` pre-set to 1; the merge
+    * reads the touched buckets' CURRENT data by reference from older
+    * generation dirs (copy-on-write — the read side is never the write
+    * target) under the latest-per-key (ts, event_id) argmax.
+    * `commitTs` < 0 = driver clock; an explicit value (deterministic
+    * fixtures) must be monotonic in the chain.
     */
   def mergeGeneration(batchRows: DataFrame, gen: Int,
-      root: String): Unit = {
+      root: String, commitTs: Long = -1L): Unit = {
     val sp = batchRows.sparkSession
-    val prevBuckets: Map[Long, Int] =
+    val base: Manifest =
       if (gen == 0) {
         require(latestGen(root).isEmpty,
           s"generation 0 into a non-empty store at $root")
-        Map.empty
+        Manifest(-1, Map.empty)
       } else {
         require(latestGen(root).contains(gen - 1),
           s"generation $gen requires committed generation ${gen - 1} " +
             s"(store at ${latestGen(root).getOrElse(-1)})")
-        readManifest(root, gen - 1).buckets
+        readManifest(root, gen - 1)
       }
     // bounded by the layout constant (<= Buckets), never by data volume
     val touched = batchRows.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val existingPaths = touched
-      .flatMap(b => prevBuckets.get(b).map(g => bucketPath(root, g, b)))
-    val existing =
-      if (existingPaths.isEmpty)
-        sp.createDataFrame(sp.sparkContext
-            .emptyRDD[org.apache.spark.sql.Row], readSchema)
-          .drop("gen")
-      else sp.read.option("basePath", s"$root/data").schema(readSchema)
-        .parquet(existingPaths: _*).drop("gen")
-    val ord = struct(col("last_ts"), col("last_event_id"))
-    val merged = existing.unionByName(batchRows)
-      .groupBy("user_id", "bucket")
-      .agg(
-        max_by(struct(col("last_ts"), col("last_event_id"),
-          col("last_event_type"), col("last_value")), ord).as("m"),
-        sum(col("n_versions")).as("n_versions"))
-      .select(col("user_id"), col("m.last_ts").as("last_ts"),
-        col("m.last_event_id").as("last_event_id"),
-        col("m.last_event_type").as("last_event_type"),
-        col("m.last_value").as("last_value"),
-        col("n_versions"), col("bucket"))
-    // errorifexists ENFORCES generation immutability: rewriting a
-    // committed generation is a bug, not a retry
-    merged.write.mode("errorifexists").partitionBy("bucket")
-      .parquet(s"$root/data/gen=$gen")
-    writeManifest(root, Manifest(gen,
-      prevBuckets ++ touched.map(_ -> gen)))
+    val schema = mergedSchema(base.schema, batchRows.schema)
+    val staged = stagedPath(root)
+    mergeTouched(existingFor(sp, root, base, touched, schema),
+      batchRows, schema)
+      .write.mode("errorifexists").partitionBy("bucket").parquet(staged)
+    val committed = tryClaimAndCommit(root, Some(staged),
+      nextManifest(base, gen, touched, schema,
+        schema.fieldNames.toSeq, commitTs, "ingest"))
+    if (!committed) {
+      val (fs, sp2) = fsOf(staged)
+      fs.delete(sp2, true): Unit
+      throw new IllegalArgumentException(
+        s"generation $gen is already committed at $root — a replayed " +
+          "or concurrent strict-chain commit is a bug, not a retry " +
+          "(concurrent writers go through commitBatch)")
+    }
   }
 
-  /** Snapshot read AS OF generation `gen`: resolve the manifest's
-    * bucket→generation map to `<=Buckets` dirs and scan exactly those —
-    * manifest-driven partition pruning, cost proportional to the LIVE
-    * data regardless of how many generations the store has accrued. The
-    * result carries the `gen` partition column (which generation last
-    * wrote each bucket) and `bucket` alongside the payload.
+  /** Optimistic-concurrency commit (VERDICT r16 #1): merge `batchRows`
+    * against the LATEST snapshot and commit as the next generation,
+    * rebasing on conflict. See the object scaladoc for the protocol;
+    * the short form:
+    *
+    *   - lost race, every winner disjoint-or-compaction → manifest-only
+    *     rebase (the staged merge output is provably what a serial
+    *     re-merge would produce) and retry at `newLatest + 1`;
+    *   - lost race, an ingest winner touched one of OUR buckets →
+    *     [[BucketConflictException]] — the caller must re-derive its
+    *     batch from source and re-submit;
+    *   - `maxRetries` exhausted → IllegalStateException (livelock guard).
+    *
+    * `beforeClaim(g)` fires after the staged write, immediately before
+    * each claim attempt of generation `g` — the deterministic
+    * interleaving hook the spec and `q_concurrent_commit` drive the
+    * canonical OPTIMIZE-vs-ingest race through (no sleeps).
+    * Returns the committed generation id.
     */
+  def commitBatch(batchRows: DataFrame, root: String,
+      commitTs: Long = -1L, maxRetries: Int = 5,
+      beforeClaim: Int => Unit = _ => ()): Int = {
+    val sp = batchRows.sparkSession
+    val touched = batchRows.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val touchedSet = touched.toSet
+    var base = latestGen(root) match {
+      case Some(g) => readManifest(root, g)
+      case None => Manifest(-1, Map.empty)
+    }
+    var schema = mergedSchema(base.schema, batchRows.schema)
+    // the columns the staged files PHYSICALLY contain — frozen at write
+    // time; a rebase can widen the manifest `schema` with a winner's
+    // added columns, but writer_cols must stay honest about these files
+    val stagedCols = schema.fieldNames.toSeq
+    val staged = stagedPath(root)
+    mergeTouched(existingFor(sp, root, base, touched, schema),
+      batchRows, schema)
+      .write.mode("errorifexists").partitionBy("bucket").parquet(staged)
+    def cleanupStaged(): Unit = {
+      val (fs, p) = fsOf(staged)
+      fs.delete(p, true): Unit
+    }
+    var attempt = 0
+    while (true) {
+      val g = base.gen + 1
+      beforeClaim(g)
+      if (tryClaimAndCommit(root, Some(staged),
+          nextManifest(base, g, touched, schema, stagedCols, commitTs,
+            "ingest")))
+        return g
+      attempt += 1
+      if (attempt > maxRetries) {
+        cleanupStaged()
+        throw new IllegalStateException(
+          s"commitBatch lost $attempt consecutive races at $root — " +
+            "livelock guard tripped")
+      }
+      val newLatest = latestGen(root).getOrElse(
+        throw new IllegalStateException(
+          s"claim of generation $g failed but $root has no manifests"))
+      // validate every commit that landed since our snapshot: a
+      // compaction is a logical no-op (rebase fine); a disjoint ingest
+      // didn't change what we merged against (rebase fine); an
+      // OVERLAPPING ingest invalidates our merge — semantic conflict
+      (g to newLatest).foreach { wg =>
+        val wm = readManifest(root, wg)
+        if (wm.kind != "compact") {
+          val overlap = wm.buckets.collect {
+            case (b, gw) if gw == wg && touchedSet(b) => b
+          }
+          if (overlap.nonEmpty) {
+            cleanupStaged()
+            throw new BucketConflictException(
+              s"concurrent generation $wg wrote bucket(s) " +
+                s"${overlap.toSeq.sorted.mkString(",")} this batch also " +
+                "touches — rebase would lose its rows; re-derive the " +
+                "batch from source and re-submit")
+          }
+        }
+      }
+      base = readManifest(root, newLatest)
+      // schema rebase: keep every column the winners' chain knows about,
+      // appending only our genuinely-new ones (common columns were
+      // type-checked against OUR batch by mergedSchema on entry; a
+      // winner cannot have changed a type — add-only is enforced on
+      // every path)
+      val baseNames = base.schema.fieldNames.toSet
+      schema = StructType(base.schema.fields ++
+        schema.fields.filterNot(f => baseNames(f.name)))
+    }
+    -1 // unreachable
+  }
+
   /** Compaction (the OPTIMIZE half of the store lifecycle): commit a
     * new generation that rewrites EVERY live bucket's current data into
     * one generation dir — logically a no-op (same rows, same
@@ -188,19 +532,44 @@ object VersionedStore {
     * pruned `<=Buckets` dirs and the write is one pass over the LIVE
     * data — at 100 TB this is the periodic maintenance job a streaming
     * store schedules off-peak, cost bounded by live-store size, never
-    * by generation count. Returns the compaction generation id.
+    * by generation count. Concurrency: compaction claims `latest + 1`
+    * optimistically like any writer, but on a lost race it RESTARTS
+    * (re-read, rewrite) — its staged data is a full-snapshot copy,
+    * stale the moment any other commit lands; since it is a logical
+    * no-op, restarting can never conflict semantically. Returns the
+    * compaction generation id.
     */
-  def compact(spark: SparkSession, root: String): Int = {
-    val latest = latestGen(root).getOrElse(
-      throw new IllegalArgumentException(s"empty store at $root"))
-    val m = readManifest(root, latest)
-    val g = latest + 1
-    if (m.buckets.nonEmpty)
-      readAsOf(spark, root, latest).drop("gen")
-        .write.mode("errorifexists").partitionBy("bucket")
-        .parquet(s"$root/data/gen=$g")
-    writeManifest(root, Manifest(g, m.buckets.keys.map(_ -> g).toMap))
-    g
+  def compact(spark: SparkSession, root: String,
+      commitTs: Long = -1L, maxRetries: Int = 5,
+      beforeClaim: Int => Unit = _ => ()): Int = {
+    var attempt = 0
+    while (true) {
+      val latest = latestGen(root).getOrElse(
+        throw new IllegalArgumentException(s"empty store at $root"))
+      val m = readManifest(root, latest)
+      val g = latest + 1
+      val staged = if (m.buckets.isEmpty) None else {
+        val s = stagedPath(root)
+        readBuckets(spark, root, m, None).drop("gen")
+          .write.mode("errorifexists").partitionBy("bucket").parquet(s)
+        Some(s)
+      }
+      beforeClaim(g)
+      val manifest = Manifest(g, m.buckets.keys.map(_ -> g).toMap,
+        resolveTs(m.commitTs, commitTs), "compact", m.schema,
+        if (m.buckets.isEmpty) Map.empty
+        else Map(g -> m.schema.fieldNames.toSeq))
+      if (tryClaimAndCommit(root, staged, manifest)) return g
+      staged.foreach { s =>
+        val (fs, p) = fsOf(s)
+        fs.delete(p, true): Unit
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new IllegalStateException(
+        s"compact lost $attempt consecutive races at $root — " +
+          "livelock guard tripped")
+    }
+    -1 // unreachable
   }
 
   /** Vacuum (the retention half): drop every manifest OLDER than
@@ -212,8 +581,13 @@ object VersionedStore {
     * survive a vacuum that drops generation 0's manifest (the Delta
     * VACUUM subtlety: retention is defined over snapshots, not over
     * write times). Snapshots `>= horizon` read identically after the
-    * vacuum; snapshots `< horizon` fail loudly (their manifest is
-    * gone). Returns (bucket dirs deleted, manifests deleted).
+    * vacuum — including their schema metadata, because every live
+    * manifest carries `writer_cols` for all generations it references;
+    * snapshots `< horizon` fail loudly (their manifest is gone).
+    * Uncommitted `.staged-*` dirs are reclaimed too (a production
+    * deployment age-gates this against in-flight commits; in-driver
+    * commits hold no staged dirs across a vacuum call). Returns
+    * (bucket dirs deleted, manifests deleted).
     */
   def vacuum(root: String, horizon: Int): (Int, Int) = {
     val latest = latestGen(root).getOrElse(
@@ -226,34 +600,41 @@ object VersionedStore {
     val live: Set[(Int, Long)] = (horizon to latest).flatMap { g =>
       readManifest(root, g).buckets.toSeq.map { case (b, gw) => (gw, b) }
     }.toSet
-    val dataDir = new java.io.File(s"$root/data")
+    val (fs, dataDir) = fsOf(s"$root/data")
     var dirsDeleted = 0
-    Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
-      .foreach { genDir =>
+    val top = if (fs.exists(dataDir)) fs.listStatus(dataDir).toSeq else Nil
+    top.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".staged-"))
+      .foreach { s =>
+        fs.delete(s.getPath, true): Unit
+        dirsDeleted += 1
+      }
+    top.filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .foreach { genStatus =>
+        val genDir = genStatus.getPath
         val g = genDir.getName.stripPrefix("gen=").toInt
-        Option(genDir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-          .foreach { bDir =>
-            val b = bDir.getName.stripPrefix("bucket=").toLong
+        fs.listStatus(genDir).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("bucket="))
+          .foreach { bStatus =>
+            val b = bStatus.getPath.getName.stripPrefix("bucket=").toLong
             if (!live((g, b))) {
-              graft.engine.TempArtifacts.rm(bDir)
+              fs.delete(bStatus.getPath, true): Unit
               dirsDeleted += 1
             }
           }
-        if (Option(genDir.listFiles()).getOrElse(Array.empty)
-            .forall(!_.isDirectory))
-          graft.engine.TempArtifacts.rm(genDir)
+        if (fs.listStatus(genDir).forall(!_.isDirectory))
+          fs.delete(genDir, true): Unit
       }
     var manifestsDeleted = 0
     (0 until horizon).foreach { g =>
-      val p = java.nio.file.Paths.get(manifestPath(root, g))
-      if (java.nio.file.Files.deleteIfExists(p)) manifestsDeleted += 1
+      val (mfs, p) = fsOf(manifestPath(root, g))
+      if (mfs.delete(p, false)) manifestsDeleted += 1
     }
     (dirsDeleted, manifestsDeleted)
   }
 
-  /** Change-data-feed diff of two snapshot reads (both in [[readSchema]]
+  /** Change-data-feed diff of two snapshot reads (both in snapshot
     * shape): net row-level changes a downstream consumer must apply to
     * move from the `from` snapshot to the `to` snapshot —
     * `insert` (key absent at from), `delete` (tombstone winner at to;
@@ -261,7 +642,9 @@ object VersionedStore {
     * (the latest event moved OR `n_versions` grew — an out-of-order
     * arrival can grow the count without moving the argmax, and CDC must
     * surface it). One full-outer key join of two manifest-pruned scans:
-    * cost is live-store-sized, never generation-count-sized.
+    * cost is live-store-sized, never generation-count-sized. Feeds
+    * COMPOSE: applying changes(g0→g1) then changes(g1→g2) row-set-equals
+    * changes(g0→g2) net of intermediate flips (spec-pinned).
     */
   def changesBetween(from: DataFrame, to: DataFrame,
       tombstoneType: String): DataFrame = {
@@ -303,15 +686,69 @@ object VersionedStore {
           .as("nv_delta"))
   }
 
-  def readAsOf(spark: SparkSession, root: String, gen: Int): DataFrame = {
-    val m = readManifest(root, gen)
-    val paths = m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, g) => bucketPath(root, g, b) }
-    if (paths.isEmpty) // an empty replay commits bucket-less generations
+  /** Snapshot read under manifest `m`, optionally restricted to a bucket
+    * subset: group the resolved dirs by the payload COLUMN SET their
+    * writer generation recorded (one group — one scan — in the
+    * no-evolution common case, so the plan is identical to a plain
+    * pruned parquet read), read each group under its exact schema, and
+    * union by name with null padding so pre-evolution carry-forward
+    * buckets surface the added columns as null. No schema inference —
+    * types come from the manifest, deterministically.
+    */
+  private def readBuckets(spark: SparkSession, root: String, m: Manifest,
+      only: Option[Set[Long]]): DataFrame = {
+    val sel = m.buckets.toSeq
+      .filter { case (b, _) => only.forall(_.contains(b)) }
+      .sortBy(_._1)
+    if (sel.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-    else
-      spark.read.option("basePath", s"$root/data").schema(readSchema)
-        .parquet(paths: _*)
+        spark.sparkContext.emptyRDD[Row], m.snapshotSchema)
+    else {
+      val groups = sel.groupBy { case (_, gw) => m.colsOf(gw) }
+      val parts = groups.toSeq.sortBy(_._2.head._1).map { case (cols, bs) =>
+        val colSet = cols.toSet
+        val gSchema = StructType(
+          m.schema.fields.filter(f => colSet(f.name)) ++ Seq(
+            StructField("gen", IntegerType),
+            StructField("bucket", LongType)))
+        spark.read.option("basePath", s"$root/data").schema(gSchema)
+          .parquet(bs.map { case (b, gw) => bucketPath(root, gw, b) }: _*)
+      }
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        .select(m.snapshotSchema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  /** Snapshot read AS OF generation `gen`: resolve the manifest's
+    * bucket→generation map to `<=Buckets` dirs and scan exactly those —
+    * manifest-driven partition pruning, cost proportional to the LIVE
+    * data regardless of how many generations the store has accrued. The
+    * result carries the `gen` partition column (which generation last
+    * wrote each bucket) and `bucket` alongside the payload.
+    */
+  def readAsOf(spark: SparkSession, root: String, gen: Int): DataFrame =
+    readBuckets(spark, root, readManifest(root, gen), None)
+
+  /** Snapshot read AS OF a wall-clock instant (VERDICT r16 #4): resolve
+    * `tsMillis` to the LATEST generation whose commit timestamp is
+    * at-or-before it — Delta's `TIMESTAMP AS OF` rule, so an instant
+    * exactly between two commits reads the earlier one. The walk is a
+    * descending manifest scan from the newest surviving generation
+    * (bounded by retained-generation count, driver-side); an instant
+    * before the oldest surviving commit fails loudly (vacuum or no such
+    * history).
+    */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame = {
+    val gens = committedGens(root)
+    require(gens.nonEmpty, s"empty store at $root")
+    val hit = gens.reverseIterator
+      .map(g => readManifest(root, g))
+      .find(_.commitTs <= tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed generation at or before timestamp $tsMillis " +
+          s"(oldest surviving commit is " +
+          s"${readManifest(root, gens.head).commitTs})"))
+    readBuckets(spark, root, hit, None)
   }
 }

@@ -107,6 +107,51 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
         s"linear alpha $al should not")
   }
 
+  test("noisy-host adjudication: a fast-1x-floor false positive clears " +
+      "on re-measure; a genuine quadratic survives both re-runs") {
+    // the round-16 class: "noisy" was measured with an anomalously FAST
+    // 1x floor (0.4 s vs the true ~0.8 s), inflating the exponent to
+    // ~1.04 against a committed 0.30; "quad" is a genuine quadratic
+    val committed = Map("noisy" -> 0.30, "quad" -> 1.00)
+    val first = Map(
+      "noisy" -> Map(1 -> 0.4, 10 -> 4.4),
+      "quad" -> Map(1 -> 0.5, 10 -> 50.0))
+    var calls = 0
+    val remeasure = (names: Seq[String]) => {
+      calls += 1
+      // the re-run measures a fresh 1x floor AND endpoint: the noise
+      // victim reads quiet (alpha ~ 0.27 < committed + tol); the
+      // quadratic reproduces exactly
+      names.map {
+        case "noisy" => "noisy" -> Map(1 -> 0.8, 10 -> 1.5)
+        case n => n -> Map(1 -> 0.5, 10 -> 50.0)
+      }.toMap
+    }
+    val (times, confirmed) = ScaleGate.adjudicate(committed, first,
+      ScaleBench.alphaOf, remeasure)
+    assert(confirmed.map(_._1) === Seq("quad"),
+      "only the reproducing drift survives adjudication")
+    // min-alpha ladder kept for the cleared suspect
+    assert(ScaleBench.alphaOf(times("noisy"))
+      < 0.30 + ScaleGate.DriftTol)
+    assert(calls === 2, "the surviving drift forces both re-runs")
+    // a drift-free run never invokes the re-measure at all
+    val (_, none) = ScaleGate.adjudicate(committed,
+      Map("noisy" -> Map(1 -> 0.8, 10 -> 1.5),
+        "quad" -> Map(1 -> 0.5, 10 -> 5.0)),
+      ScaleBench.alphaOf,
+      _ => fail("re-measure must not run without suspects"))
+    assert(none.isEmpty)
+    // and a suspect set that clears on the FIRST re-run early-exits
+    var calls2 = 0
+    val (_, cleared) = ScaleGate.adjudicate(committed,
+      Map("noisy" -> Map(1 -> 0.4, 10 -> 4.4)),
+      ScaleBench.alphaOf,
+      names => { calls2 += 1; names.map(n =>
+        n -> Map(1 -> 0.8, 10 -> 1.5)).toMap })
+    assert(cleared.isEmpty && calls2 === 1)
+  }
+
   test("committed SCALE_GATE.json covers every ScaleBench query") {
     // the standing gate is only standing if the artifact is complete:
     // every ladder query (plus the two fixed-delta probe rows) must

@@ -277,6 +277,215 @@ class VersionedStoreSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("OCC: a compaction landing between merge and commit makes the " +
+      "ingest rebase — and the interleaved schedule equals the serial one") {
+    def build(root: String, interleaved: Boolean): Unit = {
+      VersionedStore.mergeGeneration(
+        batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+      VersionedStore.mergeGeneration(batch((3L, 12L, "c", 3.0)), 1, root)
+      // the racing batch: update user 1 (bucket 1), insert user 4
+      // (bucket 4); buckets 2 and 3 are untouched carry-forward
+      val b3 = batch((1L, 20L, "d", 4.0), (4L, 21L, "e", 5.0))
+      if (interleaved) {
+        var raced = false
+        val g = VersionedStore.commitBatch(b3, root,
+          beforeClaim = _ => if (!raced) {
+            raced = true
+            VersionedStore.compact(spark, root): Unit
+          })
+        assert(g === 3, "the raced ingest must rebase to generation 3")
+      } else {
+        assert(VersionedStore.compact(spark, root) === 2)
+        assert(VersionedStore.commitBatch(b3, root) === 3)
+      }
+    }
+    val i = freshRoot("occ-i"); val s = freshRoot("occ-s")
+    build(i, interleaved = true); build(s, interleaved = false)
+    def full(root: String): Seq[String] =
+      VersionedStore.readAsOf(spark, root, 3)
+        .collect().map(_.toString).sorted.toSeq
+    // row-for-row equality INCLUDING the gen/bucket metadata columns:
+    // the rebase produced exactly the serial schedule's snapshot AND
+    // manifest layer (touched buckets at 3, carry-forward at the
+    // compaction's 2)
+    assert(full(i) === full(s))
+    assert(VersionedStore.readAsOf(spark, i, 3)
+      .filter(col("user_id").isin(2L, 3L))
+      .select("gen").distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(2))
+  }
+
+  test("OCC: two ingests racing on the same bucket is a semantic " +
+      "conflict and fails loudly; disjoint buckets rebase instead") {
+    val root = freshRoot("occ-conflict")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root)
+    // overlapping: users 1 and 17 both route to bucket 1
+    var raced = false
+    intercept[VersionedStore.BucketConflictException] {
+      VersionedStore.commitBatch(batch((1L, 20L, "b", 2.0)), root,
+        beforeClaim = _ => if (!raced) {
+          raced = true
+          VersionedStore.commitBatch(
+            batch((17L, 21L, "c", 3.0)), root): Unit
+        })
+    }
+    // the winner's commit survives the loser's failure; its bucket-1
+    // merge carried user 1's row into the gen-1 dir (bucket-granular
+    // copy-on-write), hence gen=1 for both
+    assert(snapshot(root, 1) === Seq((1L, 10L, 1), (17L, 21L, 1)))
+    // disjoint: user 2 (bucket 2) rebases over a racing user-18
+    // (bucket 2)? no — 18 % 16 = 2 would overlap; use 35 (bucket 3)
+    var raced2 = false
+    val g = VersionedStore.commitBatch(batch((2L, 30L, "d", 4.0)), root,
+      beforeClaim = _ => if (!raced2) {
+        raced2 = true
+        VersionedStore.commitBatch(
+          batch((35L, 31L, "e", 5.0)), root): Unit
+      })
+    assert(g === 3)
+    assert(snapshot(root, 3) === Seq((1L, 10L, 1), (2L, 30L, 3),
+      (17L, 21L, 1), (35L, 31L, 2)))
+  }
+
+  test("timestamp time travel: at-or-before resolution, exact-on-commit " +
+      "boundary, pre-history fails, non-monotonic fixture clock rejected") {
+    val root = freshRoot("ts")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root,
+      commitTs = 1000L)
+    VersionedStore.mergeGeneration(batch((1L, 20L, "b", 2.0)), 1, root,
+      commitTs = 2000L)
+    def eidAt(ts: Long): Long =
+      VersionedStore.readAsOfTimestamp(spark, root, ts)
+        .select("last_event_id").collect()(0).getLong(0)
+    assert(eidAt(1500L) === 10L) // strictly between -> earlier commit
+    assert(eidAt(2000L) === 20L) // exactly ON a commit -> that commit
+    assert(eidAt(1999L) === 10L) // one tick before -> still the earlier
+    assert(eidAt(9999L) === 20L) // after everything -> latest
+    intercept[IllegalArgumentException] { // before the first commit
+      VersionedStore.readAsOfTimestamp(spark, root, 999L)
+    }
+    intercept[IllegalArgumentException] { // clock must move forward
+      VersionedStore.mergeGeneration(batch((1L, 30L, "c", 3.0)), 2, root,
+        commitTs = 1500L)
+    }
+  }
+
+  test("schema evolution: an added column null-pads carry-forward " +
+      "buckets AND pre-evolution winners inside touched buckets; drops " +
+      "and type changes fail loudly; vacuum keeps the metadata") {
+    val root = freshRoot("evo")
+    // gen 0: buckets 1 (user 1) and 2 (users 2, 18)
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0),
+        (18L, 12L, "c", 3.0)), 0, root)
+    // gen 1 adds `tag` and touches ONLY bucket 2, only user 2 — user 18
+    // is rewritten into the gen-1 dir as a pre-evolution argmax winner
+    VersionedStore.mergeGeneration(
+      batch((2L, 20L, "d", 4.0)).withColumn("tag", lit("x")), 1, root)
+    def tags(g: Int): Map[Long, Option[String]] =
+      VersionedStore.readAsOf(spark, root, g)
+        .select("user_id", "tag").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tags(1) === Map(1L -> None, 2L -> Some("x"), 18L -> None))
+    // the pre-evolution snapshot doesn't even HAVE the column
+    assert(!VersionedStore.readAsOf(spark, root, 0)
+      .columns.contains("tag"))
+    // rejects: dropping a column / changing a type
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeGeneration(
+        batch((3L, 30L, "e", 5.0)).drop("last_value"), 2, root)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeGeneration(
+        batch((3L, 30L, "e", 5.0))
+          .withColumn("last_value", col("last_value").cast("float")),
+        2, root)
+    }
+    // schema metadata survives vacuum: manifest 0 is dropped, but the
+    // carried-forward gen-0 bucket 1 still reads null-padded through
+    // manifest 1's writer_cols
+    VersionedStore.vacuum(root, 1)
+    assert(tags(1) === Map(1L -> None, 2L -> Some("x"), 18L -> None))
+  }
+
+  test("change feeds compose: applying changes(0->1) then changes(1->2) " +
+      "reproduces snapshot 2, and changes(0->2) nets intermediate flips") {
+    val root = freshRoot("cdf-comp")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0),
+        (10L, 12L, "c", 3.0)), 0, root)
+    VersionedStore.mergeGeneration(
+      batch((1L, 20L, "d", 4.0), (3L, 21L, "e", 5.0),
+        (30L, 22L, "f", 6.0)), 1, root)
+    val tomb = batch(
+      (10L, -10L, StreamingQueries.TombstoneType, 0.0),
+      (30L, -30L, StreamingQueries.TombstoneType, 0.0))
+      .withColumn("last_ts",
+        lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+    VersionedStore.mergeGeneration(
+      tomb.unionByName(batch((3L, 23L, "g", 7.0), (5L, 24L, "h", 8.0))),
+      2, root)
+    def snap(g: Int) = VersionedStore.readAsOf(spark, root, g)
+    def state(g: Int): Map[Long, (Long, Long)] = snap(g)
+      .filter(col("last_event_type") =!= StreamingQueries.TombstoneType)
+      .select("user_id", "last_event_id", "n_versions").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def feed(a: Int, b: Int): Seq[(Long, String, Long, Long)] =
+      VersionedStore.changesBetween(snap(a), snap(b),
+        StreamingQueries.TombstoneType).collect().map { r =>
+        (r.getLong(0), r.getString(2),
+          Option(r.get(4)).map(_.asInstanceOf[Long]).getOrElse(-1L),
+          Option(r.get(5)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }.toSeq
+    def apply(s: Map[Long, (Long, Long)],
+        f: Seq[(Long, String, Long, Long)]): Map[Long, (Long, Long)] =
+      f.foldLeft(s) { case (m, (u, change, toEid, nvDelta)) =>
+        change match {
+          case "delete" => m - u
+          case _ =>
+            val nv = m.get(u).map(_._2).getOrElse(0L) + nvDelta
+            m + (u -> (toEid, nv))
+        }
+      }
+    val (s0, s2) = (state(0), state(2))
+    // stepwise application reproduces the final state exactly
+    assert(apply(apply(s0, feed(0, 1)), feed(1, 2)) === s2)
+    // the direct feed reproduces it too, and NETS the intermediate
+    // flips: user 30 (insert at 1, delete at 2) appears in neither the
+    // direct feed nor the final state
+    assert(apply(s0, feed(0, 2)) === s2)
+    assert(!feed(0, 2).exists(_._1 == 30L))
+    assert(feed(0, 1).exists(f => f._1 == 30L && f._2 == "insert"))
+    assert(feed(1, 2).exists(f => f._1 == 30L && f._2 == "delete"))
+    // user 3: two updates across the windows -> ONE direct update whose
+    // nv_delta is the sum (insert at 1 + update at 2 -> direct insert)
+    assert(feed(0, 2).collect { case (3L, c, e, d) => (c, e, d) }
+      === Seq(("insert", 23L, 2L)))
+  }
+
+  test("a crashed commit's orphan generation dir is reclaimed by the " +
+      "retry; vacuum sweeps abandoned staged dirs") {
+    val root = freshRoot("orphan")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root)
+    // simulate a commit that died between the data rename and the
+    // manifest write: a gen=1 dir with NO manifest (uncommitted by
+    // definition — the ADVICE-r16 recovery class)
+    val orphan = new java.io.File(s"$root/data/gen=1/bucket=0")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "junk").toPath, "crashed"): Unit
+    // the legitimate retry of the never-committed generation succeeds
+    // and the orphan's content is gone
+    VersionedStore.mergeGeneration(batch((2L, 20L, "b", 2.0)), 1, root)
+    assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
+    assert(!new java.io.File(orphan, "junk").exists())
+    // an abandoned staged dir (crash BEFORE the rename) is vacuumed
+    val staged = new java.io.File(s"$root/data/.staged-dead")
+    assert(staged.mkdirs())
+    VersionedStore.vacuum(root, 1)
+    assert(!staged.exists())
+  }
+
   test("RTBF lifecycle: retention at gen g, erasure at gen g+1, tombstone " +
       "payload physically inert") {
     val root = freshRoot("rtbf")

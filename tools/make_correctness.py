@@ -12,6 +12,12 @@ Queries with no oracle SQL record the rows-only shape (err="no_oracle").
 Used for the full-surface sf0.1 sweep (VERDICT r15 #4): the artifact
 proves the scale-dependent hash-drift class closed corpus-wide.
 
+Field semantics (ADVICE r16 — the key names are the driver's row shape
+and cannot change here): "rows_match" records row-COUNT equality only —
+equal cardinality with different values reads rows_match=true,
+schema_match=true, hash_match=FALSE, so when triaging a red row the
+value-level verdict is hash_match; rows_match narrows WHERE it diverged.
+
     python3 tools/make_correctness.py <sfDir> <verifyOutDir> <outJson>
 """
 import json
