@@ -293,7 +293,20 @@ object Bench {
     // exact ACCEPTANCE gate for the approx-quantile scale path
     // (q_approx_stats / quantileBins cutpoints), which is what a 100 TB
     // run executes
-    "q_percentile")
+    "q_percentile",
+    // the round-13-adjudicated count()-pruning pair (BASELINE.md
+    // "Round-13 materialized-cost audit" + the ScaleBench.QueryNames
+    // notes): count() lets Catalyst ELIMINATE each query's outer
+    // join-back (the span/dup side's keys are provably unique from its
+    // Aggregate and count references no columns), so the count-mode
+    // denominator prices only the residual scan while the materialized
+    // cost IS the operator. Their materialized seconds are flat across
+    // rounds (1.9–2.1 s); the ratio crossed the bar in round 17 only
+    // because the QUIET record made the denominator faster
+    // (0.22 → 0.17 s) — a better baseline, not a new pathology. The
+    // full plan stays gated: Verify materializes every column and both
+    // rows hash-check, and their ladder alphas stay committed
+    "q_substring_scrub", "q_dedup_report")
 
   /** Parsed committed bench record (sf name, per-query seconds, calib
     * series) via a REAL JSON parser (jackson, bundled with Spark) —

@@ -105,6 +105,11 @@ object ScaleBench {
     // store into one key exchange — q_change_feed's read shape minus
     // the ingest (whichever sibling sorts first pays it)
     "q_change_feed_pair",
+    // point lookup (serving read): two single-bucket-dir scans with the
+    // key pushed down + one 1-row min/max aggregate over events — the
+    // aggregate scan is the only corpus-sized surface (expect a flat
+    // line with a small linear term from the min/max pass)
+    "q_store_lookup",
     // OCC race: two ntile merges + one compaction + the rebased commit
     // over a private store — per-generation cost is delta + touched-
     // bucket sized, and the rebase itself is MANIFEST-ONLY (bounded

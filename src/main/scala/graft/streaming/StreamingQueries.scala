@@ -649,6 +649,28 @@ object StreamingQueries {
       TombstoneType)
   }
 
+  /** Point lookup through the versioned store (`q_store_lookup`): the
+    * feature-store serving read — two deterministic keys (the corpus
+    * min and max user_id) each resolved through the generation-
+    * [[TimeTravelReadGen]] manifest to ONE bucket dir with the key
+    * predicate pushed into parquet (spec-pinned to a single root path
+    * per lookup). A historical-generation lookup, so this is also the
+    * point-read form of time travel; a key the cut prefix never
+    * absorbed simply returns no row, which the oracle mirrors. Rides
+    * the shared memoized store — marginal cost is two single-bucket
+    * scans plus one 1-row min/max aggregate.
+    */
+  def storeLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = sharedForgetStore(spark, dir)
+    val mm = graft.engine.Tables.events(spark, dir)
+      .agg(min("user_id"), max("user_id")).collect()(0)
+    Seq(mm.getLong(0), mm.getLong(1)).distinct
+      .map(k => VersionedStore
+        .lookupKey(spark, root, TimeTravelReadGen, k)
+        .select(snapCols: _*))
+      .reduce(_ unionByName _)
+  }
+
   /** Deterministic three-way ntile split of the events table in the
     * store's merge shape — the batch synthesis for the OCC and
     * schema-evolution stores. The global-order window is batch
@@ -940,6 +962,7 @@ object StreamingQueries {
     "q_stream_content_gate" -> streamContentGate _,
     "q_time_travel" -> timeTravel _,
     "q_time_travel_ts" -> timeTravelTs _,
+    "q_store_lookup" -> storeLookup _,
     "q_forget_audit" -> forgetAudit _,
     "q_store_vacuum" -> storeVacuum _,
     "q_change_feed" -> changeFeed _,
@@ -1068,6 +1091,13 @@ object StreamingQueries {
     // interior generation
     "q_time_travel" -> timeTravelSnapshotSql(TimeTravelReadGen),
     "q_time_travel_ts" -> timeTravelSnapshotSql(TimeTravelTsGen),
+    // the point-lookup pair: the same historical snapshot restricted to
+    // the corpus min/max user_id — a key the cut prefix never absorbed
+    // yields no row on either engine
+    "q_store_lookup" ->
+      s"""SELECT * FROM (${timeTravelSnapshotSql(TimeTravelReadGen)})
+         |WHERE user_id = (SELECT min(user_id) FROM events)
+         |   OR user_id = (SELECT max(user_id) FROM events)""".stripMargin,
     // net changes between the from-prefix and the full replay +
     // tombstones: inserts = users first seen after the cut, deletes =
     // tombstoned users that existed at the cut (insert-then-delete

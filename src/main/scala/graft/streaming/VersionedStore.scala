@@ -729,6 +729,26 @@ object VersionedStore {
   def readAsOf(spark: SparkSession, root: String, gen: Int): DataFrame =
     readBuckets(spark, root, readManifest(root, gen), None)
 
+  /** Point lookup — the feature-store SERVING read: route the key to
+    * its bucket, resolve that bucket through the manifest to its ONE
+    * writer dir, and scan exactly that dir with the key predicate
+    * pushed into the parquet reader. A missing key (or a bucket the
+    * store has never written) returns empty, never errors; a NULL key
+    * resolves to its real routing bucket like the upsert discipline.
+    * At 100 TB this is the difference between a serving path (one
+    * bucket dir, one pushed filter) and a batch job (a snapshot scan) —
+    * spec-pinned to read exactly one root path.
+    */
+  def lookupKey(spark: SparkSession, root: String, gen: Int,
+      userId: java.lang.Long): DataFrame = {
+    val m = readManifest(root, gen)
+    val b = math.floorMod(
+      if (userId == null) -1L else userId.longValue(), Buckets.toLong)
+    readBuckets(spark, root, m, Some(Set(b)))
+      .filter(if (userId == null) col("user_id").isNull
+        else col("user_id") === userId.longValue())
+  }
+
   /** Snapshot read AS OF a wall-clock instant (VERDICT r16 #4): resolve
     * `tsMillis` to the LATEST generation whose commit timestamp is
     * at-or-before it — Delta's `TIMESTAMP AS OF` rule, so an instant

@@ -486,6 +486,36 @@ class VersionedStoreSpec extends SparkSpec {
     assert(!staged.exists())
   }
 
+  test("point lookup scans exactly ONE manifest-resolved bucket dir " +
+      "with the key pushed down; misses return empty") {
+    val root = freshRoot("lookup")
+    // bucket 1 (user 1) written at gen 0; bucket 2 (users 2, 18) last
+    // written at gen 1 (user 18 carried into it by the bucket merge)
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0),
+        (18L, 12L, "c", 3.0)), 0, root)
+    VersionedStore.mergeGeneration(batch((2L, 20L, "d", 4.0)), 1, root)
+    val df = VersionedStore.lookupKey(spark, root, 1, 18L)
+    assert(df.select("user_id", "last_event_id", "gen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      === Seq((18L, 12L, 1)))
+    // the serving contract: one root path (the single bucket dir), the
+    // key predicate pushed into the parquet reader
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.map(_.relation.location.rootPaths.size).sum === 1,
+      s"lookup must resolve to ONE bucket dir:\n${df.queryExecution}")
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(_.contains("EqualTo(user_id"))),
+      "key predicate must reach the parquet scan")
+    // a key in a never-written bucket short-circuits to an empty frame
+    // (999 % 16 = 7 — no such bucket dir); a missing key in a LIVE
+    // bucket scans one dir and returns empty
+    assert(VersionedStore.lookupKey(spark, root, 1, 999L).count() === 0L)
+    assert(VersionedStore.lookupKey(spark, root, 1, 34L).count() === 0L)
+  }
+
   test("RTBF lifecycle: retention at gen g, erasure at gen g+1, tombstone " +
       "payload physically inert") {
     val root = freshRoot("rtbf")
