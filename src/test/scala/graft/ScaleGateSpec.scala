@@ -152,6 +152,24 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     assert(cleared.isEmpty && calls2 === 1)
   }
 
+  test("re-measure context: memo-warming siblings run FIRST, are " +
+      "deduplicated, and every context query is a real ladder query") {
+    val ext = ScaleBench.withContext(Seq("q_lsh_recall", "q_dedup_minhash"))
+    // context precedes the suspect; a suspect that IS context for
+    // another appears once
+    assert(ext === Seq("q_dedup_minhash", "q_dedup_ngram_jaccard",
+      "q_lsh_recall"))
+    // a context-free query passes through untouched
+    assert(ScaleBench.withContext(Seq("q_event_window"))
+      === Seq("q_event_window"))
+    // the map never references a query the ladder cannot run
+    val known = ScaleBench.QueryNames.toSet
+    val bad = ScaleBench.RemeasureContext.flatMap { case (k, vs) =>
+      (k +: vs).filterNot(known)
+    }
+    assert(bad.isEmpty, s"unknown queries in RemeasureContext: $bad")
+  }
+
   test("committed SCALE_GATE.json covers every ScaleBench query") {
     // the standing gate is only standing if the artifact is complete:
     // every ladder query (plus the two fixed-delta probe rows) must

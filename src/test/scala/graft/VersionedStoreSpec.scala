@@ -408,6 +408,24 @@ class VersionedStoreSpec extends SparkSpec {
     assert(tags(1) === Map(1L -> None, 2L -> Some("x"), 18L -> None))
   }
 
+  test("compaction of an EVOLVED store rewrites under the full schema " +
+      "and keeps the null-padding") {
+    val root = freshRoot("evo-opt")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    VersionedStore.mergeGeneration(
+      batch((2L, 20L, "c", 3.0)).withColumn("tag", lit("x")), 1, root)
+    val g = VersionedStore.compact(spark, root)
+    VersionedStore.vacuum(root, g)
+    // post-compaction: one generation, full evolved schema, the
+    // pre-evolution row still null in the added column
+    val rows = VersionedStore.readAsOf(spark, root, g)
+      .select("user_id", "tag", "gen").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows === Seq((1L, None, g), (2L, Some("x"), g)))
+  }
+
   test("change feeds compose: applying changes(0->1) then changes(1->2) " +
       "reproduces snapshot 2, and changes(0->2) nets intermediate flips") {
     val root = freshRoot("cdf-comp")
