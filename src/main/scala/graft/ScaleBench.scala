@@ -120,6 +120,11 @@ object ScaleBench {
     // snapshot read (grouped scans union by name, no inference) — the
     // q_concurrent_commit class minus the compaction rewrite
     "q_store_schema_evolution",
+    // rewind-and-replay: three ntile merges + one MANIFEST-ONLY restore
+    // (zero data moved — the copy-on-write payoff priced directly) —
+    // expect q_concurrent_commit's replay-bound line minus its
+    // compaction rewrite
+    "q_store_restore",
     "q_robust_outliers", "q_watermark_audit",
     // streaming KMV distinct: salted copies add USERS (ids shift per
     // copy) inside the same fixed hour windows, so the sketch side is

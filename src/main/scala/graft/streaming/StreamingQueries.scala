@@ -729,6 +729,33 @@ object StreamingQueries {
     VersionedStore.readAsOf(spark, root, g).select(snapCols: _*)
   }
 
+  /** Rewind-and-replay (`q_store_restore`): RESTORE as the timeline
+    * surgery a training pipeline needs when an ingest window turns out
+    * poisoned — batches 0 and 1 commit; the store is RESTORED to the
+    * post-batch-0 snapshot (a MANIFEST-ONLY commit re-referencing the
+    * generation-0 dirs — zero data moved); batch 2 then continues the
+    * chain forward. The live timeline is now "history with batch 1
+    * erased": the oracle recomputes the argmax over exactly the
+    * `bat <> 1` events, with each bucket's `gen` pinned to 3 where
+    * batch 2 touched it and to the restored writer generation 0 where
+    * it carried forward. Hash equality proves the re-referencing, the
+    * post-restore merge reading the RESTORED (not latest-data) state,
+    * and the erased window staying erased through the continuation.
+    */
+  def storeRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.engine.TempArtifacts.tempDir("graft-vstore-restore")
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 3, 0), 0, root,
+      commitTs = StoreCommitBase)
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 3, 1), 1, root,
+      commitTs = StoreCommitBase + StoreCommitStepMs)
+    val rg = VersionedStore.restore(root, 0,
+      commitTs = StoreCommitBase + 2 * StoreCommitStepMs)
+    require(rg == 2, s"restore must commit as generation 2, got $rg")
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 3, 2), 3, root,
+      commitTs = StoreCommitBase + 3 * StoreCommitStepMs)
+    VersionedStore.readAsOf(spark, root, 3).select(snapCols: _*)
+  }
+
   /** Add-column schema evolution (`q_store_schema_evolution`, VERDICT
     * r16 #6): generation 0 ingests the first ntile half of events under
     * the base payload schema; generation 1 ingests the second half with
@@ -968,6 +995,7 @@ object StreamingQueries {
     "q_change_feed" -> changeFeed _,
     "q_change_feed_pair" -> changeFeedPair _,
     "q_concurrent_commit" -> concurrentCommit _,
+    "q_store_restore" -> storeRestore _,
     "q_store_schema_evolution" -> storeSchemaEvolution _)
 
   /** Null-safe bucket derivation in DuckDB terms — the oracle twin of
@@ -1184,6 +1212,30 @@ object StreamingQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
          |      ORDER BY ts DESC, event_id DESC) AS rn,
          |    count(*) OVER (PARTITION BY user_id) AS cnt FROM b)
+         |SELECT r.user_id, ${bucketSql("r.user_id")} AS bucket,
+         |  g.gen, r.ts AS last_ts, r.event_id AS last_event_id,
+         |  r.event_type AS last_event_type,
+         |  round(CAST(CAST(r.value AS DECIMAL(12,2)) AS DOUBLE), 2)
+         |    AS last_value,
+         |  cnt AS n_versions
+         |FROM r JOIN g ON ${bucketSql("r.user_id")} = g.bucket
+         |WHERE rn = 1""".stripMargin,
+    // rewind-and-replay: the live timeline after restore(0) + batch 2
+    // is history with batch 1 ERASED — argmax over bat <> 1 events,
+    // gen = 3 where batch 2 touched the bucket, 0 (the re-referenced
+    // restored writer) where it carried forward
+    "q_store_restore" ->
+      s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value,
+         |    ntile(3) OVER (ORDER BY ts, event_id) - 1 AS bat
+         |  FROM events),
+         |cut AS (SELECT * FROM b WHERE bat <> 1),
+         |g AS (SELECT ${bucketSql("user_id")} AS bucket,
+         |    CAST(CASE WHEN max(bat) = 2 THEN 3 ELSE 0 END AS INT)
+         |      AS gen
+         |  FROM cut GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt FROM cut)
          |SELECT r.user_id, ${bucketSql("r.user_id")} AS bucket,
          |  g.gen, r.ts AS last_ts, r.event_id AS last_event_id,
          |  r.event_type AS last_event_type,

@@ -493,10 +493,20 @@ object VersionedStore {
       // validate every commit that landed since our snapshot: a
       // compaction is a logical no-op (rebase fine); a disjoint ingest
       // didn't change what we merged against (rebase fine); an
-      // OVERLAPPING ingest invalidates our merge — semantic conflict
+      // OVERLAPPING ingest invalidates our merge — semantic conflict —
+      // and a RESTORE rewrites the whole snapshot lineage, so every
+      // in-flight merge (computed against the pre-restore state) is
+      // stale regardless of buckets
       (g to newLatest).foreach { wg =>
         val wm = readManifest(root, wg)
-        if (wm.kind != "compact") {
+        if (wm.kind == "restore") {
+          cleanupStaged()
+          throw new BucketConflictException(
+            s"concurrent generation $wg RESTORED the store to an " +
+              "earlier snapshot — this batch was merged against the " +
+              "pre-restore state; re-derive it from source against the " +
+              "restored snapshot and re-submit")
+        } else if (wm.kind != "compact") {
           val overlap = wm.buckets.collect {
             case (b, gw) if gw == wg && touchedSet(b) => b
           }
@@ -570,6 +580,41 @@ object VersionedStore {
           "livelock guard tripped")
     }
     -1 // unreachable
+  }
+
+  /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF`): make snapshot
+    * `toGen` the store's LATEST state again by committing a NEW
+    * generation whose manifest re-references `toGen`'s bucket dirs —
+    * MANIFEST-ONLY, zero data copied or deleted (the copy-on-write
+    * payoff: going back in time is a metadata commit, spec-pinned by a
+    * byte-digest of the data tree across the restore). History stays
+    * intact: generations between `toGen` and the restore remain
+    * readable until vacuumed, and a vacuum with the restore as horizon
+    * keeps the re-referenced OLD dirs alive precisely because the
+    * restore manifest carries their carry-forward entries (the same
+    * live-manifest invariant that protects ordinary carry-forward).
+    * Restoring a vacuumed generation fails loudly at its manifest
+    * read; the chain then continues FORWARD from the restore (strict
+    * merges and OCC commits alike), which erases the rolled-back
+    * window from the live timeline — `q_store_restore` hash-gates
+    * exactly that rewind-and-replay semantics. Returns the restore
+    * generation id.
+    */
+  def restore(root: String, toGen: Int, commitTs: Long = -1L): Int = {
+    val latest = latestGen(root).getOrElse(
+      throw new IllegalArgumentException(s"empty store at $root"))
+    val target = readManifest(root, toGen)
+    val cur = readManifest(root, latest)
+    val g = latest + 1
+    val manifest = Manifest(g, target.buckets,
+      resolveTs(cur.commitTs, commitTs), "restore", target.schema,
+      target.buckets.values.toSet
+        .map((gw: Int) => gw -> target.colsOf(gw)).toMap)
+    if (!tryClaimAndCommit(root, None, manifest))
+      throw new IllegalStateException(
+        s"restore lost the race for generation $g — re-read the new " +
+          "latest and retry")
+    g
   }
 
   /** Vacuum (the retention half): drop every manifest OLDER than

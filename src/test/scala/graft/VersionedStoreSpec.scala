@@ -408,6 +408,61 @@ class VersionedStoreSpec extends SparkSpec {
     assert(tags(1) === Map(1L -> None, 2L -> Some("x"), 18L -> None))
   }
 
+  test("restore is manifest-only, survives a vacuum that drops the " +
+      "rolled-back window, and a vacuumed target fails loudly") {
+    val root = freshRoot("restore")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    VersionedStore.mergeGeneration(
+      batch((1L, 20L, "c", 3.0), (3L, 21L, "d", 4.0)), 1, root)
+    val dataBefore = fileDigest(new java.io.File(s"$root/data"))
+    val g = VersionedStore.restore(root, 0)
+    assert(g === 2)
+    // manifest-only: not one data byte moved
+    assert(fileDigest(new java.io.File(s"$root/data")) === dataBefore)
+    // the restored latest reads EXACTLY snapshot 0, old writer gens
+    assert(snapshot(root, 2) === snapshot(root, 0))
+    // the rolled-back window is still readable pre-vacuum
+    assert(snapshot(root, 1) ===
+      Seq((1L, 20L, 1), (2L, 11L, 0), (3L, 21L, 1)))
+    // the chain continues FORWARD from the restore; the gen-1 events
+    // are erased from the live timeline
+    VersionedStore.mergeGeneration(batch((2L, 30L, "e", 5.0)), 3, root)
+    assert(snapshot(root, 3) === Seq((1L, 10L, 0), (2L, 30L, 3)))
+    // vacuum at the restore horizon drops the rolled-back gen-1 dirs
+    // but KEEPS the re-referenced gen-0 dirs (the restore manifest's
+    // carry-forward entries make them live)
+    VersionedStore.vacuum(root, 2)
+    assert(!new java.io.File(s"$root/data/gen=1").exists())
+    assert(new java.io.File(
+      VersionedStore.bucketPath(root, 0, 1L)).isDirectory)
+    assert(snapshot(root, 3) === Seq((1L, 10L, 0), (2L, 30L, 3)))
+    // restoring a vacuumed generation fails at its manifest read
+    intercept[IllegalArgumentException] {
+      VersionedStore.restore(root, 1)
+    }
+  }
+
+  test("OCC: an in-flight batch racing a RESTORE is always a semantic " +
+      "conflict — its merge saw the pre-restore state") {
+    val root = freshRoot("restore-race")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root)
+    VersionedStore.mergeGeneration(batch((2L, 11L, "b", 2.0)), 1, root)
+    var raced = false
+    intercept[VersionedStore.BucketConflictException] {
+      // the batch touches bucket 3 — DISJOINT from everything, so only
+      // the restore rule (not the overlap rule) can reject it
+      VersionedStore.commitBatch(batch((35L, 20L, "c", 3.0)), root,
+        beforeClaim = _ => if (!raced) {
+          raced = true
+          VersionedStore.restore(root, 0): Unit
+        })
+    }
+    // the restore won; the loser left no trace
+    assert(VersionedStore.latestGen(root) === Some(2))
+    assert(snapshot(root, 2) === snapshot(root, 0))
+  }
+
   test("compaction of an EVOLVED store rewrites under the full schema " +
       "and keeps the null-padding") {
     val root = freshRoot("evo-opt")
