@@ -664,11 +664,15 @@ object StreamingQueries {
     val root = sharedForgetStore(spark, dir)
     val mm = graft.engine.Tables.events(spark, dir)
       .agg(min("user_id"), max("user_id")).collect()(0)
-    Seq(mm.getLong(0), mm.getLong(1)).distinct
-      .map(k => VersionedStore
-        .lookupKey(spark, root, TimeTravelReadGen, k)
-        .select(snapCols: _*))
-      .reduce(_ unionByName _)
+    if (mm.isNullAt(0)) // empty fixture: no keys exist to look up
+      VersionedStore.readAsOf(spark, root, TimeTravelReadGen)
+        .limit(0).select(snapCols: _*)
+    else
+      Seq(mm.getLong(0), mm.getLong(1)).distinct
+        .map(k => VersionedStore
+          .lookupKey(spark, root, TimeTravelReadGen, k)
+          .select(snapCols: _*))
+        .reduce(_ unionByName _)
   }
 
   /** Deterministic three-way ntile split of the events table in the
