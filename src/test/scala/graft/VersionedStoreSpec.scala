@@ -552,11 +552,68 @@ class VersionedStoreSpec extends SparkSpec {
     VersionedStore.mergeGeneration(batch((2L, 20L, "b", 2.0)), 1, root)
     assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
     assert(!new java.io.File(orphan, "junk").exists())
-    // an abandoned staged dir (crash BEFORE the rename) is vacuumed
+    // an abandoned staged dir (crash BEFORE the rename) is vacuumed —
+    // but ONLY past the retention horizon: a fresh unregistered dir
+    // (another driver's in-flight commit, cross-driver guard) survives
+    // the default sweep and goes once aged out
     val staged = new java.io.File(s"$root/data/.staged-dead")
     assert(staged.mkdirs())
     VersionedStore.vacuum(root, 1)
+    assert(staged.exists(), "a fresh staged dir must survive the " +
+      "default retention window")
+    VersionedStore.vacuum(root, 1, stagedRetentionMs = 0L)
     assert(!staged.exists())
+  }
+
+  test("vacuum fired inside an in-flight commit's staged->claim window " +
+      "leaves the commit able to claim (the r17 maintenance-vs-ingest " +
+      "race); a throwing claim reclaims its staged dir") {
+    val root = freshRoot("vac-race")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root)
+    def stagedDirs(): Seq[String] =
+      Option(new java.io.File(s"$root/data").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(".staged-"))
+        .map(_.getName)
+    // the maintenance job runs INSIDE the window the beforeClaim hook
+    // stretches — retention 0 so only the live registry protects the
+    // writer's staged merge (the exact r17 what's-wrong #1 scenario)
+    var fired = false
+    val g = VersionedStore.commitBatch(batch((2L, 20L, "b", 2.0)), root,
+      beforeClaim = _ => if (!fired) {
+        fired = true
+        VersionedStore.vacuum(root, 0, stagedRetentionMs = 0L): Unit
+      })
+    assert(g === 1)
+    assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
+    assert(stagedDirs().isEmpty, "claim must consume the staged dir")
+    // ADVICE r17: a claim that THROWS (non-monotonic fixture clock)
+    // must reclaim its staged dir instead of leaking it until vacuum
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeGeneration(batch((3L, 30L, "c", 3.0)), 2, root,
+        commitTs = 1L) // far below the driver-clock commit ts of gen 1
+    }
+    assert(stagedDirs().isEmpty,
+      "a rejected commit timestamp must not leak the staged dir")
+  }
+
+  test("timestamp time travel fails loudly on a legacy no-commit-ts " +
+      "manifest instead of resolving arbitrarily") {
+    val root = freshRoot("legacy-ts")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root,
+      commitTs = 1000L)
+    // simulate a pre-round-17 manifest: no commit_ts field recorded
+    val mPath = java.nio.file.Paths.get(
+      s"$root/_manifest/gen-00000.json")
+    val rewritten = java.nio.file.Files.readString(mPath)
+      .replace("\"commit_ts\":1000", "\"commit_ts\":-1")
+    assert(rewritten.contains("\"commit_ts\":-1"))
+    java.nio.file.Files.writeString(mPath, rewritten): Unit
+    // drop the local-fs checksum sidecar the out-of-band rewrite broke
+    java.nio.file.Files.deleteIfExists(
+      mPath.resolveSibling(".gen-00000.json.crc")): Unit
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOfTimestamp(spark, root, 5000L)
+    }
   }
 
   test("point lookup scans exactly ONE manifest-resolved bucket dir " +
@@ -587,6 +644,211 @@ class VersionedStoreSpec extends SparkSpec {
     // bucket scans one dir and returns empty
     assert(VersionedStore.lookupKey(spark, root, 1, 999L).count() === 0L)
     assert(VersionedStore.lookupKey(spark, root, 1, 34L).count() === 0L)
+  }
+
+  private def scanRootPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  test("zone map: readWhere scans ONLY the stat-surviving buckets, " +
+      "results equal the unpruned filter, and stats survive " +
+      "compaction/restore by reference") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("zonemap")
+    // three buckets with DISJOINT value ranges: bucket 1 (values 1-2),
+    // bucket 2 (values 10-11), bucket 3 (value 100)
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (17L, 11L, "a", 2.0),
+        (2L, 12L, "b", 10.0), (18L, 13L, "b", 11.0),
+        (3L, 14L, "c", 100.0)), 0, root)
+    val m = VersionedStore.readManifest(root, 0)
+    // the manifest recorded real ranges
+    assert(m.stats(1L)("last_value") === ("1.0", "2.0"))
+    assert(m.stats(2L)("user_id") === ("2", "18"))
+    val pred = All(Seq(AtLeast("last_value", 5.0),
+      AtMost("last_value", 50.0)))
+    val df = VersionedStore.readWhere(spark, root, 0, pred)
+    // ONLY bucket 2's dir is scanned — buckets 1 and 3 are pruned by
+    // stats before any file opens
+    val roots = scanRootPaths(df)
+    assert(roots.size === 1 && roots.head.endsWith("bucket=2"),
+      s"zone map must prune to bucket 2, scanned: $roots")
+    assert(df.select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 18L))
+    // pruned read == unpruned filter (the conservative contract)
+    assert(df.collect().map(_.toString).sorted.toSeq ===
+      VersionedStore.readAsOf(spark, root, 0).filter(pred.toColumn)
+        .collect().map(_.toString).sorted.toSeq)
+    // string + equality pruning: only bucket 3 holds event type 'c'
+    val eq = EqTo("last_event_type", "c")
+    assert(scanRootPaths(VersionedStore.readWhere(spark, root, 0, eq))
+      .forall(_.endsWith("bucket=3")))
+    // compaction carries the zone map by reference; restore re-pins it
+    val cg = VersionedStore.compact(spark, root)
+    val cm = VersionedStore.readManifest(root, cg)
+    assert(cm.stats === m.stats)
+    val rg = VersionedStore.restore(root, 0)
+    assert(VersionedStore.readManifest(root, rg).stats === m.stats)
+    // disjunction: bucket survives when ANY disjunct could match
+    val or = AnyOf(Seq(AtMost("last_value", 2.0),
+      AtLeast("last_value", 99.0)))
+    assert(scanRootPaths(VersionedStore.readWhere(spark, root, 0, or))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+      === Seq("bucket=1", "bucket=3"))
+  }
+
+  test("zone map is conservative: stripped stats scan everything with " +
+      "identical results; a pre-evolution bucket survives a predicate " +
+      "on the column it never saw") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("zonemap-cons")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 10.0)), 0, root)
+    // gen 1 ADDS `tag` and touches only bucket 2 — bucket 1's stats
+    // never mention the column
+    VersionedStore.mergeGeneration(
+      batch((2L, 20L, "c", 10.0)).withColumn("tag", lit("x")), 1, root)
+    // the OR keeps Catalyst from folding the pre-evolution branch away
+    // (tag EqTo alone it can prove false there from the null literal),
+    // so the scan count isolates the ZONE MAP's decision: bucket 1 has
+    // NO tag stats -> conservative survive; its last_value range (1.0)
+    // fails the other disjunct -> only the missing-stats column keeps
+    // it alive. An aggressive mayMatch would read one dir, not two.
+    val predTag = AnyOf(Seq(EqTo("tag", "x"), AtMost("last_value", 0.0)))
+    val df = VersionedStore.readWhere(spark, root, 1, predTag)
+    assert(scanRootPaths(df).size === 2,
+      "a stats-less column must not prune the bucket")
+    assert(df.select("user_id").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    // a LEGACY manifest (no stats field at all) scans every bucket and
+    // returns the same rows
+    val mPath = java.nio.file.Paths.get(s"$root/_manifest/gen-00001.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("stats")
+    java.nio.file.Files.writeString(mPath, node.toString): Unit
+    // drop the local-fs checksum sidecar the out-of-band rewrite broke
+    java.nio.file.Files.deleteIfExists(
+      mPath.resolveSibling(".gen-00001.json.crc")): Unit
+    val predVal = AtLeast("last_value", 5.0)
+    val stripped = VersionedStore.readWhere(spark, root, 1, predVal)
+    assert(scanRootPaths(stripped).size === 2,
+      "a pre-stats manifest must scan every bucket")
+    assert(stripped.select("user_id").collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(2L))
+  }
+
+  test("deleteWhere: matched buckets rewritten without the rows, " +
+      "untouched buckets carried by reference byte-for-byte, emptied " +
+      "buckets leave the manifest, history keeps the rows") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("del")
+    // bucket 1: users 1 (click) + 17 (view) -> rewritten, keeps 17
+    // bucket 2: user 2 (view)              -> untouched by reference
+    // bucket 3: user 3 (click)             -> emptied, dropped
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "click", 1.0), (17L, 11L, "view", 2.0),
+        (2L, 12L, "view", 3.0), (3L, 13L, "click", 4.0)), 0, root)
+    val untouchedBefore = fileDigest(
+      new java.io.File(VersionedStore.bucketPath(root, 0, 2L)))
+    val g = VersionedStore.deleteWhere(spark, root,
+      EqTo("last_event_type", "click"))
+    assert(g === 1)
+    val m = VersionedStore.readManifest(root, g)
+    assert(m.kind === "delete")
+    // bucket map: 1 rewritten at g, 2 carried at 0, 3 GONE
+    assert(m.buckets === Map(1L -> 1, 2L -> 0))
+    assert(fileDigest(new java.io.File(
+      VersionedStore.bucketPath(root, 0, 2L))) === untouchedBefore)
+    assert(snapshot(root, g) === Seq((2L, 12L, 0), (17L, 11L, 1)))
+    // fresh zone map for the rewritten bucket: the click winner's
+    // user_id (1) no longer bounds the range
+    assert(m.stats(1L)("user_id") === ("17", "17"))
+    // retention-then-erasure: the pre-delete snapshot still reads all 4
+    assert(snapshot(root, 0).map(_._1) === Seq(1L, 2L, 3L, 17L))
+    // no matching rows anywhere -> NO new generation
+    assert(VersionedStore.deleteWhere(spark, root,
+      EqTo("last_event_type", "click")) === g)
+    assert(VersionedStore.latestGen(root) === Some(g))
+    // NULL rows never match a predicate delete (SQL three-valued NOT)
+    val root2 = freshRoot("del-null")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "x", 1.0)).withColumn("tag", lit("kill"))
+        .unionByName(batch((17L, 11L, "y", 2.0))
+          .withColumn("tag", lit(null: String))), 0, root2)
+    val g2 = VersionedStore.deleteWhere(spark, root2, EqTo("tag", "kill"))
+    assert(snapshot(root2, g2).map(_._1) === Seq(17L))
+  }
+
+  test("the driver's q_store_skipping scans exactly the stat-surviving " +
+      "buckets of the shared store (the q_store_lookup precedent)") {
+    val df = StreamingQueries.storeSkipping(spark, sf)
+    val m = VersionedStore.readManifest(
+      // resolve the memoized shared store root through a sibling read's
+      // scan paths: every root path is <store>/data/gen=g/bucket=b
+      scanRootPaths(StreamingQueries.timeTravel(spark, sf)).head
+        .replaceFirst("/data/gen=.*$", "").replaceFirst("^file:", ""),
+      StreamingQueries.TimeTravelReadGen)
+    import VersionedStore.StorePredicate._
+    val pred = All(Seq(AtLeast("user_id", StreamingQueries.SkipKeyLo),
+      AtMost("user_id", StreamingQueries.SkipKeyHi)))
+    val surviving = m.buckets.keySet.filter(b => {
+      val lo = m.stats.get(b).flatMap(_.get("user_id")).map(_._1.toLong)
+      val hi = m.stats.get(b).flatMap(_.get("user_id")).map(_._2.toLong)
+      lo.forall(_ <= StreamingQueries.SkipKeyHi) &&
+        hi.forall(_ >= StreamingQueries.SkipKeyLo)
+    })
+    val scanned = scanRootPaths(df)
+      .map(p => p.substring(p.lastIndexOf('=') + 1).toLong).toSet
+    assert(scanned === surviving,
+      s"skipping must scan exactly the stat survivors: $scanned vs " +
+        s"$surviving")
+    // and the pruning is REAL on this fixture: most buckets are skipped
+    assert(surviving.size < m.buckets.size / 2,
+      s"the [${StreamingQueries.SkipKeyLo}, ${StreamingQueries.SkipKeyHi}]" +
+        s" band should prune most of the ${m.buckets.size} buckets")
+    // the predicate also reaches parquet for row-group skipping
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(user_id") &&
+      pushed.contains("LessThanOrEqual(user_id"), pushed)
+  }
+
+  test("the incrementally-maintained MV (q_store_mv) equals the final " +
+      "snapshot's key state") {
+    val mv = StreamingQueries.storeMv(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val root = scanRootPaths(StreamingQueries.timeTravel(spark, sf)).head
+      .replaceFirst("/data/gen=.*$", "").replaceFirst("^file:", "")
+    val direct = VersionedStore.readAsOf(spark, root,
+        StreamingQueries.TimeTravelGens)
+      .filter(col("last_event_type") =!= StreamingQueries.TombstoneType)
+      .select("user_id", "bucket", "last_event_id", "n_versions")
+      .collect().map(_.toString).sorted.toSeq
+    assert(mv === direct)
+  }
+
+  test("registerSnapshotView pins its snapshot against later commits") {
+    val root = freshRoot("sqlview")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    VersionedStore.registerSnapshotView(spark, root, "vspec_asof", 0)
+    VersionedStore.mergeGeneration(batch((1L, 20L, "c", 3.0)), 1, root)
+    // the view still reads snapshot 0 — registration resolved the
+    // manifest, later commits are invisible
+    assert(spark.sql(
+      "SELECT max(last_event_id) FROM vspec_asof").collect()(0)
+      .getLong(0) === 11L)
+    VersionedStore.registerSnapshotViewAsOfTimestamp(spark, root,
+      "vspec_asof_ts", System.currentTimeMillis() + 60000L)
+    assert(spark.sql(
+      "SELECT max(last_event_id) FROM vspec_asof_ts").collect()(0)
+      .getLong(0) === 20L)
   }
 
   test("RTBF lifecycle: retention at gen g, erasure at gen g+1, tombstone " +
