@@ -59,25 +59,25 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * overlapping bucket is a SEMANTIC conflict and fails loudly
   * ([[BucketConflictException]]). Compaction restarts instead of
   * rebasing — its staged data is a full snapshot rewrite, stale the
-  * moment anyone else commits. CLAIM ATOMICITY IS SAME-DRIVER
-  * (ADVICE r17): the claim sequence (manifest-exists check, orphan
-  * gen-dir delete, staged rename, manifest create) is atomic only
-  * under the JVM-wide commit lock. Spark has one driver per cluster,
-  * so every same-cluster job pair (the canonical
-  * OPTIMIZE-vs-streaming-upsert race) is exactly covered. TWO DRIVERS
-  * sharing one store root are NOT: the manifest's
-  * `FileSystem.create(overwrite=false)` makes the final commit point
-  * put-if-absent, which guarantees the lost race is DETECTED (one
-  * writer's manifest create throws), but the window between the
-  * winner's rename and its manifest write is one a concurrent
-  * claimant could misread as a crashed orphan — deployments that need
-  * multi-driver writers must serialize the claim externally (a
-  * storage-layer lock/lease, Delta's LogStore contract) or route all
-  * writers through one driver. A crash between rename and manifest
-  * write leaves a `gen=<g>` dir with no manifest; that dir is by
-  * definition uncommitted, and the next claim of `g` deletes the
-  * orphan and proceeds (the retry-after-crash path a plain
-  * `errorifexists` write used to fail).
+  * moment anyone else commits. Claim atomicity is LAYERED (ADVICE
+  * r17): the claim sequence (manifest-exists check, orphan gen-dir
+  * delete, staged rename, manifest create) is serialized same-driver
+  * by the JVM commit lock — Spark has one driver per cluster, so the
+  * canonical OPTIMIZE-vs-streaming-upsert race is covered there — and
+  * CROSS-DRIVER by a put-if-absent claim-lock FILE beside the
+  * manifests ([[withClaimLock]], the Delta lock-based-LogStore shape):
+  * without it, two drivers could interleave inside the sequence, one
+  * deleting the other's just-renamed generation dir as a crashed
+  * orphan. The manifest's own `create(overwrite=false)` remains the
+  * commit point, so a lost race is always DETECTED even if the lock's
+  * stale-break fires early (safety degrades to fail-loud, never to
+  * silent corruption); lock-file atomicity delegates to the
+  * FileSystem's create contract (HDFS, conditional-PUT object stores).
+  * A crash between rename and manifest write leaves a `gen=<g>` dir
+  * with no manifest; that dir is by definition uncommitted, and the
+  * next claim of `g` deletes the orphan and proceeds (the
+  * retry-after-crash path a plain `errorifexists` write used to
+  * fail).
   *
   * Scale design (100 TB): manifests are bucket-count-sized JSON written
   * driver-side — bounded by the layout constant like the touched-bucket
@@ -200,10 +200,66 @@ object VersionedStore {
   }
 
   /** Serializes [claim gen dir + write manifest] so two same-driver
-    * committers cannot interleave inside the commit point (see the
-    * object scaladoc's protocol note on cross-driver deployments).
+    * committers cannot interleave inside the commit point; the
+    * cross-driver half is the [[withClaimLock]] lock file.
     */
   private val commitLock = new Object
+
+  /** How long a claimant waits for a contended claim lock before
+    * giving up loudly, and how old an abandoned lock file must be
+    * before a claimant may break it (a crashed driver's leftover — the
+    * stale-break is the documented liveness/safety trade every
+    * lock-file protocol makes; Delta's S3 LogStore has the same).
+    */
+  val ClaimLockWaitMs: Long = 30000L
+  val ClaimLockStaleMs: Long = 10L * 60 * 1000
+
+  private def claimLockPath(root: String, g: Int) =
+    f"${manifestDir(root)}/claim-$g%05d.lock"
+
+  /** Run `body` holding generation `g`'s cross-driver claim lock — a
+    * put-if-absent lock FILE beside the manifests (ADVICE r17: the
+    * claim sequence — manifest-exists check, orphan delete, staged
+    * rename, manifest create — is atomic only within one driver's
+    * commitLock; two drivers sharing a store root could interleave
+    * inside it, one deleting the other's just-renamed generation dir as
+    * an orphan. The lock file serializes the whole sequence across
+    * drivers, the Delta lock-based-LogStore shape). Atomicity delegates
+    * to `FileSystem.create(overwrite=false)` — real on HDFS and
+    * conditional-PUT object stores; the local fs is check-then-act and
+    * is a test environment, not a multi-driver deployment. A contended
+    * lock is polled up to [[ClaimLockWaitMs]]; a lock older than
+    * [[ClaimLockStaleMs]] is broken as a crash leftover.
+    */
+  private def withClaimLock[A](root: String, g: Int)(body: => A): A = {
+    val (fs, lock) = fsOf(claimLockPath(root, g))
+    fs.mkdirs(lock.getParent): Unit
+    val deadline = System.currentTimeMillis() + ClaimLockWaitMs
+    var held = false
+    while (!held) {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          java.lang.management.ManagementFactory.getRuntimeMXBean
+            .getName.getBytes("UTF-8"))
+        finally out.close()
+        held = true
+      } catch { case _: java.io.IOException =>
+        val stale = try {
+          fs.getFileStatus(lock).getModificationTime <
+            System.currentTimeMillis() - ClaimLockStaleMs
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lock, false): Unit
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"claim lock for generation $g at $root held past " +
+              s"${ClaimLockWaitMs} ms — another driver crashed " +
+              "mid-claim (stale break pending) or is livelocked")
+        else Thread.sleep(50L)
+      }
+    }
+    try body finally fs.delete(lock, false): Unit
+  }
 
   /** Highest committed generation, or None for an empty store. */
   def latestGen(root: String): Option[Int] =
@@ -530,6 +586,7 @@ object VersionedStore {
     */
   private def tryClaimAndCommit(root: String, staged: Option[String],
       m: Manifest): Boolean = commitLock.synchronized {
+    withClaimLock(root, m.gen) {
     val (fs, mPath) = fsOf(manifestPath(root, m.gen))
     if (fs.exists(mPath)) false
     else {
@@ -544,6 +601,7 @@ object VersionedStore {
       writeManifest(root, m)
       staged.foreach(releaseStaged)
       true
+    }
     }
   }
 

@@ -833,6 +833,57 @@ class VersionedStoreSpec extends SparkSpec {
     assert(mv === direct)
   }
 
+  test("cross-PROCESS OCC: a second driver JVM commits mid-claim and " +
+      "this driver's disjoint batch rebases over it; stale claim locks " +
+      "are broken") {
+    val root = freshRoot("xproc")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root)
+    // a crash leftover: an ABANDONED claim lock for the next generation,
+    // aged past the stale horizon — the claim must break it, not hang
+    val staleLock = new java.io.File(s"$root/_manifest/claim-00001.lock")
+    java.nio.file.Files.writeString(staleLock.toPath, "dead"): Unit
+    assert(staleLock.setLastModified(System.currentTimeMillis() -
+      VersionedStore.ClaimLockStaleMs - 60000L))
+    // second DRIVER: a separate JVM sharing nothing but the store root;
+    // launched from our beforeClaim hook (after our staged write, before
+    // our claim) and awaited — user 35 routes to bucket 3, disjoint
+    // from our bucket 2, so the storage-level race must end in a rebase
+    var launched = false
+    val out = new StringBuilder
+    val g = VersionedStore.commitBatch(batch((2L, 20L, "b", 2.0)), root,
+      beforeClaim = _ => if (!launched) {
+        launched = true
+        val cp = Seq("target/scala-2.13/test-classes",
+          "target/scala-2.13/classes", "/opt/spark/jars/*")
+          .mkString(java.io.File.pathSeparator)
+        val addOpens = Seq("java.lang", "java.lang.invoke",
+          "java.lang.reflect", "java.io", "java.net", "java.nio",
+          "java.util", "java.util.concurrent",
+          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+          "sun.security.action", "sun.util.calendar")
+          .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+        val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++
+          addOpens ++ Seq("-Xmx2g", "-Dspark.ui.enabled=false", "-cp",
+            cp, "graft.StoreContenderMain", root, "35", "21")
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true).start()
+        val sc = new java.util.Scanner(proc.getInputStream)
+        while (sc.hasNextLine) out.append(sc.nextLine()).append('\n')
+        assert(proc.waitFor() === 0,
+          s"contender JVM failed:\n${out.toString.takeRight(2000)}")
+      })
+    // the contender took generation 1 (proving its claim went through
+    // the shared lock + put-if-absent manifest, not our in-JVM lock);
+    // our commit detected the lost race and rebased to generation 2
+    assert(out.toString.contains("committed=1"), out.toString.takeRight(500))
+    assert(g === 2)
+    assert(snapshot(root, 2) ===
+      Seq((1L, 10L, 0), (2L, 20L, 2), (35L, 21L, 1)))
+    // both drivers' claim locks were released
+    assert(!new java.io.File(s"$root/_manifest").listFiles()
+      .exists(_.getName.endsWith(".lock")))
+  }
+
   test("registerSnapshotView pins its snapshot against later commits") {
     val root = freshRoot("sqlview")
     VersionedStore.mergeGeneration(
