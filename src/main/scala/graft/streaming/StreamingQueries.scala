@@ -598,7 +598,11 @@ object StreamingQueries {
     val spool = writeVersionedSpool(s2, dir, TimeTravelGens,
       withTombstones = false)
     driveVersionedStream(s2, spool, root)
-    val g = VersionedStore.compact(s2, root)
+    // OPTIMIZE ... ZORDER-shaped: cluster each bucket by the lookup key
+    // during the rewrite, so post-compaction row groups are range-tight
+    // on user_id (the serving read's pushed predicate) — hash-invisible
+    // by definition, layout-pinned in VersionedStoreSpec
+    val g = VersionedStore.compact(s2, root, clusterBy = Seq("user_id"))
     VersionedStore.vacuum(root, g)
     VersionedStore.readAsOf(spark, root, g).select(snapCols: _*)
   }

@@ -833,6 +833,43 @@ class VersionedStoreSpec extends SparkSpec {
     assert(mv === direct)
   }
 
+  test("clustered compaction: one file per bucket, rows sorted by the " +
+      "cluster key, still a logical no-op") {
+    val root = freshRoot("cluster")
+    // two buckets, keys deliberately written in shuffled order
+    VersionedStore.mergeGeneration(
+      batch((33L, 10L, "a", 1.0), (1L, 11L, "b", 2.0),
+        (17L, 12L, "c", 3.0), (2L, 13L, "d", 4.0),
+        (18L, 14L, "e", 5.0)), 0, root)
+    val before = VersionedStore.readAsOf(spark, root, 0)
+      .drop("gen").collect().map(_.toString).sorted.toSeq
+    val g = VersionedStore.compact(spark, root,
+      clusterBy = Seq("user_id"))
+    // logical no-op, zone map carried
+    assert(VersionedStore.readAsOf(spark, root, g)
+      .drop("gen").collect().map(_.toString).sorted.toSeq === before)
+    assert(VersionedStore.readManifest(root, g).stats
+      === VersionedStore.readManifest(root, 0).stats)
+    // layout: each bucket dir holds ONE file whose row order is the
+    // cluster key's — the row-group range-tightness the serving read's
+    // pushed user_id predicate skips by
+    Seq(1L, 2L).foreach { b =>
+      val files = new java.io.File(
+        VersionedStore.bucketPath(root, g, b)).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"bucket $b must compact to one clustered file")
+      val ids = spark.read.parquet(files.head.getPath)
+        .select("user_id").collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted,
+        s"bucket $b rows must be sorted by the cluster key: $ids")
+    }
+    // unknown cluster column fails loudly before any rewrite
+    intercept[IllegalArgumentException] {
+      VersionedStore.compact(spark, root, clusterBy = Seq("no_such"))
+    }
+  }
+
   test("cross-PROCESS OCC: a second driver JVM commits mid-claim and " +
       "this driver's disjoint batch rebases over it; stale claim locks " +
       "are broken") {
