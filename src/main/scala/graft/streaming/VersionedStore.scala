@@ -497,11 +497,25 @@ object VersionedStore {
     }
   }
 
+  /** Longest string (in UTF-8 bytes) a zone-map entry may record: a
+    * manifest is driver-sized METADATA and must stay bounded no matter
+    * what rides in a string payload column (a document-text column's
+    * min/max could be megabytes). A string bound over the limit records
+    * NO entry for that column in that bucket — conservative scan —
+    * rather than a truncated one: a truncated MAX is exclusive-unsafe
+    * (the real max sorts above the prefix), and Delta's
+    * increment-last-codepoint repair buys little at the store's bucket
+    * grain. Keys and enum-like columns (the prunable ones) are far
+    * below the limit.
+    */
+  val StatStringMaxBytes: Int = 64
+
   /** Per-bucket zone map of a just-staged write: ONE distributed
     * aggregate over the staged data (delta + touched-partition sized,
     * never store-sized — the plain-parquet analogue of Delta collecting
     * file stats during the write), collected as ≤[[Buckets]] rows.
-    * All-null columns record no entry (conservative).
+    * All-null columns and over-limit string bounds record no entry
+    * (conservative).
     */
   private def bucketStats(df: DataFrame, schema: StructType)
       : Map[Long, Map[String, (String, String)]] = {
@@ -514,14 +528,22 @@ object VersionedStore {
       }
       Seq(min(c).as(s"__lo_${f.name}"), max(c).as(s"__hi_${f.name}"))
     }
+    def bounded(dt: DataType, s: String): Boolean = dt match {
+      case StringType => s.getBytes("UTF-8").length <= StatStringMaxBytes
+      case _ => true
+    }
     df.groupBy("bucket").agg(aggs.head, aggs.drop(1): _*).collect()
       .map { r =>
         r.getLong(0) -> cols.flatMap { f =>
           val lo = r.get(r.fieldIndex(s"__lo_${f.name}"))
           val hi = r.get(r.fieldIndex(s"__hi_${f.name}"))
           if (lo == null || hi == null) None
-          else Some(f.name ->
-            (statStr(f.dataType, lo), statStr(f.dataType, hi)))
+          else {
+            val (l, h) = (statStr(f.dataType, lo), statStr(f.dataType, hi))
+            if (bounded(f.dataType, l) && bounded(f.dataType, h))
+              Some(f.name -> (l, h))
+            else None
+          }
         }.toMap
       }.toMap
   }

@@ -741,6 +741,27 @@ class VersionedStoreSpec extends SparkSpec {
       .toSeq === Seq(2L))
   }
 
+  test("zone map: an over-limit string bound records no entry (bounded " +
+      "manifests), and the bucket stays conservatively scannable") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("zonemap-bound")
+    val longTail = "z" * (VersionedStore.StatStringMaxBytes + 10)
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, longTail, 1.0), (17L, 11L, "aaa", 2.0),
+        (2L, 12L, "bbb", 3.0)), 0, root)
+    val m = VersionedStore.readManifest(root, 0)
+    // bucket 1's event-type MAX is the megastring class -> no entry at
+    // all; its other columns still carry stats; bucket 2 unaffected
+    assert(!m.stats(1L).contains("last_event_type"))
+    assert(m.stats(1L).contains("user_id"))
+    assert(m.stats(2L)("last_event_type") === ("bbb", "bbb"))
+    // the stats-less column is conservatively scanned and still matches
+    val df = VersionedStore.readWhere(spark, root, 0,
+      EqTo("last_event_type", longTail))
+    assert(df.select("user_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+  }
+
   test("deleteWhere: matched buckets rewritten without the rows, " +
       "untouched buckets carried by reference byte-for-byte, emptied " +
       "buckets leave the manifest, history keeps the rows") {
