@@ -741,6 +741,36 @@ class VersionedStoreSpec extends SparkSpec {
       .toSeq === Seq(2L))
   }
 
+  test("zone map: timestamp predicates prune by the micros-normalized " +
+      "range (AtLeast/AtMost/EqTo accept Timestamp and Instant)") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("zonemap-ts")
+    // batch() derives last_ts from event_id seconds: bucket 1 spans
+    // [100s, 200s], bucket 2 spans [5000s, 6000s]
+    VersionedStore.mergeGeneration(
+      batch((1L, 100L, "a", 1.0), (17L, 200L, "b", 2.0),
+        (2L, 5000L, "c", 3.0), (18L, 6000L, "d", 4.0)), 0, root)
+    val m = VersionedStore.readManifest(root, 0)
+    assert(m.stats(1L)("last_ts") === ("100000000", "200000000"))
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val late = AtLeast("last_ts", ts(1000L))
+    val dfLate = VersionedStore.readWhere(spark, root, 0, late)
+    assert(scanRootPaths(dfLate).forall(_.endsWith("bucket=2")))
+    assert(dfLate.select("user_id").collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(2L, 18L))
+    // Instant form normalizes identically; EqTo prunes to the one
+    // bucket whose range contains the instant
+    val eq = EqTo("last_ts", ts(200L))
+    val dfEq = VersionedStore.readWhere(spark, root, 0, eq)
+    assert(scanRootPaths(dfEq).forall(_.endsWith("bucket=1")))
+    assert(dfEq.select("user_id").collect().map(_.getLong(0)).toSeq
+      === Seq(17L))
+    val none = AtMost("last_ts",
+      java.time.Instant.ofEpochSecond(50L))
+    assert(VersionedStore.readWhere(spark, root, 0, none).count() === 0L)
+  }
+
   test("zone map: an over-limit string bound records no entry (bounded " +
       "manifests), and the bucket stays conservatively scannable") {
     import VersionedStore.StorePredicate._
