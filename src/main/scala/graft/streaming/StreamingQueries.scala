@@ -622,15 +622,21 @@ object StreamingQueries {
     * generation), from = generation [[TimeTravelReadGen]], to = the
     * tombstone generation — so all three change types are exercised and
     * the oracle re-derives them from the deterministic ntile prefixes.
-    * Scale shape: two bounded snapshot scans into ONE user-keyed
-    * exchange; cost is live-store-sized, never generation-count-sized.
+    * Scale shape (round 18): MANIFEST-PRUNED — only buckets whose
+    * writer generation moved between the two manifests are scanned
+    * into the ONE user-keyed exchange, so feed cost is
+    * changed-partition-sized (copy-on-write proves untouched buckets
+    * cannot contribute rows), never live-store- or
+    * generation-count-sized.
     */
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val root = sharedForgetStore(spark, dir)
-    VersionedStore.changesBetween(
-      VersionedStore.readAsOf(spark, root, TimeTravelReadGen),
-      VersionedStore.readAsOf(spark, root, TimeTravelGens),
-      TombstoneType)
+    // manifest-pruned (round 18): only buckets whose writer generation
+    // moved between the two manifests are read — identical feed rows
+    // (copy-on-write: an untouched bucket cannot change), so the hash
+    // gate is unchanged while the read cost drops to changed partitions
+    VersionedStore.changesBetweenGens(spark, root, TimeTravelReadGen,
+      TimeTravelGens, TombstoneType)
   }
 
   /** Interior change feed (`q_change_feed_pair`, VERDICT r16 #8): diff
@@ -647,9 +653,7 @@ object StreamingQueries {
     */
   def changeFeedPair(spark: SparkSession, dir: String): DataFrame = {
     val root = sharedForgetStore(spark, dir)
-    VersionedStore.changesBetween(
-      VersionedStore.readAsOf(spark, root, 0),
-      VersionedStore.readAsOf(spark, root, TimeTravelTsGen),
+    VersionedStore.changesBetweenGens(spark, root, 0, TimeTravelTsGen,
       TombstoneType)
   }
 
@@ -892,9 +896,8 @@ object StreamingQueries {
       .select(col("user_id"), col("bucket"), col("last_event_id"),
         col("n_versions"))
     (1 to TimeTravelGens).foldLeft(init) { (state, g) =>
-      applyChanges(state, VersionedStore.changesBetween(
-        VersionedStore.readAsOf(spark, root, g - 1),
-        VersionedStore.readAsOf(spark, root, g), TombstoneType))
+      applyChanges(state, VersionedStore.changesBetweenGens(spark, root,
+        g - 1, g, TombstoneType))
     }
   }
 

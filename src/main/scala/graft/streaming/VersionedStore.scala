@@ -1106,6 +1106,31 @@ object VersionedStore {
           .as("nv_delta"))
   }
 
+  /** Manifest-pruned change feed between two committed generations
+    * (round 18 — the scale upgrade over handing [[changesBetween]] two
+    * full snapshot reads): a bucket whose writer generation is the SAME
+    * in both manifests references the same immutable files on both
+    * sides — copy-on-write guarantees it cannot contribute a change —
+    * so only buckets whose writer DIFFERS (touched, dropped, or added
+    * between the generations) are read and joined. Feed cost becomes
+    * changed-partition-sized, not live-store-sized: at 100 TB a
+    * consumer of a generation that touched 3 of 4096 buckets reads 6
+    * bucket dirs, not two snapshots. Conservative: a compaction or
+    * restore rewrites writer ids without logical change — those
+    * buckets are read and the join nets zero rows (correct, just not
+    * free; consumers diff across maintenance commits rarely).
+    */
+  def changesBetweenGens(spark: SparkSession, root: String,
+      fromGen: Int, toGen: Int, tombstoneType: String): DataFrame = {
+    val mf = readManifest(root, fromGen)
+    val mt = readManifest(root, toGen)
+    val changed = (mf.buckets.keySet ++ mt.buckets.keySet)
+      .filter(b => mf.buckets.get(b) != mt.buckets.get(b))
+    changesBetween(
+      readBuckets(spark, root, mf, Some(changed)),
+      readBuckets(spark, root, mt, Some(changed)), tombstoneType)
+  }
+
   /** Snapshot read under manifest `m`, optionally restricted to a bucket
     * subset: group the resolved dirs by the payload COLUMN SET their
     * writer generation recorded (one group — one scan — in the

@@ -536,6 +536,31 @@ class VersionedStoreSpec extends SparkSpec {
       === Seq(("insert", 23L, 2L)))
   }
 
+  test("manifest-pruned change feed: scans only the buckets whose " +
+      "writer generation moved, emits exactly the full-snapshot feed") {
+    val root = freshRoot("cdf-pruned")
+    // gen 0 writes buckets 1, 2, 3; gen 1 touches ONLY bucket 2
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0),
+        (3L, 12L, "c", 3.0)), 0, root)
+    VersionedStore.mergeGeneration(batch((2L, 20L, "d", 4.0)), 1, root)
+    val pruned = VersionedStore.changesBetweenGens(spark, root, 0, 1,
+      StreamingQueries.TombstoneType)
+    // both sides scan ONLY bucket 2's dirs (from: gen0/bucket=2,
+    // to: gen1/bucket=2) — buckets 1 and 3 share a writer and are
+    // provably changeless
+    val scanned = scanRootPaths(pruned)
+      .map(p => p.substring(p.indexOf("/data/") + 6)).sorted
+    assert(scanned === Seq("gen=0/bucket=2", "gen=1/bucket=2"), scanned)
+    val full = VersionedStore.changesBetween(
+      VersionedStore.readAsOf(spark, root, 0),
+      VersionedStore.readAsOf(spark, root, 1),
+      StreamingQueries.TombstoneType)
+    assert(pruned.collect().map(_.toString).sorted.toSeq
+      === full.collect().map(_.toString).sorted.toSeq)
+    assert(pruned.count() === 1L) // the one updated key
+  }
+
   test("a crashed commit's orphan generation dir is reclaimed by the " +
       "retry; vacuum sweeps abandoned staged dirs") {
     val root = freshRoot("orphan")
