@@ -599,9 +599,11 @@ object VersionedStore {
   }
 
   /** Claim generation `m.gen`: rename the staged data dir (if any) to
-    * the generation dir and write the manifest, atomically with respect
-    * to other same-driver committers. False = a committed manifest
-    * already holds the generation (lost race — caller rebases/retries).
+    * the generation dir and write the manifest — atomic with respect to
+    * other same-driver committers (the JVM commit lock) AND other
+    * drivers (the [[withClaimLock]] lock file; see the object scaladoc's
+    * protocol note). False = a committed manifest already holds the
+    * generation (lost race — caller rebases/retries).
     * A generation DIR without a manifest is a crashed commit's orphan:
     * uncommitted by definition, deleted here so the retry can proceed
     * (the ADVICE-r16 recovery path).
@@ -1057,8 +1059,10 @@ object VersionedStore {
   /** Change-data-feed diff of two snapshot reads (both in snapshot
     * shape): net row-level changes a downstream consumer must apply to
     * move from the `from` snapshot to the `to` snapshot —
-    * `insert` (key absent at from), `delete` (tombstone winner at to;
-    * an insert-then-delete inside the window nets to NO row), `update`
+    * `insert` (key absent at from), `delete` (a tombstone winner at to,
+    * OR the key physically absent at to — a predicate [[deleteWhere]]
+    * purge or a RESTORE-erased insert; an insert-then-delete inside the
+    * window nets to NO row either way), `update`
     * (the latest event moved OR `n_versions` grew — an out-of-order
     * arrival can grow the count without moving the argmax, and CDC must
     * surface it). One full-outer key join of two manifest-pruned scans:
@@ -1092,6 +1096,13 @@ object VersionedStore {
         when(col("to_type") === tombstoneType,
           when(col("from_event_id").isNull, lit(null: String))
             .otherwise("delete"))
+          // PHYSICALLY absent at `to` (no tombstone row to win the
+          // argmax): a predicate DELETE purged the key's row, or a
+          // RESTORE erased the window that inserted it — both must
+          // surface as deletes, not silently diff as no-change
+          // (round 18; the key exists on the from side by full-outer
+          // construction when to_nv is null)
+          .when(col("to_nv").isNull, "delete")
           .when(col("from_event_id").isNull, "insert")
           .when(col("to_eid") =!= col("from_event_id") ||
             col("to_nv") =!= col("from_nv"), "update")

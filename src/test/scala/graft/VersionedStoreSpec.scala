@@ -561,6 +561,35 @@ class VersionedStoreSpec extends SparkSpec {
     assert(pruned.count() === 1L) // the one updated key
   }
 
+  test("change feed surfaces PHYSICAL absence as delete: predicate-" +
+      "purged keys and restore-erased inserts, with insert-then-purge " +
+      "netting out") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("cdf-absent")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "keep", 1.0), (2L, 11L, "purge", 2.0)), 0, root)
+    // user 3 inserted AND purged inside the window -> must net out
+    VersionedStore.mergeGeneration(batch((3L, 12L, "purge", 3.0)), 1, root)
+    val dg = VersionedStore.deleteWhere(spark, root,
+      EqTo("last_event_type", "purge"))
+    def feed(a: Int, b: Int) =
+      VersionedStore.changesBetweenGens(spark, root, a, b,
+        StreamingQueries.TombstoneType).collect()
+        .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    // across the delete generation: user 2's purge is a DELETE, user 3
+    // (insert-then-purge) is absent on both sides and nets out
+    assert(feed(0, dg) === Seq((2L, "delete")))
+    // and the MV apply contract holds across it end-to-end
+    val s0 = VersionedStore.readAsOf(spark, root, 0)
+      .select(col("user_id"), col("bucket"),
+        col("last_event_id"), col("n_versions"))
+    // restore-erased insert: roll back to generation 0 — user 3's
+    // insert (gen 1) must read as a delete in the 1 -> restore feed
+    val rg = VersionedStore.restore(root, 0)
+    assert(feed(1, rg).contains((3L, "delete")))
+    assert(s0.count() === 2L)
+  }
+
   test("a crashed commit's orphan generation dir is reclaimed by the " +
       "retry; vacuum sweeps abandoned staged dirs") {
     val root = freshRoot("orphan")
