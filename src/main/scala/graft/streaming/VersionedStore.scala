@@ -33,8 +33,13 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *   - `commit_ts`: the commit wall-clock (monotonicity-guarded), so
   *     [[readAsOfTimestamp]] can resolve "AS OF yesterday 17:00" to a
   *     generation by Delta's rule (latest commit at-or-before the ask);
-  *   - `kind`: `ingest` or `compact` — the OCC conflict rule needs to
-  *     know a racing winner was a logical no-op;
+  *   - `kind`: `ingest`, `compact`, `delete`, or `restore` — the OCC
+  *     conflict rule needs to know whether a racing winner was a
+  *     logical no-op (compact), a row change (ingest/delete — bucket
+  *     overlap conflicts), or a lineage rewrite (restore — always
+  *     conflicts);
+  *   - `stats`: the per-bucket zone map (VERDICT r17 #1) — see
+  *     [[readWhere]];
   *   - `schema`: the snapshot's payload schema as of this generation,
   *     and `writer_cols`: the payload column NAMES each referenced
   *     writer generation's files actually contain — together they let
@@ -108,6 +113,10 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *     hash-equal to the serial schedule's.
   *   - `q_store_schema_evolution`: a generation that ADDS a payload
   *     column, earlier carried-forward buckets reading back null-padded.
+  *   - `q_store_skipping` / `q_store_delete` / `q_store_mv` /
+  *     `q_store_sql_asof` (round 18): zone-map predicate reads,
+  *     copy-on-write DELETE WHERE, a change-feed-maintained
+  *     materialized view, and `VERSION AS OF` through a temp view.
   */
 object VersionedStore {
   /** Bucket count, shared with the destructive store so the two stores
