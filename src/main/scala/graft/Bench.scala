@@ -249,7 +249,24 @@ object Bench {
         System.err.println(f"[bench] MATERIALIZED BLOWUP $n: $m%.2f s > " +
           f"the adjudicated absolute cap $cap%.1f s")
       }
-      if (offenders.nonEmpty || absOffenders.nonEmpty) sys.exit(2)
+      // loaded-host symmetry with the record gate (round 18): the audit
+      // compares THIS run's numerators to the QUIET committed record's
+      // denominators, so ambient contention manufactures offenders —
+      // observed: a calib-226ms burst run pushed three flat-for-rounds
+      // queries over the 2 s floor (1.6-1.7 s quiet -> 2.0-2.9 s) with
+      // zero code changes. A loaded audit reports loudly but is not
+      // authoritative: offenders become warnings and the exit stays 0;
+      // re-run on a quiet host for a gating verdict. A QUIET audit that
+      // flags is a real regression and still fails the run.
+      if (offenders.nonEmpty || absOffenders.nonEmpty) {
+        if (isLoadedCalib(median(probes.toSeq)))
+          System.err.println(f"[bench] NOTE: audit ran LOADED (calib " +
+            f"median ${median(probes.toSeq)}%.3f s > " +
+            f"${LoadedBootCalibBar}%.2fx the quiet reference " +
+            f"$QuietCalibRef%.3f s) — the flags above are " +
+            "non-authoritative; re-run the audit on a quiet host")
+        else sys.exit(2)
+      }
     }
   }
 
@@ -555,10 +572,14 @@ object Bench {
       val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
         .mkString("{", ",", "}")
       // audit mode writes its OWN artifact — materialized numbers must
-      // never clobber the count-mode record they are compared against
+      // never clobber the count-mode record they are compared against;
+      // a LOADED audit diverts like a loaded record run so the
+      // committed audit artifact stays a quiet-host baseline
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
-          if (materializeMode) "BENCH_MATERIALIZED.json"
+          if (materializeMode && isLoadedCalib(median(probes)))
+            "BENCH_MATERIALIZED_LOADED.json"
+          else if (materializeMode) "BENCH_MATERIALIZED.json"
           else if (diverted) "BENCH_LOADED.json"
           else "BENCH_LOCAL.json"),
         s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
