@@ -561,6 +561,44 @@ class VersionedStoreSpec extends SparkSpec {
     assert(pruned.count() === 1L) // the one updated key
   }
 
+  test("readWhereSql: the SQL predicate's prunable skeleton drives the " +
+      "zone map; unsupported constructs scan conservatively; rows " +
+      "always equal the full filter") {
+    val root = freshRoot("sqlpred")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (17L, 11L, "a", 2.0),
+        (2L, 12L, "b", 10.0), (18L, 13L, "b", 11.0),
+        (3L, 14L, "c", 100.0)), 0, root)
+    def rootsOf(sql: String): Seq[String] =
+      scanRootPaths(VersionedStore.readWhereSql(spark, root, 0, sql))
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    def ids(sql: String): Seq[Long] =
+      VersionedStore.readWhereSql(spark, root, 0, sql)
+        .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    // range skeleton prunes to bucket 2 exactly like the ADT path
+    assert(rootsOf("last_value BETWEEN 5 AND 50") === Seq("bucket=2"))
+    assert(ids("last_value BETWEEN 5 AND 50") === Seq(2L, 18L))
+    // IN-list = a disjunction of equalities; strict > prunes as >=
+    assert(rootsOf("last_event_type IN ('c')") === Seq("bucket=3"))
+    assert(rootsOf("last_value > 11") === Seq("bucket=2", "bucket=3"))
+    // mirrored operand order
+    assert(rootsOf("99 <= last_value") === Seq("bucket=3"))
+    // And(unmappable, mappable) still prunes on the mappable side
+    // (bucket 1's values are below 5), and the unmappable conjunct
+    // still FILTERS the scanned rows
+    assert(rootsOf("user_id % 2 = 0 AND last_value >= 5") ===
+      Seq("bucket=2", "bucket=3"))
+    assert(ids("user_id % 2 = 0 AND last_value >= 5") === Seq(2L, 18L))
+    // Or with an unmappable side cannot prune: all three buckets scan
+    assert(rootsOf("user_id % 2 = 0 OR last_value >= 5").size === 3)
+    // a quoted literal against a bigint column scans, never throws
+    assert(ids("user_id = '17'") === Seq(17L))
+    // timestamp literal prunes through the micros normalization
+    // (batch ts = event_id seconds; only bucket 3 reaches 14s)
+    assert(rootsOf("last_ts >= TIMESTAMP '1970-01-01 00:00:13Z'")
+      === Seq("bucket=2", "bucket=3"))
+  }
+
   test("change feed surfaces PHYSICAL absence as delete: predicate-" +
       "purged keys and restore-erased inserts, with insert-then-purge " +
       "netting out") {
@@ -617,6 +655,16 @@ class VersionedStoreSpec extends SparkSpec {
       "default retention window")
     VersionedStore.vacuum(root, 1, stagedRetentionMs = 0L)
     assert(!staged.exists())
+    // a crashed claimant's lock file for a generation nobody re-claims:
+    // swept by vacuum once stale, kept while fresh
+    val lock = new java.io.File(s"$root/_manifest/claim-00009.lock")
+    java.nio.file.Files.writeString(lock.toPath, "dead"): Unit
+    VersionedStore.vacuum(root, 1)
+    assert(lock.exists(), "a FRESH lock must survive the sweep")
+    assert(lock.setLastModified(System.currentTimeMillis() -
+      VersionedStore.ClaimLockStaleMs - 60000L))
+    VersionedStore.vacuum(root, 1)
+    assert(!lock.exists(), "a STALE lock must be swept")
   }
 
   test("vacuum fired inside an in-flight commit's staged->claim window " +
