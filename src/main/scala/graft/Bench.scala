@@ -254,21 +254,47 @@ object Bench {
       // denominators, so ambient contention manufactures offenders —
       // observed: a calib-226ms burst run pushed three flat-for-rounds
       // queries over the 2 s floor (1.6-1.7 s quiet -> 2.0-2.9 s) with
-      // zero code changes. A loaded audit reports loudly but is not
-      // authoritative: offenders become warnings and the exit stays 0;
-      // re-run on a quiet host for a gating verdict. A QUIET audit that
-      // flags is a real regression and still fails the run.
+      // zero code changes. A loaded audit is not authoritative, but it
+      // must not terminally PASS either (ADVICE r18): flagged-on-loaded
+      // exits with its own code (3, distinct from the quiet-audit fail
+      // 2) and writes a pending-audit marker that only a QUIET audit —
+      // the next authoritative verdict, flags or clean — consumes. A
+      // QUIET audit that flags is a real regression and fails the run.
+      val loadedRun = isLoadedCalib(median(probes.toSeq))
+      if (!loadedRun)
+        try java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(PendingAuditMarker)): Unit
+        catch { case _: Throwable => () }
       if (offenders.nonEmpty || absOffenders.nonEmpty) {
-        if (isLoadedCalib(median(probes.toSeq)))
+        if (loadedRun) {
           System.err.println(f"[bench] NOTE: audit ran LOADED (calib " +
             f"median ${median(probes.toSeq)}%.3f s > " +
             f"${LoadedBootCalibBar}%.2fx the quiet reference " +
             f"$QuietCalibRef%.3f s) — the flags above are " +
-            "non-authoritative; re-run the audit on a quiet host")
+            "non-authoritative; re-run the audit on a quiet host " +
+            s"(pending marker written to $PendingAuditMarker)")
+          try java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(PendingAuditMarker),
+            s"""{"epoch_ms":${System.currentTimeMillis()},""" +
+              s""""flags":${(offenders.map(_._1) ++ absOffenders.map(_._1))
+                .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}}""" +
+              "\n"): Unit
+          catch { case _: Throwable => () }
+          sys.exit(3)
+        }
         else sys.exit(2)
       }
     }
   }
+
+  /** Marker a flagged LOADED audit leaves behind so the divert can never
+    * terminally pass the materialized gate (ADVICE r18): it records the
+    * non-authoritative flags and is deleted only by the next QUIET audit
+    * (whose verdict — exit 2 on real flags, clean exit otherwise — is
+    * authoritative either way). Gitignored working state, not an
+    * artifact of record.
+    */
+  val PendingAuditMarker = "BENCH_MATERIALIZED_PENDING.json"
 
   /** Materialized-cost gate thresholds: flag only ratios that indicate a
     * real per-row expression pathology, not scheduling noise on

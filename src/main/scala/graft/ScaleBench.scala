@@ -140,6 +140,17 @@ object ScaleBench {
     // is FIXED by the fixture) — expect q_change_feed's line times the
     // window count, alpha ~ 1
     "q_store_mv",
+    // persisted-state variant: the same per-window feed joins plus one
+    // key-state-sized parquet write per window — q_store_mv's line
+    // with a linear state-write term
+    "q_store_mv_persisted",
+    // DSv2 front-door band read: planner-side zone-map pruning over
+    // bounded manifest metadata + a fixed key band scan — expect
+    // q_store_skipping's flat steady-read line
+    "q_store_dsv2",
+    // predicate UPDATE: q_store_delete's replay class with the delete
+    // rewrite replaced by the assignment rewrite (matched buckets only)
+    "q_store_update",
     // SQL AS-OF view: the q_time_travel pruned scan behind a temp view
     // + one bucket-grouped rollup — the steady-read line
     "q_store_sql_asof",
@@ -500,7 +511,9 @@ object ScaleBench {
     // memoized ingest in the full ladder's list order; a targeted
     // re-measure must keep that steady-read context
     "q_store_skipping" -> Seq("q_time_travel"),
+    "q_store_dsv2" -> Seq("q_time_travel"),
     "q_store_mv" -> Seq("q_time_travel"),
+    "q_store_mv_persisted" -> Seq("q_time_travel"),
     "q_store_sql_asof" -> Seq("q_time_travel"),
     "q_shingle_profile" -> Seq("q_substring_dedup"),
     "q_corpus_overlap" -> Seq("q_substring_dedup"),

@@ -806,6 +806,12 @@ object StreamingQueries {
     */
   val DeleteEventType = "click"
 
+  /** What `q_store_update` rewrites matching rows TO — the redaction
+    * fix-up shape of `UPDATE ... SET ... WHERE`.
+    */
+  val UpdateRedactedType = "redacted"
+  val UpdateRedactedValue = 0.0
+
   /** Data skipping (`q_store_skipping`, VERDICT r17 #1): a general
     * predicate read through [[VersionedStore.readWhere]] — the manifest
     * zone map (per-bucket column min/max recorded at commit time)
@@ -822,6 +828,26 @@ object StreamingQueries {
     import VersionedStore.StorePredicate.{All, AtLeast, AtMost}
     VersionedStore.readWhere(spark, root, TimeTravelReadGen,
       All(Seq(AtLeast("user_id", SkipKeyLo), AtMost("user_id", SkipKeyHi))))
+      .select(snapCols: _*)
+  }
+
+  /** DataSource V2 front door (`q_store_dsv2`, VERDICT r18 #1): the
+    * same key band as `q_store_skipping`, but read through
+    * `spark.read.format("graftstore")` — the band predicate is pushed
+    * by CATALYST's V2 pushdown rule into [[graft.sources
+    * .GraftStoreScanBuilder]], the manifest zone map prunes buckets
+    * inside the planner, and the executed scan is Spark's vectorized
+    * parquet batch scan over exactly the surviving dirs with the band
+    * pushed on into the parquet reader. Hash-gated against the same
+    * raw-events oracle as the helper-API read; pruned-path parity with
+    * [[VersionedStore.readWhere]] and the SQL-over-a-view path are
+    * spec-pinned in VersionedStoreSpec.
+    */
+  def storeDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val root = sharedForgetStore(spark, dir)
+    spark.read.format("graftstore").option("path", root)
+      .option("versionAsOf", TimeTravelReadGen).load()
+      .filter(col("user_id") >= SkipKeyLo && col("user_id") <= SkipKeyHi)
       .select(snapCols: _*)
   }
 
@@ -848,6 +874,37 @@ object StreamingQueries {
     val g = VersionedStore.deleteWhere(spark, root,
       VersionedStore.StorePredicate.EqTo("last_event_type",
         DeleteEventType),
+      commitTs = StoreCommitBase + 2 * StoreCommitStepMs)
+    VersionedStore.readAsOf(spark, root, g).select(snapCols: _*)
+  }
+
+  /** Predicate UPDATE (`q_store_update`, VERDICT r18 #4 — the other
+    * compliance DML beside `q_store_delete`'s purge):
+    * `UPDATE store SET last_value = 0.0, last_event_type = 'redacted'
+    * WHERE last_event_type = 'click'` as a copy-on-write rewrite —
+    * candidate buckets pruned through the zone map, no-match buckets
+    * carried forward BY REFERENCE (`gen` stays at the ingest
+    * generation), matched buckets rewritten with the assignments
+    * applied to exactly the matching rows at the update generation,
+    * fresh zone-map stats for the rewritten buckets. The oracle
+    * recomputes the post-update state per row AND per bucket (`gen` = 2
+    * exactly where a click winner lived, the original writer elsewhere),
+    * so the hash gate proves the row surgery, the untouched-row
+    * preservation INSIDE rewritten buckets, and the reference
+    * semantics. Own store (ntile halves) — the update must not mutate
+    * the shared fixture store's history.
+    */
+  def storeUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.engine.TempArtifacts.tempDir("graft-vstore-upd")
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 2, 0), 0, root,
+      commitTs = StoreCommitBase)
+    VersionedStore.mergeGeneration(ntileBatch(spark, dir, 2, 1), 1, root,
+      commitTs = StoreCommitBase + StoreCommitStepMs)
+    val g = VersionedStore.updateWhere(spark, root,
+      VersionedStore.StorePredicate.EqTo("last_event_type",
+        DeleteEventType),
+      Seq("last_value" -> lit(UpdateRedactedValue),
+        "last_event_type" -> lit(UpdateRedactedType)),
       commitTs = StoreCommitBase + 2 * StoreCommitStepMs)
     VersionedStore.readAsOf(spark, root, g).select(snapCols: _*)
   }
@@ -899,6 +956,57 @@ object StreamingQueries {
       applyChanges(state, VersionedStore.changesBetweenGens(spark, root,
         g - 1, g, TombstoneType))
     }
+  }
+
+  /** The MV key-state schema the persisted consumer reads its state
+    * back under (explicit — no inference in the hash-gated path).
+    */
+  private val mvStateSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("bucket", LongType),
+    StructField("last_event_id", LongType),
+    StructField("n_versions", LongType)))
+
+  /** ONE persisted-state maintenance step (round 19, VERDICT r18 #3):
+    * read the materialized state as of generation `g-1` from
+    * `prevStatePath` and apply window (g-1 -> g)'s manifest-pruned
+    * change feed. The returned frame's lineage is O(1) deep — the state
+    * parquet + the window's changed buckets — regardless of how many
+    * windows preceded it; spec-pinned by its scan root paths.
+    */
+  private[graft] def mvPersistedStep(spark: SparkSession, root: String,
+      prevStatePath: String, g: Int): DataFrame =
+    applyChanges(
+      spark.read.schema(mvStateSchema).parquet(prevStatePath),
+      VersionedStore.changesBetweenGens(spark, root, g - 1, g,
+        TombstoneType))
+
+  /** Persisted-state CDF consumer (`q_store_mv_persisted`, VERDICT r18
+    * #3 — the scale fix for [[storeMv]]'s one-lineage fold): the same
+    * seed-then-apply algebra, but the MV state MATERIALIZES to parquet
+    * after every feed window (the `q_mv_refresh` grain-state pattern),
+    * so step N's plan reads ONLY the persisted state + window N's feed
+    * instead of chaining every previous full-outer join into one lazy
+    * lineage. Correct either way — the lazy fold is flat at fixture
+    * generation counts — but at thousands of commits the fold's plan
+    * depth (and Catalyst analysis time) grows linearly while this
+    * consumer's per-step plan is CONSTANT; the state write is
+    * key-state-sized, the feed read changed-partition-sized. Result is
+    * hash-gated against the same direct-snapshot oracle as q_store_mv.
+    */
+  def storeMvPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val root = sharedForgetStore(spark, dir)
+    val stateDir = graft.engine.TempArtifacts.tempDir("graft-mv-state")
+    def statePath(g: Int) = s"$stateDir/state-g$g"
+    VersionedStore.readAsOf(spark, root, 0)
+      .filter(col("last_event_type") =!= TombstoneType)
+      .select(col("user_id"), col("bucket"), col("last_event_id"),
+        col("n_versions"))
+      .write.mode("overwrite").parquet(statePath(0))
+    (1 to TimeTravelGens).foreach { g =>
+      mvPersistedStep(spark, root, statePath(g - 1), g)
+        .write.mode("overwrite").parquet(statePath(g))
+    }
+    spark.read.schema(mvStateSchema).parquet(statePath(TimeTravelGens))
   }
 
   /** SQL front door (`q_store_sql_asof`, VERDICT r17 missing #6): the
@@ -1132,8 +1240,11 @@ object StreamingQueries {
     "q_time_travel_ts" -> timeTravelTs _,
     "q_store_lookup" -> storeLookup _,
     "q_store_skipping" -> storeSkipping _,
+    "q_store_dsv2" -> storeDsv2 _,
     "q_store_delete" -> storeDelete _,
+    "q_store_update" -> storeUpdate _,
     "q_store_mv" -> storeMv _,
+    "q_store_mv_persisted" -> storeMvPersisted _,
     "q_store_sql_asof" -> storeSqlAsOf _,
     "q_forget_audit" -> forgetAudit _,
     "q_store_vacuum" -> storeVacuum _,
@@ -1278,6 +1389,11 @@ object StreamingQueries {
     "q_store_skipping" ->
       s"""SELECT * FROM (${timeTravelSnapshotSql(TimeTravelReadGen)})
          |WHERE user_id BETWEEN $SkipKeyLo AND $SkipKeyHi""".stripMargin,
+    // the DSv2 read of the SAME band must produce the SAME snapshot
+    // rows — the pruning moved into the planner, the answer must not
+    "q_store_dsv2" ->
+      s"""SELECT * FROM (${timeTravelSnapshotSql(TimeTravelReadGen)})
+         |WHERE user_id BETWEEN $SkipKeyLo AND $SkipKeyHi""".stripMargin,
     // predicate DELETE over the two-generation store: post-delete state
     // = the argmax state minus '$DeleteEventType' winners, with gen
     // pinned to the delete generation (2) exactly where a matching row
@@ -1307,9 +1423,50 @@ object StreamingQueries {
          |  d.cnt AS n_versions
          |FROM d JOIN g ON d.bucket = g.bucket
          |WHERE d.event_type <> '$DeleteEventType'""".stripMargin,
+    // predicate UPDATE over the two-generation store: post-update state
+    // = the argmax state with every '$DeleteEventType' winner's payload
+    // redacted in place (value -> 0.0, type -> 'redacted'; key, ts,
+    // event_id, n_versions untouched), gen pinned to the update
+    // generation (2) exactly where a matching row lived and to the
+    // original writer generation elsewhere
+    "q_store_update" ->
+      s"""WITH b AS (SELECT event_id, ts, user_id, event_type, value,
+         |    ntile(2) OVER (ORDER BY ts, event_id) - 1 AS bat
+         |  FROM events),
+         |g AS (SELECT ${bucketSql("user_id")} AS bucket,
+         |    CAST(max(bat) AS INT) AS gen0 FROM b GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt FROM b),
+         |s AS (SELECT user_id, ${bucketSql("user_id")} AS bucket, ts,
+         |    event_id, event_type, value, cnt FROM r WHERE rn = 1),
+         |d AS (SELECT *, max(CASE WHEN event_type = '$DeleteEventType'
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY bucket) AS touched
+         |  FROM s)
+         |SELECT d.user_id, d.bucket,
+         |  CAST(CASE WHEN d.touched = 1 THEN 2 ELSE g.gen0 END AS INT)
+         |    AS gen,
+         |  d.ts AS last_ts, d.event_id AS last_event_id,
+         |  CASE WHEN d.event_type = '$DeleteEventType'
+         |    THEN '$UpdateRedactedType' ELSE d.event_type END
+         |    AS last_event_type,
+         |  round(CAST(CAST(CASE WHEN d.event_type = '$DeleteEventType'
+         |    THEN $UpdateRedactedValue ELSE d.value END
+         |    AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_value,
+         |  d.cnt AS n_versions
+         |FROM d JOIN g ON d.bucket = g.bucket""".stripMargin,
     // the incrementally-maintained MV must converge to the direct
     // latest-per-key state minus tombstoned users — the feed-apply
-    // algebra's end-to-end acceptance
+    // algebra's end-to-end acceptance (the _persisted variant
+    // materializes state between windows and must converge to the SAME
+    // table — identical oracle)
+    "q_store_mv_persisted" ->
+      s"""SELECT user_id, ${bucketSql("user_id")} AS bucket,
+         |  event_id AS last_event_id, cnt AS n_versions
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS cnt FROM events)
+         |WHERE rn = 1 AND user_id % $ForgetMod <> 0""".stripMargin,
     "q_store_mv" ->
       s"""SELECT user_id, ${bucketSql("user_id")} AS bucket,
          |  event_id AS last_event_id, cnt AS n_versions

@@ -18,9 +18,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   * Layout under a store root:
   * {{{
-  *   root/data/gen=<g>/bucket=<b>/part-*.parquet   // immutable once committed
+  *   root/data/gen=<g>/w=<tok>/bucket=<b>/part-*.parquet
+  *     // committed IFF manifest g records writer token <tok>; the
+  *     // per-attempt token makes every claim's data dir PRIVATE
   *   root/data/.staged-<uuid>/bucket=<b>/...        // uncommitted write-ahead data
-  *   root/_manifest/gen-<g>.json                    // the commit record (see below)
+  *   root/_manifest/gen-<g>.json                    // THE commit point (put-if-absent)
   * }}}
   *
   * The generation-`g` manifest maps EVERY live bucket to the generation
@@ -33,11 +35,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *   - `commit_ts`: the commit wall-clock (monotonicity-guarded), so
   *     [[readAsOfTimestamp]] can resolve "AS OF yesterday 17:00" to a
   *     generation by Delta's rule (latest commit at-or-before the ask);
-  *   - `kind`: `ingest`, `compact`, `delete`, or `restore` — the OCC
-  *     conflict rule needs to know whether a racing winner was a
-  *     logical no-op (compact), a row change (ingest/delete — bucket
-  *     overlap conflicts), or a lineage rewrite (restore — always
-  *     conflicts);
+  *   - `kind`: `ingest`, `compact`, `delete`, `update`, or `restore` —
+  *     the OCC conflict rule needs to know whether a racing winner was
+  *     a logical no-op (compact), a row change (ingest/delete/update —
+  *     bucket overlap conflicts), or a lineage rewrite (restore —
+  *     always conflicts);
   *   - `stats`: the per-bucket zone map (VERDICT r17 #1) — see
   *     [[readWhere]];
   *   - `schema`: the snapshot's payload schema as of this generation,
@@ -50,39 +52,46 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   * Commit protocol (VERDICT r16 #1 — optimistic concurrency, the
   * Delta-style answer to OPTIMIZE racing a live ingest): data first,
-  * manifest last. A writer merges against the latest snapshot, writes
-  * the merged touched buckets to an UNCOMMITTED `.staged-*` dir (dot
-  * prefix: invisible to Spark scans), then claims generation `g` by
-  * renaming the staged dir to `gen=<g>` and writing manifest `g`
-  * create-if-absent. A failed claim means a concurrent commit won `g`:
-  * [[commitBatch]] re-reads the new latest manifest and REBASES — the
-  * copy-on-write layout makes the rebase manifest-only when every
-  * winner either touched disjoint buckets or was a compaction (a
-  * logical no-op), because in both cases the loser's staged merge
-  * output is still byte-for-byte what a serial re-merge against the
-  * winner's snapshot would produce; a winner that logically changed an
-  * overlapping bucket is a SEMANTIC conflict and fails loudly
+  * manifest last, and the manifest's `create(overwrite=false)` is the
+  * SOLE commit point (round 19, VERDICT r18 #7 — the Iceberg shape:
+  * uniquely-named data paths + one atomic metadata commit). A writer
+  * merges against the latest snapshot, writes the merged touched
+  * buckets to an UNCOMMITTED `.staged-*` dir (dot prefix: invisible to
+  * Spark scans), then claims generation `g` by renaming the staged dir
+  * to the PRIVATE `gen=<g>/w=<tok>` (a fresh per-attempt token — no
+  * two claims ever contend on a directory name, so no driver ever
+  * renames onto, or deletes, another driver's data) and writing
+  * manifest `g` create-if-absent with the token recorded in
+  * `writer_dirs`. A failed create means a concurrent commit won `g`:
+  * the claim renames its private dir back to staged and [[commitBatch]]
+  * re-reads the new latest manifest and REBASES — the copy-on-write
+  * layout makes the rebase manifest-only when every winner either
+  * touched disjoint buckets or was a compaction (a logical no-op),
+  * because in both cases the loser's staged merge output is still
+  * byte-for-byte what a serial re-merge against the winner's snapshot
+  * would produce; a winner that logically changed an overlapping
+  * bucket is a SEMANTIC conflict and fails loudly
   * ([[BucketConflictException]]). Compaction restarts instead of
   * rebasing — its staged data is a full snapshot rewrite, stale the
-  * moment anyone else commits. Claim atomicity is LAYERED (ADVICE
-  * r17): the claim sequence (manifest-exists check, orphan gen-dir
-  * delete, staged rename, manifest create) is serialized same-driver
-  * by the JVM commit lock — Spark has one driver per cluster, so the
-  * canonical OPTIMIZE-vs-streaming-upsert race is covered there — and
-  * CROSS-DRIVER by a put-if-absent claim-lock FILE beside the
-  * manifests ([[withClaimLock]], the Delta lock-based-LogStore shape):
-  * without it, two drivers could interleave inside the sequence, one
-  * deleting the other's just-renamed generation dir as a crashed
-  * orphan. The manifest's own `create(overwrite=false)` remains the
-  * commit point, so a lost race is always DETECTED even if the lock's
-  * stale-break fires early (safety degrades to fail-loud, never to
-  * silent corruption); lock-file atomicity delegates to the
-  * FileSystem's create contract (HDFS, conditional-PUT object stores).
-  * A crash between rename and manifest write leaves a `gen=<g>` dir
-  * with no manifest; that dir is by definition uncommitted, and the
-  * next claim of `g` deletes the orphan and proceeds (the
-  * retry-after-crash path a plain `errorifexists` write used to
-  * fail).
+  * moment anyone else commits.
+  *
+  * Because data dirs are private and the manifest create is atomic,
+  * NOTHING ELSE is safety-critical: the per-root JVM lock (same-driver)
+  * and the put-if-absent claim-lock FILE beside the manifests
+  * ([[withClaimLock]], the Delta lock-based-LogStore shape) only
+  * arbitrate LIVENESS — they serialize claims so concurrent committers
+  * don't burn rebase retries, and a mis-fired stale-break (the ADVICE
+  * r17/r18 residual: a claimant paused past [[ClaimLockStaleMs]] while
+  * a second driver breaks its lock) now merely puts two private claims
+  * in flight, of which exactly one manifest create wins and the loser
+  * detects and rebases — the interleave that could once delete a
+  * just-renamed shared-name generation dir is structurally impossible.
+  * Lock-file atomicity delegates to the FileSystem's create contract
+  * (HDFS, conditional-PUT object stores). A crash between rename and
+  * manifest write leaves an unreferenced `gen=<g>/w=<tok>` dir; no
+  * manifest names its token, so readers never see it, a retry of `g`
+  * claims under a FRESH token without touching it, and [[vacuum]]
+  * reclaims it under the staged-retention age gate.
   *
   * Scale design (100 TB): manifests are bucket-count-sized JSON written
   * driver-side — bounded by the layout constant like the touched-bucket
@@ -117,6 +126,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *     `q_store_sql_asof` (round 18): zone-map predicate reads,
   *     copy-on-write DELETE WHERE, a change-feed-maintained
   *     materialized view, and `VERSION AS OF` through a temp view.
+  *   - `q_store_update` / `q_store_mv_persisted` / `q_store_dsv2`
+  *     (round 19): copy-on-write UPDATE SET WHERE, the O(1)-plan
+  *     persisted-state feed consumer, and the DataSource V2 table
+  *     ([[graft.sources.GraftStoreDataSource]]) that plans zone-map
+  *     pruning inside Catalyst.
   */
 object VersionedStore {
   /** Bucket count, shared with the destructive store so the two stores
@@ -161,6 +175,13 @@ object VersionedStore {
   final class BucketConflictException(msg: String)
     extends IllegalStateException(msg)
 
+  /** One bucket's zone-map count pair: total rows and per-column null
+    * counts as of the generation that last wrote it. `nulls` covers the
+    * columns the writer's files contain; a column absent from the map
+    * (added by later evolution) is UNKNOWN, not zero.
+    */
+  final case class BucketCounts(rows: Long, nulls: Map[String, Long])
+
   /** Full-snapshot manifest for one generation: every live bucket mapped
     * to the generation whose dir holds its current data, plus the commit
     * metadata documented on the object scaladoc. `writerCols` carries
@@ -173,25 +194,64 @@ object VersionedStore {
     * skipping at the store's bucket granularity. Absent entries (a
     * pre-round-18 manifest, an all-null column, a non-orderable type)
     * mean "no information" and [[readWhere]] conservatively scans.
+    * `removed` names the buckets this commit DROPPED from the live set
+    * (a [[deleteWhere]] that purged every row of a bucket) — recorded
+    * explicitly (ADVICE r18 high) because an emptied bucket is invisible
+    * in the bucket map itself, and the OCC overlap scan in
+    * [[commitBatch]] must still detect a racing ingest that merged the
+    * bucket's pre-delete rows (a manifest-only rebase there would
+    * silently resurrect the deleted rows — the compliance-delete
+    * guarantee forbids it).
+    * `writerDirs` maps each referenced writer generation to its
+    * committed per-attempt token (round 19 — the unique-data-path half
+    * of the sole-commit-point protocol): generation `gw`'s data lives
+    * under `gen=<gw>/w=<writerDirs(gw)>`. Like `writerCols`, entries
+    * carry forward for every generation a live manifest references, so
+    * path resolution survives [[vacuum]]. An absent entry resolves to
+    * the tokenless pre-round-19 layout `gen=<gw>` (legacy manifests).
+    * `counts` carries each live bucket's row count and per-column null
+    * counts (VERDICT r18 #5 — the Delta/Iceberg nullCount pair the
+    * min/max map cannot express): `IS NULL` prunes a bucket whose
+    * column has zero nulls, `IS NOT NULL` and every comparison prune a
+    * bucket whose column is ALL null (which records no [lo, hi] entry
+    * and used to scan conservatively). Absent entries (legacy
+    * manifests) mean "no information" — conservative scan, as always.
+    * `clusteredBy` records the cluster key(s) every live bucket's rows
+    * are sorted by (VERDICT r18 #6 — set by `compact(clusterBy)`,
+    * PRESERVED by every later rewrite: ingest merges and
+    * [[deleteWhere]] re-sort the buckets they rewrite, so the parquet
+    * row-group skipping the clustering buys does not silently degrade
+    * between OPTIMIZE runs; a plain unclustered `compact()` honestly
+    * resets it to Nil).
     */
   final case class Manifest(gen: Int, buckets: Map[Long, Int],
       commitTs: Long = -1L, kind: String = "ingest",
       schema: StructType = payloadSchema,
       writerCols: Map[Int, Seq[String]] = Map.empty,
-      stats: Map[Long, Map[String, (String, String)]] = Map.empty) {
+      stats: Map[Long, Map[String, (String, String)]] = Map.empty,
+      removed: Set[Long] = Set.empty,
+      writerDirs: Map[Int, String] = Map.empty,
+      counts: Map[Long, BucketCounts] = Map.empty,
+      clusteredBy: Seq[String] = Nil) {
     /** Snapshot read schema as of this generation. */
     def snapshotSchema: StructType = StructType(schema.fields ++ Seq(
       StructField("gen", IntegerType), StructField("bucket", LongType)))
     /** Column names writer generation `gw`'s files contain. */
     def colsOf(gw: Int): Seq[String] =
       writerCols.getOrElse(gw, schema.fieldNames.toSeq)
+    /** Data dir (relative to `root/data`) holding generation `gw`'s
+      * files under this manifest.
+      */
+    def dirOf(gw: Int): String = writerDirs.get(gw)
+      .map(tok => s"gen=$gw/w=$tok").getOrElse(s"gen=$gw")
   }
 
   private def manifestDir(root: String) = s"$root/_manifest"
   private def manifestPath(root: String, gen: Int) =
     f"${manifestDir(root)}/gen-$gen%05d.json"
-  private[graft] def bucketPath(root: String, writerGen: Int,
-      bucket: Long) = s"$root/data/gen=$writerGen/bucket=$bucket"
+  private[graft] def bucketPath(root: String, m: Manifest,
+      writerGen: Int, bucket: Long) =
+    s"$root/data/${m.dirOf(writerGen)}/bucket=$bucket"
 
   /** Hadoop configuration for metadata I/O: the active session's (it
     * carries fs.* credentials/endpoints for object stores) when one
@@ -208,11 +268,17 @@ object VersionedStore {
     (p.getFileSystem(hadoopConf), p)
   }
 
-  /** Serializes [claim gen dir + write manifest] so two same-driver
-    * committers cannot interleave inside the commit point; the
-    * cross-driver half is the [[withClaimLock]] lock file.
+  /** Per-store-root claim serialization for same-driver committers —
+    * liveness only (the manifest create is the sole commit point), and
+    * scoped PER ROOT (ADVICE r18 low: a single JVM-wide lock let one
+    * contended store's claim-lock poll — up to [[ClaimLockWaitMs]] of
+    * Thread.sleep — block every commit to every OTHER store in the
+    * driver).
     */
-  private val commitLock = new Object
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLockFor(root: String): Object =
+    commitLocks.computeIfAbsent(root, _ => new Object)
 
   /** How long a claimant waits for a contended claim lock before
     * giving up loudly, and how old an abandoned lock file must be
@@ -227,14 +293,16 @@ object VersionedStore {
     f"${manifestDir(root)}/claim-$g%05d.lock"
 
   /** Run `body` holding generation `g`'s cross-driver claim lock — a
-    * put-if-absent lock FILE beside the manifests (ADVICE r17: the
-    * claim sequence — manifest-exists check, orphan delete, staged
-    * rename, manifest create — is atomic only within one driver's
-    * commitLock; two drivers sharing a store root could interleave
-    * inside it, one deleting the other's just-renamed generation dir as
-    * an orphan. The lock file serializes the whole sequence across
-    * drivers, the Delta lock-based-LogStore shape). Atomicity delegates
-    * to `FileSystem.create(overwrite=false)` — real on HDFS and
+    * put-if-absent lock FILE beside the manifests (the Delta
+    * lock-based-LogStore shape). Since round 19 this lock is LIVENESS
+    * arbitration only: the claim's data dir is private (per-attempt
+    * token) and the manifest create is the sole commit point, so two
+    * drivers interleaving inside the claim sequence can waste a rebase
+    * but cannot corrupt — the lock exists to keep concurrent committers
+    * from burning staged work and retries against each other, and a
+    * mis-fired stale-break is therefore harmless (spec-pinned by the
+    * paused-claimant test). Atomicity delegates to
+    * `FileSystem.create(overwrite=false)` — real on HDFS and
     * conditional-PUT object stores; the local fs is check-then-act and
     * is a test environment, not a multi-driver deployment. A contended
     * lock is polled up to [[ClaimLockWaitMs]]; a lock older than
@@ -321,10 +389,28 @@ object VersionedStore {
             (c.getValue.get(0).asText, c.getValue.get(1).asText))
           .toMap
       }.toMap
+    val removed = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.path("removed").elements()).asScala
+      .map(_.asLong).toSet
+    val writerDirs = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.path("writer_dirs").fields()).asScala
+      .map(e => e.getKey.toInt -> e.getValue.asText).toMap
+    val counts = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.path("counts").fields()).asScala
+      .map { e =>
+        val nulls = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(e.getValue.path("nulls").fields()).asScala
+          .map(c => c.getKey -> c.getValue.asLong).toMap
+        e.getKey.toLong ->
+          BucketCounts(e.getValue.path("rows").asLong, nulls)
+      }.toMap
+    val clusteredBy = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.path("clustered_by").elements()).asScala
+      .map(_.asText).toSeq
     Manifest(node.path("gen").asInt, buckets,
       node.path("commit_ts").asLong(-1L),
       if (node.has("kind")) node.get("kind").asText else "ingest",
-      schema, writerCols, stats)
+      schema, writerCols, stats, removed, writerDirs, counts, clusteredBy)
   }
 
   private def manifestBytes(m: Manifest): Array[Byte] = {
@@ -352,14 +438,37 @@ object VersionedStore {
         arr.add(lo); arr.add(hi): Unit
       }
     }
+    if (m.removed.nonEmpty) {
+      val rm = root.putArray("removed")
+      m.removed.toSeq.sorted.foreach(rm.add)
+    }
+    val wd = root.putObject("writer_dirs")
+    m.writerDirs.toSeq.sortBy(_._1).foreach { case (g, tok) =>
+      wd.put(g.toString, tok): Unit
+    }
+    val ct = root.putObject("counts")
+    m.counts.toSeq.sortBy(_._1).foreach { case (b, bc) =>
+      val bn = ct.putObject(b.toString)
+      bn.put("rows", bc.rows)
+      val nn = bn.putObject("nulls")
+      bc.nulls.toSeq.sortBy(_._1).foreach { case (c, n) =>
+        nn.put(c, n): Unit
+      }
+    }
+    if (m.clusteredBy.nonEmpty) {
+      val cb = root.putArray("clustered_by")
+      m.clusteredBy.foreach(cb.add)
+    }
     (om.writeValueAsString(root) + "\n").getBytes("UTF-8")
   }
 
-  /** Write manifest `m` create-if-absent — the commit point. Throws on
+  /** Write manifest `m` create-if-absent — THE commit point. Throws on
     * an already-committed generation (the caller treats it as a lost
-    * race or a replay, never overwrites).
+    * race or a replay, never overwrites). Package-visible so the
+    * paused-claimant spec can replay a second driver's resume at the
+    * protocol's one shared mutation.
     */
-  private def writeManifest(root: String, m: Manifest): Unit = {
+  private[graft] def writeManifest(root: String, m: Manifest): Unit = {
     val (fs, dir) = fsOf(manifestDir(root))
     fs.mkdirs(dir): Unit
     val (_, p) = fsOf(manifestPath(root, m.gen))
@@ -439,8 +548,11 @@ object VersionedStore {
     * construction: a bucket with no stats for a referenced column, or a
     * column outside the snapshot schema's stat-eligible set, always
     * survives. NULL semantics: `toColumn` is three-valued like SQL, and
-    * the zone map ignores nulls, so a predicate never matches NULL rows
-    * — callers wanting IS NULL scan with the DataFrame API directly.
+    * the [lo, hi] map ignores nulls, so a comparison never matches NULL
+    * rows; `IS NULL` / `IS NOT NULL` are first-class predicates since
+    * round 19 (VERDICT r18 #5), pruned by the per-bucket null counts,
+    * and an ALL-null column now prunes comparisons too (it records no
+    * range, but `nulls == rows` proves no row can satisfy one).
     */
   sealed trait StorePredicate {
     /** The equivalent Spark filter expression. */
@@ -450,13 +562,54 @@ object VersionedStore {
   }
 
   private def rangeOf(m: Manifest, bucket: Long, colName: String)
-      : Option[(DataType, String, String)] =
-    m.schema.fields.find(_.name == colName)
-      .filter(f => statEligible(f.dataType))
-      .flatMap { f =>
-        m.stats.get(bucket).flatMap(_.get(colName))
-          .map { case (lo, hi) => (f.dataType, lo, hi) }
-      }
+      : Option[(DataType, String, String)] = colName match {
+    // the two metadata columns are VIRTUAL zone-map entries: a bucket's
+    // `bucket` value is exactly itself and its `gen` is its manifest
+    // writer — so predicates on the partition columns prune for free
+    // (round 19: the DSv2 path hands every pushed filter here)
+    case "bucket" => Some((LongType, bucket.toString, bucket.toString))
+    case "gen" => m.buckets.get(bucket)
+      .map(gw => (IntegerType, gw.toString, gw.toString))
+    case _ =>
+      m.schema.fields.find(_.name == colName)
+        .filter(f => statEligible(f.dataType))
+        .flatMap { f =>
+          m.stats.get(bucket).flatMap(_.get(colName))
+            .map { case (lo, hi) => (f.dataType, lo, hi) }
+        }
+  }
+
+  /** Recorded null count of `colName` in `bucket` — None = unknown (a
+    * legacy manifest, or a column this bucket's writer never saw). The
+    * metadata columns are never null by construction.
+    */
+  private def nullsOf(m: Manifest, bucket: Long, colName: String)
+      : Option[Long] = colName match {
+    case "bucket" | "gen" => Some(0L)
+    case _ => m.counts.get(bucket).flatMap(_.nulls.get(colName))
+  }
+
+  /** Provably all-null (or empty) — no row of the bucket can satisfy
+    * any comparison on the column. Unknown counts return false
+    * (conservative).
+    */
+  private def allNull(m: Manifest, bucket: Long, colName: String): Boolean =
+    colName != "bucket" && colName != "gen" &&
+      m.counts.get(bucket)
+        .exists(bc => bc.nulls.get(colName).contains(bc.rows))
+
+  /** Buckets of `m` the predicate could match — the zone-map pruning
+    * step shared by [[readWhere]], [[deleteWhere]], [[updateWhere]] and
+    * the DSv2 scan. A literal whose runtime type cannot order against a
+    * column's recorded range (the planner casts at filter time, the
+    * zone map does not) scans conservatively instead of throwing.
+    */
+  private[graft] def survivingBuckets(m: Manifest,
+      pred: StorePredicate): Set[Long] =
+    m.buckets.keySet.filter { b =>
+      try pred.mayMatch(m, b)
+      catch { case _: IllegalArgumentException => true }
+    }
 
   object StorePredicate {
     /** colName >= v */
@@ -464,28 +617,43 @@ object VersionedStore {
         extends StorePredicate {
       def toColumn: org.apache.spark.sql.Column = col(colName) >= lit(v)
       private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
-        rangeOf(m, b, colName).forall { case (dt, _, hi) =>
-          statCompare(dt, hi, statStr(dt, v)) >= 0
-        }
+        !allNull(m, b, colName) &&
+          rangeOf(m, b, colName).forall { case (dt, _, hi) =>
+            statCompare(dt, hi, statStr(dt, v)) >= 0
+          }
     }
     /** colName <= v */
     final case class AtMost(colName: String, v: Any)
         extends StorePredicate {
       def toColumn: org.apache.spark.sql.Column = col(colName) <= lit(v)
       private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
-        rangeOf(m, b, colName).forall { case (dt, lo, _) =>
-          statCompare(dt, lo, statStr(dt, v)) <= 0
-        }
+        !allNull(m, b, colName) &&
+          rangeOf(m, b, colName).forall { case (dt, lo, _) =>
+            statCompare(dt, lo, statStr(dt, v)) <= 0
+          }
     }
     /** colName = v */
     final case class EqTo(colName: String, v: Any)
         extends StorePredicate {
       def toColumn: org.apache.spark.sql.Column = col(colName) === lit(v)
       private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
-        rangeOf(m, b, colName).forall { case (dt, lo, hi) =>
-          val s = statStr(dt, v)
-          statCompare(dt, lo, s) <= 0 && statCompare(dt, hi, s) >= 0
-        }
+        !allNull(m, b, colName) &&
+          rangeOf(m, b, colName).forall { case (dt, lo, hi) =>
+            val s = statStr(dt, v)
+            statCompare(dt, lo, s) <= 0 && statCompare(dt, hi, s) >= 0
+          }
+    }
+    /** colName IS NULL — prunable when the bucket records ZERO nulls. */
+    final case class IsNull(colName: String) extends StorePredicate {
+      def toColumn: org.apache.spark.sql.Column = col(colName).isNull
+      private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
+        !nullsOf(m, b, colName).contains(0L)
+    }
+    /** colName IS NOT NULL — prunable when the bucket is ALL null. */
+    final case class IsNotNull(colName: String) extends StorePredicate {
+      def toColumn: org.apache.spark.sql.Column = col(colName).isNotNull
+      private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
+        !allNull(m, b, colName)
     }
     /** Conjunction: a bucket is prunable when ANY conjunct excludes it. */
     final case class All(ps: Seq[StorePredicate]) extends StorePredicate {
@@ -523,38 +691,49 @@ object VersionedStore {
     * aggregate over the staged data (delta + touched-partition sized,
     * never store-sized — the plain-parquet analogue of Delta collecting
     * file stats during the write), collected as ≤[[Buckets]] rows.
-    * All-null columns and over-limit string bounds record no entry
-    * (conservative).
+    * All-null columns and over-limit string bounds record no [lo, hi]
+    * entry (conservative); the SAME pass also counts rows and
+    * per-column nulls for every payload column (VERDICT r18 #5), so
+    * the null-count layer costs zero extra jobs.
     */
   private def bucketStats(df: DataFrame, schema: StructType)
-      : Map[Long, Map[String, (String, String)]] = {
+      : (Map[Long, Map[String, (String, String)]],
+         Map[Long, BucketCounts]) = {
     val cols = schema.fields.filter(f => statEligible(f.dataType)).toSeq
-    if (cols.isEmpty) return Map.empty
     val aggs = cols.flatMap { f =>
       val c = f.dataType match {
         case TimestampType => unix_micros(col(f.name))
         case _ => col(f.name)
       }
       Seq(min(c).as(s"__lo_${f.name}"), max(c).as(s"__hi_${f.name}"))
-    }
+    } ++ Seq(count(lit(1)).as("__rows")) ++
+      schema.fields.toSeq.map(f => count(col(f.name)).as(s"__nn_${f.name}"))
     def bounded(dt: DataType, s: String): Boolean = dt match {
       case StringType => s.getBytes("UTF-8").length <= StatStringMaxBytes
       case _ => true
     }
-    df.groupBy("bucket").agg(aggs.head, aggs.drop(1): _*).collect()
-      .map { r =>
-        r.getLong(0) -> cols.flatMap { f =>
-          val lo = r.get(r.fieldIndex(s"__lo_${f.name}"))
-          val hi = r.get(r.fieldIndex(s"__hi_${f.name}"))
-          if (lo == null || hi == null) None
-          else {
-            val (l, h) = (statStr(f.dataType, lo), statStr(f.dataType, hi))
-            if (bounded(f.dataType, l) && bounded(f.dataType, h))
-              Some(f.name -> (l, h))
-            else None
-          }
-        }.toMap
+    val rows = df.groupBy("bucket").agg(aggs.head, aggs.drop(1): _*)
+      .collect()
+    val stats = rows.map { r =>
+      r.getLong(0) -> cols.flatMap { f =>
+        val lo = r.get(r.fieldIndex(s"__lo_${f.name}"))
+        val hi = r.get(r.fieldIndex(s"__hi_${f.name}"))
+        if (lo == null || hi == null) None
+        else {
+          val (l, h) = (statStr(f.dataType, lo), statStr(f.dataType, hi))
+          if (bounded(f.dataType, l) && bounded(f.dataType, h))
+            Some(f.name -> (l, h))
+          else None
+        }
       }.toMap
+    }.toMap
+    val counts = rows.map { r =>
+      val n = r.getLong(r.fieldIndex("__rows"))
+      r.getLong(0) -> BucketCounts(n, schema.fields.toSeq.map { f =>
+        f.name -> (n - r.getLong(r.fieldIndex(s"__nn_${f.name}")))
+      }.toMap)
+    }.toMap
+    (stats, counts)
   }
 
   /** Read the staged dir back in its exact write schema (payload order +
@@ -607,33 +786,67 @@ object VersionedStore {
     releaseStaged(staged)
   }
 
+  /** Writer dirs (relative to `root/data`) mid-claim in THIS driver —
+    * the post-rename sibling of [[liveStaged]]: between the staged
+    * rename and the manifest create the data sits at `gen=<g>/w=<tok>`
+    * with no manifest referencing it, and a same-driver [[vacuum]] with
+    * a zero retention must still not sweep it.
+    */
+  private val liveClaimed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Claim generation `m.gen`: rename the staged data dir (if any) to
-    * the generation dir and write the manifest — atomic with respect to
-    * other same-driver committers (the JVM commit lock) AND other
-    * drivers (the [[withClaimLock]] lock file; see the object scaladoc's
-    * protocol note). False = a committed manifest already holds the
-    * generation (lost race — caller rebases/retries).
-    * A generation DIR without a manifest is a crashed commit's orphan:
-    * uncommitted by definition, deleted here so the retry can proceed
-    * (the ADVICE-r16 recovery path).
+    * the PRIVATE `gen=<g>/w=<tok>` (fresh per-attempt token — never
+    * contended, never another driver's name) and write the manifest
+    * create-if-absent with the token recorded — THE commit point.
+    * False = a committed manifest already holds the generation (lost
+    * race — the private dir is renamed back to its staged name so the
+    * caller can rebase/retry without re-staging). Nothing here deletes
+    * or renames data this claim did not itself write: a crashed
+    * attempt's unreferenced token dir is simply ignored (vacuum
+    * reclaims it by age), which is what makes a mis-fired stale-break
+    * on the liveness lock harmless.
     */
   private def tryClaimAndCommit(root: String, staged: Option[String],
-      m: Manifest): Boolean = commitLock.synchronized {
+      m: Manifest): Boolean = commitLockFor(root).synchronized {
     withClaimLock(root, m.gen) {
     val (fs, mPath) = fsOf(manifestPath(root, m.gen))
     if (fs.exists(mPath)) false
     else {
-      val (_, genDir) = fsOf(s"$root/data/gen=${m.gen}")
-      if (fs.exists(genDir)) fs.delete(genDir, true): Unit
-      staged.foreach { s =>
-        val (_, sp) = fsOf(s)
-        require(fs.rename(sp, genDir),
-          s"rename $s -> $genDir failed with no committed manifest " +
-            s"holding generation ${m.gen}")
+      val tok = java.util.UUID.randomUUID().toString.take(8)
+      val rel = s"gen=${m.gen}/w=$tok"
+      val committed = staged match {
+        case None => m
+        case Some(s) =>
+          val (_, sp) = fsOf(s)
+          val (_, dst) = fsOf(s"$root/data/$rel")
+          liveClaimed.add(rel): Unit
+          fs.mkdirs(dst.getParent): Unit
+          require(fs.rename(sp, dst),
+            s"rename $s -> $dst failed — the target is a fresh private " +
+              "token dir, so this is an environment fault, not a race")
+          m.copy(writerDirs = m.writerDirs + (m.gen -> tok))
       }
-      writeManifest(root, m)
-      staged.foreach(releaseStaged)
-      true
+      val won = try { writeManifest(root, committed); true }
+        catch { case e: java.io.IOException =>
+          // the create is put-if-absent: losing here means another
+          // driver committed m.gen after our exists check (a broken
+          // liveness lock) — detected, not corrupted; anything else is
+          // a real I/O fault and must propagate after the rename-back
+          if (!fs.exists(mPath)) throw e
+          false
+        }
+      staged.foreach { s =>
+        if (won) releaseStaged(s)
+        else {
+          val (_, sp) = fsOf(s)
+          val (_, dst) = fsOf(s"$root/data/$rel")
+          require(fs.rename(dst, sp),
+            s"rename-back $dst -> $s failed after a lost manifest race")
+        }
+      }
+      if (staged.isDefined) liveClaimed.remove(rel): Unit
+      won
     }
     }
   }
@@ -662,6 +875,21 @@ object VersionedStore {
     StructType(prev.fields ++
       bp.filterNot(f => prevNames(f.name)).map(f => f.copy(nullable = true)))
   }
+
+  /** Re-sort a staged rewrite by the store's recorded cluster keys
+    * before writing (VERDICT r18 #6): one task per bucket, rows in
+    * cluster-key order, so a rewrite preserves the row-group
+    * range-tightness `compact(clusterBy)` established instead of
+    * silently un-sorting its buckets. A never-clustered store pays
+    * nothing (identity); a clustered one pays one hash exchange of the
+    * delta-sized staged data — the price of keeping OPTIMIZE's layout
+    * invariant true between OPTIMIZE runs.
+    */
+  private def clusterWrite(df: DataFrame,
+      clusteredBy: Seq[String]): DataFrame =
+    if (clusteredBy.isEmpty) df
+    else df.repartition(col("bucket"))
+      .sortWithinPartitions(("bucket" +: clusteredBy).map(col): _*)
 
   /** Latest-per-key merge of a batch with the touched buckets' current
     * data, in `schema` column order (+ trailing `bucket`). Both sides
@@ -704,7 +932,9 @@ object VersionedStore {
   private def nextManifest(base: Manifest, g: Int, touched: Seq[Long],
       schema: StructType, gCols: Seq[String], commitTs: Long,
       kind: String,
-      touchedStats: Map[Long, Map[String, (String, String)]]): Manifest = {
+      touchedStats: Map[Long, Map[String, (String, String)]],
+      touchedCounts: Map[Long, BucketCounts],
+      stagedClusteredBy: Seq[String]): Manifest = {
     val buckets = base.buckets ++ touched.map(_ -> g)
     val referenced = buckets.values.toSet
     val writerCols = (base.writerCols ++
@@ -715,10 +945,23 @@ object VersionedStore {
     // zone map: untouched buckets carry their ranges forward by
     // reference (the data did not move); touched buckets take the fresh
     // staged ranges — and a touched bucket with NO fresh entry must
-    // DROP its stale one, never inherit it
+    // DROP its stale one, never inherit it. Counts follow the same rule.
     val stats = (base.stats -- touched) ++ touchedStats
+    val counts = (base.counts -- touched) ++ touchedCounts
     Manifest(g, buckets, resolveTs(base.commitTs, commitTs), kind,
-      schema, writerCols, stats.filter { case (b, _) => buckets.contains(b) })
+      schema, writerCols, stats.filter { case (b, _) => buckets.contains(b) },
+      // writer-dir tokens carry forward for every referenced generation
+      // (vacuum-proof path resolution, like writerCols); generation g's
+      // own token is injected by the claim itself
+      writerDirs = base.writerDirs.filter { case (gw, _) => referenced(gw) },
+      counts = counts.filter { case (b, _) => buckets.contains(b) },
+      // the clustering invariant survives only if the staged rewrite
+      // was sorted under the base's CURRENT keys — a rebase over a
+      // racing compact(clusterBy) that changed them degrades honestly
+      // to unclustered rather than recording a layout the touched
+      // buckets do not have
+      clusteredBy = if (stagedClusteredBy == base.clusteredBy)
+        base.clusteredBy else Nil)
   }
 
   /** Commit one generation under the STRICT chain contract: `gen` must
@@ -756,13 +999,15 @@ object VersionedStore {
     // reclaim the staged dir (ADVICE r17: a rejected non-monotonic
     // commitTs inside nextManifest used to leak it until vacuum)
     val committed = try {
-      mergeTouched(existingFor(sp, root, base, touched, schema),
-        batchRows, schema)
+      clusterWrite(mergeTouched(existingFor(sp, root, base, touched,
+          schema), batchRows, schema), base.clusteredBy)
         .write.mode("errorifexists").partitionBy("bucket").parquet(staged)
-      val stats = bucketStats(readStaged(sp, staged, schema), schema)
+      val (stats, counts) = bucketStats(readStaged(sp, staged, schema),
+        schema)
       tryClaimAndCommit(root, Some(staged),
         nextManifest(base, gen, touched, schema,
-          schema.fieldNames.toSeq, commitTs, "ingest", stats))
+          schema.fieldNames.toSeq, commitTs, "ingest", stats, counts,
+          base.clusteredBy))
     } catch { case t: Throwable => deleteStaged(staged); throw t }
     if (!committed) {
       deleteStaged(staged)
@@ -809,9 +1054,10 @@ object VersionedStore {
     // added columns, but writer_cols must stay honest about these files
     val stagedCols = schema.fieldNames.toSeq
     val staged = stagedPath(root)
-    val stats = try {
-      mergeTouched(existingFor(sp, root, base, touched, schema),
-        batchRows, schema)
+    val stagedClusteredBy = base.clusteredBy
+    val (stats, statCounts) = try {
+      clusterWrite(mergeTouched(existingFor(sp, root, base, touched,
+          schema), batchRows, schema), stagedClusteredBy)
         .write.mode("errorifexists").partitionBy("bucket").parquet(staged)
       bucketStats(readStaged(sp, staged, schema), schema)
     } catch { case t: Throwable => deleteStaged(staged); throw t }
@@ -825,7 +1071,7 @@ object VersionedStore {
       val claimed = try {
         tryClaimAndCommit(root, Some(staged),
           nextManifest(base, g, touched, schema, stagedCols, commitTs,
-            "ingest", stats))
+            "ingest", stats, statCounts, stagedClusteredBy))
       } catch { case t: Throwable => cleanupStaged(); throw t }
       if (claimed) return g
       attempt += 1
@@ -855,16 +1101,23 @@ object VersionedStore {
               "pre-restore state; re-derive it from source against the " +
               "restored snapshot and re-submit")
         } else if (wm.kind != "compact") {
+          // a winner's LOGICAL change to one of our buckets shows up in
+          // one of two manifest forms: the bucket REWRITTEN at wg, or —
+          // a deleteWhere that purged every row — the bucket REMOVED
+          // from the live set entirely (ADVICE r18 high: the removed
+          // form is invisible to the gw == wg scan, and rebasing over
+          // it would resurrect the deleted rows from our staged merge
+          // of the pre-delete state)
           val overlap = wm.buckets.collect {
             case (b, gw) if gw == wg && touchedSet(b) => b
-          }
+          } ++ wm.removed.filter(touchedSet)
           if (overlap.nonEmpty) {
             cleanupStaged()
             throw new BucketConflictException(
-              s"concurrent generation $wg wrote bucket(s) " +
+              s"concurrent generation $wg wrote or emptied bucket(s) " +
                 s"${overlap.toSeq.sorted.mkString(",")} this batch also " +
-                "touches — rebase would lose its rows; re-derive the " +
-                "batch from source and re-submit")
+                "touches — rebase would lose or resurrect its rows; " +
+                "re-derive the batch from source and re-submit")
           }
         }
       }
@@ -938,11 +1191,16 @@ object VersionedStore {
       beforeClaim(g)
       val claimed = try {
         // the rewrite is a logical no-op, so every bucket's zone map
-        // carries forward by reference — zero stats recomputation
+        // (ranges AND counts) carries forward by reference — zero
+        // stats recomputation
         val manifest = Manifest(g, m.buckets.keys.map(_ -> g).toMap,
           resolveTs(m.commitTs, commitTs), "compact", m.schema,
           if (m.buckets.isEmpty) Map.empty
-          else Map(g -> m.schema.fieldNames.toSeq), m.stats)
+          else Map(g -> m.schema.fieldNames.toSeq), m.stats,
+          counts = m.counts,
+          // the layout this rewrite PRODUCED: the requested cluster
+          // keys, or honestly unclustered for a plain compact
+          clusteredBy = clusterBy)
         tryClaimAndCommit(root, staged, manifest)
       } catch { case t: Throwable =>
         staged.foreach(deleteStaged); throw t
@@ -981,10 +1239,14 @@ object VersionedStore {
     val target = readManifest(root, toGen)
     val cur = readManifest(root, latest)
     val g = latest + 1
+    val referenced = target.buckets.values.toSet
     val manifest = Manifest(g, target.buckets,
       resolveTs(cur.commitTs, commitTs), "restore", target.schema,
-      target.buckets.values.toSet
-        .map((gw: Int) => gw -> target.colsOf(gw)).toMap, target.stats)
+      referenced.map((gw: Int) => gw -> target.colsOf(gw)).toMap,
+      target.stats,
+      writerDirs = target.writerDirs
+        .filter { case (gw, _) => referenced(gw) },
+      counts = target.counts, clusteredBy = target.clusteredBy)
     if (!tryClaimAndCommit(root, None, manifest))
       throw new IllegalStateException(
         s"restore lost the race for generation $g — re-read the new " +
@@ -1004,6 +1266,20 @@ object VersionedStore {
     * vacuum — including their schema metadata, because every live
     * manifest carries `writer_cols` for all generations it references;
     * snapshots `< horizon` fail loudly (their manifest is gone).
+    * RETENTION CONTRACT vs live readers (VERDICT r18 #8, the Delta
+    * `retentionDurationCheck` analogue): a production deployment must
+    * set its vacuum horizon so that `latest - horizon` spans strictly
+    * MORE history than its longest-running query — a reader pinned at
+    * or after the horizon is untouched (its manifest and every dir it
+    * references survive by the live-set rule), while a reader pinned
+    * BEFORE it observes fail-loud semantics, never wrong rows: its
+    * next ACTION throws (the scan's file listing names dirs vacuum
+    * deleted, actions are all-or-nothing, and every session here keeps
+    * `spark.sql.files.ignoreMissingFiles=false` — flipping that flag
+    * would trade the loud failure for silently missing rows, so don't),
+    * and RE-RESOLVING the snapshot fails at its deleted manifest.
+    * Spec-pinned end to end.
+    *
     * Uncommitted `.staged-*` dirs are reclaimed too, under TWO guards
     * (VERDICT r17 what's-wrong #1 — an unconditional sweep raced an
     * in-flight commit's staged→claim window and destroyed its
@@ -1024,9 +1300,23 @@ object VersionedStore {
       s"vacuum horizon $horizon outside committed generations 0..$latest")
     // .toSeq first: mapping a Map to swapped pairs would collapse
     // entries whose writer generation collides (all-same-gen after a
-    // compaction — exactly the common case)
-    val live: Set[(Int, Long)] = (horizon to latest).flatMap { g =>
-      readManifest(root, g).buckets.toSeq.map { case (b, gw) => (gw, b) }
+    // compaction — exactly the common case). Keys are writer DIR names,
+    // not generation ids — two claims of the same generation live under
+    // different tokens and only the manifest-named one is committed.
+    val live: Set[(String, Long)] = (horizon to latest).flatMap { g =>
+      val m = readManifest(root, g)
+      m.buckets.toSeq.map { case (b, gw) => (m.dirOf(gw), b) }
+    }.toSet
+    // every writer dir ANY surviving manifest names (including the
+    // manifests this vacuum is about to drop — read before deletion):
+    // a dir in this set but not live is DEREFERENCED COMMITTED history,
+    // reclaimable immediately; a dir in neither is a never-committed
+    // claim attempt (in-flight or crashed) and gets the staged-style
+    // age gate instead — vacuum must never race a claimant inside its
+    // rename -> manifest-create -> rename-back window
+    val committedDirs: Set[String] = committedGens(root).flatMap { g =>
+      val m = readManifest(root, g)
+      m.buckets.values.toSet[Int].map(m.dirOf)
     }.toSet
     val (fs, dataDir) = fsOf(s"$root/data")
     var dirsDeleted = 0
@@ -1040,19 +1330,37 @@ object VersionedStore {
         fs.delete(s.getPath, true): Unit
         dirsDeleted += 1
       }
+    // sweep one bucket dir under its (possibly tokenless) writer dir
+    def sweepBucket(rel: String, bStatus: org.apache.hadoop.fs.FileStatus,
+        parentMtime: Long): Unit = {
+      val b = bStatus.getPath.getName.stripPrefix("bucket=").toLong
+      if (!live((rel, b)) &&
+          (committedDirs(rel) || parentMtime <= stagedCutoff)) {
+        fs.delete(bStatus.getPath, true): Unit
+        dirsDeleted += 1
+      }
+    }
     top.filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
       .foreach { genStatus =>
         val genDir = genStatus.getPath
         val g = genDir.getName.stripPrefix("gen=").toInt
-        fs.listStatus(genDir).toSeq
-          .filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith("bucket="))
-          .foreach { bStatus =>
-            val b = bStatus.getPath.getName.stripPrefix("bucket=").toLong
-            if (!live((g, b))) {
-              fs.delete(bStatus.getPath, true): Unit
-              dirsDeleted += 1
-            }
+        fs.listStatus(genDir).toSeq.filter(_.isDirectory)
+          .foreach { child =>
+            val name = child.getPath.getName
+            if (name.startsWith("w=")) {
+              val rel = s"gen=$g/w=${name.stripPrefix("w=")}"
+              // a same-driver claim mid-flight is registry-guarded
+              // regardless of age (the zero-retention maintenance race)
+              if (!liveClaimed.contains(rel)) {
+                fs.listStatus(child.getPath).toSeq
+                  .filter(s => s.isDirectory &&
+                    s.getPath.getName.startsWith("bucket="))
+                  .foreach(sweepBucket(rel, _, child.getModificationTime))
+                if (fs.listStatus(child.getPath).forall(!_.isDirectory))
+                  fs.delete(child.getPath, true): Unit
+              }
+            } else if (name.startsWith("bucket="))
+              sweepBucket(s"gen=$g", child, genStatus.getModificationTime)
           }
         if (fs.listStatus(genDir).forall(!_.isDirectory))
           fs.delete(genDir, true): Unit
@@ -1183,15 +1491,26 @@ object VersionedStore {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], m.snapshotSchema)
     else {
-      val groups = sel.groupBy { case (_, gw) => m.colsOf(gw) }
-      val parts = groups.toSeq.sortBy(_._2.head._1).map { case (cols, bs) =>
+      // group by (column set, layout): tokened writer dirs carry the
+      // `w` partition level in their paths and the group's read schema
+      // must list it (dropped after the read); a legacy tokenless
+      // writer reads without it — mixed-depth paths cannot share one
+      // partition-discovering scan
+      val groups = sel.groupBy { case (_, gw) =>
+        (m.colsOf(gw), m.writerDirs.contains(gw)) }
+      val parts = groups.toSeq.sortBy(_._2.head._1)
+        .map { case ((cols, tokened), bs) =>
         val colSet = cols.toSet
+        val partCols =
+          if (tokened) Seq(StructField("gen", IntegerType),
+            StructField("w", StringType), StructField("bucket", LongType))
+          else Seq(StructField("gen", IntegerType),
+            StructField("bucket", LongType))
         val gSchema = StructType(
-          m.schema.fields.filter(f => colSet(f.name)) ++ Seq(
-            StructField("gen", IntegerType),
-            StructField("bucket", LongType)))
+          m.schema.fields.filter(f => colSet(f.name)) ++ partCols)
         spark.read.option("basePath", s"$root/data").schema(gSchema)
-          .parquet(bs.map { case (b, gw) => bucketPath(root, gw, b) }: _*)
+          .parquet(bs.map { case (b, gw) => bucketPath(root, m, gw, b) }: _*)
+          .drop("w")
       }
       parts.reduce(_.unionByName(_, allowMissingColumns = true))
         .select(m.snapshotSchema.fieldNames.map(col).toSeq: _*)
@@ -1262,17 +1581,18 @@ object VersionedStore {
   def readWhere(spark: SparkSession, root: String, gen: Int,
       pred: StorePredicate): DataFrame = {
     val m = readManifest(root, gen)
-    val surviving = m.buckets.keySet.filter(b => pred.mayMatch(m, b))
-    readBuckets(spark, root, m, Some(surviving)).filter(pred.toColumn)
+    readBuckets(spark, root, m, Some(survivingBuckets(m, pred)))
+      .filter(pred.toColumn)
   }
 
   /** [[readWhere]] with the predicate as an ANSI SQL string — the form
     * a SQL-front-door consumer holds. The string is parsed once
     * driver-side and its PRUNABLE SKELETON (And/Or over =, <, <=, >,
-    * >=, IN, BETWEEN against literals) maps onto [[StorePredicate]]
-    * for zone-map bucket pruning; any construct outside the skeleton
-    * (functions, arithmetic, IS NULL, column-to-column compares)
-    * contributes no pruning for its subtree — CONSERVATIVE, never
+    * >=, IN, BETWEEN against literals, IS [NOT] NULL) maps onto
+    * [[StorePredicate]] for zone-map bucket pruning; any construct
+    * outside the skeleton (functions, arithmetic, column-to-column
+    * compares) contributes no pruning for its subtree — CONSERVATIVE,
+    * never
     * wrong — while the FULL original predicate always runs as the row
     * filter (and pushes to parquet where Spark can). Strict
     * inequalities prune as their inclusive forms (a boundary-equal
@@ -1346,17 +1666,14 @@ object VersionedStore {
           else Some(StorePredicate.AnyOf(
             vs.flatten.map(v => StorePredicate.EqTo(n, v))))
         }
+      // null predicates prune through the per-bucket null counts
+      // (VERDICT r18 #5)
+      case ce.IsNull(a) => attrName(a).map(StorePredicate.IsNull(_))
+      case ce.IsNotNull(a) => attrName(a).map(StorePredicate.IsNotNull(_))
       case _ => None
     }
     val surviving = skeleton(parsed) match {
-      case Some(p) => m.buckets.keySet.filter { b =>
-        // a literal whose runtime type cannot order against the
-        // column's zone map (e.g. a quoted number against a bigint —
-        // Spark casts at filter time, the skeleton does not) must scan,
-        // not throw
-        try p.mayMatch(m, b)
-        catch { case _: IllegalArgumentException => true }
-      }
+      case Some(p) => survivingBuckets(m, p)
       case None => m.buckets.keySet
     }
     readBuckets(spark, root, m, Some(surviving)).filter(expr(predicateSql))
@@ -1391,7 +1708,7 @@ object VersionedStore {
         throw new IllegalArgumentException(s"empty store at $root"))
       val m = readManifest(root, latest)
       val g = latest + 1
-      val candidates = m.buckets.keySet.filter(b => pred.mayMatch(m, b))
+      val candidates = survivingBuckets(m, pred)
       if (candidates.isEmpty) return latest
       // bounded by the layout constant: how many rows match per bucket,
       // and how many rows the bucket holds at all (emptied detection)
@@ -1408,17 +1725,23 @@ object VersionedStore {
       val kept = touched.filterNot(emptied)
       val staged = if (kept.isEmpty) None else {
         val s = stagedPath(root)
-        try readBuckets(spark, root, m, Some(kept.toSet)).drop("gen")
-          .filter(!pred.toColumn || pred.toColumn.isNull)
+        // survivors re-staged WITHOUT the matching rows, re-sorted by
+        // the store's recorded cluster keys (VERDICT r18 #6: a delete
+        // rewrite must not silently un-sort what OPTIMIZE clustered)
+        try clusterWrite(
+            readBuckets(spark, root, m, Some(kept.toSet)).drop("gen")
+              .filter(!pred.toColumn || pred.toColumn.isNull),
+            m.clusteredBy)
           .write.mode("errorifexists").partitionBy("bucket").parquet(s)
         catch { case t: Throwable => deleteStaged(s); throw t }
         Some(s)
       }
       beforeClaim(g)
       val claimed = try {
-        val freshStats = staged
+        val (freshStats, freshCounts) = staged
           .map(s => bucketStats(readStaged(spark, s, m.schema), m.schema))
-          .getOrElse(Map.empty)
+          .getOrElse((Map.empty[Long, Map[String, (String, String)]],
+            Map.empty[Long, BucketCounts]))
         val buckets = (m.buckets -- emptied) ++ kept.map(_ -> g)
         val referenced = buckets.values.toSet
         val writerCols = (m.writerCols ++
@@ -1429,9 +1752,14 @@ object VersionedStore {
           .filter { case (gw, _) => referenced(gw) }
         val stats = ((m.stats -- touched) ++ freshStats)
           .filter { case (b, _) => buckets.contains(b) }
+        val counts = ((m.counts -- touched) ++ freshCounts)
+          .filter { case (b, _) => buckets.contains(b) }
         tryClaimAndCommit(root, staged,
           Manifest(g, buckets, resolveTs(m.commitTs, commitTs), "delete",
-            m.schema, writerCols, stats))
+            m.schema, writerCols, stats, removed = emptied,
+            writerDirs = m.writerDirs
+              .filter { case (gw, _) => referenced(gw) },
+            counts = counts, clusteredBy = m.clusteredBy))
       } catch { case t: Throwable =>
         staged.foreach(deleteStaged); throw t
       }
@@ -1440,6 +1768,111 @@ object VersionedStore {
       attempt += 1
       if (attempt > maxRetries) throw new IllegalStateException(
         s"deleteWhere lost $attempt consecutive races at $root — " +
+          "livelock guard tripped")
+    }
+    -1 // unreachable
+  }
+
+  /** Predicate-level UPDATE (VERDICT r18 #4 — the other compliance DML:
+    * `UPDATE store SET col = expr, ... WHERE <pred>`): a copy-on-write
+    * rewrite of exactly the buckets that hold matching rows, committed
+    * as one `update`-kind generation. Candidates prune through the zone
+    * map, a bounded per-bucket match count (≤[[Buckets]] rows) drops
+    * no-match candidates back to carry-forward BY REFERENCE, and each
+    * touched bucket is re-staged with every assignment applied to its
+    * matching rows — ALL right-hand sides evaluate against the OLD row
+    * (one select, the SQL UPDATE rule: `SET a = b, b = a` swaps), rows
+    * where the predicate is FALSE or NULL keep their values unchanged
+    * (three-valued WHERE), and assignments must preserve the column's
+    * type (add-only schema evolution stays the ingest path's job).
+    * Rewritten buckets get fresh zone-map stats/counts and are
+    * re-sorted by the recorded cluster keys; history keeps the
+    * pre-update rows until vacuumed. Concurrency mirrors [[deleteWhere]]:
+    * restart on a lost race, ordinary bucket-overlap conflict to racing
+    * ingests (`kind != "compact"`), no-op returns the current latest.
+    * Returns the generation id the caller should now read.
+    */
+  def updateWhere(spark: SparkSession, root: String,
+      pred: StorePredicate,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      commitTs: Long = -1L, maxRetries: Int = 5,
+      beforeClaim: Int => Unit = _ => ()): Int = {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      "UPDATE assigns a column twice")
+    var attempt = 0
+    while (true) {
+      val latest = latestGen(root).getOrElse(
+        throw new IllegalArgumentException(s"empty store at $root"))
+      val m = readManifest(root, latest)
+      set.foreach { case (c, _) =>
+        require(m.schema.fieldNames.contains(c),
+          s"UPDATE SET names unknown column '$c' (payload: " +
+            s"${m.schema.fieldNames.mkString(",")})")
+      }
+      val g = latest + 1
+      val candidates = survivingBuckets(m, pred)
+      if (candidates.isEmpty) return latest
+      // bounded by the layout constant: which candidates hold matches
+      val matches = readBuckets(spark, root, m, Some(candidates))
+        .groupBy("bucket")
+        .agg(sum(when(pred.toColumn, 1L).otherwise(0L)).as("nm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val touched = matches.collect { case (b, nm) if nm > 0 => b }
+        .toSeq.sorted
+      if (touched.isEmpty) return latest
+      val staged = {
+        val s = stagedPath(root)
+        val src = readBuckets(spark, root, m, Some(touched.toSet))
+          .drop("gen")
+        val assigns = set.toMap
+        // ONE select so every right-hand side sees the OLD row
+        val updated = src.select(src.columns.toSeq.map { c =>
+          assigns.get(c) match {
+            case Some(e) =>
+              when(pred.toColumn, e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        set.foreach { case (c, _) =>
+          require(updated.schema(c).dataType == src.schema(c).dataType,
+            s"UPDATE SET changes column '$c' from " +
+              s"${src.schema(c).dataType.catalogString} to " +
+              s"${updated.schema(c).dataType.catalogString} — type " +
+              "changes are not supported")
+        }
+        try clusterWrite(updated, m.clusteredBy)
+          .write.mode("errorifexists").partitionBy("bucket").parquet(s)
+        catch { case t: Throwable => deleteStaged(s); throw t }
+        s
+      }
+      beforeClaim(g)
+      val claimed = try {
+        val (freshStats, freshCounts) =
+          bucketStats(readStaged(spark, staged, m.schema), m.schema)
+        val buckets = m.buckets ++ touched.map(_ -> g)
+        val referenced = buckets.values.toSet
+        val writerCols = (m.writerCols ++
+          m.buckets.values.toSet.diff(m.writerCols.keySet)
+            .map(gw => gw -> m.colsOf(gw)).toMap +
+          (g -> m.schema.fieldNames.toSeq))
+          .filter { case (gw, _) => referenced(gw) }
+        tryClaimAndCommit(root, Some(staged),
+          Manifest(g, buckets, resolveTs(m.commitTs, commitTs), "update",
+            m.schema, writerCols,
+            ((m.stats -- touched) ++ freshStats)
+              .filter { case (b, _) => buckets.contains(b) },
+            writerDirs = m.writerDirs
+              .filter { case (gw, _) => referenced(gw) },
+            counts = ((m.counts -- touched) ++ freshCounts)
+              .filter { case (b, _) => buckets.contains(b) },
+            clusteredBy = m.clusteredBy))
+      } catch { case t: Throwable => deleteStaged(staged); throw t }
+      if (claimed) return g
+      deleteStaged(staged)
+      attempt += 1
+      if (attempt > maxRetries) throw new IllegalStateException(
+        s"updateWhere lost $attempt consecutive races at $root — " +
           "livelock guard tripped")
     }
     -1 // unreachable
@@ -1459,10 +1892,17 @@ object VersionedStore {
     * not return an arbitrary snapshot).
     */
   def readAsOfTimestamp(spark: SparkSession, root: String,
-      tsMillis: Long): DataFrame = {
+      tsMillis: Long): DataFrame =
+    readBuckets(spark, root, manifestAsOfTimestamp(root, tsMillis), None)
+
+  /** The manifest `TIMESTAMP AS OF tsMillis` resolves to — shared by
+    * [[readAsOfTimestamp]] and the DSv2 table's `timestampAsOf` option.
+    */
+  private[graft] def manifestAsOfTimestamp(root: String,
+      tsMillis: Long): Manifest = {
     val gens = committedGens(root)
     require(gens.nonEmpty, s"empty store at $root")
-    val hit = gens.reverseIterator
+    gens.reverseIterator
       .map(g => readManifest(root, g))
       .find { m =>
         require(m.commitTs >= 0L,
@@ -1475,6 +1915,5 @@ object VersionedStore {
         s"no committed generation at or before timestamp $tsMillis " +
           s"(oldest surviving commit is " +
           s"${readManifest(root, gens.head).commitTs})"))
-    readBuckets(spark, root, hit, None)
   }
 }

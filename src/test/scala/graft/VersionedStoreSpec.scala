@@ -138,16 +138,18 @@ class VersionedStoreSpec extends SparkSpec {
       batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
     VersionedStore.mergeGeneration(batch((2L, 20L, "c", 3.0)), 1, root)
     val before = snapshot(root, 1)
+    val m1 = VersionedStore.readManifest(root, 1)
     val (dirs, manifests) = VersionedStore.vacuum(root, 1)
     // gen0/bucket=2 was referenced ONLY by the dropped manifest 0
     assert(dirs === 1)
     assert(manifests === 1)
     // the carried-forward gen0/bucket=1 dir survives the vacuum even
-    // though generation 0's manifest is gone
+    // though generation 0's manifest is gone (path resolved through the
+    // surviving manifest's carried writer-dir token)
     assert(new java.io.File(
-      VersionedStore.bucketPath(root, 0, 1L)).isDirectory)
+      VersionedStore.bucketPath(root, m1, 0, 1L)).isDirectory)
     assert(!new java.io.File(
-      VersionedStore.bucketPath(root, 0, 2L)).exists())
+      VersionedStore.bucketPath(root, m1, 0, 2L)).exists())
     // surviving snapshot reads identically; vacuumed one fails loudly
     assert(snapshot(root, 1) === before)
     intercept[IllegalArgumentException] {
@@ -347,6 +349,51 @@ class VersionedStoreSpec extends SparkSpec {
       (17L, 21L, 1), (35L, 31L, 2)))
   }
 
+  test("OCC: a racing deleteWhere that EMPTIED an overlapping bucket is " +
+      "a semantic conflict — rebase must not resurrect the deleted rows") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("occ-del-empty")
+    // bucket 1 holds ONLY user 1 (the purge target); bucket 2 is ballast
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "purge", 1.0), (2L, 11L, "keep", 2.0)), 0, root)
+    // our batch touches bucket 1 (user 17) — its staged merge CONTAINS
+    // user 1's pre-delete row; the racing delete then empties bucket 1,
+    // dropping it from the manifest entirely (the form the plain
+    // gw == wg overlap scan cannot see)
+    var raced = false
+    intercept[VersionedStore.BucketConflictException] {
+      VersionedStore.commitBatch(batch((17L, 20L, "view", 3.0)), root,
+        beforeClaim = _ => if (!raced) {
+          raced = true
+          val dg = VersionedStore.deleteWhere(spark, root,
+            EqTo("last_event_type", "purge"))
+          assert(dg === 1)
+          // the delete EMPTIED bucket 1: gone from the live set, named
+          // in the manifest's removed list
+          val dm = VersionedStore.readManifest(root, dg)
+          assert(!dm.buckets.contains(1L))
+          assert(dm.removed === Set(1L))
+        })
+    }
+    // the delete's guarantee holds: user 1 stays gone at the latest
+    assert(VersionedStore.latestGen(root) === Some(1))
+    assert(snapshot(root, 1).map(_._1) === Seq(2L))
+    // DISJOINT case: the same race against a batch touching bucket 3
+    // rebases fine and the purged rows stay purged
+    val root2 = freshRoot("occ-del-disjoint")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "purge", 1.0), (2L, 11L, "keep", 2.0)), 0, root2)
+    var raced2 = false
+    val g = VersionedStore.commitBatch(batch((35L, 20L, "view", 3.0)),
+      root2, beforeClaim = _ => if (!raced2) {
+        raced2 = true
+        VersionedStore.deleteWhere(spark, root2,
+          EqTo("last_event_type", "purge")): Unit
+      })
+    assert(g === 2)
+    assert(snapshot(root2, g) === Seq((2L, 11L, 0), (35L, 20L, 2)))
+  }
+
   test("timestamp time travel: at-or-before resolution, exact-on-commit " +
       "boundary, pre-history fails, non-monotonic fixture clock rejected") {
     val root = freshRoot("ts")
@@ -434,8 +481,8 @@ class VersionedStoreSpec extends SparkSpec {
     // carry-forward entries make them live)
     VersionedStore.vacuum(root, 2)
     assert(!new java.io.File(s"$root/data/gen=1").exists())
-    assert(new java.io.File(
-      VersionedStore.bucketPath(root, 0, 1L)).isDirectory)
+    assert(new java.io.File(VersionedStore.bucketPath(root,
+      VersionedStore.readManifest(root, 3), 0, 1L)).isDirectory)
     assert(snapshot(root, 3) === Seq((1L, 10L, 0), (2L, 30L, 3)))
     // restoring a vacuumed generation fails at its manifest read
     intercept[IllegalArgumentException] {
@@ -548,9 +595,10 @@ class VersionedStoreSpec extends SparkSpec {
       StreamingQueries.TombstoneType)
     // both sides scan ONLY bucket 2's dirs (from: gen0/bucket=2,
     // to: gen1/bucket=2) — buckets 1 and 3 share a writer and are
-    // provably changeless
+    // provably changeless (the per-attempt w token is layout noise)
     val scanned = scanRootPaths(pruned)
-      .map(p => p.substring(p.indexOf("/data/") + 6)).sorted
+      .map(p => p.substring(p.indexOf("/data/") + 6)
+        .replaceAll("/w=[^/]+", "")).sorted
     assert(scanned === Seq("gen=0/bucket=2", "gen=1/bucket=2"), scanned)
     val full = VersionedStore.changesBetween(
       VersionedStore.readAsOf(spark, root, 0),
@@ -628,22 +676,31 @@ class VersionedStoreSpec extends SparkSpec {
     assert(s0.count() === 2L)
   }
 
-  test("a crashed commit's orphan generation dir is reclaimed by the " +
-      "retry; vacuum sweeps abandoned staged dirs") {
+  test("a crashed commit's orphan claim dir never blocks the retry and " +
+      "is never touched by it; vacuum sweeps abandoned staged dirs") {
     val root = freshRoot("orphan")
     VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root)
     // simulate a commit that died between the data rename and the
-    // manifest write: a gen=1 dir with NO manifest (uncommitted by
-    // definition — the ADVICE-r16 recovery class)
-    val orphan = new java.io.File(s"$root/data/gen=1/bucket=0")
+    // manifest write: a tokened gen=1 claim dir with NO manifest
+    // (uncommitted by definition). Round 19: the retry claims under a
+    // FRESH private token and does not delete what it did not write —
+    // the orphan is reader-invisible (no manifest names its token) and
+    // vacuum reclaims it under the staged age gate.
+    val orphan = new java.io.File(s"$root/data/gen=1/w=deadbeef/bucket=0")
     assert(orphan.mkdirs())
     java.nio.file.Files.writeString(
       new java.io.File(orphan, "junk").toPath, "crashed"): Unit
-    // the legitimate retry of the never-committed generation succeeds
-    // and the orphan's content is gone
     VersionedStore.mergeGeneration(batch((2L, 20L, "b", 2.0)), 1, root)
     assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
-    assert(!new java.io.File(orphan, "junk").exists())
+    // untouched by the retry; a default-retention vacuum keeps the
+    // fresh orphan (it could be ANOTHER driver's in-flight claim), a
+    // zero-retention one reclaims it
+    assert(new java.io.File(orphan, "junk").exists())
+    VersionedStore.vacuum(root, 1)
+    assert(new java.io.File(orphan, "junk").exists())
+    VersionedStore.vacuum(root, 1, stagedRetentionMs = 0L)
+    assert(!orphan.exists())
+    assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
     // an abandoned staged dir (crash BEFORE the rename) is vacuumed —
     // but ONLY past the retention horizon: a fresh unregistered dir
     // (another driver's in-flight commit, cross-driver guard) survives
@@ -894,6 +951,74 @@ class VersionedStoreSpec extends SparkSpec {
       === Seq(1L))
   }
 
+  test("zone map null counts: IS NULL prunes zero-null buckets, " +
+      "IS NOT NULL and comparisons prune all-null buckets, and a " +
+      "counts-less legacy manifest scans conservatively") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("zonemap-null")
+    // tag layout: bucket 1 (users 1, 17) ALL null; bucket 2 (users 2,
+    // 18) half null; bucket 3 (user 3) never null
+    def tagged(rows: org.apache.spark.sql.DataFrame, tag: Option[String]) =
+      rows.withColumn("tag", tag.map(lit(_)).getOrElse(lit(null: String)))
+    VersionedStore.mergeGeneration(
+      tagged(batch((1L, 10L, "a", 1.0), (17L, 11L, "b", 2.0),
+          (18L, 13L, "d", 4.0)), None)
+        .unionByName(tagged(batch((2L, 12L, "c", 3.0)), Some("x")))
+        .unionByName(tagged(batch((3L, 14L, "e", 5.0)), Some("y"))),
+      0, root)
+    val m = VersionedStore.readManifest(root, 0)
+    // the manifest recorded real counts (round-tripped through JSON)
+    assert(m.counts(1L) === VersionedStore.BucketCounts(2,
+      Map("user_id" -> 0L, "last_ts" -> 0L, "last_event_id" -> 0L,
+        "last_event_type" -> 0L, "last_value" -> 0L,
+        "n_versions" -> 0L, "tag" -> 2L)))
+    assert(m.counts(2L).rows === 2 && m.counts(2L).nulls("tag") === 1)
+    assert(m.counts(3L).nulls("tag") === 0)
+    def rootsOf(p: VersionedStore.StorePredicate): Seq[String] =
+      scanRootPaths(VersionedStore.readWhere(spark, root, 0, p))
+        .map(s => s.substring(s.lastIndexOf('/') + 1)).sorted
+    def sqlRoots(sql: String): Seq[String] =
+      scanRootPaths(VersionedStore.readWhereSql(spark, root, 0, sql))
+        .map(s => s.substring(s.lastIndexOf('/') + 1)).sorted
+    // IS NULL prunes the zero-null bucket 3
+    assert(rootsOf(IsNull("tag")) === Seq("bucket=1", "bucket=2"))
+    assert(VersionedStore.readWhere(spark, root, 0, IsNull("tag"))
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 17L, 18L))
+    // IS NOT NULL prunes the all-null bucket 1
+    assert(rootsOf(IsNotNull("tag")) === Seq("bucket=2", "bucket=3"))
+    // a comparison prunes the all-null bucket too: pre-round-19 the
+    // range-less column scanned it conservatively; nulls == rows now
+    // proves no row can match (bucket 3 is pruned by its [y, y] range)
+    assert(rootsOf(EqTo("tag", "x")) === Seq("bucket=2"))
+    assert(VersionedStore.readWhere(spark, root, 0, EqTo("tag", "x"))
+      .select("user_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // the SQL skeleton prunes identically
+    assert(sqlRoots("tag IS NULL") === Seq("bucket=1", "bucket=2"))
+    assert(sqlRoots("tag IS NOT NULL") === Seq("bucket=2", "bucket=3"))
+    assert(sqlRoots("tag = 'x'") === Seq("bucket=2"))
+    // pruned read == unpruned filter (the conservative contract)
+    assert(VersionedStore.readWhere(spark, root, 0, IsNotNull("tag"))
+      .collect().map(_.toString).sorted.toSeq ===
+      VersionedStore.readAsOf(spark, root, 0)
+        .filter(col("tag").isNotNull)
+        .collect().map(_.toString).sorted.toSeq)
+    // a LEGACY manifest (no counts field) scans everything, same rows
+    val mPath = java.nio.file.Paths.get(s"$root/_manifest/gen-00000.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("counts")
+    java.nio.file.Files.writeString(mPath, node.toString): Unit
+    java.nio.file.Files.deleteIfExists(
+      mPath.resolveSibling(".gen-00000.json.crc")): Unit
+    assert(rootsOf(IsNull("tag")).size === 3,
+      "a counts-less manifest must scan every bucket")
+    assert(VersionedStore.readWhere(spark, root, 0, IsNull("tag"))
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 17L, 18L))
+  }
+
   test("deleteWhere: matched buckets rewritten without the rows, " +
       "untouched buckets carried by reference byte-for-byte, emptied " +
       "buckets leave the manifest, history keeps the rows") {
@@ -905,8 +1030,9 @@ class VersionedStoreSpec extends SparkSpec {
     VersionedStore.mergeGeneration(
       batch((1L, 10L, "click", 1.0), (17L, 11L, "view", 2.0),
         (2L, 12L, "view", 3.0), (3L, 13L, "click", 4.0)), 0, root)
+    val m0 = VersionedStore.readManifest(root, 0)
     val untouchedBefore = fileDigest(
-      new java.io.File(VersionedStore.bucketPath(root, 0, 2L)))
+      new java.io.File(VersionedStore.bucketPath(root, m0, 0, 2L)))
     val g = VersionedStore.deleteWhere(spark, root,
       EqTo("last_event_type", "click"))
     assert(g === 1)
@@ -915,7 +1041,7 @@ class VersionedStoreSpec extends SparkSpec {
     // bucket map: 1 rewritten at g, 2 carried at 0, 3 GONE
     assert(m.buckets === Map(1L -> 1, 2L -> 0))
     assert(fileDigest(new java.io.File(
-      VersionedStore.bucketPath(root, 0, 2L))) === untouchedBefore)
+      VersionedStore.bucketPath(root, m, 0, 2L))) === untouchedBefore)
     assert(snapshot(root, g) === Seq((2L, 12L, 0), (17L, 11L, 1)))
     // fresh zone map for the rewritten bucket: the click winner's
     // user_id (1) no longer bounds the range
@@ -934,6 +1060,291 @@ class VersionedStoreSpec extends SparkSpec {
           .withColumn("tag", lit(null: String))), 0, root2)
     val g2 = VersionedStore.deleteWhere(spark, root2, EqTo("tag", "kill"))
     assert(snapshot(root2, g2).map(_._1) === Seq(17L))
+  }
+
+  test("updateWhere: assignments hit matching rows only and see the OLD " +
+      "row, untouched buckets carry by reference, type changes and " +
+      "unknown columns fail, no matches commit nothing") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("upd")
+    // bucket 1: users 1 (click) + 17 (view) -> rewritten, 17 untouched
+    // bucket 2: user 2 (view)               -> carried by reference
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "click", 1.5), (17L, 11L, "view", 2.0),
+        (2L, 12L, "view", 3.0)), 0, root)
+    val m0 = VersionedStore.readManifest(root, 0)
+    val untouchedBefore = fileDigest(
+      new java.io.File(VersionedStore.bucketPath(root, m0, 0, 2L)))
+    val g = VersionedStore.updateWhere(spark, root,
+      EqTo("last_event_type", "click"),
+      Seq("last_value" -> lit(0.0),
+        "last_event_type" -> lit("redacted")))
+    assert(g === 1)
+    val m = VersionedStore.readManifest(root, g)
+    assert(m.kind === "update")
+    assert(m.buckets === Map(1L -> 1, 2L -> 0))
+    assert(fileDigest(new java.io.File(
+      VersionedStore.bucketPath(root, m, 0, 2L))) === untouchedBefore)
+    val rows = VersionedStore.readAsOf(spark, root, g)
+      .select("user_id", "last_event_type", "last_value", "gen")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3))).toSeq.sortBy(_._1)
+    // user 1 redacted at gen 1; user 17 rewritten WITH ORIGINAL VALUES
+    // into gen 1 (same bucket); user 2 untouched at gen 0
+    assert(rows === Seq((1L, "redacted", 0.0, 1),
+      (2L, "view", 3.0, 0), (17L, "view", 2.0, 1)))
+    // fresh zone map: the rewritten bucket's type range covers the NEW
+    // value, so EqTo('click') now prunes everything (no new generation)
+    assert(VersionedStore.readWhere(spark, root, g,
+      EqTo("last_event_type", "click")).count() === 0L)
+    assert(VersionedStore.updateWhere(spark, root,
+      EqTo("last_event_type", "click"),
+      Seq("last_value" -> lit(9.9))) === g)
+    // history keeps the pre-update rows (retention-then-fix-up)
+    assert(VersionedStore.readAsOf(spark, root, 0)
+      .filter(col("last_event_type") === "click").count() === 1L)
+    // every RHS evaluates against the OLD row: swap two columns
+    val root2 = freshRoot("upd-swap")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "swapme", 5.0)).withColumn("v2", lit(7.0)), 0, root2)
+    VersionedStore.updateWhere(spark, root2,
+      EqTo("last_event_type", "swapme"),
+      Seq("last_value" -> col("v2"), "v2" -> col("last_value"))): Unit
+    val swapped = VersionedStore.readAsOf(spark, root2, 1)
+      .select("last_value", "v2").collect()(0)
+    assert((swapped.getDouble(0), swapped.getDouble(1)) === ((7.0, 5.0)))
+    // guards: type change, unknown column, duplicate assignment
+    intercept[IllegalArgumentException] {
+      VersionedStore.updateWhere(spark, root2, EqTo("user_id", 1L),
+        Seq("last_value" -> lit("not a double")))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.updateWhere(spark, root2, EqTo("user_id", 1L),
+        Seq("no_such" -> lit(1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.updateWhere(spark, root2, EqTo("user_id", 1L),
+        Seq("v2" -> lit(1.0), "v2" -> lit(2.0)))
+    }
+    // NULL predicate rows keep their values (three-valued WHERE)
+    val root3 = freshRoot("upd-null")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "x", 1.0)).withColumn("tag", lit("hit"))
+        .unionByName(batch((17L, 11L, "y", 2.0))
+          .withColumn("tag", lit(null: String))), 0, root3)
+    VersionedStore.updateWhere(spark, root3, EqTo("tag", "hit"),
+      Seq("last_value" -> lit(0.0))): Unit
+    val vals = VersionedStore.readAsOf(spark, root3, 1)
+      .select("user_id", "last_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    assert(vals === Seq((1L, 0.0), (17L, 2.0)))
+  }
+
+  test("clustering persists through rewrites: deleteWhere, updateWhere " +
+      "and ingest merges re-sort rewritten buckets by the recorded " +
+      "keys; a plain compact resets the record honestly") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("cluster-keep")
+    VersionedStore.mergeGeneration(
+      batch((33L, 10L, "a", 1.0), (1L, 11L, "kill", 2.0),
+        (17L, 12L, "c", 3.0), (49L, 13L, "d", 4.0),
+        (2L, 14L, "e", 5.0)), 0, root)
+    val cg = VersionedStore.compact(spark, root,
+      clusterBy = Seq("user_id"))
+    assert(VersionedStore.readManifest(root, cg).clusteredBy
+      === Seq("user_id"))
+    def bucketOrder(g: Int, b: Long): Seq[Long] = {
+      val m = VersionedStore.readManifest(root, g)
+      val dir = new java.io.File(VersionedStore.bucketPath(root, m,
+        m.buckets(b), b))
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"bucket $b must be one clustered file")
+      spark.read.parquet(files.head.getPath)
+        .select("user_id").collect().map(_.getLong(0)).toSeq
+    }
+    // a DELETE rewrite of bucket 1 keeps the survivors key-sorted in
+    // one file, and the manifest still records the clustering
+    val dg = VersionedStore.deleteWhere(spark, root,
+      EqTo("last_event_type", "kill"))
+    assert(VersionedStore.readManifest(root, dg).clusteredBy
+      === Seq("user_id"))
+    assert(bucketOrder(dg, 1L) === Seq(17L, 33L, 49L))
+    // an UPDATE rewrite stays sorted too
+    val ug = VersionedStore.updateWhere(spark, root,
+      EqTo("last_event_type", "c"), Seq("last_value" -> lit(0.0)))
+    assert(VersionedStore.readManifest(root, ug).clusteredBy
+      === Seq("user_id"))
+    assert(bucketOrder(ug, 1L) === Seq(17L, 33L, 49L))
+    // an INGEST merge into the clustered bucket re-sorts it: user 1
+    // (re-inserted after its deletion) routes to bucket 1 and must land
+    // FIRST in the rewritten file, not wherever the merge emitted it
+    VersionedStore.commitBatch(batch((1L, 20L, "f", 6.0)), root): Unit
+    val ig = VersionedStore.latestGen(root).get
+    assert(VersionedStore.readManifest(root, ig).clusteredBy
+      === Seq("user_id"))
+    assert(bucketOrder(ig, 1L) === Seq(1L, 17L, 33L, 49L))
+    // a plain compact produces an unsorted rewrite and records Nil
+    val pg = VersionedStore.compact(spark, root)
+    assert(VersionedStore.readManifest(root, pg).clusteredBy === Nil)
+  }
+
+  private def dsv2ScanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fs.fileIndex.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  test("DSv2 graftstore: the planner pushes filters into the scan " +
+      "builder, the zone map prunes buckets, results equal readWhere, " +
+      "SQL over a view prunes identically, and options pin snapshots") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("dsv2")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (17L, 11L, "a", 2.0),
+        (2L, 12L, "b", 10.0), (18L, 13L, "b", 11.0),
+        (3L, 14L, "c", 100.0)), 0, root, commitTs = 1000L)
+    def load(opts: (String, String)*): DataFrame =
+      opts.foldLeft(spark.read.format("graftstore")
+          .option("path", root))((r, o) => r.option(o._1, o._2)).load()
+    val v0 = load("versionAsOf" -> "0")
+    // schema = the manifest snapshot schema, metadata columns included
+    assert(v0.columns.toSeq ===
+      VersionedStore.readAsOf(spark, root, 0).columns.toSeq)
+    // the value band plans to a scan of ONLY bucket 2, band pushed
+    val band = v0.filter(col("last_value") >= 5.0 &&
+      col("last_value") <= 50.0)
+    val bandPaths = dsv2ScanPaths(band)
+    assert(bandPaths.size === 1 && bandPaths.head.endsWith("bucket=2"),
+      s"DSv2 must prune to bucket 2, scanned: $bandPaths")
+    val plan = band.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(last_value"), plan)
+    // pruned-path PARITY with the helper read, rows and all
+    val helper = VersionedStore.readWhere(spark, root, 0,
+      All(Seq(AtLeast("last_value", 5.0), AtMost("last_value", 50.0))))
+    assert(band.collect().map(_.toString).sorted.toSeq ===
+      helper.collect().map(_.toString).sorted.toSeq)
+    assert(scanRootPaths(helper).map(p =>
+        p.substring(p.lastIndexOf('/') + 1)).sorted ===
+      bandPaths.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted)
+    // plain SQL over a temp view gets the SAME planner-side pruning —
+    // the readWhereSql skeleton walk is no longer the only SQL path
+    load("versionAsOf" -> "0").createOrReplaceTempView("dsv2_spec_t")
+    val viaSql = spark.sql(
+      "SELECT user_id FROM dsv2_spec_t WHERE last_value BETWEEN 5 AND 50")
+    assert(dsv2ScanPaths(viaSql).map(p =>
+      p.substring(p.lastIndexOf('/') + 1)) === Seq("bucket=2"))
+    assert(viaSql.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 18L))
+    // column pruning reaches the parquet reader
+    val narrow = v0.filter(col("last_value") >= 5.0 &&
+      col("last_value") <= 50.0).select("user_id")
+    assert(narrow.queryExecution.executedPlan.toString
+      .contains("ReadSchema: struct<user_id:bigint,last_value:double>") ||
+      narrow.queryExecution.executedPlan.toString
+        .contains("ReadSchema: struct<last_value:double,user_id:bigint>"),
+      narrow.queryExecution.executedPlan.toString)
+    // the virtual partition-column zone map: bucket = 3 prunes to one
+    // dir; IS NULL on a never-null column prunes everything
+    assert(dsv2ScanPaths(v0.filter(col("bucket") === 3L)).map(p =>
+      p.substring(p.lastIndexOf('/') + 1)) === Seq("bucket=3"))
+    assert(v0.filter(col("last_event_type").isNull).count() === 0L)
+    assert(dsv2ScanPaths(v0.filter(col("user_id").isNull)).isEmpty)
+    // versionAsOf PINS: a later commit is invisible to the pinned table
+    VersionedStore.mergeGeneration(batch((2L, 20L, "d", 12.0)), 1, root,
+      commitTs = 2000L)
+    assert(v0.filter(col("user_id") === 2L)
+      .select("last_event_id").collect()(0).getLong(0) === 12L)
+    // gen = 1 (virtual range on the writer generation) scans only the
+    // rewritten bucket at the new snapshot
+    val v1 = load("versionAsOf" -> "1")
+    assert(dsv2ScanPaths(v1.filter(col("gen") === 1)).map(p =>
+      p.substring(p.lastIndexOf('/') + 1)) === Seq("bucket=2"))
+    // timestampAsOf resolves by the at-or-before rule
+    assert(load("timestampAsOf" -> "1500")
+      .filter(col("user_id") === 2L)
+      .select("last_event_id").collect()(0).getLong(0) === 12L)
+    assert(load("timestampAsOf" -> "2000")
+      .filter(col("user_id") === 2L)
+      .select("last_event_id").collect()(0).getLong(0) === 20L)
+    // default = latest
+    assert(load().filter(col("user_id") === 2L)
+      .select("last_event_id").collect()(0).getLong(0) === 20L)
+    intercept[IllegalArgumentException] {
+      load("versionAsOf" -> "0", "timestampAsOf" -> "1500").collect()
+    }
+  }
+
+  test("DSv2 write: append through format(graftstore) commits an OCC " +
+      "generation with recomputed routing; overwrite is not a " +
+      "capability") {
+    val root = freshRoot("dsv2-write")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    // the appended frame is in SNAPSHOT shape (gen rides along and is
+    // ignored; bucket is deliberately WRONG and must be re-derived)
+    batch((2L, 20L, "c", 3.0), (3L, 21L, "d", 4.0))
+      .withColumn("gen", lit(99))
+      .withColumn("bucket", lit(15L))
+      .write.format("graftstore").option("path", root)
+      .mode("append").save()
+    assert(VersionedStore.latestGen(root) === Some(1))
+    assert(snapshot(root, 1) ===
+      Seq((1L, 10L, 0), (2L, 20L, 1), (3L, 21L, 1)))
+    // merged, not replaced: user 2's version count accumulated
+    assert(VersionedStore.readAsOf(spark, root, 1)
+      .filter(col("user_id") === 2L).select("n_versions")
+      .collect()(0).getLong(0) === 2L)
+    // overwrite is not declared — the planner rejects it
+    intercept[Exception] {
+      batch((9L, 30L, "e", 5.0)).withColumn("gen", lit(0))
+        .write.format("graftstore").option("path", root)
+        .mode("overwrite").save()
+    }
+    assert(VersionedStore.latestGen(root) === Some(1))
+  }
+
+  test("q_store_mv_persisted equals the direct snapshot state, and one " +
+      "step's plan reads ONLY the persisted state + its window's feed") {
+    val mvp = StreamingQueries.storeMvPersisted(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val root = scanRootPaths(StreamingQueries.timeTravel(spark, sf)).head
+      .replaceFirst("/data/gen=.*$", "").replaceFirst("^file:", "")
+    val direct = VersionedStore.readAsOf(spark, root,
+        StreamingQueries.TimeTravelGens)
+      .filter(col("last_event_type") =!= StreamingQueries.TombstoneType)
+      .select("user_id", "bucket", "last_event_id", "n_versions")
+      .collect().map(_.toString).sorted.toSeq
+    assert(mvp === direct)
+    // plan shape: a single step over a scratch state parquet must scan
+    // exactly that parquet + the window's CHANGED buckets on both sides
+    val stateDir = graft.engine.TempArtifacts.tempDir("graft-mv-specstate")
+    val statePath = s"$stateDir/state"
+    VersionedStore.readAsOf(spark, root, 0)
+      .filter(col("last_event_type") =!= StreamingQueries.TombstoneType)
+      .select("user_id", "bucket", "last_event_id", "n_versions")
+      .write.mode("overwrite").parquet(statePath)
+    val gTo = StreamingQueries.TimeTravelGens
+    val step = StreamingQueries.mvPersistedStep(spark, root, statePath, gTo)
+    val mf = VersionedStore.readManifest(root, gTo - 1)
+    val mt = VersionedStore.readManifest(root, gTo)
+    val changed = (mf.buckets.keySet ++ mt.buckets.keySet)
+      .filter(b => mf.buckets.get(b) != mt.buckets.get(b))
+    val expected = (Set(statePath) ++
+      changed.flatMap(b =>
+        mf.buckets.get(b).map(gw =>
+          VersionedStore.bucketPath(root, mf, gw, b)).toSeq ++
+        mt.buckets.get(b).map(gw =>
+          VersionedStore.bucketPath(root, mt, gw, b)).toSeq))
+      .map(p => p.stripPrefix("file:"))
+    val scanned = scanRootPaths(step)
+      .map(_.stripPrefix("file:")).toSet
+    assert(scanned === expected,
+      s"step plan must be O(1): state + changed buckets; got $scanned")
   }
 
   test("the driver's q_store_skipping scans exactly the stat-surviving " +
@@ -972,6 +1383,23 @@ class VersionedStoreSpec extends SparkSpec {
       pushed.contains("LessThanOrEqual(user_id"), pushed)
   }
 
+  test("the driver's q_store_dsv2 scans exactly the buckets " +
+      "q_store_skipping's helper read scans — planner-side pruning " +
+      "parity on the shared store") {
+    val viaDsv2 = StreamingQueries.storeDsv2(spark, sf)
+    val viaHelper = StreamingQueries.storeSkipping(spark, sf)
+    def buckets(paths: Seq[String]): Set[Long] =
+      paths.map(p => p.substring(p.lastIndexOf('=') + 1).toLong).toSet
+    assert(buckets(dsv2ScanPaths(viaDsv2))
+      === buckets(scanRootPaths(viaHelper)))
+    assert(viaDsv2.collect().map(_.toString).sorted.toSeq ===
+      viaHelper.collect().map(_.toString).sorted.toSeq)
+    // the band reaches the parquet reader through the DSv2 scan too
+    val plan = viaDsv2.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(user_id"), plan)
+  }
+
   test("the incrementally-maintained MV (q_store_mv) equals the final " +
       "snapshot's key state") {
     val mv = StreamingQueries.storeMv(spark, sf)
@@ -1007,8 +1435,8 @@ class VersionedStoreSpec extends SparkSpec {
     // cluster key's — the row-group range-tightness the serving read's
     // pushed user_id predicate skips by
     Seq(1L, 2L).foreach { b =>
-      val files = new java.io.File(
-        VersionedStore.bucketPath(root, g, b)).listFiles()
+      val files = new java.io.File(VersionedStore.bucketPath(root,
+        VersionedStore.readManifest(root, g), g, b)).listFiles()
         .filter(_.getName.endsWith(".parquet"))
       assert(files.length === 1,
         s"bucket $b must compact to one clustered file")
@@ -1072,6 +1500,82 @@ class VersionedStoreSpec extends SparkSpec {
     // both drivers' claim locks were released
     assert(!new java.io.File(s"$root/_manifest").listFiles()
       .exists(_.getName.endsWith(".lock")))
+  }
+
+  test("a mis-fired stale-break cannot corrupt: a paused claimant's " +
+      "private dir is never touched, its resumed manifest create fails " +
+      "loudly, and both drivers end consistent") {
+    val root = freshRoot("stale-break")
+    VersionedStore.mergeGeneration(batch((1L, 10L, "a", 1.0)), 0, root)
+    // driver A: claimed generation 1 (lock held, data renamed to its
+    // PRIVATE token dir) and then paused past ClaimLockStaleMs — plant
+    // its aged lock file and its claim dir exactly as the crash/pause
+    // leaves them
+    val aDir = new java.io.File(s"$root/data/gen=1/w=aaaa1111/bucket=0")
+    assert(aDir.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(aDir, "a-data").toPath, "paused claimant"): Unit
+    val aLock = new java.io.File(s"$root/_manifest/claim-00001.lock")
+    java.nio.file.Files.writeString(aLock.toPath, "driver-a"): Unit
+    assert(aLock.setLastModified(System.currentTimeMillis() -
+      VersionedStore.ClaimLockStaleMs - 60000L))
+    // driver B: breaks the stale lock and commits generation 1 — under
+    // the sole-commit-point protocol it renames onto its OWN fresh
+    // token, so nothing of A's is deleted or overwritten
+    val g = VersionedStore.commitBatch(batch((2L, 20L, "b", 2.0)), root)
+    assert(g === 1)
+    assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
+    val m1 = VersionedStore.readManifest(root, 1)
+    assert(m1.writerDirs(1) !== "aaaa1111")
+    assert(new java.io.File(aDir, "a-data").exists(),
+      "B must not have deleted the paused claimant's private dir")
+    // driver A resumes at its commit point: the put-if-absent manifest
+    // create fails LOUDLY — detected lost race, no silent corruption
+    intercept[java.io.IOException] {
+      VersionedStore.writeManifest(root, VersionedStore.Manifest(
+        1, Map(0L -> 1), commitTs = 99L,
+        writerDirs = Map(1 -> "aaaa1111")))
+    }
+    // the committed state still reads B's data, and A's orphaned dir is
+    // reader-invisible until the age-gated vacuum reclaims it
+    assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
+    VersionedStore.vacuum(root, 1, stagedRetentionMs = 0L)
+    assert(!aDir.exists())
+    assert(snapshot(root, 1) === Seq((1L, 10L, 0), (2L, 20L, 1)))
+  }
+
+  test("retention contract: a reader pinned to a snapshot vacuum drops " +
+      "mid-read fails LOUDLY on its next action — never wrong or " +
+      "partial rows") {
+    val root = freshRoot("retention")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, root)
+    VersionedStore.mergeGeneration(
+      batch((1L, 20L, "c", 3.0), (2L, 21L, "d", 4.0)), 1, root)
+    // a long-running reader pins snapshot 0 and reads it once
+    val reader = VersionedStore.readAsOf(spark, root, 0)
+    assert(reader.count() === 2L)
+    // maintenance vacuums past the reader's snapshot: manifest 0 and
+    // both generation-0 bucket dirs (rewritten at 1) are reclaimed
+    VersionedStore.vacuum(root, 1)
+    // the reader's NEXT action fails loudly — a job error, not an
+    // empty or partial result (collect is all-or-nothing; Spark keeps
+    // ignoreMissingFiles=false in every session here)
+    val e = intercept[Exception] { reader.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m => m.contains("does not exist") ||
+          m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND"))),
+      s"expected a missing-file failure, got: $e")
+    // re-resolving the dropped snapshot fails at its manifest read
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, 0)
+    }
+    // a reader pinned AT the horizon is untouched — the production
+    // contract: retention horizon > the longest query's lifetime
+    assert(snapshot(root, 1) === Seq((1L, 20L, 1), (2L, 21L, 1)))
   }
 
   test("registerSnapshotView pins its snapshot against later commits") {
