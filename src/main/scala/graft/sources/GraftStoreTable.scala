@@ -166,11 +166,13 @@ class GraftStoreTable(root: String, m: Manifest)
   */
 class GraftStoreScanBuilder(spark: SparkSession, root: String, m: Manifest)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var accepted: Array[Filter] = Array.empty
   private var storePred: Option[StorePredicate] = None
   private var required: StructType = m.snapshotSchema
+  private var aggServed: Option[(StructType, Seq[Any])] = None
 
   /** v1 Filter -> zone-map predicate; None = unmappable (prunes
     * nothing). The tri-state And keeps `And(unmappable, mappable)`
@@ -223,7 +225,137 @@ class GraftStoreScanBuilder(spark: SparkSession, root: String, m: Manifest)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- manifest-served aggregates (round 19) ----
+  // COUNT(*) / COUNT(col) / MIN(col) / MAX(col) with no grouping and no
+  // predicate are answered from the manifest zone map alone — zero file
+  // reads at any store size (the Delta metadata-only COUNT(*) path).
+  // Exactness rule: serve only what the recorded stats PROVE — any
+  // bucket missing the needed entry (a legacy manifest, an over-limit
+  // string bound, a distinct count) declines the whole pushdown and the
+  // real scan runs instead; min/max skip buckets whose writer never saw
+  // the column (all-null padded) or whose recorded nulls == rows, which
+  // is exactly SQL's null-ignoring aggregate semantics.
+
+  private def colNameOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def isVirtual(name: String): Boolean =
+    name == "gen" || name == "bucket"
+
+  private def typeOf(name: String): Option[
+      org.apache.spark.sql.types.DataType] =
+    m.snapshotSchema.fields.find(_.name == name).map(_.dataType)
+
+  private def serveCountStar(): Option[Long] =
+    if (m.buckets.keySet.forall(m.counts.contains))
+      Some(m.buckets.keySet.toSeq.map(b => m.counts(b).rows).sum)
+    else None
+
+  private def serveCount(name: String): Option[Long] = {
+    if (!m.buckets.keySet.forall(m.counts.contains)) return None
+    val per = m.buckets.toSeq.map { case (b, gw) =>
+      if (isVirtual(name)) Some(m.counts(b).rows) // never null
+      else if (!m.colsOf(gw).contains(name)) Some(0L) // all-null padded
+      else VersionedStore.columnNulls(m, b, name)
+        .map(n => m.counts(b).rows - n)
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  private def serveMinMax(name: String, wantMin: Boolean)
+      : Option[Option[Any]] = {
+    val dt = typeOf(name).getOrElse(return None)
+    // a bucket contributes iff its writer materialized the column and
+    // it is not provably all-null; a contributing bucket MUST have a
+    // recorded range or the answer is unprovable
+    val contributing = m.buckets.toSeq.filter { case (b, gw) =>
+      (isVirtual(name) || m.colsOf(gw).contains(name)) &&
+        !VersionedStore.columnAllNull(m, b, name)
+    }
+    // an all-null-skipped bucket with UNKNOWN null counts could still
+    // be all-null — but then its recorded range (required below) still
+    // bounds only real values, so the fold stays exact; only a MISSING
+    // range declines
+    val bounds = contributing.map { case (b, _) =>
+      VersionedStore.columnRange(m, b, name)
+        .map { case (t, lo, hi) => (t, if (wantMin) lo else hi) }
+    }
+    if (bounds.exists(_.isEmpty)) None
+    else if (bounds.isEmpty) Some(None) // no non-null value anywhere
+    else {
+      val vs = bounds.flatten
+      val best = vs.reduce { (a, b) =>
+        val c = VersionedStore.statOrder(a._1, a._2, b._2)
+        if ((wantMin && c <= 0) || (!wantMin && c >= 0)) a else b
+      }
+      Some(Some(VersionedStore.statDecode(dt, best._2)))
+    }
+  }
+
+  private def tryServe(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty) return None
+    // a pushed predicate means the manifest totals no longer describe
+    // the result set — decline (Spark already refuses complete pushdown
+    // under post-scan filters; this is the defensive twin)
+    if (storePred.isDefined || accepted.nonEmpty) return None
+    val served = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        serveCountStar().map(v =>
+          (StructField("count(*)", LongType, nullable = false),
+            v: Any))
+      case c: Count if !c.isDistinct =>
+        colNameOf(c.column).flatMap(n => serveCount(n).map(v =>
+          (StructField(s"count($n)", LongType, nullable = false),
+            v: Any)))
+      case mn: Min =>
+        colNameOf(mn.column).flatMap(n => serveMinMax(n, wantMin = true)
+          .map(v => (StructField(s"min($n)", typeOf(n).get),
+            v.orNull: Any)))
+      case mx: Max =>
+        colNameOf(mx.column).flatMap(n => serveMinMax(n, wantMin = false)
+          .map(v => (StructField(s"max($n)", typeOf(n).get),
+            v.orNull: Any)))
+      case _ => None
+    }
+    if (served.exists(_.isEmpty)) None
+    else Some((StructType(served.flatten.map(_._1)),
+      served.flatten.map(_._2)))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = tryServe(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggServed = tryServe(agg)
+    aggServed.isDefined
+  }
+
   override def build(): Scan = {
+    // a completely-pushed aggregate is ONE manifest-served row — no
+    // file index, no parquet, no tasks
+    aggServed.foreach { case (schema, values) =>
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[
+            org.apache.spark.sql.catalyst.InternalRow] =
+          Array(org.apache.spark.sql.catalyst.InternalRow
+            .fromSeq(values))
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"graftstore:$root@${m.gen} (manifest-served aggregate: " +
+            s"${schema.fieldNames.mkString(", ")})"
+      }
+    }
     val surviving = storePred match {
       case Some(p) => VersionedStore.survivingBuckets(m, p)
       case None => m.buckets.keySet

@@ -598,6 +598,37 @@ object VersionedStore {
       m.counts.get(bucket)
         .exists(bc => bc.nulls.get(colName).contains(bc.rows))
 
+  /** Metadata accessors for the DSv2 aggregate-pushdown path (round 19):
+    * the recorded [lo, hi] of a column in a bucket (including the
+    * virtual `gen`/`bucket` entries), its null count, whether the
+    * bucket provably holds no non-null value, the normalized-string
+    * comparator, and the decoder back to a runtime value. Exact by
+    * construction — entries are recorded from the written files'
+    * actual min/max/counts, so a manifest-served aggregate equals the
+    * scan-served one or is declined (absent entry).
+    */
+  private[graft] def columnRange(m: Manifest, bucket: Long,
+      colName: String): Option[(DataType, String, String)] =
+    rangeOf(m, bucket, colName)
+  private[graft] def columnNulls(m: Manifest, bucket: Long,
+      colName: String): Option[Long] = nullsOf(m, bucket, colName)
+  private[graft] def columnAllNull(m: Manifest, bucket: Long,
+      colName: String): Boolean = allNull(m, bucket, colName)
+  private[graft] def statOrder(dt: DataType, a: String, b: String): Int =
+    statCompare(dt, a, b)
+  private[graft] def statDecode(dt: DataType, s: String): Any = dt match {
+    case LongType | TimestampType => s.toLong // timestamps are micros
+    case IntegerType => s.toInt
+    case ShortType => s.toShort
+    case ByteType => s.toByte
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case StringType => org.apache.spark.unsafe.types.UTF8String
+      .fromString(s)
+    case _ => throw new IllegalArgumentException(
+      s"${dt.catalogString} has no zone-map decoding")
+  }
+
   /** Buckets of `m` the predicate could match — the zone-map pruning
     * step shared by [[readWhere]], [[deleteWhere]], [[updateWhere]] and
     * the DSv2 scan. A literal whose runtime type cannot order against a

@@ -1279,6 +1279,59 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 aggregates: COUNT/MIN/MAX with no filter are served from " +
+      "the manifest alone (zero file reads); filters, distinct, or " +
+      "missing stats fall back to the real scan with equal answers") {
+    val root = freshRoot("dsv2-agg")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (17L, 11L, "b", 2.0),
+        (2L, 12L, "c", 10.0), (3L, 14L, "d", 100.0))
+        .withColumn("tag",
+          when(col("user_id") === 2L, lit("x"))
+            .otherwise(lit(null: String))), 0, root)
+    val t = spark.read.format("graftstore").option("path", root)
+      .option("versionAsOf", "0").load()
+    // a manifest-served aggregate plans as a pure local row — no file
+    // scan node of any kind survives in the physical plan
+    def isMetadataServed(df: DataFrame): Boolean = {
+      val plan = df.queryExecution.executedPlan.toString
+      plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
+        !plan.contains("Scan parquet")
+    }
+    // count(*) — one manifest row, no parquet scan in the plan
+    val c = t.groupBy().count()
+    assert(isMetadataServed(c), c.queryExecution.executedPlan.toString)
+    assert(c.collect()(0).getLong(0) === 4L)
+    // min/max/count(col) in one aggregate, nulls ignored like SQL
+    val mm = t.agg(min("user_id"), max("last_value"), count("tag"),
+      min("tag"), max("bucket"))
+    assert(isMetadataServed(mm))
+    val r = mm.collect()(0)
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3),
+      r.getLong(4)) === ((1L, 100.0, 1L, "x", 3L)))
+    // a FILTERED count is not manifest-servable and must really scan
+    val filtered = t.filter(col("last_value") >= 5.0).groupBy().count()
+    assert(!isMetadataServed(filtered))
+    assert(filtered.collect()(0).getLong(0) === 2L)
+    // count(distinct) falls back too
+    val dc = t.agg(countDistinct("last_event_type"))
+    assert(!isMetadataServed(dc))
+    assert(dc.collect()(0).getLong(0) === 4L)
+    // a counts-less legacy manifest falls back with the same answer
+    val mPath = java.nio.file.Paths.get(s"$root/_manifest/gen-00000.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("counts")
+    java.nio.file.Files.writeString(mPath, node.toString): Unit
+    java.nio.file.Files.deleteIfExists(
+      mPath.resolveSibling(".gen-00000.json.crc")): Unit
+    val legacy = spark.read.format("graftstore").option("path", root)
+      .option("versionAsOf", "0").load().groupBy().count()
+    assert(!isMetadataServed(legacy))
+    assert(legacy.collect()(0).getLong(0) === 4L)
+  }
+
   test("DSv2 write: append through format(graftstore) commits an OCC " +
       "generation with recomputed routing; overwrite is not a " +
       "capability") {
