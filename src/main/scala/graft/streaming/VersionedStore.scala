@@ -1617,98 +1617,23 @@ object VersionedStore {
   }
 
   /** [[readWhere]] with the predicate as an ANSI SQL string — the form
-    * a SQL-front-door consumer holds. The string is parsed once
-    * driver-side and its PRUNABLE SKELETON (And/Or over =, <, <=, >,
-    * >=, IN, BETWEEN against literals, IS [NOT] NULL) maps onto
-    * [[StorePredicate]] for zone-map bucket pruning; any construct
-    * outside the skeleton (functions, arithmetic, column-to-column
-    * compares) contributes no pruning for its subtree — CONSERVATIVE,
-    * never
-    * wrong — while the FULL original predicate always runs as the row
-    * filter (and pushes to parquet where Spark can). Strict
-    * inequalities prune as their inclusive forms (a boundary-equal
-    * bucket survives and its rows are then filtered — conservative by
-    * one bucket at most).
+    * a SQL-front-door consumer holds. Since round 19 this DELEGATES to
+    * the DataSource V2 table ([[graft.sources.GraftStoreDataSource]]):
+    * Catalyst analyzes the predicate, splits its conjuncts, translates
+    * what it can to source filters, and the scan builder prunes
+    * buckets through the zone map — the hand-rolled skeleton walk this
+    * method used to carry is retired (VERDICT r18 #1), replaced by the
+    * planner's own pushdown. Semantics are unchanged and still
+    * conservative: untranslatable subtrees (functions, arithmetic,
+    * column-to-column compares) prune nothing, strict inequalities
+    * prune as their inclusive forms, and the FULL predicate always
+    * runs as the row filter above the scan.
     */
   def readWhereSql(spark: SparkSession, root: String, gen: Int,
-      predicateSql: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.{expressions => ce}
-    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
-    val m = readManifest(root, gen)
-    def litVal(l: ce.Literal): Option[Any] = l.value match {
-      case null => None
-      case u: org.apache.spark.unsafe.types.UTF8String =>
-        Some(u.toString)
-      case v @ (_: Long | _: Int | _: Short | _: Byte | _: Double |
-          _: Float) =>
-        // a timestamp literal parses to TimestampType micros — exactly
-        // statStr's normalized form, so pass the long through
-        Some(v)
-      case _ => None // decimal/date/etc.: no zone-map ordering mapped
-    }
-    def attrName(e: ce.Expression): Option[String] = e match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts.length == 1 =>
-        Some(a.nameParts.head)
-      case _ => None
-    }
-    // None = unmappable subtree (prunes nothing); the tri-state keeps
-    // And(unmappable, mappable) pruning on the mappable side
-    def skeleton(e: ce.Expression): Option[StorePredicate] = e match {
-      case ce.And(l, r) => (skeleton(l), skeleton(r)) match {
-        case (Some(a), Some(b)) => Some(StorePredicate.All(Seq(a, b)))
-        case (one, other) => one.orElse(other)
-      }
-      case ce.Or(l, r) => for { a <- skeleton(l); b <- skeleton(r) }
-        yield StorePredicate.AnyOf(Seq(a, b))
-      // BETWEEN parses as the unresolved 'between' function
-      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
-            f.arguments.length == 3 =>
-        skeleton(ce.And(
-          ce.GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
-          ce.LessThanOrEqual(f.arguments(0), f.arguments(2))))
-      case ce.EqualTo(a, l: ce.Literal) => for { n <- attrName(a);
-        v <- litVal(l) } yield StorePredicate.EqTo(n, v)
-      case ce.EqualTo(l: ce.Literal, a) => skeleton(ce.EqualTo(a, l))
-      case ce.GreaterThanOrEqual(a, l: ce.Literal) => for {
-        n <- attrName(a); v <- litVal(l) }
-        yield StorePredicate.AtLeast(n, v)
-      case ce.GreaterThan(a, l: ce.Literal) =>
-        skeleton(ce.GreaterThanOrEqual(a, l))
-      case ce.LessThanOrEqual(a, l: ce.Literal) => for {
-        n <- attrName(a); v <- litVal(l) }
-        yield StorePredicate.AtMost(n, v)
-      case ce.LessThan(a, l: ce.Literal) =>
-        skeleton(ce.LessThanOrEqual(a, l))
-      // mirrored operand order: lit OP attr
-      case ce.GreaterThanOrEqual(l: ce.Literal, a) =>
-        skeleton(ce.LessThanOrEqual(a, l))
-      case ce.GreaterThan(l: ce.Literal, a) =>
-        skeleton(ce.LessThanOrEqual(a, l))
-      case ce.LessThanOrEqual(l: ce.Literal, a) =>
-        skeleton(ce.GreaterThanOrEqual(a, l))
-      case ce.LessThan(l: ce.Literal, a) =>
-        skeleton(ce.GreaterThanOrEqual(a, l))
-      case ce.In(a, lits) if lits.forall(_.isInstanceOf[ce.Literal]) =>
-        attrName(a).flatMap { n =>
-          val vs = lits.map(l => litVal(l.asInstanceOf[ce.Literal]))
-          if (vs.exists(_.isEmpty)) None
-          else Some(StorePredicate.AnyOf(
-            vs.flatten.map(v => StorePredicate.EqTo(n, v))))
-        }
-      // null predicates prune through the per-bucket null counts
-      // (VERDICT r18 #5)
-      case ce.IsNull(a) => attrName(a).map(StorePredicate.IsNull(_))
-      case ce.IsNotNull(a) => attrName(a).map(StorePredicate.IsNotNull(_))
-      case _ => None
-    }
-    val surviving = skeleton(parsed) match {
-      case Some(p) => survivingBuckets(m, p)
-      case None => m.buckets.keySet
-    }
-    readBuckets(spark, root, m, Some(surviving)).filter(expr(predicateSql))
-  }
+      predicateSql: String): DataFrame =
+    spark.read.format("graftstore").option("path", root)
+      .option("versionAsOf", gen).load()
+      .filter(expr(predicateSql))
 
   /** Predicate-level DELETE (VERDICT r17 missing #3 — the compliance
     * shape `DELETE FROM store WHERE <pred>`): a copy-on-write rewrite of

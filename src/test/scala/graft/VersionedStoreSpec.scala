@@ -609,16 +609,16 @@ class VersionedStoreSpec extends SparkSpec {
     assert(pruned.count() === 1L) // the one updated key
   }
 
-  test("readWhereSql: the SQL predicate's prunable skeleton drives the " +
-      "zone map; unsupported constructs scan conservatively; rows " +
-      "always equal the full filter") {
+  test("readWhereSql: the planner's pushdown drives the zone map " +
+      "(the hand parser is retired); unsupported constructs scan " +
+      "conservatively; rows always equal the full filter") {
     val root = freshRoot("sqlpred")
     VersionedStore.mergeGeneration(
       batch((1L, 10L, "a", 1.0), (17L, 11L, "a", 2.0),
         (2L, 12L, "b", 10.0), (18L, 13L, "b", 11.0),
         (3L, 14L, "c", 100.0)), 0, root)
     def rootsOf(sql: String): Seq[String] =
-      scanRootPaths(VersionedStore.readWhereSql(spark, root, 0, sql))
+      dsv2ScanPaths(VersionedStore.readWhereSql(spark, root, 0, sql))
         .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
     def ids(sql: String): Seq[Long] =
       VersionedStore.readWhereSql(spark, root, 0, sql)
@@ -978,7 +978,7 @@ class VersionedStoreSpec extends SparkSpec {
       scanRootPaths(VersionedStore.readWhere(spark, root, 0, p))
         .map(s => s.substring(s.lastIndexOf('/') + 1)).sorted
     def sqlRoots(sql: String): Seq[String] =
-      scanRootPaths(VersionedStore.readWhereSql(spark, root, 0, sql))
+      dsv2ScanPaths(VersionedStore.readWhereSql(spark, root, 0, sql))
         .map(s => s.substring(s.lastIndexOf('/') + 1)).sorted
     // IS NULL prunes the zero-null bucket 3
     assert(rootsOf(IsNull("tag")) === Seq("bucket=1", "bucket=2"))
