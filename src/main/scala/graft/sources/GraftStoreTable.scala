@@ -174,37 +174,12 @@ class GraftStoreScanBuilder(spark: SparkSession, root: String, m: Manifest)
   private var required: StructType = m.snapshotSchema
   private var aggServed: Option[(StructType, Seq[Any])] = None
 
-  /** v1 Filter -> zone-map predicate; None = unmappable (prunes
-    * nothing). The tri-state And keeps `And(unmappable, mappable)`
-    * pruning on the mappable side, exactly like the SQL skeleton walk.
+  /** v1 Filter -> zone-map predicate — the shared mapping
+    * ([[StorePredicate.fromFilter]]) the SQL-string predicate rides
+    * too; None = unmappable (prunes nothing).
     */
-  private def toPred(f: Filter): Option[StorePredicate] = f match {
-    case sources.EqualTo(a, v) if v != null =>
-      Some(StorePredicate.EqTo(a, v))
-    case sources.EqualNullSafe(a, null) => Some(StorePredicate.IsNull(a))
-    case sources.EqualNullSafe(a, v) => Some(StorePredicate.EqTo(a, v))
-    case sources.GreaterThan(a, v) if v != null =>
-      Some(StorePredicate.AtLeast(a, v)) // strict prunes as inclusive
-    case sources.GreaterThanOrEqual(a, v) if v != null =>
-      Some(StorePredicate.AtLeast(a, v))
-    case sources.LessThan(a, v) if v != null =>
-      Some(StorePredicate.AtMost(a, v))
-    case sources.LessThanOrEqual(a, v) if v != null =>
-      Some(StorePredicate.AtMost(a, v))
-    case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
-      Some(StorePredicate.AnyOf(vs.toSeq
-        .map(v => StorePredicate.EqTo(a, v))))
-    case sources.IsNull(a) => Some(StorePredicate.IsNull(a))
-    case sources.IsNotNull(a) => Some(StorePredicate.IsNotNull(a))
-    case sources.And(l, r) => (toPred(l), toPred(r)) match {
-      case (Some(a), Some(b)) => Some(StorePredicate.All(Seq(a, b)))
-      case (one, other) => one.orElse(other)
-    }
-    case sources.Or(l, r) =>
-      for { a <- toPred(l); b <- toPred(r) }
-        yield StorePredicate.AnyOf(Seq(a, b))
-    case _ => None
-  }
+  private def toPred(f: Filter): Option[StorePredicate] =
+    StorePredicate.fromFilter(f)
 
   /** Every filter is returned as a post-scan residual (bucket pruning
     * is partition elimination, not row evaluation — Spark must

@@ -686,6 +686,94 @@ object VersionedStore {
       private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
         !allNull(m, b, colName)
     }
+
+    /** An ANSI SQL predicate string as a first-class store predicate
+      * (round 19 — the Delta `DELETE FROM t WHERE <sql>` surface for
+      * [[deleteWhere]]/[[updateWhere]]/[[readWhere]]): the row filter
+      * is the full expression; the PRUNING side analyzes the string
+      * against the snapshot schema (an empty frame — zero storage
+      * reads), splits conjuncts, and runs them through Spark's OWN
+      * source-filter translation ([[StorePredicate.fromFilter]], the
+      * same mapping the DSv2 scan builder uses) — so SQL DML prunes
+      * exactly like the planner's pushdown, with no hand-rolled
+      * parsing. Untranslatable subtrees prune nothing (conservative);
+      * a malformed string or unknown column fails loudly at first use
+      * (AnalysisException). The skeleton is resolved once per manifest
+      * generation and cached.
+      */
+    final case class SqlWhere(sql: String) extends StorePredicate {
+      def toColumn: org.apache.spark.sql.Column = expr(sql)
+      @transient private lazy val cache =
+        scala.collection.mutable.Map.empty[Int, Option[StorePredicate]]
+      private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
+        cache.synchronized {
+          cache.getOrElseUpdate(m.gen, skeletonOf(m))
+        } match {
+          case Some(p) => p.mayMatch(m, b)
+          case None => true
+        }
+      private def skeletonOf(m: Manifest): Option[StorePredicate] = {
+        val spark = SparkSession.active
+        // run the predicate through the session's FULL optimizer over
+        // an empty frame in the snapshot schema (zero storage reads —
+        // an emptyRDD relation is a LogicalRDD, whose emptiness the
+        // optimizer cannot see, so the Filter survives): literal casts
+        // fold, BETWEEN/IN rewrite, and the surviving conjuncts are
+        // byte-for-byte what the V2 pushdown rule would hand the scan
+        // builder on a real read
+        val analyzed = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], m.snapshotSchema)
+          .filter(toColumn).queryExecution.optimizedPlan
+        import org.apache.spark.sql.catalyst.{expressions => ce}
+        def split(e: ce.Expression): Seq[ce.Expression] = e match {
+          case ce.And(l, r) => split(l) ++ split(r)
+          case x => Seq(x)
+        }
+        val conjuncts = analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            split(f.condition)
+        }.flatten
+        val preds = conjuncts
+          .flatMap(e => org.apache.spark.sql.graft.glue
+            .translateFilter(e, supportNestedPredicatePushdown = false))
+          .flatMap(fromFilter(_))
+        if (preds.isEmpty) None else Some(All(preds.toSeq))
+      }
+    }
+
+    /** Spark v1 source `Filter` -> zone-map predicate; None =
+      * unmappable (prunes nothing). Shared by the DSv2 scan builder's
+      * pushdown and [[SqlWhere]]'s translation — ONE mapping, two
+      * front doors. The tri-state And keeps `And(unmappable, mappable)`
+      * pruning on the mappable side.
+      */
+    private[graft] def fromFilter(
+        f: org.apache.spark.sql.sources.Filter): Option[StorePredicate] = {
+      import org.apache.spark.sql.{sources => sf}
+      f match {
+        case sf.EqualTo(a, v) if v != null => Some(EqTo(a, v))
+        case sf.EqualNullSafe(a, null) => Some(IsNull(a))
+        case sf.EqualNullSafe(a, v) => Some(EqTo(a, v))
+        case sf.GreaterThan(a, v) if v != null =>
+          Some(AtLeast(a, v)) // strict prunes as inclusive
+        case sf.GreaterThanOrEqual(a, v) if v != null =>
+          Some(AtLeast(a, v))
+        case sf.LessThan(a, v) if v != null => Some(AtMost(a, v))
+        case sf.LessThanOrEqual(a, v) if v != null => Some(AtMost(a, v))
+        case sf.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+          Some(AnyOf(vs.toSeq.map(v => EqTo(a, v))))
+        case sf.IsNull(a) => Some(IsNull(a))
+        case sf.IsNotNull(a) => Some(IsNotNull(a))
+        case sf.And(l, r) => (fromFilter(l), fromFilter(r)) match {
+          case (Some(a), Some(b)) => Some(All(Seq(a, b)))
+          case (one, other) => one.orElse(other)
+        }
+        case sf.Or(l, r) =>
+          for { a <- fromFilter(l); b <- fromFilter(r) }
+            yield AnyOf(Seq(a, b))
+        case _ => None
+      }
+    }
     /** Conjunction: a bucket is prunable when ANY conjunct excludes it. */
     final case class All(ps: Seq[StorePredicate]) extends StorePredicate {
       require(ps.nonEmpty, "empty conjunction")

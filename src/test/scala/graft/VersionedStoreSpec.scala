@@ -647,6 +647,51 @@ class VersionedStoreSpec extends SparkSpec {
       === Seq("bucket=2", "bucket=3"))
   }
 
+  test("SqlWhere: an ANSI SQL string is a first-class store predicate " +
+      "— prunes through the shared filter translation, drives DML, " +
+      "and stays conservative on untranslatable subtrees") {
+    import VersionedStore.StorePredicate._
+    val root = freshRoot("sqlwhere")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (17L, 11L, "a", 2.0),
+        (2L, 12L, "b", 10.0), (18L, 13L, "b", 11.0),
+        (3L, 14L, "c", 100.0)), 0, root)
+    val m = VersionedStore.readManifest(root, 0)
+    // pruning skeleton via Spark's own filter translation
+    assert(VersionedStore.survivingBuckets(m,
+      SqlWhere("last_value BETWEEN 5 AND 50")) === Set(2L))
+    // And(unmappable, mappable) prunes on the mappable conjunct
+    assert(VersionedStore.survivingBuckets(m,
+      SqlWhere("user_id % 2 = 0 AND last_value >= 5")) === Set(2L, 3L))
+    // fully untranslatable -> conservative full scan
+    assert(VersionedStore.survivingBuckets(m,
+      SqlWhere("user_id % 2 = 0")) === Set(1L, 2L, 3L))
+    // readWhere accepts it like any predicate: pruned scan, same rows
+    val df = VersionedStore.readWhere(spark, root, 0,
+      SqlWhere("last_value BETWEEN 5 AND 50"))
+    assert(scanRootPaths(df).map(p =>
+      p.substring(p.lastIndexOf('/') + 1)) === Seq("bucket=2"))
+    assert(df.select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 18L))
+    // SQL-string DELETE: empties bucket 3, records it, leaves the rest
+    val dg = VersionedStore.deleteWhere(spark, root,
+      SqlWhere("last_event_type = 'c'"))
+    val dm = VersionedStore.readManifest(root, dg)
+    assert(dm.removed === Set(3L) && !dm.buckets.contains(3L))
+    assert(snapshot(root, dg).map(_._1) === Seq(1L, 2L, 17L, 18L))
+    // SQL-string UPDATE: redacts exactly the band rows
+    val ug = VersionedStore.updateWhere(spark, root,
+      SqlWhere("last_value >= 10"), Seq("last_value" -> lit(0.0)))
+    assert(VersionedStore.readAsOf(spark, root, ug)
+      .select("user_id", "last_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      === Seq((1L, 1.0), (2L, 0.0), (17L, 2.0), (18L, 0.0)))
+    // a bad predicate fails loudly at first use
+    intercept[Exception] {
+      VersionedStore.survivingBuckets(m, SqlWhere("no_such_col = 1"))
+    }
+  }
+
   test("change feed surfaces PHYSICAL absence as delete: predicate-" +
       "purged keys and restore-erased inserts, with insert-then-purge " +
       "netting out") {
@@ -1330,6 +1375,32 @@ class VersionedStoreSpec extends SparkSpec {
       .option("versionAsOf", "0").load().groupBy().count()
     assert(!isMetadataServed(legacy))
     assert(legacy.collect()(0).getLong(0) === 4L)
+  }
+
+  test("DSv2 catalog: CREATE TABLE USING graftstore gives a NAMED SQL " +
+      "table with the same planner pruning and manifest-served counts") {
+    val root = freshRoot("dsv2-cat")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 12L, "b", 10.0),
+        (3L, 14L, "c", 100.0)), 0, root)
+    spark.sql("DROP TABLE IF EXISTS graft_cat_spec")
+    try {
+      spark.sql(s"CREATE TABLE graft_cat_spec USING graftstore " +
+        s"OPTIONS (path '$root', versionAsOf '0')")
+      // planner-side zone-map pruning through the CATALOG name
+      val banded = spark.sql(
+        "SELECT user_id FROM graft_cat_spec WHERE last_value " +
+          "BETWEEN 5 AND 50")
+      assert(dsv2ScanPaths(banded).map(p =>
+        p.substring(p.lastIndexOf('/') + 1)) === Seq("bucket=2"))
+      assert(banded.collect().map(_.getLong(0)).toSeq === Seq(2L))
+      // manifest-served count through plain SQL over the named table
+      val c = spark.sql("SELECT count(*) FROM graft_cat_spec")
+      val plan = c.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        plan)
+      assert(c.collect()(0).getLong(0) === 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_spec"): Unit
   }
 
   test("DSv2 write: append through format(graftstore) commits an OCC " +
