@@ -358,8 +358,17 @@ class GraftStoreScanBuilder(spark: SparkSession, root: String, m: Manifest)
     val userSchema = StructType(m.schema.fields ++ Seq(
       StructField("gen", IntegerType), StructField("w", StringType),
       StructField("bucket", LongType)))
+    // the session-shared file-status cache amortizes listing across
+    // repeat plans over pinned snapshots (SURVEY residual #2, closed):
+    // SAFE here by construction — committed dirs are immutable
+    // (copy-on-write) and per-attempt tokens are never reused, so a
+    // cache entry can never describe different bytes; a vacuumed dir's
+    // stale entry degrades to the retention contract's loud read
+    // failure, never to wrong rows
     val index = new InMemoryFileIndex(spark, paths,
-      Map("basePath" -> s"$root/data"), Some(userSchema))
+      Map("basePath" -> s"$root/data"), Some(userSchema),
+      org.apache.spark.sql.execution.datasources.FileStatusCache
+        .getOrCreate(spark))
     val partCols = Set("gen", "w", "bucket")
     val readDataSchema = StructType(m.schema.fields
       .filter(f => required.fieldNames.contains(f.name)))
