@@ -294,6 +294,12 @@ object StreamingQueries {
           col("m.last_event_type").as("last_event_type"),
           col("m.last_value").as("last_value"),
           col("n_versions"), col("bucket"))
+        // route each bucket to one task before the partitionBy write:
+        // without this every merge shuffle partition writes its own file
+        // into every touched bucket dir (tasks × buckets tiny files per
+        // microbatch), and the next batch's partition-pruned read-back
+        // pays the listing + open cost (guide §6)
+        .repartition(col("bucket"))
         .localCheckpoint()
       merged.write.mode("overwrite").partitionBy("bucket").parquet(target)
     }
@@ -436,10 +442,16 @@ object StreamingQueries {
     val spool = graft.engine.TempArtifacts.tempDir("graft-vstore-spool")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("ts"), col("event_id"))
+    // cache: every emit below filters this frame, and without the cache
+    // each filter re-executes the global ntile sort (one full pass +
+    // SinglePartition sort of the events table PER BATCH — measured
+    // 4.06 s vs 2.28 s cached for a 4-emit spool at sf0.1). The cache is
+    // a per-call intermediate, unpersisted before return.
     val batched = graft.engine.Tables.events(s2, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .withColumn("__batch", (ntile(nBatches).over(w) - 1).cast("int"))
+      .cache()
     val totalFiles = nBatches + (if (withTombstones) 1 else 0)
     val baseMs = System.currentTimeMillis() - (totalFiles + 1) * 60000L
     def emit(df: DataFrame, b: Int): Unit = {
@@ -463,6 +475,7 @@ object StreamingQueries {
           lit(TombstoneTs).as("ts"), col("user_id"),
           lit(TombstoneType).as("event_type"), lit(0.0).as("value"),
           lit(nBatches).cast("int").as("__batch")), nBatches)
+    batched.unpersist()
     spool
   }
 
@@ -691,19 +704,36 @@ object StreamingQueries {
     * never sorts anything.
     */
   private def ntileBatch(spark: SparkSession, dir: String, parts: Int,
-      b: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts"), col("event_id"))
-    graft.engine.Tables.events(spark, dir)
-      .withColumn("__b", ntile(parts).over(w) - 1)
-      .filter(col("__b") === b)
-      .select(col("user_id"), col("ts").as("last_ts"),
-        col("event_id").as("last_event_id"),
-        col("event_type").as("last_event_type"),
-        col("value").as("last_value"), lit(1L).as("n_versions"),
-        pmod(coalesce(col("user_id"), lit(-1L)),
-          lit(VersionedStore.Buckets.toLong)).as("bucket"))
-  }
+      b: Int): DataFrame =
+    ntileBatchAll(spark, dir, parts).filter(col("__b") === b).drop("__b")
+
+  /** The full ntile'd merge-shaped frame behind [[ntileBatch]], cached
+    * and memoized per (session, dir, parts): every store query that
+    * replays the events table as k ntile batches filters THIS frame
+    * instead of re-running the global-order window sort once per batch
+    * AND once more per merge's touched-bucket collect (the double
+    * computation inside mergeGeneration/commitBatch) — 4–6 full sort
+    * passes collapse to one. Content is untouched (the window is a
+    * deterministic total order), so every hash gate is unchanged;
+    * memo eviction unpersists the cache.
+    */
+  private def ntileBatchAll(spark: SparkSession, dir: String,
+      parts: Int): DataFrame =
+    graft.engine.SessionMemo.getOrComputeCleanup(spark,
+      s"graft:ntile:$dir:$parts") {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      graft.engine.Tables.events(spark, dir)
+        .withColumn("__b", ntile(parts).over(w) - 1)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"), lit(1L).as("n_versions"),
+          pmod(coalesce(col("user_id"), lit(-1L)),
+            lit(VersionedStore.Buckets.toLong)).as("bucket"),
+          col("__b").cast("int").as("__b"))
+        .cache()
+    }(df => df.unpersist(): Unit)
 
   /** Optimistic-concurrency race (`q_concurrent_commit`, VERDICT r16
     * #1): the canonical two-job production collision — OPTIMIZE
