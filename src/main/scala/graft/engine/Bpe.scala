@@ -182,6 +182,47 @@ object Bpe {
          |    ELSE concat(acc, ' ', x) END)""".stripMargin))
   }
 
+  /** Apply a WHOLE round's batch in ONE fold pass when that is provably
+    * identical to the chained per-merge application, else fall back to
+    * the chain. [[selectBatch]] makes the batch's pairs pairwise
+    * symbol-disjoint, so one merge can never create, destroy, or shift
+    * an occurrence of another pair in the same batch — the chained
+    * passes commute and collapse into a single fold whose CASE tries
+    * every pair (at most one branch can fire per position: the r
+    * symbols are distinct, and so are the l's). The ONE exception is a
+    * CREATED symbol (l+r) that collides by name with a later pair's l
+    * or r: the chain would let the later merge consume the fresh
+    * symbol, which a single pass cannot, so that (rare, data-dependent)
+    * round keeps the chained form — a driver-side string check over
+    * ≤[[BatchSize]] pairs. Identity is additionally pinned by
+    * BpeSpec's crafted-state equivalence test and the family's oracle
+    * hashes; the win is one split + one fold per round instead of
+    * [[BatchSize]] of each (the trainer's per-round state pass).
+    */
+  private[graft] def applyMergeBatch(state: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    val symbols = pairs.flatMap { case (l, r) => Seq(l, r) }.toSet
+    if (pairs.exists { case (l, r) => symbols(l + r) })
+      pairs.foldLeft(state) { case (st, (l, r)) => applyMerge(st, l, r) }
+    else {
+      val branches = pairs.map { case (l, r) =>
+        val lL = sqlStr(l)
+        val rL = sqlStr(r)
+        s"""    WHEN x = $rL AND (acc = $lL
+           |        OR right(acc, length($lL) + 1) = concat(' ', $lL))
+           |    THEN concat(left(acc, length(acc) - length($lL)), $lL, $rL)"""
+          .stripMargin
+      }.mkString("\n")
+      state.withColumn("syms", expr(
+        s"""aggregate(
+           |  slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1),
+           |  element_at(split(syms, ' '), 1),
+           |  (acc, x) -> CASE
+           |$branches
+           |    ELSE concat(acc, ' ', x) END)""".stripMargin))
+    }
+  }
+
   /** Train [[Rounds]] batched rounds over the corpus under `dir`;
     * returns the ordered merge list and the final word→symbols
     * dictionary (lineage-free via localCheckpoint). Per round: ONE
@@ -215,9 +256,8 @@ object Bpe {
             rank += 1
             rules += MergeRule(rank, round.toLong, l, r, l + r, c)
           }
-          state = batch.foldLeft(state) { case (st, (l, r, _)) =>
-            applyMerge(st, l, r)
-          }.localCheckpoint()
+          state = applyMergeBatch(state,
+            batch.map { case (l, r, _) => (l, r) }).localCheckpoint()
         }
         round += 1
       }

@@ -41,8 +41,14 @@ object StreamingQueries {
       dir: String): SparkSession = {
     val s2 = spark.newSession()
     // Tables.events handles the fixture's TIMESTAMP(NANOS) layout; a bare
-    // spark.read.parquet on it throws
-    val inputRows = graft.engine.Tables.events(spark, dir).count()
+    // spark.read.parquet on it throws. The count is a pure function of
+    // the fixture, memoized per (session, dir): every streaming query
+    // sizes its state partitions from it, and without the memo each one
+    // re-paid a full-scan count job just to read a constant.
+    val inputRows = graft.engine.SessionMemo.getOrCompute(spark,
+      s"graft:events-rows:$dir") {
+      java.lang.Long.valueOf(graft.engine.Tables.events(spark, dir).count())
+    }.longValue()
     val parts = math.max(1,
       math.ceil(inputRows.toDouble / StateRowsPerPartition).toInt)
       .min(spark.conf.get("spark.sql.shuffle.partitions").toInt)

@@ -154,6 +154,39 @@ class BpeSpec extends SparkSpec {
     assert(applied("w2") == "aa a")
   }
 
+  test("applyMergeBatch: single fold ≡ chained application on a " +
+      "disjoint batch, and the created-symbol collision falls back") {
+    import spark.implicits._
+    // exercises: plain merges, a self-pair run (even and odd), adjacent
+    // pairs from different rules, and a non-matching tail
+    val st = Seq(
+      ("w1", 1L, "a b c d"), ("w2", 1L, "a a a a"), ("w3", 1L, "a a a"),
+      ("w4", 1L, "c d a b"), ("w5", 1L, "b a d c"), ("w6", 1L, "x y z"))
+      .toDF("word", "freq", "syms")
+    val batch = Seq(("a", "b"), ("c", "d"), ("x", "y"))
+    val chained = batch.foldLeft(st) { case (s, (l, r)) =>
+      invokeApply(s, l, r) }
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val single = Bpe.applyMergeBatch(st, batch)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(single == chained)
+    assert(single("w1") == "ab cd")
+    assert(single("w5") == "b a d c")
+    // created-symbol collision: ("a","b") creates "ab", which a later
+    // pair ("c","ab") consumes — only the CHAINED order sees the fresh
+    // symbol, so the batch form must detect the collision and chain
+    val st2 = Seq(("v1", 1L, "c a b"), ("v2", 1L, "a b c")).toDF(
+      "word", "freq", "syms")
+    val collide = Seq(("a", "b"), ("c", "ab"))
+    val chained2 = collide.foldLeft(st2) { case (s, (l, r)) =>
+      invokeApply(s, l, r) }
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val single2 = Bpe.applyMergeBatch(st2, collide)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(single2 == chained2)
+    assert(single2("v1") == "cab")
+  }
+
   // applyMerge is private; replicate its expr contract through the
   // public training path is impossible on crafted state, so mirror the
   // exact SQL here (kept in sync by the round-trip + oracle gates)
