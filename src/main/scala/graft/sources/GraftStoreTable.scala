@@ -71,6 +71,17 @@ import graft.streaming.VersionedStore.{Manifest, StorePredicate}
 class GraftStoreDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftstore"
 
+  // one resolution per (path, pin) served to BOTH inferSchema and
+  // getTable (ADVICE r19: Spark calls them back-to-back on one provider
+  // instance per load(), and resolving twice lets a commit landing
+  // between the calls pin the table to a NEWER manifest than the schema
+  // Spark captured — a reader schema/snapshot mismatch within one
+  // load). Keyed by the pin options so an explicit versionAsOf change
+  // re-resolves; the unpinned key deliberately freezes "latest" at the
+  // first call, which is the snapshot-isolation contract.
+  @transient private val resolved = scala.collection.mutable
+    .Map.empty[(String, Option[String], Option[String]), (String, Manifest)]
+
   private def resolve(options: CaseInsensitiveStringMap)
       : (String, Manifest) = {
     val root = Option(options.get("path")).getOrElse(
@@ -79,16 +90,23 @@ class GraftStoreDataSource extends TableProvider with DataSourceRegister {
     require(!(options.containsKey("versionAsOf") &&
         options.containsKey("timestampAsOf")),
       "graftstore takes versionAsOf OR timestampAsOf, not both")
-    val m =
-      if (options.containsKey("versionAsOf"))
-        VersionedStore.readManifest(root, options.get("versionAsOf").toInt)
-      else if (options.containsKey("timestampAsOf"))
-        VersionedStore.manifestAsOfTimestamp(root,
-          options.get("timestampAsOf").toLong)
-      else VersionedStore.readManifest(root,
-        VersionedStore.latestGen(root).getOrElse(
-          throw new IllegalArgumentException(s"empty store at $root")))
-    (root, m)
+    val key = (root, Option(options.get("versionAsOf")),
+      Option(options.get("timestampAsOf")))
+    resolved.synchronized {
+      resolved.getOrElseUpdate(key, {
+        val m =
+          if (options.containsKey("versionAsOf"))
+            VersionedStore.readManifest(root,
+              options.get("versionAsOf").toInt)
+          else if (options.containsKey("timestampAsOf"))
+            VersionedStore.manifestAsOfTimestamp(root,
+              options.get("timestampAsOf").toLong)
+          else VersionedStore.readManifest(root,
+            VersionedStore.latestGen(root).getOrElse(
+              throw new IllegalArgumentException(s"empty store at $root")))
+        (root, m)
+      })
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -703,11 +703,18 @@ object VersionedStore {
       */
     final case class SqlWhere(sql: String) extends StorePredicate {
       def toColumn: org.apache.spark.sql.Column = expr(sql)
-      @transient private lazy val cache =
-        scala.collection.mutable.Map.empty[Int, Option[StorePredicate]]
+      // keyed by the snapshot SCHEMA — the only input skeletonOf reads
+      // (ADVICE r19: the old gen-keyed cache could serve a skeleton
+      // folded under another STORE's schema when two manifests shared a
+      // generation number, and a silently-comparable type mismatch
+      // would wrongly prune DML buckets). Schema keying is also the
+      // better hit rate: one resolve serves every generation of every
+      // store with that payload shape.
+      @transient private lazy val cache = scala.collection.mutable.Map
+        .empty[org.apache.spark.sql.types.StructType, Option[StorePredicate]]
       private[streaming] def mayMatch(m: Manifest, b: Long): Boolean =
         cache.synchronized {
-          cache.getOrElseUpdate(m.gen, skeletonOf(m))
+          cache.getOrElseUpdate(m.snapshotSchema, skeletonOf(m))
         } match {
           case Some(p) => p.mayMatch(m, b)
           case None => true
@@ -969,26 +976,35 @@ object VersionedStore {
               "token dir, so this is an environment fault, not a race")
           m.copy(writerDirs = m.writerDirs + (m.gen -> tok))
       }
-      val won = try { writeManifest(root, committed); true }
-        catch { case e: java.io.IOException =>
-          // the create is put-if-absent: losing here means another
-          // driver committed m.gen after our exists check (a broken
-          // liveness lock) — detected, not corrupted; anything else is
-          // a real I/O fault and must propagate after the rename-back
-          if (!fs.exists(mPath)) throw e
-          false
+      // try/finally (ADVICE r19): a propagated real I/O fault from
+      // writeManifest or a failed rename-back must still drop the
+      // liveClaimed entry — the orphaned token dir is garbage of a
+      // failed commit, and leaving the shield in place would hide it
+      // from same-driver vacuum forever (disk leak, not corruption;
+      // cross-driver reclamation already relies on the age gate)
+      try {
+        val won = try { writeManifest(root, committed); true }
+          catch { case e: java.io.IOException =>
+            // the create is put-if-absent: losing here means another
+            // driver committed m.gen after our exists check (a broken
+            // liveness lock) — detected, not corrupted; anything else is
+            // a real I/O fault and must propagate after the rename-back
+            if (!fs.exists(mPath)) throw e
+            false
+          }
+        staged.foreach { s =>
+          if (won) releaseStaged(s)
+          else {
+            val (_, sp) = fsOf(s)
+            val (_, dst) = fsOf(s"$root/data/$rel")
+            require(fs.rename(dst, sp),
+              s"rename-back $dst -> $s failed after a lost manifest race")
+          }
         }
-      staged.foreach { s =>
-        if (won) releaseStaged(s)
-        else {
-          val (_, sp) = fsOf(s)
-          val (_, dst) = fsOf(s"$root/data/$rel")
-          require(fs.rename(dst, sp),
-            s"rename-back $dst -> $s failed after a lost manifest race")
-        }
+        won
+      } finally {
+        if (staged.isDefined) liveClaimed.remove(rel): Unit
       }
-      if (staged.isDefined) liveClaimed.remove(rel): Unit
-      won
     }
     }
   }
