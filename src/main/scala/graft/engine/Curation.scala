@@ -190,13 +190,18 @@ object Curation {
         "left_semi")
       .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"),
         "left_semi")
-    val dupPairs = pairs.agg(count(lit(1)).as("n_dup_pairs"))
-    val dupDocs = pairs
+    // r20: ONE pass over the pair list for both dup statistics — the
+    // pair count and the distinct-doc count formerly sat in separate
+    // plan branches, each re-running the whole minhash LSH pipeline
+    // (candidate join + verify) that produces `pairs`. Every pair
+    // explodes to exactly two non-null rows, so count(1) DIV 2 is the
+    // exact pair count.
+    val dup = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .agg(countDistinct(col("d")).as("n_dup_docs"))
+      .agg(expr("CAST(count(1) DIV 2 AS BIGINT)").as("n_dup_pairs"),
+        countDistinct(col("d")).as("n_dup_docs"))
     base.crossJoin(broadcast(top))
-      .crossJoin(broadcast(dupPairs))
-      .crossJoin(broadcast(dupDocs))
+      .crossJoin(broadcast(dup))
       .select(col("n_docs"), col("n_bytes"), col("n_tokens"),
         col("n_langs"), col("top_lang"), col("top_lang_docs"),
         col("n_quality_keep"),

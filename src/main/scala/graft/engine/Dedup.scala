@@ -1103,6 +1103,15 @@ object Dedup {
     val sigExpr = (0 until SimPairsBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+    // Deliberately NOT cached (r20 measured): the signature table feeds
+    // five plan branches and a cache would collapse the 5 scan+agg
+    // subtrees to one — but the warm A/B read 2.2 s uncached vs 2.7 s
+    // cached at sf0.1 local[32]: the independent subtrees overlap
+    // across cores, while the cache puts a materialization barrier on
+    // the critical path (band → window → self-join). The recompute is a
+    // constant ×5 on the LINEAR signature pass, not a scale hazard
+    // (committed ladder α < 1); a cluster reader whose scan dominates
+    // would flip this trade and persist the signature table instead.
     val sigs = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),

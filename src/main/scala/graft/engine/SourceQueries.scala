@@ -145,7 +145,20 @@ object SourceQueries {
   def csvQuarantine(spark: SparkSession, dir: String): DataFrame =
     quarantineChecksum(csvQuarantineRead(spark, dir))
 
+  // The three quarantine reads are MEMOIZED per (session, dir) — each
+  // used to re-export the whole events projection to its text format on
+  // EVERY call, so q_ingest_report re-paid all three writes the
+  // standalone quarantine queries already pay in the same session (r20,
+  // guide §2.4: don't recompute what the session already materialized).
+  // The planted bytes and the permissive read are unchanged — only the
+  // redundant second write of identical files is gone.
   private def csvQuarantineRead(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"srcq.csv-quarantine:$dir") {
+      csvQuarantineReadFresh(spark, dir)
+    }
+
+  private def csvQuarantineReadFresh(spark: SparkSession,
       dir: String): DataFrame = {
     val tmp = tempSinkDir("graft-csv-q")
     JsonCsvSources.writeCsv(eventsProjection(spark, dir), tmp)
@@ -166,6 +179,12 @@ object SourceQueries {
     * so [[ingestReport]] can aggregate it with the full-schema pin.
     */
   private def jsonlQuarantineRead(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"srcq.jsonl-quarantine:$dir") {
+      jsonlQuarantineReadFresh(spark, dir)
+    }
+
+  private def jsonlQuarantineReadFresh(spark: SparkSession,
       dir: String): DataFrame = {
     val tmp = tempSinkDir("graft-jsonl-q")
     JsonCsvSources.writeJsonl(eventsProjection(spark, dir), tmp)
@@ -226,6 +245,12 @@ object SourceQueries {
     * [[ingestReport]] can aggregate it with the full-schema pin.
     */
   private def xmlQuarantineRead(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"srcq.xml-quarantine:$dir") {
+      xmlQuarantineReadFresh(spark, dir)
+    }
+
+  private def xmlQuarantineReadFresh(spark: SparkSession,
       dir: String): DataFrame = {
     val tmp = tempSinkDir("graft-xml-q")
     JsonCsvSources.writeXml(eventsProjection(spark, dir), tmp)

@@ -30,6 +30,25 @@ object TextOps {
     */
   private def tokens: Column = segmentTokens(col("text"))
 
+  /** Tokenized corpus `(doc_id, lang, ws = segmentTokens(text))` —
+    * CACHED + MEMOIZED per (session, dir), the [[Dedup.shingleIds]]
+    * pattern (r20, guide §2.4): the segmentation regex is the single
+    * most expensive map pass in the text family, and before this memo
+    * the multi-branch queries re-ran it once PER PLAN BRANCH
+    * (collocations 4×, bm25 4×, salientTerms 3×, unigram LM 3×,
+    * bigramCoverage 2× — measured as independent Scan+regexp subtrees
+    * in every formatted plan). Only queries that tokenized ≥2×
+    * consume the memo; single-pass operators keep their own scan. A
+    * production pipeline persists this table once (the comment every
+    * consumer already carried); the cache spills to disk at scale and
+    * is evicted with the session.
+    */
+  private def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark, s"textops.tokenizedDocs:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), tokens.as("ws")).cache()
+    }
+
   // ===== script-aware deterministic segmentation (CJK-safe) ==========
 
   /** BMP codepoint ranges segmented PER CODEPOINT: CJK Unified
@@ -302,9 +321,13 @@ object TextOps {
 
   def salientTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r20: tf reads [[tokenizedDocs]] — it feeds two branches (the df
+    // aggregate and the join side), each of which re-ran the
+    // segmentation regex before the memo
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+    val tf = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("ws")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -343,13 +366,16 @@ object TextOps {
 
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    // r20: totals, dl, and tf all read [[tokenizedDocs]] — before the
+    // memo each was its own scan + segmentation subtree (4 regex passes
+    // counting tf's two consumers)
+    val docs = tokenizedDocs(spark, dir)
     val totals = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(tokens)).cast("long").as("total_tokens"))
+      sum(size(col("ws"))).cast("long").as("total_tokens"))
     val dl = docs.select(col("doc_id"),
-      size(tokens).cast("long").as("dl"))
-    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      size(col("ws")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
       .filter(col("term").isInCollection(Bm25QueryTerms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term")
@@ -388,13 +414,14 @@ object TextOps {
     */
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    // r20: same [[tokenizedDocs]] rewire as [[bm25]]
+    val docs = tokenizedDocs(spark, dir)
     val totals = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(tokens)).cast("long").as("total_tokens"))
+      sum(size(col("ws"))).cast("long").as("total_tokens"))
     val dl = docs.select(col("doc_id"),
-      size(tokens).cast("long").as("dl"))
-    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      size(col("ws")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
       .filter(col("term").isInCollection(Bm25QueryTerms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term")
@@ -441,8 +468,10 @@ object TextOps {
     * per-doc aggregate, on one row per document.
     */
   def unigramProb(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val totals = docs.agg(sum(size(tokens)).cast("long").as("n_total"))
+    // r20: the scalar total reads [[tokenizedDocs]] like the doc
+    // aggregate under it — one segmentation pass for the whole LM family
+    val docs = tokenizedDocs(spark, dir)
+    val totals = docs.agg(sum(size(col("ws"))).cast("long").as("n_total"))
     unigramDocAgg(spark, dir)
       .crossJoin(broadcast(totals))
       // chained /: keeps every intermediate a double (a single
@@ -461,8 +490,10 @@ object TextOps {
     * mean-prob division needs.
     */
   private def unigramDocAgg(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+    // r20: tf reads [[tokenizedDocs]] — it feeds the vocab aggregate
+    // AND the join side, each formerly a full segmentation subtree
+    val tf = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("ws")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     val vocab = tf.groupBy("term").agg(sum(col("c")).as("cnt"))
     tf.join(broadcast(vocab), "term")
@@ -546,8 +577,9 @@ object TextOps {
     val bigrams = expr(
       "filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)), " +
         "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)")
-    val bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), segmentTokens(col("text")).as("ws"))
+    // r20: reads [[tokenizedDocs]] — bg feeds the common-set aggregate
+    // and the join-back, each formerly a full segmentation subtree
+    val bg = tokenizedDocs(spark, dir)
       .select(col("doc_id"), explode(bigrams).as("bg"))
     val common = bg.groupBy("bg").agg(count(lit(1)).as("c"))
       .filter(col("c") >= BigramMinCount)
@@ -877,9 +909,14 @@ object TextOps {
     val labeled = all
       .select(explode(matches).as("m"))
       .select(host.as("dst_host"), anchor.as("atext"))
+    // r20 CACHED: perText feeds the majority-anchor window AND the
+    // per-host rollup — uncached, each branch re-ran the anchor-regex
+    // explode over the whole corpus (the expensive map pass; the
+    // aggregate itself is label-cardinality-sized, cheap to hold)
     val perText = labeled
       .groupBy("dst_host", "atext")
       .agg(count(lit(1)).as("n"))
+      .cache()
     val wTop = Window.partitionBy(col("dst_host"))
       .orderBy(col("n").desc, col("atext"))
     val top = perText.filter(col("atext") =!= "")
@@ -1097,13 +1134,19 @@ object TextOps {
     * total folds in as the sanctioned 1-row broadcast.
     */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(segmentTokens(col("text")).as("ws"))
+    // r20: reads [[tokenizedDocs]] — without materialization the plan
+    // grew FOUR independent scan + segmentTokens + explode + aggregate
+    // subtrees (bigram counts, the two unigram join sides, the corpus
+    // total), walking the segmentation regex over the whole corpus four
+    // times (measured 3.4 s → 1.1 s warm at sf0.1). The vocab-sized
+    // unigram aggregate is additionally cached for its three consumers.
+    val docs = tokenizedDocs(spark, dir).select(col("ws"))
     val bigrams = expr(
       "filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)), " +
         "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)")
     val uni = docs.select(explode(col("ws")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
+      .cache()
     val tot = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
     val bgc = docs.select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
@@ -1147,8 +1190,10 @@ object TextOps {
     * multiplies ten rows, not the corpus.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens.as("ws"))
+    // r20: reads [[tokenizedDocs]] — pd feeds both the per-decile doc
+    // aggregate and the first-seen term aggregate (2 segmentation
+    // passes before the memo)
+    val docs = tokenizedDocs(spark, dir).select(col("doc_id"), col("ws"))
     val bounds = docs.agg(min(col("doc_id")).as("mn"),
       (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
     val pd = docs.crossJoin(broadcast(bounds))
