@@ -1540,10 +1540,22 @@ object Dedup {
     */
   val SubstrGridVersion = 1
 
-  private def substrWindows(docs: DataFrame): DataFrame = {
+  private def substrWindows(docs: DataFrame): DataFrame =
+    substrWindowsOf(docs.select(col("doc_id"),
+      TextOps.segmentTokens(col("text")).as("t")))
+
+  /** Window grid from an already-tokenized `(doc_id, t)` frame — the
+    * per-doc map half of [[substrWindows]], split out (r20) so the
+    * family can ride the text family's ONE cached segmentation pass
+    * ([[TextOps.tokenizedDocs]]) instead of re-running the segmentation
+    * regex per consumer. Windows are per-doc independent, so
+    * `substrWindowsOf(a union b) ≡ substrWindowsOf(a) union
+    * substrWindowsOf(b)` — the planted rows tokenize on their own tiny
+    * local branch.
+    */
+  private def substrWindowsOf(toks: DataFrame): DataFrame = {
     val w = SubstrW
-    docs
-      .select(col("doc_id"), TextOps.segmentTokens(col("text")).as("t"))
+    toks
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - (w - 1))).as("pos"))
@@ -1552,6 +1564,43 @@ object Dedup {
           concat_ws(" ", slice(col("t"), col("pos"), lit(w))), IdMod)
           .as("sid"))
   }
+
+  /** Corpus `(doc_id, t)` token stream for the substring family —
+    * [[TextOps.tokenizedDocs]]'s cached segmentation, renamed to the
+    * family's column (r20): zero extra regex passes for the whole
+    * family once any text-family query (or the first substring
+    * consumer) has populated the memo.
+    */
+  private def substrTokens(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("ws").as("t"))
+
+  /** The [[SubstrPlantedRows]] tokenized — a two-row local branch. */
+  private def plantedTokens(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    SubstrPlantedRows.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.segmentTokens(col("text")).as("t"))
+  }
+
+  /** CACHED plain-corpus window grid `(doc_id, pos, sid)` — memoized
+    * per (session, dir) like the shingle grid (r20, guide §2.4). Five
+    * consumers re-derived it independently before the memo: the
+    * ingest probe's corpus AND delta branches (both in ONE plan), the
+    * persisted sid-index build, the bucketed probe's delta side, and
+    * [[dedupReport]]'s span pass. The grid is position-count-sized
+    * (≈ one row per corpus token: a long, an int, a long), far
+    * smaller than the text it came from; at cluster scale this is the
+    * table a standing pipeline persists next to the corpus (the
+    * [[substrSidIndex]] note), and the cache spills/evicts with the
+    * session. Keyed by [[SubstrGridVersion]] like the persisted index:
+    * a segmentation or hash change must invalidate, not silently mix.
+    */
+  private def substrWindowsPlain(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark,
+        s"dedup.substrWindows:v$SubstrGridVersion:$dir") {
+      substrWindowsOf(substrTokens(spark, dir)).cache()
+    }
 
   /** Back half shared by the span queries: marked positions → maximal
     * token intervals ≥ [[SubstrMinSpan]]. Input is (doc_id, pos).
@@ -1575,14 +1624,38 @@ object Dedup {
       .filter(col("span_tokens") >= SubstrMinSpan)
   }
 
-  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
-    val marked = substrWindows(docs)
+  private[graft] def substringSpans(docs: DataFrame): DataFrame =
+    substringSpansFromWindows(substrWindows(docs))
+
+  /** Back two exchanges of [[substringSpans]] from an existing window
+    * grid (r20): the ≥2-occurrence mark over sid, then the island fold.
+    */
+  private def substringSpansFromWindows(win: DataFrame): DataFrame = {
+    val marked = win
       .withColumn("n_occ",
         count(lit(1)).over(Window.partitionBy(col("sid"))))
       .filter(col("n_occ") >= 2)
       .select("doc_id", "pos")
     substrIslands(marked)
   }
+
+  /** CACHED spans over the PLANTED corpus (docs ∪ [[SubstrPlantedRows]])
+    * — the exact result [[substringDedup]] declares, memoized (r20)
+    * because [[substringScrub]] consumes the SAME span table for its
+    * removal surgery: before the memo each ran the full window + mark +
+    * island pipeline independently. Verdict-sized (maximal ≥12-token
+    * intervals only), so the cache holds rows proportional to detected
+    * duplication, not the corpus.
+    */
+  private def substrSpansPlanted(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionMemo.getOrCompute(spark,
+        s"dedup.substrSpansPlanted:v$SubstrGridVersion:$dir") {
+      substringSpansFromWindows(
+        substrWindowsPlain(spark, dir)
+          .unionByName(substrWindowsOf(plantedTokens(spark))))
+        .cache()
+    }
 
   /** DuckDB CTE chain from a preceding `src(doc_id, text)` CTE to the
     * maximal-duplicated-interval table `sp(doc_id, island, span_start,
@@ -1646,12 +1719,8 @@ object Dedup {
     * fold. Never all-pairs, no driver state; the output is
     * verdict-sized.
     */
-  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    substringSpans(
-      Tables.documents(spark, dir).select("doc_id", "text")
-        .unionByName(SubstrPlantedRows.toDF("doc_id", "text")))
-  }
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substrSpansPlanted(spark, dir)
 
   /** Span-removal surgery — the APPLY half of [[substringDedup]]'s
     * detect half: every flagged ≥[[SubstrMinSpan]]-token duplicated
@@ -1672,10 +1741,11 @@ object Dedup {
     * null-branch identity: their token array passes through untouched.
     */
   def substringScrub(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val src = Tables.documents(spark, dir).select("doc_id", "text")
-      .unionByName(SubstrPlantedRows.toDF("doc_id", "text"))
-    val spans = substringSpans(src)
+    // r20: the span side is [[substrSpansPlanted]] — the SAME cached
+    // table [[substringDedup]] declares — and the token side rides the
+    // cached segmentation (tokens of (docs ∪ planted) ≡ tokens(docs) ∪
+    // tokens(planted), a per-row map over independent rows)
+    val spans = substrSpansPlanted(spark, dir)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("spans"))
@@ -1685,7 +1755,7 @@ object Dedup {
         p >= s.getField("span_start") && p <= s.getField("span_end")))
     val scrubToks = when(col("spans").isNull, col("t"))
       .otherwise(transform(kept, p => element_at(col("t"), p)))
-    src.select(col("doc_id"), TextOps.segmentTokens(col("text")).as("t"))
+    substrTokens(spark, dir).unionByName(plantedTokens(spark))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("st", scrubToks)
       .select(col("doc_id"),
@@ -1714,8 +1784,10 @@ object Dedup {
     * document pairs.
     */
   def substringIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val all = Tables.documents(spark, dir).select("doc_id", "text")
-    val win = substrWindows(all)
+    // r20: win is the CACHED plain grid — its corpus and delta branches
+    // sit in ONE plan, and before the memo each re-ran the segmentation
+    // + window-hash map pass independently
+    val win = substrWindowsPlain(spark, dir)
     val corpusSids = win
       .filter(col("doc_id") % IncrementalDeltaMod > 0)
       .select("sid").distinct()
@@ -1742,8 +1814,7 @@ object Dedup {
         s"dedup.substrSidIndex:v$SubstrGridVersion:$dir") {
       val table = s"graft_substr_sid_index_v${SubstrGridVersion}_" +
         s"${math.abs(dir.hashCode.toLong)}"
-      val corpusSids = substrWindows(
-          Tables.documents(spark, dir).select("doc_id", "text"))
+      val corpusSids = substrWindowsPlain(spark, dir)
         .filter(col("doc_id") % IncrementalDeltaMod > 0)
         .select("sid").distinct()
       val path = TempArtifacts.tempDir(s"graft_substr_sid_$table")
@@ -1765,8 +1836,7 @@ object Dedup {
   def substringIncrementalBucketed(spark: SparkSession,
       dir: String): DataFrame = {
     val idx = spark.table(substrSidIndex(spark, dir))
-    val marked = substrWindows(
-        Tables.documents(spark, dir).select("doc_id", "text"))
+    val marked = substrWindowsPlain(spark, dir)
       .filter(col("doc_id") % IncrementalDeltaMod === 0)
       .join(idx, Seq("sid"), "left_semi")
       .select("doc_id", "pos")
@@ -1784,9 +1854,10 @@ object Dedup {
   private[graft] def substrProbeFixedDelta(spark: SparkSession,
       dir: String, cap: Long): DataFrame = {
     val idx = spark.table(substrSidIndex(spark, dir))
-    val marked = substrWindows(
-        Tables.documents(spark, dir).select("doc_id", "text")
-          .filter(col("doc_id") < cap))
+    // windows are per-doc, so capping docs before the grid ≡ filtering
+    // the (cached) grid by doc_id after
+    val marked = substrWindowsPlain(spark, dir)
+      .filter(col("doc_id") < cap)
       .filter(col("doc_id") % IncrementalDeltaMod === 0)
       .join(idx, Seq("sid"), "left_semi")
       .select("doc_id", "pos")
@@ -1806,12 +1877,18 @@ object Dedup {
     * so the join-back never dominates.
     */
   def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    // r20: the span pass rides the cached plain window grid. The
+    // per-doc token-count side keeps its OWN single segmentation pass:
+    // it needs `source`, and widening the shared tokenizedDocs cache by
+    // that column measurably demoted a text-family broadcast join (see
+    // the [[TextOps.tokenizedDocs]] note) — one honest map pass beats a
+    // corpus-sized join-back or a fatter shared cache.
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "source", "text")
     val per = docs.select(col("doc_id"), col("source"),
       size(TextOps.segmentTokens(col("text"))).cast("long")
         .as("n_tokens"))
-    val sp = substringSpans(docs.select("doc_id", "text"))
+    val sp = substringSpansFromWindows(substrWindowsPlain(spark, dir))
       .groupBy("doc_id")
       .agg(sum(col("span_tokens")).as("dup_tokens"),
         max(col("span_tokens")).as("max_span"),

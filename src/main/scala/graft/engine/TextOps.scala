@@ -41,9 +41,18 @@ object TextOps {
     * consume the memo; single-pass operators keep their own scan. A
     * production pipeline persists this table once (the comment every
     * consumer already carried); the cache spills to disk at scale and
-    * is evicted with the session.
+    * is evicted with the session. `private[engine]`: the substring-dedup
+    * family ([[Dedup.substringDedup]] and siblings) rides the SAME
+    * tokenized pass — its window grid is defined over segmentTokens.
+    * Deliberately NARROW (doc_id, lang, ws): widening it (e.g. carrying
+    * `source` for [[Dedup.dedupReport]]) was measured to push the
+    * cached relation's size estimate over the broadcast threshold at
+    * sf0.1 and demote q_vocab_growth's BroadcastHashJoin to a
+    * SortMergeJoin — the narrow projection is worth more than saving
+    * one consumer's token-count pass (guide §2: project early).
     */
-  private def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
+  private[engine] def tokenizedDocs(spark: SparkSession,
+      dir: String): DataFrame =
     SessionMemo.getOrCompute(spark, s"textops.tokenizedDocs:$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), tokens.as("ws")).cache()
@@ -1205,7 +1214,12 @@ object TextOps {
     val va = pd.select(col("dec"), explode(col("ws")).as("term"))
       .groupBy("term").agg(min(col("dec")).as("fdec"))
       .groupBy("fdec").agg(count(lit(1)).as("vocab_new"))
-    da.join(va, col("dec") === col("fdec"), "left")
+    // broadcast pinned (r20): va is ≤ VocabDeciles rows BY CONSTRUCTION
+    // (a per-decile rollup), but the planner's estimate for it tracks
+    // the input size, and once the tokenizedDocs cache is materialized
+    // the grown estimate demoted this 10×10 join to a SortMergeJoin —
+    // the hint makes the shape stats-independent.
+    da.join(broadcast(va), col("dec") === col("fdec"), "left")
       .select(col("dec"), col("n_docs"), col("n_tokens"),
         coalesce(col("vocab_new"), lit(0L)).as("vn"))
       .select(col("dec"), col("n_docs"), col("n_tokens"), col("vn"),
