@@ -301,11 +301,14 @@ object Dedup {
     */
   private[graft] def shingleIdsAt(spark: SparkSession, dir: String,
       version: Int): DataFrame =
-    SessionMemo.getOrCompute(spark, s"dedup.shingleIds:v$version:$dir") {
+    SessionMemo.getOrComputeCleanup(spark,
+        s"dedup.shingleIds:v$version:$dir") {
+      // r21 (guide §5): serialized storage + eviction unpersist —
+      // session-long cache, minimal heap held
       shingles(spark, dir, version)
         .select(col("doc_id"), portableIdUtf8(col("shingle")).as("sid"))
-        .cache()
-    }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }(df => scala.util.Try(df.unpersist()): Unit)
 
   /** Per-doc shingle-id set + size, for array-based exact verification. */
   private def idSets(ds: DataFrame): DataFrame =
@@ -517,11 +520,13 @@ object Dedup {
     * the verify pass).
     */
   private def dedupMinhashFull(spark: SparkSession, dir: String): DataFrame =
-    SessionMemo.getOrCompute(spark, s"dedup.minhashPairsFull:$dir") {
+    SessionMemo.getOrComputeCleanup(spark,
+        s"dedup.minhashPairsFull:$dir") {
       val ds = shingleIds(spark, dir)
       verifyPairsFull(lshCandidates(spark, dir), idSets(ds),
-        MinhashThreshold).cache()
-    }
+        MinhashThreshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }(df => scala.util.Try(df.unpersist()): Unit)
 
   /** 12-hash minhash signature per doc — one aggregation pass over the
     * memoized shingle-id table, shared by the full LSH pass and the
@@ -1597,10 +1602,13 @@ object Dedup {
     */
   private def substrWindowsPlain(spark: SparkSession,
       dir: String): DataFrame =
-    SessionMemo.getOrCompute(spark,
+    SessionMemo.getOrComputeCleanup(spark,
         s"dedup.substrWindows:v$SubstrGridVersion:$dir") {
-      substrWindowsOf(substrTokens(spark, dir)).cache()
-    }
+      // r21 (guide §5, VERDICT r20 #1): serialized storage + eviction
+      // unpersist — session-long cache, minimal heap held
+      substrWindowsOf(substrTokens(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }(df => scala.util.Try(df.unpersist()): Unit)
 
   /** Back half shared by the span queries: marked positions → maximal
     * token intervals ≥ [[SubstrMinSpan]]. Input is (doc_id, pos).
@@ -1649,13 +1657,13 @@ object Dedup {
     */
   private def substrSpansPlanted(spark: SparkSession,
       dir: String): DataFrame =
-    SessionMemo.getOrCompute(spark,
+    SessionMemo.getOrComputeCleanup(spark,
         s"dedup.substrSpansPlanted:v$SubstrGridVersion:$dir") {
       substringSpansFromWindows(
         substrWindowsPlain(spark, dir)
           .unionByName(substrWindowsOf(plantedTokens(spark))))
-        .cache()
-    }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }(df => scala.util.Try(df.unpersist()): Unit)
 
   /** DuckDB CTE chain from a preceding `src(doc_id, text)` CTE to the
     * maximal-duplicated-interval table `sp(doc_id, island, span_start,

@@ -35,6 +35,26 @@ object MlSuite {
 
   val Seed = 7L
 
+  /** [[basetableLabeled]] CACHED + MEMOIZED per (session, dir) — r21,
+    * guide §2.4 (the tokenizedDocs house pattern): FOUR query mouths
+    * re-ran the whole star join (lineitem scan + two fact aggregations
+    * + customer joins) independently — [[prepared]] (ml_train_eval /
+    * ml_describe / ml_cross_validate / ml_quality_classifier ride its
+    * memo) and the three frozen-model deployment reads
+    * (`q_lr_confusion`, `q_gbt_confusion`, `q_rf_confusion`). The frame
+    * is |customers| rows × 10 columns (~15k rows at sf0.1) — customer-
+    * dimension-sized by construction, never fact-table-sized — so the
+    * cache is memory-trivial at any scale while each later consumer
+    * saves the full fact-side pass. Serialized storage keeps the
+    * session-long footprint minimal (guide §5); the eviction cleanup
+    * unpersists.
+    */
+  private def labeledCached(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.getOrComputeCleanup(spark, s"ml.labeled:$dir") {
+      basetableLabeled(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }(df => scala.util.Try(df.unpersist()): Unit)
+
   /** Basetable + binary label, ML-typed: strings→categoricals kept for the
     * indexers, decimal→double, count nulls already filled by the star.
     */
@@ -122,9 +142,12 @@ object MlSuite {
   def prepared(spark: SparkSession, dir: String): PreparedMl =
     SessionMemo.getOrCompute(spark, s"ml.prepare:$dir") {
       // the two StringIndexer fits, the OHE fit, the RFormula fit, and the
-      // formula transform each traverse the labeled basetable — cache the
-      // star join once, drop it as soon as the selected frames materialize
-      val labeled = basetableLabeled(spark, dir).cache()
+      // formula transform each traverse the labeled basetable — served
+      // from the session-wide [[labeledCached]] memo (r21: the confusion
+      // deployment reads share the same frame, so it outlives this
+      // builder instead of being dropped after the selected frames
+      // materialize)
+      val labeled = labeledCached(spark, dir)
       // Size the ML frames' partitioning to their actual row count: they
       // are |customers| rows (tiny next to the fact tables), but inherit
       // the star join's shuffle partitioning — and every L-BFGS step and
@@ -233,7 +256,9 @@ object MlSuite {
         .cache()
       val (trainS, testS) = (sel(train), sel(test))
       trainS.count(); testS.count()
-      formed.unpersist(); labeled.unpersist()
+      // labeled stays persisted — it is the session-wide memo's frame,
+      // shared with the deployment confusion reads
+      formed.unpersist()
       PreparedMl(trainS, testS, statistic, selIdx.length, nTotal)
     }
 
@@ -572,7 +597,9 @@ object MlSuite {
     * `avg_event_value` are the star's round-2/round-6 doubles).
     */
   def deployFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val base = basetableLabeled(spark, dir)
+    // r21: served from the session-wide labeled memo — each of the three
+    // frozen-model confusion queries was re-running the star join
+    val base = labeledCached(spark, dir)
     val segCols = DeploySegments.map(s =>
       when(col("c_mktsegment") === s, 1.0).otherwise(0.0)
         .as(s"d_seg_${s.toLowerCase}"))
@@ -781,8 +808,16 @@ object MlSuite {
         (col("margin") > 0.0).as("pred"),
         least(greatest(floor(col("margin")), lit(-DeployBucketClamp.toDouble)),
           lit(DeployBucketClamp.toDouble)).cast("long").as("bucket"))
+    // r21: CACHED — the metric branch and the histogram branch both
+    // aggregate this <= (2*clamp+1)*4-row cell table. Before the shared
+    // [[labeledCached]] memo, AQE's runtime exchange reuse deduped the
+    // cell exchange between the union branches; over a cached relation
+    // the deduplicated second branch no longer canonicalizes equal and
+    // reuse fails, so the bounded cache pins the once-only property
+    // structurally instead (PlanSpec's frozen-confusion shape test).
     val g = scored.groupBy("bucket", "pred", "actual")
       .agg(count(lit(1)).as("n"))
+      .cache()
     def cell(p: Boolean, a: Boolean): Column =
       coalesce(sum(when(col("pred") === p && col("actual") === a,
         col("n"))), lit(0L))

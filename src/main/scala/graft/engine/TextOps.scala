@@ -53,10 +53,17 @@ object TextOps {
     */
   private[engine] def tokenizedDocs(spark: SparkSession,
       dir: String): DataFrame =
-    SessionMemo.getOrCompute(spark, s"textops.tokenizedDocs:$dir") {
+    SessionMemo.getOrComputeCleanup(spark,
+        s"textops.tokenizedDocs:$dir") {
+      // r21 (guide §5, VERDICT r20 #1): SERIALIZED in-memory storage —
+      // the cache lives for the whole session, and the serialized form
+      // cuts the heap held against every later query's execution
+      // memory; the eviction cleanup unpersists instead of leaving the
+      // blocks to die with the context.
       Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), tokens.as("ws")).cache()
-    }
+        .select(col("doc_id"), col("lang"), tokens.as("ws"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }(df => scala.util.Try(df.unpersist()): Unit)
 
   // ===== script-aware deterministic segmentation (CJK-safe) ==========
 

@@ -1144,7 +1144,8 @@ object VersionedStore {
     * fixtures) must be monotonic in the chain.
     */
   def mergeGeneration(batchRows: DataFrame, gen: Int,
-      root: String, commitTs: Long = -1L): Unit = {
+      root: String, commitTs: Long = -1L,
+      touchedHint: Option[Seq[Long]] = None): Unit = {
     val sp = batchRows.sparkSession
     val base: Manifest =
       if (gen == 0) {
@@ -1157,9 +1158,13 @@ object VersionedStore {
             s"(store at ${latestGen(root).getOrElse(-1)})")
         readManifest(root, gen - 1)
       }
-    // bounded by the layout constant (<= Buckets), never by data volume
-    val touched = batchRows.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+    // bounded by the layout constant (<= Buckets), never by data volume.
+    // r21: a caller that already aggregated the batch (the streaming
+    // replay's order-contract check scans it anyway) passes the bucket
+    // set as a hint — one collect job per commit instead of two.
+    val touched = touchedHint.map(_.sorted).getOrElse(
+      batchRows.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted)
     val schema = mergedSchema(base.schema, batchRows.schema)
     val staged = stagedPath(root)
     // any throw between the staged write and a successful claim must
