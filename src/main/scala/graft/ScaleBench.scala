@@ -74,6 +74,13 @@ object ScaleBench {
     // the orders⋈customer join — expect the join's linear exponent
     "q_sql_lateral",
     "q_compact", "q_stream_upsert", "q_event_sequences",
+    // r21 — the state-store-floor queries the round's state-partition
+    // sizing touched (16384 rows/partition, noData skip on the inner
+    // join): state partitions grow linearly with input rows, so expect
+    // the per-batch commit floor at 1x and alpha ≈ the stateful
+    // operator's data term beyond it
+    "q_stream_join", "q_stream_event_window", "q_stream_sessions",
+    "q_stream_dedup",
     // streaming RTBF: the upsert's microbatch MERGE floor plus one
     // tombstone batch (deletion-set-sized) — expect q_stream_upsert's
     // flat-floor line

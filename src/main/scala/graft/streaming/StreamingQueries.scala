@@ -781,7 +781,7 @@ object StreamingQueries {
     * bench-fixture synthesis, not a production path: a real deployment
     * mutates its one store in place.
     */
-  private def forkStorePrefix(src: String, upToGen: Int,
+  private[graft] def forkStorePrefix(src: String, upToGen: Int,
       tag: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val dest = graft.engine.TempArtifacts.tempDir(tag)

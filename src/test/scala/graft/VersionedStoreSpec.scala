@@ -56,6 +56,27 @@ class VersionedStoreSpec extends SparkSpec {
     assert(nv === 2L)
   }
 
+  test("a forked prefix is read-identical to its source and mutates " +
+      "privately (r21 fixture-synthesis sharing)") {
+    val src = freshRoot("fork-src")
+    VersionedStore.mergeGeneration(
+      batch((1L, 10L, "a", 1.0), (2L, 11L, "b", 2.0)), 0, src)
+    VersionedStore.mergeGeneration(batch((2L, 20L, "c", 3.0)), 1, src)
+    VersionedStore.mergeGeneration(batch((1L, 30L, "d", 4.0)), 2, src)
+    // fork at gen 1: both snapshots byte-for-byte the source's, gen 2
+    // absent (the prefix is a TRUNCATION, not a view)
+    val fork = StreamingQueries.forkStorePrefix(src, 1, "graft-fork-spec")
+    assert(snapshot(fork, 0) === snapshot(src, 0))
+    assert(snapshot(fork, 1) === snapshot(src, 1))
+    assert(VersionedStore.latestGen(fork) === Some(1))
+    // the fork continues the chain privately: its gen 2 diverges from
+    // the source's and the SOURCE is untouched by the fork's commit
+    VersionedStore.mergeGeneration(batch((2L, 40L, "e", 5.0)), 2, fork)
+    assert(snapshot(fork, 2) === Seq((1L, 10L, 0), (2L, 40L, 2)))
+    assert(snapshot(src, 2) === Seq((1L, 30L, 2), (2L, 20L, 1)))
+    assert(VersionedStore.latestGen(src) === Some(2))
+  }
+
   test("generation numbering is gap- and replay-proof") {
     val root = freshRoot("guard")
     intercept[IllegalArgumentException] {
