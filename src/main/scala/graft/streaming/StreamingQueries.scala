@@ -477,10 +477,11 @@ object StreamingQueries {
       .withColumn("__batch", (ntile(nBatches).over(w) - 1).cast("int"))
     val totalFiles = nBatches + (if (withTombstones) 1 else 0)
     val baseMs = System.currentTimeMillis() - (totalFiles + 1) * 60000L
-    def place(stage: String, dirName: Int => String): Unit = {
-      val stageDirs = new java.io.File(stage).listFiles()
+    def place(stage: String, dirName: Int => String): Set[Int] = {
+      val stageDirs = Option(new java.io.File(stage).listFiles())
+        .getOrElse(Array.empty)
         .filter(_.getName.startsWith("__bp="))
-      stageDirs.foreach { d =>
+      val placed = stageDirs.map { d =>
         val b = d.getName.stripPrefix("__bp=").toInt
         val part = d.listFiles().filter(_.getName.endsWith(".parquet"))
         require(part.length == 1,
@@ -489,7 +490,24 @@ object StreamingQueries {
         val dest = java.nio.file.Paths.get(spool, dirName(b))
         java.nio.file.Files.move(part.head.toPath, dest)
         dest.toFile.setLastModified(baseMs + b * 60000L): Unit
-      }
+        b
+      }.toSet
+      graft.engine.TempArtifacts.delete(stage)
+      placed
+    }
+    // an EMPTY batch gets no partition dir from the one-job write, but
+    // the replay contract needs a file per batch id (an empty file must
+    // still advance the generation chain — the empty-fixture and
+    // rows < nBatches cases); backfill missing ids with empty
+    // schema-correct files via the per-batch write path
+    def backfill(df: DataFrame, b: Int): Unit = {
+      val stage = graft.engine.TempArtifacts.tempDir("graft-vstore-stage")
+      df.limit(0).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(spool, f"b$b%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(baseMs + b * 60000L): Unit
       graft.engine.TempArtifacts.delete(stage)
     }
     // r21 (guide §2.4): ONE partitionBy job writes every batch file —
@@ -505,20 +523,23 @@ object StreamingQueries {
     batched.withColumn("__bp", col("__batch"))
       .coalesce(1).write.mode("overwrite")
       .partitionBy("__bp").parquet(stage)
-    place(stage, b => f"b$b%03d.parquet")
+    val present = place(stage, b => f"b$b%03d.parquet")
+    (0 until nBatches).filterNot(present).foreach(b =>
+      backfill(batched, b))
     if (withTombstones) {
-      val tstage = graft.engine.TempArtifacts.tempDir("graft-vstore-stage")
-      graft.engine.Tables.events(s2, dir)
+      val tombstones = graft.engine.Tables.events(s2, dir)
         .select("user_id").distinct()
         .filter(pmod(col("user_id"), lit(ForgetMod)) === 0)
         .select((-col("user_id")).as("event_id"),
           lit(TombstoneTs).as("ts"), col("user_id"),
           lit(TombstoneType).as("event_type"), lit(0.0).as("value"),
           lit(nBatches).cast("int").as("__batch"))
-        .withColumn("__bp", col("__batch"))
+      val tstage = graft.engine.TempArtifacts.tempDir("graft-vstore-stage")
+      tombstones.withColumn("__bp", col("__batch"))
         .coalesce(1).write.mode("overwrite")
         .partitionBy("__bp").parquet(tstage)
-      place(tstage, b => f"b$b%03d.parquet")
+      val tPresent = place(tstage, b => f"b$b%03d.parquet")
+      if (!tPresent(nBatches)) backfill(tombstones, nBatches)
     }
     spool
   }
@@ -816,8 +837,16 @@ object StreamingQueries {
       parts: Int, gens: Int): String =
     graft.engine.SessionMemo.getOrComputeCleanup(spark,
       s"graft:vstore-base:$parts:$gens:$dir") {
+      // the tempDir prefix must be unique per LIVE store: tempDir
+      // deletes the previous dir registered under the same prefix, and
+      // this store outlives the call under the session memo — a second
+      // session/fixture building the same (parts, gens) base must not
+      // sweep the first's files while its memo still points there
+      // (caught by the cross-suite test run; the runSeq nonce keeps
+      // every live base distinct, JVM-exit cleanup still collects all)
       val root = graft.engine.TempArtifacts.tempDir(
-        s"graft-vstore-base$parts")
+        s"graft-vstore-base$parts-$gens-${dir.hashCode.toHexString}" +
+          s"-${runSeq.incrementAndGet()}")
       (0 until gens).foreach { g =>
         VersionedStore.mergeGeneration(ntileBatch(spark, dir, parts, g),
           g, root, commitTs = StoreCommitBase + g * StoreCommitStepMs)
